@@ -1,0 +1,241 @@
+package graft.hql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Resolves an HQL identifier to a Spark Column.
+  *
+  * Two deployment shapes:
+  *  - [[FieldResolver.struct]]: documents with a known (struct) schema —
+  *    identifiers become typed column references; comparisons rely on the
+  *    native column type.
+  *  - [[FieldResolver.json]]: schema-free JSON bodies (the reference's
+  *    native shape, scheme.cql:7 stores bodies as JSON text) — identifiers
+  *    become `get_json_object` extractions; the translator drives casts
+  *    from constant types, mirroring the reference's dynamic comparison
+  *    rule (numbers compare as BigDecimal iff both sides numeric, else
+  *    text; HyperbusAdapter.scala:341-376).
+  */
+trait FieldResolver {
+  /** Column for the identifier, or None if statically known to be absent. */
+  def resolve(ident: Ident): Option[Column]
+  /** Static type of the identifier when known (struct schema). */
+  def dataTypeOf(ident: Ident): Option[DataType] = None
+  /** True when the resolved column is untyped JSON text (needs casts). */
+  def isDynamic: Boolean
+}
+
+object FieldResolver {
+  /** Identifiers map to (possibly nested) fields of a struct-typed row. */
+  def struct(schema: StructType): FieldResolver = new FieldResolver {
+    val isDynamic = false
+    private def walk(dt: DataType, segs: Seq[String]): Option[DataType] =
+      (dt, segs) match {
+        case (d, Seq()) => Some(d)
+        case (s: StructType, head +: tail) =>
+          s.fields.find(_.name == head).flatMap(f => walk(f.dataType, tail))
+        case _ => None
+      }
+    def resolve(ident: Ident): Option[Column] =
+      walk(schema, ident.segments).map(_ => col(ident.name))
+    override def dataTypeOf(ident: Ident): Option[DataType] =
+      walk(schema, ident.segments)
+  }
+
+  /** Identifiers map to JSONPath extractions from a JSON-text column. */
+  def json(body: Column): FieldResolver = new FieldResolver {
+    val isDynamic = true
+    def resolve(ident: Ident): Option[Column] =
+      Some(get_json_object(body, "$." + ident.segments.mkString(".")))
+  }
+}
+
+/** HQL AST → Catalyst Column.
+  *
+  * Semantics mirrored from the reference:
+  *  - Row-level eval failure ⇒ row rejected (HyperbusAdapter.scala:235-244):
+  *    achieved by null-safe translation — the caller should wrap the final
+  *    predicate in [[Translator.asPredicate]] which coalesces null→false.
+  *  - Unknown identifier ⇒ eval error ⇒ row rejected, even under `or`
+  *    (HEval throws EvalIdentifierNotFound): statically-absent identifiers
+  *    therefore force the whole predicate to `false`.
+  *  - `x has [a,b]` ⇒ x contains ALL listed values when x is a list, or
+  *    x ∈ {a} when compared against scalars; `has not` is the negation.
+  *  - Numeric comparisons on dynamic (JSON) fields follow "decimal iff both
+  *    numbers, else text" (IndexLogic.scala:179, CollectionOrdering
+  *    HyperbusAdapter.scala:341-376).
+  */
+object Translator {
+
+  def constColumn(v: HValue): Column = v match {
+    case HText(s)   => lit(s)
+    case HNumber(n) => lit(n.bigDecimal) // decimal literal, exact
+    case HBool(b)   => lit(b)
+    case HNull      => lit(null)
+    case HList(xs)  => array(xs.map(constColumn): _*)
+  }
+
+  /** Translate a full filter expression into a boolean predicate Column:
+    * null (eval failure) collapses to false, like the reference's
+    * "row rejected on eval error". */
+  def predicate(ast: Ast, resolver: FieldResolver): Column = {
+    if (hasUnknownIdent(ast, resolver)) return lit(false)
+    asPredicate(translate(ast, resolver))
+  }
+
+  /** Convenience: parse + predicate. */
+  def predicate(filter: String, resolver: FieldResolver): Column =
+    predicate(HqlParser(filter), resolver)
+
+  def asPredicate(c: Column): Column =
+    coalesce(c.cast(BooleanType), lit(false))
+
+  private def hasUnknownIdent(ast: Ast, r: FieldResolver): Boolean =
+    ast.identifiers.exists(i => r.resolve(i).isEmpty)
+
+  def translate(ast: Ast, r: FieldResolver): Column = ast match {
+    case Const(v) => constColumn(v)
+    case i: Ident =>
+      r.resolve(i).getOrElse(lit(null))
+    case Unary("-", a) => -translate(a, r)
+    case Unary("!", a) => !asBool(translate(a, r), isDyn = r.isDynamic)
+    case Unary(op, _)  => sys.error(s"unsupported unary op: $op")
+
+    case Binary(l, "and", rr) =>
+      asBool(translate(l, r), r.isDynamic) && asBool(translate(rr, r), r.isDynamic)
+    case Binary(l, "or", rr) =>
+      asBool(translate(l, r), r.isDynamic) || asBool(translate(rr, r), r.isDynamic)
+
+    case Binary(l, op, rr) if Ops.Comparisons.contains(op) =>
+      comparison(l, op, rr, r)
+
+    case Binary(l, "has", rr)     => has(l, rr, r)
+    case Binary(l, "has not", rr) => !has(l, rr, r)
+
+    case Binary(l, op @ ("+" | "-" | "*" | "/" | "%"), rr) =>
+      val (lc, rc) = numericPair(l, rr, r)
+      op match {
+        case "+" => lc + rc; case "-" => lc - rc; case "*" => lc * rc
+        case "/" => lc / rc; case "%" => lc % rc
+      }
+
+    case Func(name, args) => function(name, args, r)
+    case Binary(_, op, _) => sys.error(s"unsupported binary op: $op")
+  }
+
+  /** Truthiness for bare identifiers in boolean position
+    * (`x or y`, AstComparationTest.scala:38). */
+  private def asBool(c: Column, isDyn: Boolean): Column =
+    if (isDyn) {
+      // JSON text: "true"/"false" strings, else non-null non-"false" is truthy
+      when(c.isNull, lit(null)).otherwise(c.cast(StringType) === "true")
+    } else c.cast(BooleanType)
+
+  private def comparison(l: Ast, op: String, rt: Ast, r: FieldResolver): Column = {
+    val (lc, rc) = alignForComparison(l, rt, r)
+    op match {
+      case "="  => lc === rc
+      case "!=" => lc =!= rc
+      case ">"  => lc > rc
+      case ">=" => lc >= rc
+      case "<"  => lc < rc
+      case "<=" => lc <= rc
+    }
+  }
+
+  private val Dec = DecimalType(38, 18)
+
+  /** Align two operand columns for comparison. On a dynamic resolver the
+    * constant's type decides: numeric constant ⇒ decimal compare
+    * (try_cast so non-numeric rows yield null ⇒ rejected), string constant
+    * ⇒ text compare — reference rule "BigDecimal iff both numbers else
+    * string" (HyperbusAdapter.scala:350-366). */
+  private def alignForComparison(l: Ast, rt: Ast, r: FieldResolver): (Column, Column) = {
+    def numConst(a: Ast): Boolean = a match {
+      case Const(HNumber(_)) => true
+      case Unary("-", Const(HNumber(_))) => true
+      case _ => false
+    }
+    def strConst(a: Ast): Boolean = a match { case Const(HText(_)) => true; case _ => false }
+    val lc = translate(l, r); val rc = translate(rt, r)
+    if (!r.isDynamic) (lc, rc)
+    else if (numConst(l) || numConst(rt))
+      (tryDec(lc, numConst(l)), tryDec(rc, numConst(rt)))
+    else if (strConst(l) || strConst(rt)) (lc.cast(StringType), rc.cast(StringType))
+    else {
+      // ident vs ident on dynamic JSON: decimal iff both castable, else text
+      val ld = lc.cast(StringType); val rd = rc.cast(StringType)
+      (when(tryCastDec(ld).isNotNull && tryCastDec(rd).isNotNull, tryCastDec(ld))
+         .otherwise(lit(null)).cast(Dec),
+       when(tryCastDec(ld).isNotNull && tryCastDec(rd).isNotNull, tryCastDec(rd))
+         .otherwise(lit(null)).cast(Dec))
+      // note: text-vs-text ident comparison falls back to null ⇒ rejected;
+      // use string constants for text comparisons (matches reference tests)
+    }
+  }
+
+  private def tryCastDec(c: Column): Column = c.cast(StringType).try_cast(Dec)
+
+  private def tryDec(c: Column, isConst: Boolean): Column =
+    if (isConst) c.cast(Dec) else tryCastDec(c)
+
+  private def numericPair(l: Ast, rt: Ast, r: FieldResolver): (Column, Column) = {
+    val lc = translate(l, r); val rc = translate(rt, r)
+    if (r.isDynamic) (tryCastDec(lc), tryCastDec(rc)) else (lc, rc)
+  }
+
+  /** `x has [..]` — the left value intersects the listed values: scalar x
+    * ⇒ x ∈ list; list-valued x ⇒ ∃ element of x in the list. This is the
+    * semantics consistent with the reference comparator's widening rules
+    * (AstComparationTest.scala:30-31: `has [1,2,3]` is Wider than
+    * `has [1,2]`, and `has not [1,2,3]` Wider than `has not [1,2,3,4]`). */
+  private def has(l: Ast, rt: Ast, r: FieldResolver): Column = {
+    val lc = translate(l, r)
+    val isArray = l match {
+      case i: Ident => r.dataTypeOf(i).exists(_.isInstanceOf[ArrayType])
+      case _        => false
+    }
+    rt match {
+      case Const(HList(items)) =>
+        if (r.isDynamic) {
+          // JSON value extracted as text: either a JSON list "[1,2,3]" or a
+          // scalar; test both shapes textually
+          val arr = from_json(lc.cast(StringType), ArrayType(StringType))
+          items.map { v =>
+            val s = v match {
+              case HText(t) => lit(t)
+              case HNumber(n) => lit(n.bigDecimal.toPlainString)
+              case HBool(b) => lit(b.toString)
+              case HNull => lit("null")
+              case l: HList => lit(l.render)
+            }
+            when(arr.isNotNull, array_contains(arr, s))
+              .otherwise(lc.cast(StringType) === s)
+          }.reduce(_ || _)
+        } else if (isArray) {
+          items.map(v => array_contains(lc, constColumn(v))).reduce(_ || _)
+        } else {
+          lc.isin(items.map {
+            case HText(t) => t; case HNumber(n) => n; case HBool(b) => b
+            case HNull => null; case l: HList => l.render
+          }: _*)
+        }
+      case other =>
+        val rc = translate(other, r)
+        if (isArray) array_contains(lc, rc) else lc === rc
+    }
+  }
+
+  private def function(name: String, args: Seq[Ast], r: FieldResolver): Column = {
+    val cols = args.map(a => translate(a, r))
+    name.toLowerCase match {
+      case "length"  => length(cols.head.cast(StringType)).cast(Dec)
+      case "lower"   => lower(cols.head.cast(StringType))
+      case "upper"   => upper(cols.head.cast(StringType))
+      case "abs"     => abs(if (r.isDynamic) tryCastDec(cols.head) else cols.head)
+      case "coalesce" => coalesce(cols: _*)
+      case other     => sys.error(s"unsupported function: $other")
+    }
+  }
+}
