@@ -1,13 +1,743 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline families), each with a DuckDB-runnable
+  * oracle over the same parquet tables. Column names are aligned on both
+  * sides (the driver's compare sorts columns by name before hashing). */
 object SparkEntry {
+
+  // ---------------------------------------------------------------- helpers
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads only as a
+    * nanosecond Long (legacy conf); expose an exact millisecond column via
+    * integer division (double division would lose precision at 1e18 ns). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+  }
+
+  private def j(body: String, field: String) =
+    get_json_object(col(body), "$." + field)
+
+  /** PUT WriteOps for every row of a table into `uri` (seq = id column). */
+  private def putOps(s: SparkSession, df: DataFrame, uri: String,
+      idCol: String, bodyCols: Seq[String]): Dataset[WriteOp] = {
+    import s.implicits._
+    df.select(
+      col(idCol).cast("long").as("seq"),
+      lit("PUT").as("method"),
+      concat(lit(uri + "/"), col(idCol).cast("string")).as("path"),
+      to_json(struct(bodyCols.map(col): _*)).as("body")
+    ).as[WriteOp]
+  }
+
+  private def emptyStore(s: SparkSession) = HyperStorage(s, Content.empty(s))
+
+  private def collection(s: SparkSession, dir: String, table: String,
+      idCol: String, uri: String): HyperStorage =
+    HyperStorage(s, Content.fromTable(t(s, dir, table), uri, idCol))
+
+  // ------------------------------------------------------------- the queries
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_shipping")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- S: scans / sources --------------------------------------------
+    "s1_point_get" -> ((s, dir) => {
+      val st = collection(s, dir, "nation", "n_nationkey", "nations~")
+      st.getDF("nations~/7").select(
+        col("item_id"),
+        j("body", "n_name").as("name"),
+        j("body", "n_regionkey").cast("int").as("regionkey"))
+    }),
+
+    "s2_range_scan" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      st.query("customers~", itemIdFilter = Some((">", "1200")), size = 30)
+        .rows.select(col("item_id"),
+          j("body", "c_name").as("name"),
+          j("body", "c_acctbal").cast("double").as("acctbal"))
+    }),
+
+    "s2_range_scan_desc" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      st.query("customers~", itemIdFilter = Some(("<", "1200")), size = 25,
+          ascending = false)
+        .rows.select(col("item_id"), j("body", "c_name").as("name"))
+    }),
+
+    "s3_static_revision" -> ((s, dir) => {
+      import s.implicits._
+      val ops = putOps(s, t(s, dir, "nation"), "nations~", "n_nationkey",
+        Seq("n_name", "n_regionkey"))
+      val st = emptyStore(s)
+      val applied = HyperStorage(s, st.applyOps(ops).log)
+      Seq(applied.revisionOf("nations~")).toDF("revision")
+    }),
+
+    "s8_ledger_complete" -> ((s, dir) => {
+      val ops = putOps(s, t(s, dir, "region"), "regions~", "r_regionkey",
+        Seq("r_name"))
+      val feed = emptyStore(s).applyOps(ops).feed
+      val ledger = Ledger.fromFeed(feed, batchTsMillis = 0L)
+      val done = Ledger.complete(ledger, ledger.select("txn_id"))
+      done.select(col("txn_id"), col("completed"), col("revision"))
+        .orderBy("txn_id")
+    }),
+
+    "s10_checkpoint" -> ((s, dir) => {
+      // two batches in different quanta; batch 1 completed, batch 2 not →
+      // checkpoint = quantum(batch1) per touched partition
+      val ops = putOps(s, t(s, dir, "region"), "regions~", "r_regionkey",
+        Seq("r_name"))
+      val feed = emptyStore(s).applyOps(ops).feed
+      val l1 = Ledger.complete(Ledger.fromFeed(feed, 60000L),
+        Ledger.fromFeed(feed, 60000L).select("txn_id"))
+      val l2 = Ledger.fromFeed(feed, 120000L)
+      Ledger.checkpoints(l1.unionByName(l2))
+        .select(col("checkpoint_quantum")).distinct()
+    }),
+
+    // ---- F: filters ----------------------------------------------------
+    "f1_filter_numeric" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      st.query("customers~",
+          filter = Some("c_acctbal > 1000 and c_acctbal < 5000"), size = 1000)
+        .rows.select(col("item_id"),
+          j("body", "c_acctbal").cast("double").as("acctbal"),
+          j("body", "c_mktsegment").as("mktsegment"))
+    }),
+
+    "f1_filter_text" -> ((s, dir) => {
+      val st = collection(s, dir, "part", "p_partkey", "parts~")
+      st.query("parts~", filter = Some("p_brand = \"Brand#4\""), size = 200)
+        .rows.select(col("item_id"),
+          j("body", "p_brand").as("brand"),
+          j("body", "p_size").cast("int").as("psize"))
+    }),
+
+    "f2_filter_or_has" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      st.query("customers~",
+          filter = Some("c_mktsegment has [\"BUILDING\",\"AUTOMOBILE\"] or c_acctbal < 0"),
+          size = 2000)
+        .rows.select(col("item_id"),
+          j("body", "c_mktsegment").as("mktsegment"),
+          j("body", "c_acctbal").cast("double").as("acctbal"))
+    }),
+
+    "f5_filter_constfold" -> ((s, dir) => {
+      val st = collection(s, dir, "part", "p_partkey", "parts~")
+      st.query("parts~",
+          filter = Some("p_size > 2 * 20 + 5 and p_retailprice <= 1500"), size = 3000)
+        .rows.select(col("item_id"),
+          j("body", "p_size").cast("int").as("psize"),
+          j("body", "p_retailprice").cast("double").as("retailprice"))
+    }),
+
+    "f8_null_strip" -> ((s, dir) => {
+      import s.implicits._
+      val ops = t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("seq"),
+        lit("PUT").as("method"),
+        concat(lit("regions~/"), col("r_regionkey").cast("string")).as("path"),
+        concat(lit("{\"name\":\""), col("r_name"), lit("\",\"tmp\":null}")).as("body")
+      ).as[WriteOp]
+      val log = emptyStore(s).applyOps(ops).log
+      HyperStorage(s, log).query("regions~").rows.select(
+        col("item_id"), j("body", "name").as("name"),
+        j("body", "tmp").as("tmp"))
+    }),
+
+    // ---- O: sort / limit / paging --------------------------------------
+    "o2_sort_multifield" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      st.query("customers~",
+          sort = Seq(SortBy("c_mktsegment"), SortBy("c_acctbal", descending = true)),
+          size = 50)
+        .rows.select(col("item_id"),
+          j("body", "c_mktsegment").as("mktsegment"),
+          j("body", "c_acctbal").cast("double").as("acctbal"))
+    }),
+
+    "o3_default_page" -> ((s, dir) => {
+      val st = collection(s, dir, "orders", "o_orderkey", "orders~")
+      st.query("orders~").rows.select(col("item_id"),
+        j("body", "o_orderstatus").as("status"))
+    }),
+
+    "o4_topk_overfetch" -> ((s, dir) => {
+      val st = collection(s, dir, "orders", "o_orderkey", "orders~")
+      st.query("orders~", filter = Some("o_totalprice > 1000"),
+          sort = Seq(SortBy("o_totalprice", descending = true)), size = 50)
+        .rows.select(col("item_id"),
+          j("body", "o_totalprice").cast("double").as("totalprice"))
+    }),
+
+    "o6_pagination" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      val sort = Seq(SortBy("c_mktsegment"))
+      val p1 = st.query("customers~", sort = sort, size = 100)
+      val last = p1.rows.collect().last
+      st.queryAfter("customers~", last, sort = sort, size = 100)
+        .rows.select(col("item_id"), j("body", "c_mktsegment").as("mktsegment"))
+    }),
+
+    // ---- M: mutations ---------------------------------------------------
+    "m1_put_get" -> ((s, dir) => {
+      val ops = putOps(s, t(s, dir, "region"), "regions~", "r_regionkey",
+        Seq("r_name"))
+      val log = emptyStore(s).applyOps(ops).log
+      HyperStorage(s, log).query("regions~").rows.select(
+        col("item_id"), j("body", "r_name").as("name"))
+    }),
+
+    "m2_patch_null_delete" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val puts = putOps(s, n, "nations~", "n_nationkey", Seq("n_name", "n_regionkey"))
+      val patches = n.select(
+        (col("n_nationkey") + 1000).cast("long").as("seq"),
+        lit("PATCH").as("method"),
+        concat(lit("nations~/"), col("n_nationkey").cast("string")).as("path"),
+        lit("{\"n_regionkey\":null,\"patched\":true}").as("body")
+      ).as[WriteOp]
+      val log = emptyStore(s).applyOps(puts.unionByName(patches)).log
+      HyperStorage(s, log).query("nations~").rows.select(
+        col("item_id"), j("body", "n_name").as("name"),
+        j("body", "patched").cast("boolean").as("patched"),
+        j("body", "n_regionkey").cast("int").as("regionkey"))
+    }),
+
+    "m3_delete_collection" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region")
+      val putsA = putOps(s, r, "regions-a~", "r_regionkey", Seq("r_name"))
+      val putsB = putOps(s, r, "regions-b~", "r_regionkey", Seq("r_name"))
+      val delA = s.createDataset(Seq(
+        WriteOp(100L, "DELETE", "regions-a~", null)))
+      val log = emptyStore(s)
+        .applyOps(putsA.unionByName(putsB).unionByName(delA)).log
+      Content.latestView(log) // collection tombstone hides all of regions-a~
+        .select(col("document_uri"), col("item_id"),
+          j("body", "r_name").as("name"))
+        .orderBy("document_uri", "item_id")
+    }),
+
+    "m4_delete_items" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier")
+      val puts = putOps(s, sup, "suppliers~", "s_suppkey", Seq("s_name", "s_acctbal"))
+      val dels = sup.filter(col("s_suppkey") <= 50).select(
+        (col("s_suppkey") + 1000).cast("long").as("seq"),
+        lit("DELETE").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        lit(null).cast("string").as("body")
+      ).as[WriteOp]
+      val log = emptyStore(s).applyOps(puts.unionByName(dels)).log
+      HyperStorage(s, log).query("suppliers~", size = 200).rows.select(
+        col("item_id"), j("body", "s_name").as("name"),
+        j("body", "s_acctbal").cast("double").as("acctbal"))
+    }),
+
+    "m5_post_idgen" -> ((s, dir) => {
+      import s.implicits._
+      val ops = t(s, dir, "region").select(
+        col("r_regionkey").cast("long").as("seq"),
+        lit("POST").as("method"),
+        lit("posted~").as("path"),
+        to_json(struct(col("r_name").as("name"))).as("body")
+      ).as[WriteOp]
+      val log = emptyStore(s).applyOps(ops).log
+      HyperStorage(s, log).query("posted~").rows.select(
+        col("item_id"), j("body", "name").as("name"),
+        j("body", "id").as("injected_id"))
+    }),
+
+    "m9_rejected_ops" -> ((s, dir) => {
+      import s.implicits._
+      val patches = t(s, dir, "nation").filter(col("n_nationkey") < 5).select(
+        col("n_nationkey").cast("long").as("seq"),
+        lit("PATCH").as("method"),
+        concat(lit("ghost~/"), col("n_nationkey").cast("string")).as("path"),
+        lit("{\"x\":1}").as("body")
+      ).as[WriteOp]
+      val collPut = s.createDataset(Seq(
+        WriteOp(100L, "PUT", "ghost~", "{}")))
+      emptyStore(s).applyOps(patches.unionByName(collPut))
+        .rejected.select(col("seq"), col("path"), col("method"), col("code"))
+        .orderBy("seq")
+    }),
+
+    // ---- ST: streaming-shape (batch equivalents) ------------------------
+    "st1_feed_events" -> ((s, dir) => {
+      import s.implicits._
+      val r = t(s, dir, "region")
+      val puts = putOps(s, r, "regions~", "r_regionkey", Seq("r_name"))
+      val dels = r.filter(col("r_regionkey") < 2).select(
+        (col("r_regionkey") + 10).cast("long").as("seq"),
+        lit("DELETE").as("method"),
+        concat(lit("regions~/"), col("r_regionkey").cast("string")).as("path"),
+        lit(null).cast("string").as("body")
+      ).as[WriteOp]
+      emptyStore(s).applyOps(puts.unionByName(dels)).feed
+        .select(col("item_id"), col("method"), col("revision"))
+        .orderBy("revision")
+    }),
+
+    "st5_quantize" -> ((s, dir) => {
+      events(s, dir)
+        .select(Ledger.quantum(col("ts_ms")).as("quantum"))
+        .groupBy("quantum").agg(count(lit(1)).as("cnt"))
+        .orderBy("quantum")
+    }),
+
+    // ---- analytics (joins/aggs/windows — Spark built-ins over the engine's
+    // tables; the reference has none of these, SURVEY §2.3-2.5) ----------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_shipping" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      // small dimension side broadcast — no shuffle of lineitem for the join
+      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0d) - col("l_discount")).cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1.0d) - col("l_discount")).cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "w1_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir).filter(col("user_id") < 20)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("rn"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"))
+        .orderBy("event_id")
+    }),
+
+    "e1_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gapped = events(s, dir).filter(col("user_id") < 50)
+        .withColumn("prev_ts_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts_ms").isNull ||
+            col("ts_ms") - col("prev_ts_ms") > 30 * 60 * 1000L, 1L)
+          .otherwise(0L))
+      gapped.groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ---- LLM-pipeline: dedup -------------------------------------------
+    "dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      Dedup.exactSurvivors(doubled, "text", "doc_id")
+        .select(col("doc_id"), col("copies")).orderBy("doc_id")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, k = 64, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 3, bands = 4)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
+    // ---- LLM-pipeline: similarity search -------------------------------
+    "ann_cosine_topk" -> ((s, dir) => {
+      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      Similarity.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, planes = 12, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LLM-pipeline: text analysis -----------------------------------
+    "text_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_token_len"), col("alpha_ratio"), col("punct_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+    }),
+
+    // ---- LLM-pipeline: multimodal binary columns ------------------------
+    "mm_blob_stats" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.withBlobStats(media)
+        .withColumn("n_frames",
+          ceil(col("n_bytes").cast("double") / 64).cast("long"))
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("n_frames"))
+        .orderBy("media_id")
+    }),
+
+    "mm_decode_stub" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeStub(s, media)
+        .select(col("media_id"), col("decoded_ok"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ------------------------------------------------------------ the oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_point_get" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS item_id, n_name AS name,
+        |       CAST(n_regionkey AS INTEGER) AS regionkey
+        |FROM nation WHERE n_nationkey = 7""".stripMargin,
+
+    "s2_range_scan" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_name AS name,
+        |       c_acctbal AS acctbal
+        |FROM customer WHERE CAST(c_custkey AS VARCHAR) > '1200'
+        |ORDER BY item_id LIMIT 30""".stripMargin,
+
+    "s2_range_scan_desc" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_name AS name
+        |FROM customer WHERE CAST(c_custkey AS VARCHAR) < '1200'
+        |ORDER BY item_id DESC LIMIT 25""".stripMargin,
+
+    "s3_static_revision" ->
+      "SELECT COUNT(*) AS revision FROM nation",
+
+    "s8_ledger_complete" ->
+      """SELECT 'regions~/' || CAST(r_regionkey AS VARCHAR) || '#' ||
+        |       CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS VARCHAR) AS txn_id,
+        |       TRUE AS completed,
+        |       ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision
+        |FROM region ORDER BY txn_id""".stripMargin,
+
+    "s10_checkpoint" ->
+      "SELECT CAST(1 AS BIGINT) AS checkpoint_quantum",
+
+    "f1_filter_numeric" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_acctbal AS acctbal,
+        |       c_mktsegment AS mktsegment
+        |FROM customer WHERE c_acctbal > 1000 AND c_acctbal < 5000
+        |ORDER BY item_id LIMIT 1000""".stripMargin,
+
+    "f1_filter_text" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS item_id, p_brand AS brand,
+        |       CAST(p_size AS INTEGER) AS psize
+        |FROM part WHERE p_brand = 'Brand#4' ORDER BY item_id LIMIT 200""".stripMargin,
+
+    "f2_filter_or_has" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id,
+        |       c_mktsegment AS mktsegment, c_acctbal AS acctbal
+        |FROM customer
+        |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') OR c_acctbal < 0
+        |ORDER BY item_id LIMIT 2000""".stripMargin,
+
+    "f5_filter_constfold" ->
+      """SELECT CAST(p_partkey AS VARCHAR) AS item_id,
+        |       CAST(p_size AS INTEGER) AS psize, p_retailprice AS retailprice
+        |FROM part WHERE p_size > 45 AND p_retailprice <= 1500
+        |ORDER BY item_id LIMIT 3000""".stripMargin,
+
+    "f8_null_strip" ->
+      """SELECT CAST(r_regionkey AS VARCHAR) AS item_id, r_name AS name,
+        |       CAST(NULL AS VARCHAR) AS tmp
+        |FROM region ORDER BY item_id""".stripMargin,
+
+    "o2_sort_multifield" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id,
+        |       c_mktsegment AS mktsegment, c_acctbal AS acctbal
+        |FROM customer
+        |ORDER BY c_mktsegment ASC, c_acctbal DESC, item_id ASC LIMIT 50""".stripMargin,
+
+    "o3_default_page" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS item_id,
+        |       o_orderstatus AS status
+        |FROM orders ORDER BY item_id LIMIT 100""".stripMargin,
+
+    "o4_topk_overfetch" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS item_id,
+        |       o_totalprice AS totalprice
+        |FROM orders WHERE o_totalprice > 1000
+        |ORDER BY o_totalprice DESC, item_id ASC LIMIT 50""".stripMargin,
+
+    "o6_pagination" ->
+      """SELECT item_id, mktsegment FROM (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS item_id,
+        |         c_mktsegment AS mktsegment
+        |  FROM customer ORDER BY c_mktsegment, item_id LIMIT 100 OFFSET 100
+        |) ORDER BY mktsegment, item_id""".stripMargin,
+
+    "m1_put_get" ->
+      """SELECT CAST(r_regionkey AS VARCHAR) AS item_id, r_name AS name
+        |FROM region ORDER BY item_id""".stripMargin,
+
+    "m2_patch_null_delete" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS item_id, n_name AS name,
+        |       TRUE AS patched, CAST(NULL AS INTEGER) AS regionkey
+        |FROM nation ORDER BY item_id""".stripMargin,
+
+    "m3_delete_collection" ->
+      """SELECT 'regions-b~' AS document_uri,
+        |       CAST(r_regionkey AS VARCHAR) AS item_id, r_name AS name
+        |FROM region ORDER BY document_uri, item_id""".stripMargin,
+
+    "m4_delete_items" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id, s_name AS name,
+        |       s_acctbal AS acctbal
+        |FROM supplier WHERE s_suppkey > 50 ORDER BY item_id LIMIT 200""".stripMargin,
+
+    "m5_post_idgen" ->
+      """SELECT lpad(CAST(r_regionkey AS VARCHAR), 19, '0') || '-' ||
+        |       lpad(CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS VARCHAR), 4, '0')
+        |         AS item_id,
+        |       r_name AS name,
+        |       lpad(CAST(r_regionkey AS VARCHAR), 19, '0') || '-' ||
+        |       lpad(CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS VARCHAR), 4, '0')
+        |         AS injected_id
+        |FROM region ORDER BY item_id""".stripMargin,
+
+    "m9_rejected_ops" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS seq,
+        |       'ghost~/' || CAST(n_nationkey AS VARCHAR) AS path,
+        |       'PATCH' AS method, 'not-found' AS code
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT 100, 'ghost~', 'PUT', 'collection-put-not-implemented'
+        |ORDER BY seq""".stripMargin,
+
+    "st1_feed_events" ->
+      """WITH puts AS (
+        |  SELECT CAST(r_regionkey AS VARCHAR) AS item_id, 'feed:put' AS method,
+        |         ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision
+        |  FROM region),
+        |dels AS (
+        |  SELECT CAST(r_regionkey AS VARCHAR) AS item_id, 'feed:delete' AS method,
+        |         (SELECT COUNT(*) FROM region) +
+        |         ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision
+        |  FROM region WHERE r_regionkey < 2)
+        |SELECT * FROM puts UNION ALL SELECT * FROM dels ORDER BY revision""".stripMargin,
+
+    "st5_quantize" ->
+      """SELECT epoch_ms(ts) // 60000 AS quantum, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY quantum""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "w1_window_rank" ->
+      """SELECT event_id, user_id,
+        |       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |       LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS prev_event_id
+        |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    "e1_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                IS NULL
+        |              OR epoch_ms(ts) - epoch_ms(LAG(ts) OVER
+        |                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events WHERE user_id < 50)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, CAST(2 AS BIGINT) AS copies
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_minhash_lsh" -> jaccardOracle,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |                            ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, neighbor_id, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  (length(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))
+        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        |    AS mean_token_len,
+        |  (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |                          ' +', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '),
+        |         x -> x IN ('the','and','of','to','in','is','that','with','for','was')))
+        |       > 0 THEN 'en' ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_blob_stats" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_decode_stub" ->
+      """SELECT doc_id AS media_id, TRUE AS decoded_ok,
+        |       CAST(strlen(text) AS DOUBLE) AS f0
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+
+  /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —
+    * the oracle for both the deterministic shared-shingle path and the
+    * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
+    * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
+  private def jaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+      |                             FOR i IN range(1, len(t) - 1)])
+      |         ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS la, len(b.s) AS lb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b FROM pairs
+      |WHERE inter > 0
+      |  AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
 }

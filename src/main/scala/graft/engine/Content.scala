@@ -15,7 +15,11 @@ import org.apache.spark.sql.types._
   * At scale the physical layout is an append-only log (every write is a new
   * row at revision N); the queryable current state is the latest-revision
   * view. Partition-by `document_uri` means per-collection locality exactly
-  * like the reference's Cassandra partition key.
+  * like the reference's Cassandra partition key. Callers that know the
+  * target URI must filter the log BEFORE calling [[latestView]] so the
+  * filter lands under the window (partition pruning at the scan; the window
+  * partitions by the same key so pushing the predicate below it is
+  * semantics-preserving).
   */
 object Content {
   val schema: StructType = StructType(Seq(
@@ -28,15 +32,37 @@ object Content {
     StructField("modified_at", TimestampType)
   ))
 
-  /** Latest visible state from an append log: one row per (uri, item),
-    * highest revision wins, tombstones filtered. */
-  def latestView(log: DataFrame): DataFrame = {
+  /** One row per (uri, item), highest revision wins. Includes tombstoned
+    * rows — callers decide visibility (the write path needs dead rows to
+    * know revisions; the read path applies [[visible]]). */
+  def latestRows(log: DataFrame): DataFrame = {
     val w = Window.partitionBy("document_uri", "item_id").orderBy(col("revision").desc)
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .filter(!col("is_deleted"))
   }
+
+  /** Visibility on top of [[latestRows]]: drop per-key tombstones, and a
+    * collection-level tombstone at (uri, "", rev=R) hides every item with
+    * revision <= R — the reference's static `is_deleted` semantics
+    * (PrimaryWorker.scala:310-328: collection delete makes GET 404 and
+    * cascades; items re-created after the delete get revision > R and
+    * become visible again).
+    *
+    * The tombstone side is tiny at any scale (one row per deleted
+    * collection), so it is broadcast — no shuffle of the big side. */
+  def visible(latest: DataFrame): DataFrame = {
+    val tomb = latest
+      .filter(col("item_id") === "" && col("is_deleted"))
+      .select(col("document_uri"), col("revision").as("__tomb_rev"))
+    latest.filter(!col("is_deleted"))
+      .join(broadcast(tomb), Seq("document_uri"), "left_outer")
+      .filter(col("__tomb_rev").isNull || col("revision") > col("__tomb_rev"))
+      .drop("__tomb_rev")
+  }
+
+  /** Latest visible state from an append log. */
+  def latestView(log: DataFrame): DataFrame = visible(latestRows(log))
 
   /** Empty content log. */
   def empty(spark: SparkSession): DataFrame =

@@ -1,7 +1,7 @@
 package graft.engine
 
-import graft.hql.{FieldResolver, HqlParser, Translator}
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row, SparkSession}
+import graft.hql.{FieldResolver, Translator}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -30,7 +30,7 @@ final case class QueryResult(rows: DataFrame, revision: Long)
   * (reference §2.11: PUT/PATCH/DELETE/POST over documents and collection
   * items). `seq` orders operations within a batch; per-document application
   * is serialized by key exactly like the reference's per-key single worker
-  * (ShardProcessor.scala:363-420), here via groupByKey+flatMapGroups. */
+  * (ShardProcessor.scala:363-420), here via groupByKey+cogroup. */
 final case class WriteOp(seq: Long, method: String, path: String, body: String)
 
 final case class ContentRow(
@@ -45,8 +45,17 @@ final case class FeedEvent(
     document_uri: String, item_id: String, method: String,
     revision: Long, body: String)
 
-/** Batch write result: the new content log + the change feed slice. */
-final case class ApplyResult(log: DataFrame, feed: DataFrame)
+/** Per-op error outcome — the reference returns these as HTTP statuses
+  * (404 PrimaryWorker.scala:272-278, 409 :241-270); in a distributed batch
+  * apply they surface as a rejected-ops output channel. */
+final case class RejectedOp(seq: Long, path: String, method: String, code: String)
+
+private[engine] final case class ApplyOutcome(
+    row: Option[ContentRow], feed: Option[FeedEvent], rejected: Option[RejectedOp])
+
+/** Batch write result: the new content log, the change feed slice, and the
+  * per-op rejections (error taxonomy channel). */
+final case class ApplyResult(log: DataFrame, feed: DataFrame, rejected: DataFrame)
 
 /** HyperStorage-on-Spark: the reference's query and mutation capabilities
   * over a content log DataFrame.
@@ -56,105 +65,199 @@ final case class ApplyResult(log: DataFrame, feed: DataFrame)
   * size/skipMax → limit + scan-cap guard. Catalyst performs the pushdown /
   * top-k work the reference hand-implements (queryUntilFetched,
   * HyperbusAdapter.scala:268-309).
+  *
+  * Scale posture: every per-URI read filters the log by `document_uri`
+  * BEFORE the latest-revision window, so the predicate reaches the scan
+  * (partition pruning) instead of sitting above a whole-log shuffle.
   */
 final class HyperStorage(val spark: SparkSession, val log: DataFrame) {
   import HyperStorage._
 
-  lazy val current: DataFrame = Content.latestView(log).cache()
+  /** Whole latest visible state (all collections). Unreserved full view —
+    * per-URI paths below do NOT go through this (no blanket cache; at
+    * 100 TB a compacted current-state table replaces re-derivation). */
+  lazy val current: DataFrame = Content.latestView(log)
 
-  /** S1 point get: document (itemId="") or collection item. */
-  def get(path: String): Option[Row] = {
+  /** Latest row per (uri,item) for one URI — filter below the window. */
+  private def latestFor(uri: String): DataFrame =
+    Content.latestRows(log.filter(col("document_uri") === uri))
+
+  /** S1 point get: document (itemId="") or collection item. Deleted
+    * documents / items of deleted collections are invisible. */
+  def get(path: String): Option[Row] = getDF(path).collect().headOption
+
+  /** S1 as a single-row DataFrame plan (stays distributed). */
+  def getDF(path: String): DataFrame = {
     val (uri, itemId) = splitPath(path)
-    current
-      .filter(col("document_uri") === uri && col("item_id") === itemId)
-      .collect().headOption
+    Content.visible(latestFor(uri))
+      .filter(col("item_id") === itemId)
+      .limit(1)
   }
 
+  /** S3 static-row facts for a collection/document URI, one small agg job
+    * over the pruned scan (the reference reads these from Cassandra static
+    * columns, Db.scala:179-183). */
+  private[graft] def staticRow(uri: String): Option[StaticRow] = {
+    val r = latestFor(uri).agg(
+      max("revision"),
+      max(when(col("item_id") === "" && col("is_deleted"), col("revision"))),
+      max(when(col("item_id") =!= "" && !col("is_deleted"), col("revision")))
+    ).collect()(0)
+    if (r.isNullAt(0)) None
+    else {
+      val tomb = if (r.isNullAt(1)) -1L else r.getLong(1)
+      val maxLive = if (r.isNullAt(2)) -1L else r.getLong(2)
+      Some(StaticRow(r.getLong(0), tomb, maxLive > tomb))
+    }
+  }
+
+  /** S3: collection-level revision (max over the log — the reference keeps
+    * it as a Cassandra static column). */
+  def revisionOf(uri: String): Long =
+    staticRow(uri).map(_.staticRevision).getOrElse(0L)
+
   /** §3.1 collection query. Filter is an HQL expression over body fields;
-    * itemIdFilter supports the S2 clustering-range form. */
+    * itemIdFilter supports the S2 clustering-range form; `ascending=false`
+    * is the reference's descending collection scan (Db.scala:146-177).
+    * Deleted / never-created collections throw NotFound (reference 404,
+    * HyperbusAdapter.scala:122-134). Pass skipMax < 0 to disable the
+    * skipped-rows guard. */
   def query(
       collectionUri: String,
       filter: Option[String] = None,
       sort: Seq[SortBy] = Nil,
       size: Int = DefaultPageSize,
       skipMax: Int = DefaultMaxSkippedRows,
+      ascending: Boolean = true,
       itemIdFilter: Option[(String, String)] = None): QueryResult = {
 
-    val base = current.filter(col("document_uri") === collectionUri)
+    val st = staticRow(collectionUri).getOrElse(throw new NotFound(collectionUri))
+    if (st.tombRev >= 0 && !st.hasVisibleItems) throw new NotFound(collectionUri)
+
+    val items = latestFor(collectionUri)
+      .filter(col("item_id") =!= "" && !col("is_deleted") &&
+        col("revision") > st.tombRev)
+
     val resolver = FieldResolver.json(col("body"))
 
-    val withRange = itemIdFilter.foldLeft(base) { case (df, (op, v)) =>
+    val withRange = itemIdFilter.foldLeft(items) { case (df, (op, v)) =>
       df.filter(op match {
         case ">" => col("item_id") > v; case ">=" => col("item_id") >= v
         case "<" => col("item_id") < v; case "<=" => col("item_id") <= v
         case "=" => col("item_id") === v
+        case other => sys.error(s"bad item_id op: $other")
       })
     }
 
-    val filtered = filter match {
-      case Some(f) => withRange.filter(Translator.predicate(f, resolver))
-      case None => withRange
-    }
+    val idOrder = if (ascending) col("item_id").asc else col("item_id").desc
+    val exactSort = sort.isEmpty || sort.map(_.fieldName) == Seq("id")
 
-    // The reference caps the rows it is willing to scan-and-skip past at
-    // skipMax (error query-skipped-rows-limited); here the scan is a full
-    // distributed pass so the cap is an explicit guarantee check: how many
-    // rows the filter rejected. Only enforced when a filter is present
-    // (HyperbusAdapter.scala:181-197, 279-283).
-    if (filter.isDefined && skipMax >= 0) {
-      val total = withRange.count()
-      val kept = filtered.count()
-      if (total - kept > skipMax) throw new QuerySkippedRowsLimited(skipMax)
+    val pred = filter.map(f => Translator.predicate(f, resolver))
+    val filtered = pred.fold(withRange)(withRange.filter)
+
+    // skipMax contract (HyperbusAdapter.scala:181-197, 278-283): the
+    // reference scans in clustering order and errors once it has SKIPPED
+    // (filter-rejected) more than skipMax rows before the page fills —
+    // `target` accepted rows: `size` on the exact-sort path, size+skipMax
+    // on the over-fetch (non-exact sort) path. Reproduced exactly with one
+    // running-count window over the pruned single-collection scan (the
+    // reference's scan is a single Cassandra partition too). Rejected rows
+    // after the page fills don't count — a selective filter on a big
+    // collection whose page fills early succeeds (VERDICT r1 item 2).
+    if (pred.isDefined && skipMax >= 0) {
+      val target = if (exactSort) size.toLong else size.toLong + skipMax
+      val acc = sum(when(pred.get, 1L).otherwise(0L))
+        .over(Window.partitionBy("document_uri").orderBy(idOrder))
+      val skipped = withRange.withColumn("__acc", acc)
+        .filter(!pred.get && col("__acc") < target)
+        .count()
+      if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
     }
 
     val sorted =
-      if (sort.isEmpty) filtered.orderBy(col("item_id").asc)
-      else filtered.orderBy(sort.map(sortColumn(_, resolver)) :+ col("item_id").asc: _*)
+      if (sort.isEmpty) filtered.orderBy(idOrder)
+      else filtered.orderBy(sort.map(sortColumn(_, resolver)) :+ idOrder: _*)
 
-    val revision = revisionOf(collectionUri)
-    QueryResult(sorted.limit(size), revision)
+    QueryResult(sorted.limit(size), st.staticRevision)
   }
 
-  /** S3 static row: collection-level revision (max over the log — the
-    * reference keeps it as a Cassandra static column). */
-  def revisionOf(uri: String): Long = {
-    val r = log.filter(col("document_uri") === uri)
-      .agg(max("revision")).collect()(0)
-    if (r.isNullAt(0)) 0L else r.getLong(0)
+  /** O6 cursor pagination: the page after `lastRow` under the same sort.
+    * Reference resume-key generation (IndexLogic.leastRowsFilterFields:
+    * 108-165): EQ on the sort-field prefix + GT/LT on the boundary field,
+    * unioned over each prefix length, with item_id as the final tiebreak. */
+  def queryAfter(
+      collectionUri: String,
+      lastRow: Row,
+      filter: Option[String] = None,
+      sort: Seq[SortBy] = Nil,
+      size: Int = DefaultPageSize,
+      ascending: Boolean = true): QueryResult = {
+    val resolver = FieldResolver.json(col("body"))
+    val lastBody = Option(lastRow.getAs[String]("body")).getOrElse("{}")
+    val lastId = lastRow.getAs[String]("item_id")
+    def lastVal(f: String): Column =
+      lit(JsonOps.extractText(lastBody, f).orNull)
+    // strict-after predicate: (f1=v1 ∧ … ∧ fk>vk) ∨ … ∨ (f1>v1), with the
+    // trailing item_id comparison for full determinism.
+    val keyed: Seq[(Column, Column, Boolean)] =
+      sort.map { s =>
+        val c = resolver.resolve(graft.hql.Ident(s.fieldName)).getOrElse(lit(null))
+        (c, lastVal(s.fieldName), s.descending)
+      } :+ ((col("item_id"), lit(lastId), !ascending))
+    val after = keyed.indices.map { i =>
+      val eqPrefix = keyed.take(i).map { case (c, v, _) => c <=> v }
+      val (c, v, desc) = keyed(i)
+      val gt = if (desc) c < v else c > v
+      (eqPrefix :+ gt).reduce(_ && _)
+    }.reduce(_ || _)
+    val base = query(collectionUri, filter, sort, size = Int.MaxValue,
+      skipMax = -1, ascending = ascending)
+    QueryResult(base.rows.filter(after).limit(size), base.revision)
   }
 
   /** Apply a batch of write operations (M1-M5). Operations are grouped by
     * document and applied in `seq` order per key — a distributed, per-key
     * serialized fold, mirroring the reference's single-worker-per-URI
-    * guarantee. Returns the appended log and the feed events. */
+    * guarantee. The state side is semi-join-restricted to the batch's URIs
+    * below the window: writing k documents reads k documents' state, not
+    * the whole store. Returns the appended log, the feed events, and the
+    * rejected ops (404/409 channel). */
   def applyOps(ops: Dataset[WriteOp]): ApplyResult = {
     val sess = spark
     import sess.implicits._
 
-    // base state per (uri,item): latest body + revision; plus collection max
-    // revision per uri (static revision semantics)
-    val latest = log
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("document_uri", "item_id").orderBy(col("revision").desc)))
-      .filter(col("__rn") === 1).drop("__rn")
+    val touched = ops.map(op => splitPath(op.path)._1).distinct()
+      .toDF("document_uri")
+    val latest = Content.latestRows(
+        log.join(broadcast(touched), Seq("document_uri"), "left_semi"))
+      .select(Content.schema.fieldNames.map(col): _*)
       .as[ContentRow]
 
     val opsByUri = ops.groupByKey(op => splitPath(op.path)._1)
     val stateByUri = latest.groupByKey(_.document_uri)
 
-    val applied: Dataset[(ContentRow, FeedEvent)] =
+    val applied: Dataset[ApplyOutcome] =
       opsByUri.cogroup(stateByUri) { (uri, opIt, stateIt) =>
         applyForDocument(uri, opIt.toSeq.sortBy(_.seq), stateIt.toSeq)
       }
 
-    val newRows = applied.map(_._1).toDF()
-      .withColumn("created_at", lit(null).cast(TimestampType))
-      .withColumn("modified_at", lit(null).cast(TimestampType))
+    val newRows = applied.flatMap(_.row).toDF()
       .select(Content.schema.fieldNames.map(col): _*)
-    val feed = applied.map(_._2).toDF()
-    ApplyResult(log.unionByName(newRows), feed)
+    val feed = applied.flatMap(_.feed).toDF()
+    val rejected = applied.flatMap(_.rejected).toDF()
+    ApplyResult(log.unionByName(newRows), feed, rejected)
+  }
+
+  /** Local convenience for small batches (tests / single-doc API). */
+  def applySeq(ops: Seq[WriteOp]): ApplyResult = {
+    val sess = spark
+    import sess.implicits._
+    applyOps(sess.createDataset(ops))
   }
 }
+
+final case class StaticRow(
+    staticRevision: Long, tombRev: Long, hasVisibleItems: Boolean)
 
 object HyperStorage {
   val DefaultPageSize = 100            // HyperbusAdapter.scala:35
@@ -177,10 +280,10 @@ object HyperStorage {
 
   /** Multi-field sort with the reference's dynamic-type rule
     * (CollectionOrdering, HyperbusAdapter.scala:341-376): numbers compare
-    * as decimals when both sides are numeric, otherwise text; missing
-    * field ⇒ null (sorts first asc / last desc — Spark default). The
-    * pairwise rule is realized as a normalized sort key
-    * (numeric-castable values order before text within a field). */
+    * as decimals when both sides are numeric, otherwise text. Realized as
+    * a normalized sort key (numeric-castable values order before text
+    * within a field; missing field ⇒ sorts LAST ascending / first
+    * descending — pinned by CollectionOrderingSpec). */
   def sortColumn(s: SortBy, resolver: FieldResolver): Column = {
     val raw = resolver.resolve(graft.hql.Ident(s.fieldName))
       .getOrElse(lit(null))
@@ -192,23 +295,49 @@ object HyperStorage {
     if (s.descending) key.desc else key.asc
   }
 
-  implicit val writeOpEncoder: org.apache.spark.sql.Encoder[WriteOp] = Encoders.product[WriteOp]
+  implicit val writeOpEncoder: Encoder[WriteOp] = Encoders.product[WriteOp]
 
   /** Sequentially fold one document's ops over its current items —
-    * the reference's PrimaryWorker.updateResource semantics. */
+    * the reference's PrimaryWorker.updateResource semantics, including the
+    * error taxonomy: 409 collection PUT (PrimaryWorker.scala:241-270),
+    * 404 PATCH/DELETE of an absent resource (:272-278), collection DELETE
+    * tombstoning the whole collection (:310-328). */
   private[engine] def applyForDocument(
-      uri: String, ops: Seq[WriteOp], state: Seq[ContentRow]): Iterator[(ContentRow, FeedEvent)] = {
+      uri: String, ops: Seq[WriteOp], state: Seq[ContentRow]): Iterator[ApplyOutcome] = {
+    val isCollection = isCollectionUri(uri)
     var items: Map[String, ContentRow] =
-      state.map(r => r.item_id -> r).toMap
-    var staticRevision: Long =
-      if (state.isEmpty) 0L else state.map(_.revision).max
+      state.filter(_.item_id.nonEmpty).map(r => r.item_id -> r).toMap
+    var docRow: Option[ContentRow] = state.find(_.item_id.isEmpty)
+    var collTombRev: Long =
+      docRow.filter(_.is_deleted).map(_.revision).getOrElse(-1L)
+    var staticRevision: Long = (state.map(_.revision) :+ 0L).max
     var postCounter = 0L
-    val out = Seq.newBuilder[(ContentRow, FeedEvent)]
+    val out = Seq.newBuilder[ApplyOutcome]
+
+    def visibleItem(id: String): Option[ContentRow] =
+      if (id.isEmpty) docRow.filterNot(_.is_deleted)
+      else items.get(id).filterNot(_.is_deleted)
+        .filter(r => !isCollection || r.revision > collTombRev)
+
+    def hasVisibleItems: Boolean =
+      items.values.exists(r => !r.is_deleted && r.revision > collTombRev)
 
     ops.foreach { op =>
       val (u, itemIdRaw) = splitPath(op.path)
-      require(u == uri)
-      val isCollection = isCollectionUri(uri)
+      require(u == uri, s"op for $u routed to $uri")
+
+      def reject(code: String): Unit =
+        out += ApplyOutcome(None, None,
+          Some(RejectedOp(op.seq, op.path, op.method, code)))
+
+      def emit(itemId: String, body: String, deleted: Boolean, feedMethod: String): Unit = {
+        val rev = staticRevision + 1
+        val row = ContentRow(uri, itemId, rev, body, deleted, null, null)
+        if (itemId.isEmpty) docRow = Some(row) else items += itemId -> row
+        staticRevision = rev
+        out += ApplyOutcome(Some(row),
+          Some(FeedEvent(uri, itemId, s"feed:$feedMethod", rev, body)), None)
+      }
 
       // POST → PUT rewrite with generated increasing id
       // (PrimaryWorker.scala:76-91); monotonic within the collection.
@@ -219,41 +348,44 @@ object HyperStorage {
         case m => (m, itemIdRaw)
       }
 
-      val existing = items.get(itemId).filterNot(_.is_deleted)
-      val rev = staticRevision + 1
-
-      def emit(body: String, deleted: Boolean, feedMethod: String): Unit = {
-        val row = ContentRow(uri, itemId, rev, body, deleted, null, null)
-        items += itemId -> row
-        staticRevision = rev
-        out += ((row, FeedEvent(uri, itemId, s"feed:$feedMethod", rev, body)))
-      }
-
       method match {
+        case "PUT" if isCollection && itemId.isEmpty =>
+          // reference 409 collection-put-not-implemented
+          reject("collection-put-not-implemented")
         case "PUT" =>
           val stripped = JsonOps.stripNulls(op.body)
           val body =
-            if (isCollection && itemId.nonEmpty) JsonOps.appendId(stripped, itemId)
-            else stripped
-          emit(body, deleted = false, "put")
+            if (isCollection) JsonOps.appendId(stripped, itemId) else stripped
+          emit(itemId, body, deleted = false, "put")
         case "PATCH" =>
-          existing match {
-            case None => // 404: absent or deleted (PrimaryWorker.scala:272-278)
+          visibleItem(itemId) match {
+            case None => reject("not-found") // 404 (PrimaryWorker.scala:272-278)
             case Some(ex) =>
               JsonOps.mergePatch(Option(ex.body).getOrElse("{}"), op.body) match {
                 case Some(merged) =>
                   val body =
                     if (isCollection && itemId.nonEmpty) JsonOps.appendId(merged, itemId)
                     else merged
-                  emit(body, deleted = false, "patch")
+                  emit(itemId, body, deleted = false, "patch")
                 case None =>
-                  emit(null, deleted = true, "patch")
+                  emit(itemId, null, deleted = true, "patch")
               }
           }
+        case "DELETE" if isCollection && itemId.isEmpty =>
+          // collection delete: one static tombstone hides all items with
+          // revision <= tombstone revision (PrimaryWorker.scala:310-328)
+          if (!hasVisibleItems && docRow.forall(_.is_deleted)) reject("not-found")
+          else {
+            emit("", null, deleted = true, "delete")
+            collTombRev = staticRevision
+          }
         case "DELETE" =>
-          if (existing.isDefined || (itemId.isEmpty && items.nonEmpty))
-            emit(null, deleted = true, "delete")
-        case other => sys.error(s"unsupported method: $other")
+          visibleItem(itemId) match {
+            case None => reject("not-found")
+            case Some(_) => emit(itemId, null, deleted = true, "delete")
+          }
+        case "POST" => reject("method-not-allowed") // POST to a non-collection
+        case other => reject(s"unsupported-method: $other")
       }
     }
     out.result().iterator

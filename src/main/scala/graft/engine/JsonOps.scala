@@ -65,6 +65,20 @@ object JsonOps {
     }
   }
 
+  /** Driver-side scalar extraction of a (dotted) field as text — used for
+    * resume-key generation from the last row of a page
+    * (IndexLogic.leastRowsFilterFields:108-165 reads the boundary value
+    * from the last row's body). */
+  def extractText(json: String, fieldPath: String): Option[String] = {
+    var node: JsonNode = mapper.readTree(json)
+    fieldPath.split('.').foreach { seg =>
+      if (node != null) node = node.get(seg)
+    }
+    Option(node).filterNot(_.isNull).map { n =>
+      if (n.isTextual) n.asText() else mapper.writeValueAsString(n)
+    }
+  }
+
   /** body ⊕ {"id": itemId} — id injection for collection items
     * (PrimaryWorker.scala:378-380). */
   def appendId(json: String, itemId: String): String = {

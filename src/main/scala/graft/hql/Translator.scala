@@ -133,14 +133,43 @@ object Translator {
     } else c.cast(BooleanType)
 
   private def comparison(l: Ast, op: String, rt: Ast, r: FieldResolver): Column = {
-    val (lc, rc) = alignForComparison(l, rt, r)
-    op match {
+    def applyOp(lc: Column, rc: Column): Column = op match {
       case "="  => lc === rc
       case "!=" => lc =!= rc
       case ">"  => lc > rc
       case ">=" => lc >= rc
       case "<"  => lc < rc
       case "<=" => lc <= rc
+    }
+    dynamicPair(l, rt, r) match {
+      case Some((ls, rs, ld, rd)) =>
+        // ident-vs-ident on dynamic JSON: decimal compare iff BOTH sides
+        // parse as numbers, otherwise string compare — the reference's
+        // "BigDecimal iff both numbers else asString"
+        // (IndexLogic.scala:179; CollectionOrdering HyperbusAdapter:370-375)
+        when(ld.isNotNull && rd.isNotNull, applyOp(ld, rd))
+          .otherwise(applyOp(ls, rs))
+      case None =>
+        val (lc, rc) = alignForComparison(l, rt, r)
+        applyOp(lc, rc)
+    }
+  }
+
+  /** For a dynamic resolver with no typed constant on either side, both
+    * operands are untyped JSON text: return (text, text, decimal?, decimal?)
+    * so the comparison can branch per row. */
+  private def dynamicPair(
+      l: Ast, rt: Ast, r: FieldResolver): Option[(Column, Column, Column, Column)] = {
+    def typedConst(a: Ast): Boolean = a match {
+      case Const(_) => true
+      case Unary("-", Const(HNumber(_))) => true
+      case _ => false
+    }
+    if (!r.isDynamic || typedConst(l) || typedConst(rt)) None
+    else {
+      val ls = translate(l, r).cast(StringType)
+      val rs = translate(rt, r).cast(StringType)
+      Some((ls, rs, ls.try_cast(Dec), rs.try_cast(Dec)))
     }
   }
 
@@ -157,22 +186,11 @@ object Translator {
       case Unary("-", Const(HNumber(_))) => true
       case _ => false
     }
-    def strConst(a: Ast): Boolean = a match { case Const(HText(_)) => true; case _ => false }
     val lc = translate(l, r); val rc = translate(rt, r)
     if (!r.isDynamic) (lc, rc)
     else if (numConst(l) || numConst(rt))
       (tryDec(lc, numConst(l)), tryDec(rc, numConst(rt)))
-    else if (strConst(l) || strConst(rt)) (lc.cast(StringType), rc.cast(StringType))
-    else {
-      // ident vs ident on dynamic JSON: decimal iff both castable, else text
-      val ld = lc.cast(StringType); val rd = rc.cast(StringType)
-      (when(tryCastDec(ld).isNotNull && tryCastDec(rd).isNotNull, tryCastDec(ld))
-         .otherwise(lit(null)).cast(Dec),
-       when(tryCastDec(ld).isNotNull && tryCastDec(rd).isNotNull, tryCastDec(rd))
-         .otherwise(lit(null)).cast(Dec))
-      // note: text-vs-text ident comparison falls back to null ⇒ rejected;
-      // use string constants for text comparisons (matches reference tests)
-    }
+    else (lc.cast(StringType), rc.cast(StringType)) // string const ⇒ text compare
   }
 
   private def tryCastDec(c: Column): Column = c.cast(StringType).try_cast(Dec)
@@ -185,11 +203,12 @@ object Translator {
     if (r.isDynamic) (tryCastDec(lc), tryCastDec(rc)) else (lc, rc)
   }
 
-  /** `x has [..]` — the left value intersects the listed values: scalar x
-    * ⇒ x ∈ list; list-valued x ⇒ ∃ element of x in the list. This is the
-    * semantics consistent with the reference comparator's widening rules
+  /** `x has [..]` — ANY/intersects semantics: scalar x ⇒ x ∈ list;
+    * list-valued x ⇒ ∃ element of x in the list; `has not` negates. This is
+    * what's consistent with the reference comparator's widening rules
     * (AstComparationTest.scala:30-31: `has [1,2,3]` is Wider than
-    * `has [1,2]`, and `has not [1,2,3]` Wider than `has not [1,2,3,4]`). */
+    * `has [1,2]`, and `has not [1,2,3]` Wider than `has not [1,2,3,4]` —
+    * both only hold under ANY semantics). */
   private def has(l: Ast, rt: Ast, r: FieldResolver): Column = {
     val lc = translate(l, r)
     val isArray = l match {

@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators.
+  *
+  * All candidate generation is BUCKETED (hash-groupBy / LSH band buckets /
+  * shared-shingle joins) — never an all-pairs crossJoin: at 100 TB the
+  * candidate set must stay proportional to actual collisions, not N².
+  * Everything is pure `org.apache.spark.sql.functions` (whole-stage
+  * codegen; no UDFs).
+  */
+object Dedup {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles (distinct set) — the unit of Jaccard similarity.
+    * Rows shorter than n shingle to the whole text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array(text)))
+  }
+
+  /** Exact dedup: group by content hash, the smallest id is the canonical
+    * survivor. One shuffle on the hash; map-side partial aggregation. */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+
+  /** Exact-duplicate pairs (dup → canonical), for delete lists. */
+  def exactDuplicatePairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("content_hash").orderBy(col(idCol))
+    df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .withColumn("canonical_id", first(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("canonical_id"))
+      .select(col(idCol).as("dup_id"), col("canonical_id"))
+  }
+
+  /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
+    * One pass per row, fully codegen'd (no UDF). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      s => array_min(transform(shingleCol, x => xxhash64(s, x))))
+
+  /** LSH candidate pairs: split the k-wide signature into `bands` bands of
+    * k/bands rows; docs colliding on any full band are candidates. The
+    * band join is a shuffle on (band_index, band_hash) — bucket-local,
+    * never all-pairs. */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .withColumn("r", (size(col("sig")) / bands).cast("int"))
+      .select(col("id"), explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice(col("sig"), b * col("r") + 1, col("r"))).as("bh"))))
+        .as("b"))
+      .select(col("id"), col("b.band"), col("b.bh"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs sharing at least one shingle — deterministic and
+    * complete for Jaccard > 0 (used as the exact-oracle path). At scale,
+    * `maxShingleFreq` drops stop-shingles whose buckets would explode
+    * quadratically (a shingle shared by m docs contributes m² pairs);
+    * prefer [[lshCandidatePairs]] beyond ~10⁶ docs. */
+  def sharedShingleCandidates(
+      shingled: DataFrame, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val pruned = maxShingleFreq match {
+      case Some(m) =>
+        val freq = exploded.groupBy("s").count().filter(col("count") <= m)
+        exploded.join(freq.select("s"), Seq("s"), "left_semi")
+      case None => exploded
+    }
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs: join each side's
+    * shingle set back in (only for candidates — linear in candidate
+    * count), compute |∩| / |∪|. */
+  def verifyJaccard(
+      candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** id + distinct shingle set, the shared input of the dedup family. */
+  def shingled(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+
+  /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
+    * shingle → minhash(k) → LSH bands → bucket join → verify. The scale
+    * path: candidate volume ∝ true collisions. */
+  def minhashDedupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(df, textCol, idCol, n)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    val cand = lshCandidatePairs(sig, "id", "sig", bands)
+    verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Deterministic exact near-dup pairs (oracle path): all pairs with
+    * n-gram Jaccard >= threshold via the shared-shingle candidate join. */
+  def ngramJaccardPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingled(df, textCol, idCol, n)
+    verifyJaccard(sharedShingleCandidates(sh, maxShingleFreq), sh, threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
+    * sign of Σ_tokens (±1 per token depending on bit b of xxhash64(token)).
+    * Pure codegen'd expression (64 × |tokens| bit tests per row). */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    // bit positions unrolled at plan-build time (shift amounts must be
+    // static); one codegen'd expression tree per row
+    (0 until 64).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(0L)
+    }.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
+    * banding the 64-bit fingerprint into `bands` chunks (pigeonhole: any
+    * pair within maxHamming <= bands-1 shares at least one exact band) and
+    * verifying with bit_count(xor). */
+  def simhashPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bits = 64 / bands
+    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
+    }
+    val banded = withSig
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
+    banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

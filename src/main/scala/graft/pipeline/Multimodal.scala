@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch-shaped decode via
+  * mapPartitions, frame explode) is real and tested; the DECODE KERNEL
+  * ITSELF IS A STUB — this container has no image/audio codecs, so
+  * [[decodeStub]] computes deterministic fake "features" (byte histogram
+  * moments) where a real deployment would call the codec. The stub is the
+  * only piece to swap. */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Build a binary-media fixture from any (id, text) table: the UTF-8
+    * bytes stand in for an encoded blob. Lets every downstream stage run
+    * against real distributed binary data without codecs. */
+  def fromText(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast(LongType).as("media_id"),
+      col(textCol).cast(BinaryType).as("media"),
+      struct(lit("blob").as("kind"), lit(0).as("width"), lit(0).as("height"),
+        lit(0).as("sample_rate")).as("meta"))
+
+  /** Cheap per-blob metadata (no decode): size + checksum, pure codegen. */
+  def withBlobStats(df: DataFrame): DataFrame =
+    df.withColumn("n_bytes", octet_length(col("media")))
+      .withColumn("checksum", crc32(col("media")))
+
+  /** Frame/chunk sampling: split the blob into fixed-size byte windows and
+    * keep every `stride`-th one — the Spark-side shape of video frame
+    * sampling (row explodes to frames; partitioning carries over). */
+  def frameSample(df: DataFrame, chunkBytes: Int, stride: Int = 1): DataFrame = {
+    val nFrames = ceil(octet_length(col("media")).cast("double") / chunkBytes).cast("int")
+    df.withColumn("frame_idx",
+        explode(filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)))
+      .withColumn("frame",
+        substring(col("media"), col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
+  }
+
+  /** Batch-shaped decode: mapPartitions so a real codec could amortize
+    * per-batch setup (model load, decoder context) across rows — the shape
+    * a vectorized decode needs. STUB kernel: deterministic byte-histogram
+    * moments instead of pixels. */
+  def decodeStub(spark: SparkSession, df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded_ok", BooleanType)
+      .add("features", ArrayType(DoubleType))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      // per-partition setup happens once (real impl: decoder init here)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val feats: Array[Double] =
+          if (bytes == null) Array.empty
+          else {
+            // STUB: moments of the byte distribution, deterministic
+            val n = bytes.length.toDouble
+            val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+            val m2 = if (n == 0) 0.0
+              else bytes.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
+            Array(n, mean, math.sqrt(m2))
+          }
+        Row.fromSeq(row.toSeq :+ (bytes != null) :+ feats.toSeq)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with the QUERY side broadcast — the
+  * corpus never shuffles; cost is one scan × |queries|. Scale path:
+  * random-hyperplane LSH bucketing — candidates come from the query's
+  * bucket (plus Hamming-1 multiprobes), then exact re-rank; corpus is
+  * bucketed once and reused.
+  *
+  * All math is `zip_with`/`aggregate` in double precision — codegen'd, no
+  * UDF.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** id + double vector + precomputed norm. */
+  private def prep(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+
+  /** Brute-force cosine top-k: for each query row (queryPred), the k most
+    * similar OTHER rows. Exact — the oracle baseline. Broadcast the
+    * (small) query side; rank per query with a window. */
+  def cosineTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val queries = prep(df.filter(queryPred), idCol, vecCol)
+      .withColumnRenamed("id", "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+    val scored = corpus.join(broadcast(queries), col("id") =!= col("query_id"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is a
+    * hash-derived value in [-1, 1]. Fixed by construction — no RNG, no
+    * Date.now; identical across runs and executors. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((p, j, 0x5eed))
+    (h.toDouble / Int.MaxValue.toDouble)
+  }
+
+  /** Sign-bit bucket of a vector under `planes` random hyperplanes. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    (0 until planes).map { p =>
+      val plane = typedlit((0 until dim).map(j => planeComponent(p, j)))
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus hashed once into sign buckets; each query
+    * probes its own bucket plus all Hamming-1 neighbor buckets (multiprobe)
+    * and exact-reranks the candidates. Approximate (recall < 1 by design);
+    * candidates ∝ bucket occupancy, never N². */
+  def annLshTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+    // multiprobe set: own bucket + each single-bit flip (static unroll)
+    val probes = array(
+      col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val queries = prep(df.filter(queryPred), idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(probes).as("probe"))
+    val cands = corpus.join(broadcast(queries),
+        col("bucket") === col("probe") && col("id") =!= col("query_id"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    cands.select("query_id", "id", "sim").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+}

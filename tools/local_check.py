@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each SparkEntry query
+result dumped by graft.Verify, run the oracle SQL in DuckDB over the same
+parquet tables and compare rows/schema/values (columns sorted by name)."""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    results = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(d)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [x[0] for x in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            exp_rel = con.sql(oracle[name])
+            exp = exp_rel.fetchall()
+            exp_cols = [c for c in exp_rel.columns]
+        except Exception as e:
+            results[name] = f"ORACLE-ERROR {e}"
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            results[name] = f"SCHEMA-MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
+            continue
+        # align columns by sorted name
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = [tuple(r[i] for i in gidx) for r in got]
+        e = [tuple(r[i] for i in eidx) for r in exp]
+        if len(g) != len(e):
+            results[name] = f"ROWS-MISMATCH got={len(g)} exp={len(e)}"
+            continue
+        if sorted(map(repr, g)) != sorted(map(repr, e)):
+            bad = [(a, b) for a, b in zip(sorted(map(repr, g)), sorted(map(repr, e))) if a != b]
+            results[name] = f"VALUE-MISMATCH rows={len(g)} first_diffs={bad[:3]}"
+            continue
+        if g != e:
+            results[name] = f"ORDER-ONLY-MISMATCH rows={len(g)}"
+            continue
+        results[name] = f"OK rows={len(g)}"
+    width = max(len(k) for k in results)
+    nok = 0
+    for k in sorted(results):
+        print(f"{k:<{width}}  {results[k]}")
+        nok += results[k].startswith("OK")
+    print(f"\n{nok}/{len(results)} OK")
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
