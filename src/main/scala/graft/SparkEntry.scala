@@ -412,7 +412,7 @@ object SparkEntry {
 
     "ann_lsh_topk" -> ((s, dir) => {
       Similarity.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-          col("vec_id") < 10, k = 5, planes = 12, dim = 64)
+          col("vec_id") < 10, k = 5, planes = 4, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),

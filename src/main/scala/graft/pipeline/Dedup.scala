@@ -118,8 +118,14 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val sh = shingled(df, textCol, idCol, n)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k))
+    // persist() is load-bearing: without it Catalyst's project-collapse
+    // inlines the shingle expression into every one of the k per-position
+    // minhash lambdas (and again into the verify join), recomputing
+    // split+ngram+distinct k× per row — observed 20× slowdown. The
+    // materialized shingle set is the intermediate a 100 TB run would
+    // spill to disk (MEMORY_AND_DISK default).
+    val sh = shingled(df, textCol, idCol, n).persist()
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k)).persist()
     val cand = lshCandidatePairs(sig, "id", "sig", bands)
     verifyJaccard(cand, sh, threshold)
   }
@@ -130,7 +136,7 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = shingled(df, textCol, idCol, n)
+    val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
     verifyJaccard(sharedShingleCandidates(sh, maxShingleFreq), sh, threshold)
   }
 
@@ -157,6 +163,7 @@ object Dedup {
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bits = 64 / bands
     val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+      .persist() // barrier: keep the 64-bit-test expression out of the self-join sides
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bits)

@@ -68,7 +68,7 @@ object Similarity {
     * candidates ∝ bucket occupancy, never N². */
   def annLshTopK(
       df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, planes: Int = 12, dim: Int = 64): DataFrame = {
+      queryPred: Column, k: Int, planes: Int = 4, dim: Int = 64): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
     // multiprobe set: own bucket + each single-bit flip (static unroll)

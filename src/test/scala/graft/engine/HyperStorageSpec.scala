@@ -1,0 +1,134 @@
+package graft.engine
+
+import graft.SparkFixture
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Write-path behavior: revisions, merge, id-gen, tombstones, error
+  * taxonomy (reference HyperStorageSpec.scala:42-372,
+  * PrimaryWorker.scala:241-328). */
+class HyperStorageSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  private def store = HyperStorage(spark, Content.empty(spark))
+
+  private def bodies(st: HyperStorage, uri: String): Map[String, String] =
+    st.query(uri).rows.collect()
+      .map(r => r.getAs[String]("item_id") -> r.getAs[String]("body")).toMap
+
+  "HyperStorage writes" - {
+    "PUT creates revision 1; repeated PUT bumps the static revision" in {
+      val r1 = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PUT", "docs~/a", """{"x":2}"""),
+        WriteOp(3, "PUT", "docs~/b", """{"y":3}""")))
+      val st = HyperStorage(spark, r1.log)
+      st.revisionOf("docs~") shouldBe 3
+      val got = bodies(st, "docs~")
+      got("a") shouldBe """{"x":2,"id":"a"}"""
+      got("b") shouldBe """{"y":3,"id":"b"}"""
+    }
+
+    "PATCH merges shallowly and null-deletes" in {
+      val r = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"text1":"abc","text2":"klmn"}"""),
+        WriteOp(2, "PATCH", "docs~/a", """{"text1":"efg","text2":null,"text3":"zzz"}""")))
+      val st = HyperStorage(spark, r.log)
+      bodies(st, "docs~")("a") shouldBe
+        """{"text1":"efg","id":"a","text3":"zzz"}"""
+      st.revisionOf("docs~") shouldBe 2
+    }
+
+    "PATCH of an absent item is rejected with not-found" in {
+      val r = store.applySeq(Seq(WriteOp(1, "PATCH", "docs~/nope", """{"x":1}""")))
+      val rej = r.rejected.collect()
+      rej.length shouldBe 1
+      rej(0).getAs[String]("code") shouldBe "not-found"
+      r.feed.count() shouldBe 0
+    }
+
+    "DELETE of an absent item is rejected with not-found" in {
+      val r = store.applySeq(Seq(WriteOp(1, "DELETE", "docs~/nope", null)))
+      r.rejected.collect()(0).getAs[String]("code") shouldBe "not-found"
+    }
+
+    "collection PUT is rejected with 409 collection-put-not-implemented" in {
+      val r = store.applySeq(Seq(WriteOp(1, "PUT", "docs~", """{"x":1}""")))
+      r.rejected.collect()(0).getAs[String]("code") shouldBe
+        "collection-put-not-implemented"
+    }
+
+    "POST generates increasing ids and rewrites to PUT" in {
+      val r = store.applySeq(Seq(
+        WriteOp(5, "POST", "docs~", """{"a":1}"""),
+        WriteOp(7, "POST", "docs~", """{"a":2}""")))
+      val st = HyperStorage(spark, r.log)
+      val ids = st.query("docs~").rows.collect().map(_.getAs[String]("item_id")).toSeq
+      ids shouldBe ids.sorted // increasing ids in seq order
+      r.feed.collect().map(_.getAs[String]("method")).toSet shouldBe Set("feed:put")
+      // id injected into the body
+      bodies(st, "docs~")(ids.head) should include(s""""id":"${ids.head}"""")
+    }
+
+    "DELETE tombstones an item; GET no longer sees it" in {
+      val r = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "DELETE", "docs~/a", null)))
+      val st = HyperStorage(spark, r.log)
+      st.get("docs~/a") shouldBe None
+      st.revisionOf("docs~") shouldBe 2
+    }
+
+    "collection DELETE hides every item and query throws NotFound" in {
+      val r = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PUT", "docs~/b", """{"x":2}"""),
+        WriteOp(3, "DELETE", "docs~", null)))
+      val st = HyperStorage(spark, r.log)
+      st.get("docs~/a") shouldBe None
+      a[NotFound] should be thrownBy st.query("docs~")
+    }
+
+    "items re-created after a collection DELETE become visible again" in {
+      val r = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "DELETE", "docs~", null),
+        WriteOp(3, "PUT", "docs~/b", """{"x":3}""")))
+      val st = HyperStorage(spark, r.log)
+      st.get("docs~/a") shouldBe None
+      st.query("docs~").rows.collect().map(_.getAs[String]("item_id")).toSeq shouldBe Seq("b")
+    }
+
+    "plain document PUT/GET/DELETE at a non-collection path" in {
+      val r1 = store.applySeq(Seq(WriteOp(1, "PUT", "mydoc", """{"v":"hello"}""")))
+      val st1 = HyperStorage(spark, r1.log)
+      st1.get("mydoc").map(_.getAs[String]("body")) shouldBe Some("""{"v":"hello"}""")
+      val r2 = HyperStorage(spark, r1.log).applySeq(Seq(WriteOp(2, "DELETE", "mydoc", null)))
+      HyperStorage(spark, r2.log).get("mydoc") shouldBe None
+    }
+
+    "query of a never-created collection throws NotFound" in {
+      a[NotFound] should be thrownBy store.query("ghost~")
+    }
+
+    "feed events carry feed:* methods and contiguous revisions" in {
+      val r = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PATCH", "docs~/a", """{"y":2}"""),
+        WriteOp(3, "DELETE", "docs~/a", null)))
+      val evs = r.feed.collect().sortBy(_.getAs[Long]("revision"))
+      evs.map(_.getAs[String]("method")).toSeq shouldBe
+        Seq("feed:put", "feed:patch", "feed:delete")
+      evs.map(_.getAs[Long]("revision")).toSeq shouldBe Seq(1L, 2L, 3L)
+    }
+
+    "replaying the same batch produces identical rows (determinism)" in {
+      val ops = Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "POST", "docs~", """{"p":1}"""),
+        WriteOp(3, "PATCH", "docs~/a", """{"y":2}"""))
+      val rows1 = store.applySeq(ops).log.collect().map(_.toString).sorted
+      val rows2 = store.applySeq(ops).log.collect().map(_.toString).sorted
+      rows1 shouldBe rows2
+    }
+  }
+}

@@ -1,0 +1,105 @@
+package graft.hql
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+class HqlParserSpec extends AnyFreeSpec with Matchers {
+  "HqlParser" - {
+    "parses literals, identifiers, operators with precedence" in {
+      HqlParser("a.b.c") shouldBe Ident(Seq("a", "b", "c"))
+      HqlParser("1 + 2 * 3") shouldBe
+        Binary(Const(HNumber(1)), "+",
+          Binary(Const(HNumber(2)), "*", Const(HNumber(3))))
+      HqlParser("x > 5 and y < 2 or z = 1") shouldBe
+        Binary(
+          Binary(Binary(Ident("x"), ">", Const(HNumber(5))), "and",
+            Binary(Ident("y"), "<", Const(HNumber(2)))),
+          "or", Binary(Ident("z"), "=", Const(HNumber(1))))
+    }
+    "parses has / has not with list literals" in {
+      HqlParser("x has [1,2]") shouldBe
+        Binary(Ident("x"), "has", Const(HList(Seq(HNumber(1), HNumber(2)))))
+      HqlParser("""x has not ["a"]""") shouldBe
+        Binary(Ident("x"), "has not", Const(HList(Seq(HText("a")))))
+    }
+    "parses unary not / minus, functions, strings with escapes" in {
+      HqlParser("!x") shouldBe Unary("!", Ident("x"))
+      HqlParser("not x") shouldBe Unary("!", Ident("x"))
+      HqlParser("-5") shouldBe Unary("-", Const(HNumber(5)))
+      HqlParser("""lower(a)""") shouldBe Func("lower", Seq(Ident("a")))
+      HqlParser(""" "a\"b" """) shouldBe Const(HText("a\"b"))
+    }
+    "rejects malformed input" in {
+      HqlParser.parse("x >").isFailure shouldBe true
+      HqlParser.parse("and x").isFailure shouldBe true
+    }
+    "validate tolerates unresolved identifiers, rejects garbage" in {
+      AstComparator.validate("someField > 5") shouldBe true
+      AstComparator.validate("x ~~ 5") shouldBe false
+    }
+  }
+}
+
+/** Residual-filter evaluation semantics over dynamic JSON bodies
+  * (reference HyperbusAdapter.scala:235-244: eval error ⇒ row rejected;
+  * IndexLogic.scala:179: decimal iff both numbers else text). */
+class TranslatorSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  private def keep(filter: String, bodies: String*): Seq[Int] = {
+    import spark.implicits._
+    val df = bodies.zipWithIndex.map { case (b, i) => (i, b) }.toDF("i", "body")
+    df.filter(Translator.predicate(filter, FieldResolver.json(col("body"))))
+      .select("i").collect().map(_.getInt(0)).toSeq
+  }
+
+  "Translator" - {
+    "numeric comparison uses decimal semantics" in {
+      keep("b > 10",
+        """{"b":100500}""", """{"b":1}""", """{"b":12}""") shouldBe Seq(0, 2)
+      keep("b > 10", """{"b":"9"}""", """{"b":"11"}""") shouldBe Seq(1)
+    }
+    "text comparison when a string constant is involved" in {
+      keep("""a = "hello"""", """{"a":"hello"}""", """{"a":"x"}""") shouldBe Seq(0)
+      keep("""a > "b"""", """{"a":"a"}""", """{"a":"c"}""") shouldBe Seq(1)
+    }
+    "ident vs ident: decimal iff both numeric, else text" in {
+      keep("x > y", """{"x":9,"y":10}""", """{"x":10,"y":9}""") shouldBe Seq(1)
+      keep("x > y", """{"x":"b","y":"a"}""", """{"x":"a","y":"b"}""") shouldBe Seq(0)
+      // mixed: number vs text falls back to text compare of the raw JSON
+      keep("x = y", """{"x":"5","y":5}""", """{"x":"a","y":5}""") shouldBe Seq(0)
+    }
+    "eval failure rejects the row, even under or" in {
+      keep("b > 10 or b < 0", """{"a":1}""", """{"b":20}""") shouldBe Seq(1)
+      keep("length(b) > 1 or b = 1", """{}""", """{"b":22}""") shouldBe Seq(1)
+    }
+    "has over scalars and lists (ANY semantics)" in {
+      keep("x has [1,2]",
+        """{"x":1}""", """{"x":3}""", """{"x":[3,2]}""", """{"x":[4,5]}""") shouldBe
+        Seq(0, 2)
+      keep("x has not [1,2]", """{"x":1}""", """{"x":3}""") shouldBe Seq(1)
+    }
+    "bare identifier truthiness" in {
+      keep("x or y",
+        """{"x":true}""", """{"y":true,"x":false}""", """{"x":false}""") shouldBe
+        Seq(0, 1)
+    }
+    "arithmetic inside predicates" in {
+      keep("b * 2 >= 24", """{"b":12}""", """{"b":11}""") shouldBe Seq(0)
+      keep("b + 1 = 2 and b - 1 = 0", """{"b":1}""", """{"b":2}""") shouldBe Seq(0)
+    }
+    "functions: length/lower/upper/coalesce" in {
+      keep("""length(a) = 5""", """{"a":"hello"}""", """{"a":"xy"}""") shouldBe Seq(0)
+      keep("""lower(a) = "abc"""", """{"a":"ABC"}""", """{"a":"AB"}""") shouldBe Seq(0)
+    }
+    "constant folding happens in Catalyst (plan has literal)" in {
+      // parquet-backed plan so the optimizer can't collapse it to a
+      // LocalRelation; the folded literal 45 must appear in the filter
+      val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = df.filter(Translator.predicate("b > 2 * 20 + 5",
+        FieldResolver.json(col("text")))).queryExecution.optimizedPlan.toString
+      plan should include("45")
+    }
+  }
+}

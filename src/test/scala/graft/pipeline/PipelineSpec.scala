@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Dedup / similarity / text-analysis / multimodal behavior on the
+  * sf0.001 fixtures + crafted rows. */
+class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  "Dedup" - {
+    "exact survivors keep the smallest id per content" in {
+      import spark.implicits._
+      val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"))
+        .toDF("doc_id", "text")
+      val got = Dedup.exactSurvivors(df, "text", "doc_id")
+        .select("doc_id", "copies").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe Set((1L, 3L), (2L, 1L))
+    }
+
+    "exact duplicate pairs point at the canonical" in {
+      import spark.implicits._
+      val df = Seq((1L, "aa"), (3L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+      Dedup.exactDuplicatePairs(df, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((3L, 1L))
+    }
+
+    "minhash-LSH finds the same near-dup pairs as exact n-gram Jaccard" in {
+      val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Dedup.minhashDedupPairs(docs, "text", "doc_id")
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact should not be empty
+      lsh shouldBe exact
+    }
+
+    "simhash of identical text collides; hamming of near-identical is small" in {
+      import spark.implicits._
+      val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 0).collect()
+      pairs.length shouldBe 1
+      pairs(0).getAs[Long]("hamming") shouldBe 0
+    }
+
+    "no crossJoin in the LSH plan (bucketed join)" in {
+      val plan = Dedup.minhashDedupPairs(docs, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+  }
+
+  "Similarity" - {
+    "brute-force top-k matches a driver-side computation" in {
+      val rows = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val expect = rows.filter(_._1 < 3).map { case (qid, qv) =>
+        qid -> rows.filter(_._1 != qid)
+          .map { case (id, v) => (id, cos(qv, v)) }
+          .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSeq
+      }.toMap
+      val got = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 3, 4)
+        .orderBy("query_id", "rank").collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
+        .toMap
+      got shouldBe expect
+    }
+
+    "LSH ANN achieves usable recall vs exact top-k and is deterministic" in {
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def run() = Similarity.annLshTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a1 = run(); val a2 = run()
+      a1 shouldBe a2 // deterministic hyperplanes
+      val recall = (a1 & exact).size.toDouble / exact.size
+      recall should be >= 0.3 // approximate by design; exact re-rank of candidates
+    }
+  }
+
+  "TextAnalysis" - {
+    "token counting on crafted strings" in {
+      import spark.implicits._
+      val df = Seq(("a b  c", 1L), ("", 2L), ("hi, there!", 3L)).toDF("text", "id")
+      val got = df.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("ws"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      got shouldBe Set((1L, 3, 3), (2L, 0, 0), (3L, 2, 4))
+    }
+
+    "fingerprint collapses case/punctuation/whitespace variants" in {
+      import spark.implicits._
+      val df = Seq(("Hello,   World!", 1L), ("hello world", 2L), ("other", 3L))
+        .toDF("text", "id")
+      val fps = df.select(col("id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      fps(1L) shouldBe fps(2L)
+      fps(3L) should not be fps(1L)
+    }
+
+    "langId picks the language whose stopwords dominate" in {
+      import spark.implicits._
+      val df = Seq(
+        ("the cat and the dog in the house", 1L),
+        ("der hund ist nicht mit der katze", 2L),
+        ("xyzzy qwerty", 3L)).toDF("text", "id")
+      val got = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      got(1L) shouldBe "en"
+      got(2L) shouldBe "de"
+      got(3L) shouldBe "und"
+    }
+  }
+
+  "Multimodal" - {
+    "frameSample explodes fixed-size chunks with stride" in {
+      import spark.implicits._
+      val df = Multimodal.fromText(
+        Seq((1L, "x" * 130)).toDF("id", "t"), "id", "t")
+      val frames = Multimodal.frameSample(df, chunkBytes = 64).collect()
+      frames.length shouldBe 3 // 130 bytes → 64+64+2
+      frames.map(_.getAs[Array[Byte]]("frame").length).toSeq shouldBe Seq(64, 64, 2)
+      Multimodal.frameSample(df, 64, stride = 2).count() shouldBe 2 // frames 0,2
+    }
+
+    "decodeStub emits deterministic moments with real partitioning" in {
+      import spark.implicits._
+      val df = Multimodal.fromText(
+        Seq((1L, "abc")).toDF("id", "t"), "id", "t").repartition(3)
+      val r = Multimodal.decodeStub(spark, df).collect()(0)
+      r.getAs[Boolean]("decoded_ok") shouldBe true
+      val feats = r.getSeq[Double](r.fieldIndex("features"))
+      feats(0) shouldBe 3.0
+      feats(1) shouldBe (('a' + 'b' + 'c') / 3.0)
+    }
+  }
+}
