@@ -1,6 +1,7 @@
 package graft
 
 import graft.engine._
+import graft.indexing.{IndexManager, IndexSortItem, QueryPlanner}
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -279,6 +280,55 @@ object SparkEntry {
       emptyStore(s).applyOps(patches.unionByName(collPut))
         .rejected.select(col("seq"), col("path"), col("method"), col("code"))
         .orderBy("seq")
+    }),
+
+    // ---- S4/M6/M8: materialized secondary indexes -----------------------
+    "m6_index_build" -> ((s, dir) => {
+      val st = collection(s, dir, "supplier", "s_suppkey", "suppliers~")
+      val im = new IndexManager(st)
+      im.createIndex("suppliers~", "by_acctbal",
+        Seq(IndexSortItem("s_acctbal", Some("decimal"), Some("asc"))),
+        Some("s_acctbal > 1000"))
+      im.indexTable("suppliers~", "by_acctbal").get
+        .select(col("item_id"), col("d0")).orderBy("item_id")
+    }),
+
+    "s4_index_scan" -> ((s, dir) => {
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      val im = new IndexManager(st)
+      im.createIndex("customers~", "by_acctbal",
+        Seq(IndexSortItem("c_acctbal", Some("decimal"), Some("asc"))),
+        Some("c_acctbal > 0"))
+      val (plan, q) = QueryPlanner.query(im, "customers~",
+        Some("c_acctbal > 1000 and c_acctbal < 5000"),
+        Seq(SortBy("c_acctbal")), size = 1000)
+      require(plan.source == "by_acctbal", s"expected index scan, got ${plan.source}")
+      q.rows.select(col("item_id"),
+        j("body", "c_acctbal").cast("double").as("acctbal"))
+    }),
+
+    "m8_index_maintenance" -> ((s, dir) => {
+      import s.implicits._
+      val sup = t(s, dir, "supplier")
+      val puts = sup.select(
+        col("s_suppkey").cast("long").as("seq"),
+        lit("PUT").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        to_json(struct(col("s_acctbal").as("acctbal"))).as("body")).as[WriteOp]
+      val r1 = emptyStore(s).applyOps(puts)
+      val st = HyperStorage(s, r1.log)
+      val im = new IndexManager(st)
+      im.createIndex("suppliers~", "rich", Nil, Some("acctbal > 5000"))
+      val patches = sup.filter(col("s_suppkey") <= 20).select(
+        (col("s_suppkey") + 1000).cast("long").as("seq"),
+        lit("PATCH").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        to_json(struct((col("s_acctbal") + 10000).as("acctbal"))).as("body")).as[WriteOp]
+      val r2 = st.applyOps(patches)
+      im.applyFeed(r2.feed) // incremental: touched items re-evaluated
+      im.indexTable("suppliers~", "rich").get
+        .select(col("item_id"), j("body", "acctbal").cast("double").as("acctbal"))
+        .orderBy("item_id")
     }),
 
     // ---- ST: streaming-shape (batch equivalents) ------------------------
@@ -584,6 +634,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT 100, 'ghost~', 'PUT', 'collection-put-not-implemented'
         |ORDER BY seq""".stripMargin,
+
+    "m6_index_build" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
+        |       CAST(CAST(s_acctbal AS VARCHAR) AS DECIMAL(38,18)) AS d0
+        |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
+
+    "s4_index_scan" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_acctbal AS acctbal
+        |FROM customer WHERE c_acctbal > 1000 AND c_acctbal < 5000
+        |ORDER BY c_acctbal, item_id LIMIT 1000""".stripMargin,
+
+    "m8_index_maintenance" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
+        |       CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
+        |            ELSE s_acctbal END AS acctbal
+        |FROM supplier
+        |WHERE (CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
+        |            ELSE s_acctbal END) > 5000
+        |ORDER BY item_id""".stripMargin,
 
     "st1_feed_events" ->
       """WITH puts AS (

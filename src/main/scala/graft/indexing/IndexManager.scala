@@ -1,0 +1,242 @@
+package graft.indexing
+
+import graft.engine.{Conflict, Content, HyperStorage, NotFound, QueryResult, SortBy}
+import graft.hql._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StringType}
+
+/** Index definition (reference db.IndexDef / scheme.cql:31-40). */
+final case class IndexDef(
+    collectionUri: String, indexId: String,
+    sortBy: Seq[IndexSortItem], filterBy: Option[String],
+    status: String, tableName: String)
+
+object IndexDef {
+  val StatusIndexing = "INDEXING"
+  val StatusNormal = "NORMAL"
+  val StatusDeleting = "DELETING"
+}
+
+/** Materialized secondary indexes over a HyperStorage collection — the
+  * reference's flagship feature re-expressed as sorted, filtered,
+  * pre-projected DataFrames.
+  *
+  * - M6 build: `source.filter(filterBy).select(sortCols…)` materialized in
+  *   one batch job (the reference pages in 256-item buckets because
+  *   Cassandra scans are cursor-based, IndexContentTaskWorker.scala:39-90;
+  *   a Spark scan is already distributed + restartable). Status flips
+  *   INDEXING→NORMAL on completion; queries use NORMAL indexes only
+  *   (HyperbusAdapter.scala:152).
+  * - M7 delete: status DELETING, then drop (IndexDefTaskWorker.scala:112-135).
+  * - M8 incremental maintenance: per feed batch, touched items' index rows
+  *   are recomputed — delete-obsolete + reinsert-if-member
+  *   (PrimaryWorker.scala:183-215, BackgroundContentTaskCompleter:126-188).
+  * - F7 membership: the filterBy expression decides if an item belongs.
+  *
+  * The sort-field columns are extracted ONCE at build/maintenance time
+  * into typed columns (text / decimal(38,18)) — scans sort and push
+  * predicates on native columns, no per-row JSON parsing. At cluster
+  * scale each index table would be written as parquet bucketed by
+  * `document_uri`, making index scans co-partitioned with the primary. */
+final class IndexManager(val storage: HyperStorage) {
+  import IndexDef._
+
+  private var defs = Map.empty[(String, String), IndexDef]
+  private var tables = Map.empty[(String, String), DataFrame]
+
+  def indexDefs(uri: String): Seq[IndexDef] =
+    defs.values.filter(_.collectionUri == uri).toSeq.sortBy(_.indexId)
+
+  def indexDef(uri: String, indexId: String): Option[IndexDef] =
+    defs.get((uri, indexId))
+
+  def indexTable(uri: String, indexId: String): Option[DataFrame] =
+    tables.get((uri, indexId))
+
+  /** Typed sort-column expressions for a body column. */
+  private def sortCols(sortBy: Seq[IndexSortItem], body: Column): Seq[Column] = {
+    val size = sortBy.size
+    sortBy.zipWithIndex.flatMap { case (item, i) =>
+      val name = IndexLogic.tableFieldName(item, size, i)
+      if (name == "item_id") None // already a physical column
+      else {
+        val raw = get_json_object(body, "$." + item.fieldName)
+        val typed = if (item.isDecimal) raw.try_cast(DecimalType(38, 18))
+          else raw.cast(StringType)
+        Some(typed.as(name))
+      }
+    }
+  }
+
+  /** Project collection items into index-row shape (item_id, revision,
+    * body, typed sort cols), applying the membership filter (F7). */
+  private def materialize(items: DataFrame, d: IndexDef): DataFrame = {
+    val resolver = FieldResolver.json(col("body"))
+    val member = d.filterBy match {
+      case Some(f) => items.filter(Translator.predicate(f, resolver))
+      case None => items
+    }
+    member.select(
+      Seq(col("item_id"), col("revision"), col("body")) ++
+        sortCols(d.sortBy, col("body")): _*)
+  }
+
+  /** M6: create + background-build an index; 409 on duplicate id
+    * (IndexDefTaskWorker.scala:71-110). */
+  def createIndex(
+      uri: String, indexId: String,
+      sortBy: Seq[IndexSortItem] = Nil,
+      filterBy: Option[String] = None): IndexDef = {
+    if (defs.contains((uri, indexId)))
+      throw new Conflict(s"index-already-exists: $uri/$indexId")
+    filterBy.foreach { f =>
+      if (!AstComparator.validate(f))
+        throw new IllegalArgumentException(s"invalid filter: $f")
+    }
+    val indexing = IndexDef(uri, indexId, sortBy, filterBy,
+      StatusIndexing, IndexLogic.tableName(sortBy))
+    defs += (uri, indexId) -> indexing
+    val items = Content.visible(
+        Content.latestRows(storage.log.filter(col("document_uri") === uri)))
+      .filter(col("item_id") =!= "")
+    val table = materialize(items, indexing).persist()
+    table.count() // force the build; fails atomically if the filter is bad
+    val normal = indexing.copy(status = StatusNormal)
+    defs += (uri, indexId) -> normal
+    tables += (uri, indexId) -> table
+    normal
+  }
+
+  /** M7: delete an index. */
+  def deleteIndex(uri: String, indexId: String): Unit = {
+    val d = defs.getOrElse((uri, indexId),
+      throw new NotFound(s"index: $uri/$indexId"))
+    defs += (uri, indexId) -> d.copy(status = StatusDeleting)
+    tables.get((uri, indexId)).foreach(_.unpersist())
+    tables -= ((uri, indexId))
+    defs -= ((uri, indexId))
+  }
+
+  /** Collection-delete cascade (M3): drop all indexes of the collection
+    * (PrimaryWorker.scala:310-328; IndexingSpec.scala:655-692). */
+  def dropCollectionIndexes(uri: String): Unit =
+    indexDefs(uri).foreach(d => deleteIndex(uri, d.indexId))
+
+  /** M8: incremental maintenance from a feed batch — for every touched
+    * item: drop its old index rows, re-insert if it (still) passes the
+    * membership filter with its new sort-field values. */
+  def applyFeed(feed: DataFrame): Unit = {
+    val touchedUris = feed.select("document_uri").distinct()
+      .collect().map(_.getString(0)).toSet
+    for (((uri, id), d) <- defs if touchedUris(uri) && d.status == StatusNormal) {
+      val events = feed.filter(col("document_uri") === uri && col("item_id") =!= "")
+      // last event per item wins inside the batch
+      val latest = Content.latestRows(
+        events.select(col("document_uri"), col("item_id"), col("revision"),
+          col("body"),
+          (col("method") === "feed:delete" || col("body").isNull).as("is_deleted")))
+      val touchedItems = latest.select("item_id").distinct()
+      val replacement = materialize(
+        latest.filter(!col("is_deleted")).select("item_id", "revision", "body"), d)
+      val old = tables((uri, id))
+      val updated = old.join(broadcast(touchedItems), Seq("item_id"), "left_anti")
+        .unionByName(replacement).persist()
+      updated.count()
+      old.unpersist()
+      tables += (uri, id) -> updated
+    }
+  }
+}
+
+/** Chosen physical access path for a query (the de-facto EXPLAIN the
+  * reference asserts via db-spy, QueryCollectionsSpec.scala:80-309). */
+final case class QueryPlan(
+    source: String, // "primary" or the index id
+    weight: Int,
+    pushdown: Seq[FieldFilter],
+    ckFields: Seq[CkField],
+    reversed: Boolean,
+    exactSortMatch: Boolean)
+
+/** Index selection + index-served queries (reference
+  * HyperbusAdapter.scala:148-219). */
+object QueryPlanner {
+
+  /** The implicit trailing clustering key: every source ends with `id asc`
+    * (HyperbusAdapter.scala:148 `defIdSort`). */
+  private val DefIdSort = IndexSortItem("id", Some("text"), Some("asc"))
+
+  /** Weigh every NORMAL index + the primary source, pick the max — exact
+    * mirror of HyperbusAdapter.scala:146-170 including the implicit `id`
+    * sort item appended to every source and reduceLeft tie-breaking (the
+    * LAST max-weight source wins; primary is last). */
+  def plan(im: IndexManager, uri: String,
+      filter: Option[String], sort: Seq[SortBy]): QueryPlan = {
+    val ast = filter.map(HqlParser(_))
+    val sources: Seq[(Int, Seq[IndexSortItem], Option[IndexDef])] =
+      im.indexDefs(uri).filter(_.status == IndexDef.StatusNormal).map { d =>
+        val indexSortBy = d.sortBy :+ DefIdSort
+        (IndexLogic.weighIndex(ast, sort, d.filterBy.map(HqlParser(_)), indexSortBy),
+          indexSortBy, Some(d))
+      } :+ ((IndexLogic.weighIndex(ast, sort, None, Seq(DefIdSort)),
+        Seq(DefIdSort), None))
+    val (weight, indexSortFields, defOpt) =
+      sources.reduceLeft((l, r) => if (l._1 > r._1) l else r)
+    val size = indexSortFields.size
+    val physical = indexSortFields.zipWithIndex.map { case (it, i) =>
+      SortField(it.fieldName, IndexLogic.tableFieldName(it, size, i))
+    }
+    val pushdown = ast.map(new FieldFiltersExtractor(physical).extract(_))
+      .getOrElse(Nil)
+    val (ck, reversed) = IndexLogic.extractIndexSortFields(sort, indexSortFields)
+    val exact = ck.size == sort.size || sort.isEmpty
+    QueryPlan(defOpt.map(_.indexId).getOrElse("primary"), weight,
+      pushdown, ck, reversed, exact)
+  }
+
+  private def filterColumn(ff: FieldFilter): Column = {
+    val c = col(ff.name)
+    val v = Translator.constColumn(ff.value)
+    ff.op match {
+      case FilterEq => c === v
+      case FilterGt => c > v
+      case FilterGtEq => c >= v
+      case FilterLt => c < v
+      case FilterLtEq => c <= v
+    }
+  }
+
+  /** Execute a collection query through the chosen source: pushdown
+    * FieldFilters land on typed index columns (native Catalyst filters,
+    * parquet-pushable — F3 wired); the FULL residual filter is always
+    * re-applied (HyperbusAdapter.scala:235-244); index order is used when
+    * the sort matches exactly, else residual in-memory order
+    * (:181-197). Returns the plan alongside the rows. */
+  def query(im: IndexManager, uri: String,
+      filter: Option[String] = None, sort: Seq[SortBy] = Nil,
+      size: Int = HyperStorage.DefaultPageSize): (QueryPlan, QueryResult) = {
+    val p = plan(im, uri, filter, sort)
+    if (p.source == "primary") {
+      (p, im.storage.query(uri, filter, sort, size))
+    } else {
+      val table = im.indexTable(uri, p.source).get
+      val resolver = FieldResolver.json(col("body"))
+      val pushed = p.pushdown.foldLeft(table)((df, ff) => df.filter(filterColumn(ff)))
+      val residual = filter match {
+        case Some(f) => pushed.filter(Translator.predicate(f, resolver))
+        case None => pushed
+      }
+      val ordered =
+        if (p.exactSortMatch && p.ckFields.nonEmpty)
+          residual.orderBy(p.ckFields.map(ck =>
+            if (ck.ascending) col(ck.name).asc else col(ck.name).desc) :+
+            (if (p.reversed) col("item_id").desc else col("item_id").asc): _*)
+        else if (sort.isEmpty) residual.orderBy(col("item_id").asc)
+        else residual.orderBy(sort.map(HyperStorage.sortColumn(_, resolver)) :+
+          col("item_id").asc: _*)
+      val revision = im.storage.revisionOf(uri)
+      (p, QueryResult(ordered.limit(size), revision))
+    }
+  }
+}

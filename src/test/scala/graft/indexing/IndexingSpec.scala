@@ -1,0 +1,178 @@
+package graft.indexing
+
+import graft.SparkFixture
+import graft.engine._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Index lifecycle + selection + maintenance (reference
+  * IndexingSpec.scala:22-692 and the 16 plan-verification scenarios of
+  * QueryCollectionsSpec.scala:80-309 — here the "which physical source was
+  * scanned" assertion is QueryPlan.source). */
+class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  // QueryCollectionsSpec fixture: c1/c2/c3 + index1(filter b>10),
+  // index2(sort a asc, filter b>10), index3(sort a asc)
+  private def fixture: IndexManager = {
+    val r = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
+      WriteOp(1, "PUT", "collection-1~/item1", """{"a":"hello","b":100500}"""),
+      WriteOp(2, "PUT", "collection-1~/item2", """{"a":"goodbye","b":1}"""),
+      WriteOp(3, "PUT", "collection-1~/item3", """{"a":"way way","b":12}""")))
+    val im = new IndexManager(HyperStorage(spark, r.log))
+    im.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+    im.createIndex("collection-1~", "index2",
+      Seq(IndexSortItem("a", Some("text"), Some("asc"))), Some("b > 10"))
+    im.createIndex("collection-1~", "index3",
+      Seq(IndexSortItem("a", Some("text"), Some("asc"))), None)
+    im
+  }
+
+  private def ids(q: QueryResult): Seq[String] =
+    q.rows.collect().map(_.getAs[String]("item_id")).toSeq
+
+  "index lifecycle" - {
+    "create builds to NORMAL with member rows only" in {
+      val im = fixture
+      im.indexDef("collection-1~", "index1").get.status shouldBe IndexDef.StatusNormal
+      im.indexTable("collection-1~", "index1").get
+        .select("item_id").collect().map(_.getString(0)).sorted.toSeq shouldBe
+        Seq("item1", "item3") // b>10 members only (F7)
+      im.indexDef("collection-1~", "index2").get.tableName shouldBe "index_content_ta0"
+    }
+
+    "duplicate index id is a 409" in {
+      val im = fixture
+      a[Conflict] should be thrownBy
+        im.createIndex("collection-1~", "index1", Nil, None)
+    }
+
+    "delete removes the index" in {
+      val im = fixture
+      im.deleteIndex("collection-1~", "index3")
+      im.indexDef("collection-1~", "index3") shouldBe None
+      a[NotFound] should be thrownBy im.deleteIndex("collection-1~", "index3")
+    }
+
+    "collection delete cascades over indexes" in {
+      val im = fixture
+      im.dropCollectionIndexes("collection-1~")
+      im.indexDefs("collection-1~") shouldBe Seq.empty
+    }
+  }
+
+  "index selection (plan verification)" - {
+    "no filter, no sort → primary" in {
+      QueryPlanner.plan(fixture, "collection-1~", None, Nil).source shouldBe "primary"
+    }
+    "filter by id → primary" in {
+      QueryPlanner.plan(fixture, "collection-1~",
+        Some("""id = "item3""""), Nil).source shouldBe "primary"
+    }
+    "filter b > 10 sort by id → index1 (reference :203-212)" in {
+      QueryPlanner.plan(fixture, "collection-1~",
+        Some("b > 10"), Seq(SortBy("id"))).source shouldBe "index1"
+    }
+    "filter b > 10 without sort → tie broken to the LAST max source (index2)" in {
+      // reduceLeft keeps the right side on ties (HyperbusAdapter.scala:163)
+      QueryPlanner.plan(fixture, "collection-1~",
+        Some("b > 10"), Nil).source shouldBe "index2"
+    }
+    "filter b > 10 sort by a → index2 (filter + order match)" in {
+      val p = QueryPlanner.plan(fixture, "collection-1~",
+        Some("b > 10"), Seq(SortBy("a")))
+      p.source shouldBe "index2"
+      p.ckFields shouldBe Seq(CkField("t0", ascending = true))
+      p.reversed shouldBe false
+      p.exactSortMatch shouldBe true
+    }
+    "filter b > 10 sort by a desc → index2 reversed scan" in {
+      val p = QueryPlanner.plan(fixture, "collection-1~",
+        Some("b > 10"), Seq(SortBy("a", descending = true)))
+      p.source shouldBe "index2"
+      p.ckFields shouldBe Seq(CkField("t0", ascending = false))
+      p.reversed shouldBe true
+    }
+    "narrower query filter still uses the wider index (b > 12 wider-matched)" in {
+      QueryPlanner.plan(fixture, "collection-1~",
+        Some("b > 12"), Seq(SortBy("id"))).source shouldBe "index1"
+    }
+    "sort by a without filter → index3 (unfiltered index)" in {
+      QueryPlanner.plan(fixture, "collection-1~",
+        None, Seq(SortBy("a"))).source shouldBe "index3"
+    }
+    "disjoint filter → not an index match (primary)" in {
+      QueryPlanner.plan(fixture, "collection-1~",
+        Some("""a = "hello""""), Nil).source shouldBe "primary"
+    }
+    "pushdown lands on the index sort column" in {
+      val p = QueryPlanner.plan(fixture, "collection-1~",
+        Some("""b > 10 and a > "goodbye""""), Seq(SortBy("a")))
+      p.source shouldBe "index2"
+      p.pushdown shouldBe Seq(graft.hql.FieldFilter("t0",
+        graft.hql.HText("goodbye"), graft.hql.FilterGt))
+    }
+  }
+
+  "index-served queries return reference results" - {
+    "filter b > 10 sort by id via index1" in {
+      val (p, q) = QueryPlanner.query(fixture, "collection-1~",
+        Some("b > 10"), Seq(SortBy("id")), 50)
+      p.source shouldBe "index1"
+      ids(q) shouldBe Seq("item1", "item3")
+    }
+    "filter b > 10 sorted by a via index2 (index order, no residual sort)" in {
+      val (p, q) = QueryPlanner.query(fixture, "collection-1~",
+        Some("b > 10"), Seq(SortBy("a")), 50)
+      p.source shouldBe "index2"
+      ids(q) shouldBe Seq("item1", "item3")
+    }
+    "sorted by a desc via index2" in {
+      val (_, q) = QueryPlanner.query(fixture, "collection-1~",
+        Some("b > 10"), Seq(SortBy("a", descending = true)), 50)
+      ids(q) shouldBe Seq("item3", "item1")
+    }
+    "residual filter applies on top of a wider index" in {
+      val (p, q) = QueryPlanner.query(fixture, "collection-1~",
+        Some("b > 100"), Seq(SortBy("id")), 50)
+      p.source shouldBe "index1"
+      ids(q) shouldBe Seq("item1") // 100500 only; 12 filtered residually
+    }
+  }
+
+  "incremental maintenance (M8)" - {
+    "PUT adding a member inserts its index row" in {
+      val im = fixture
+      val r = im.storage.applySeq(Seq(
+        WriteOp(10, "PUT", "collection-1~/item4", """{"a":"zzz","b":99}""")))
+      im.applyFeed(r.feed)
+      im.indexTable("collection-1~", "index1").get
+        .select("item_id").collect().map(_.getString(0)).sorted.toSeq shouldBe
+        Seq("item1", "item3", "item4")
+    }
+    "PATCH moving an item out of the filter removes its row" in {
+      val im = fixture
+      val r = im.storage.applySeq(Seq(
+        WriteOp(10, "PATCH", "collection-1~/item3", """{"b":5}""")))
+      im.applyFeed(r.feed)
+      im.indexTable("collection-1~", "index1").get
+        .select("item_id").collect().map(_.getString(0)).toSeq shouldBe Seq("item1")
+    }
+    "DELETE removes the index row" in {
+      val im = fixture
+      val r = im.storage.applySeq(Seq(
+        WriteOp(10, "DELETE", "collection-1~/item1", null)))
+      im.applyFeed(r.feed)
+      im.indexTable("collection-1~", "index1").get
+        .select("item_id").collect().map(_.getString(0)).toSeq shouldBe Seq("item3")
+    }
+    "sort-field change updates the typed column (obsolete row replaced)" in {
+      val im = fixture
+      val r = im.storage.applySeq(Seq(
+        WriteOp(10, "PATCH", "collection-1~/item1", """{"a":"aaaa"}""")))
+      im.applyFeed(r.feed)
+      val (_, q) = QueryPlanner.query(im, "collection-1~",
+        Some("b > 10"), Seq(SortBy("a")), 50)
+      ids(q) shouldBe Seq("item1", "item3") // "aaaa" < "way way"
+    }
+  }
+}
