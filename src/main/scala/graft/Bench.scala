@@ -1,6 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: headline queries on SPARK_GRAFT_SF_DIR, one JSON
+  * line on stdout. Set SPARK_GRAFT_BENCH_ALL=1 to time every registered
+  * query instead of the headline set. */
 object Bench {
+  /** The expensive, scale-representative subset (index build+scan, big
+    * agg/join/window, dedup, ANN, text) — what the 2×-of-baseline gate
+    * actually measures. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier",
+    "f1_filter_numeric", "o2_sort_multifield", "o4_topk_overfetch",
+    "s4_index_scan", "m6_index_build", "m8_index_maintenance",
+    "m1_put_get", "m4_delete_items",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "ann_lsh_topk",
+    "text_quality", "text_fingerprint", "text_langid",
+    "w1_window_rank", "e1_sessionize", "st5_quantize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,14 +29,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val names =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else headline.filter(SparkEntry.queries.contains)
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,12 +34,20 @@ object Content {
 
   /** One row per (uri, item), highest revision wins. Includes tombstoned
     * rows — callers decide visibility (the write path needs dead rows to
-    * know revisions; the read path applies [[visible]]). */
+    * know revisions; the read path applies [[visible]]).
+    *
+    * Implemented as a max_by HASH AGGREGATE, not a row_number window: the
+    * aggregate needs no sort, does map-side partial aggregation, and at
+    * cluster scale shuffles one pre-combined row per (uri, item) per
+    * mapper instead of the whole log. */
   def latestRows(log: DataFrame): DataFrame = {
-    val w = Window.partitionBy("document_uri", "item_id").orderBy(col("revision").desc)
-    log.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = log.columns
+    val payload = cols.filterNot(c => c == "document_uri" || c == "item_id")
+    log.groupBy("document_uri", "item_id")
+      .agg(max_by(struct(payload.map(col): _*), col("revision")).as("__r"))
+      .select(col("document_uri") +: col("item_id") +:
+        payload.map(c => col(s"__r.$c").as(c)): _*)
+      .select(cols.map(col): _*)
   }
 
   /** Visibility on top of [[latestRows]]: drop per-key tombstones, and a

@@ -227,16 +227,18 @@ object QueryPlanner {
         case Some(f) => pushed.filter(Translator.predicate(f, resolver))
         case None => pushed
       }
-      val ordered =
+      val limited =
         if (p.exactSortMatch && p.ckFields.nonEmpty)
+          // index order: typed physical columns, no per-row JSON work
           residual.orderBy(p.ckFields.map(ck =>
             if (ck.ascending) col(ck.name).asc else col(ck.name).desc) :+
             (if (p.reversed) col("item_id").desc else col("item_id").asc): _*)
-        else if (sort.isEmpty) residual.orderBy(col("item_id").asc)
-        else residual.orderBy(sort.map(HyperStorage.sortColumn(_, resolver)) :+
-          col("item_id").asc: _*)
+            .limit(size)
+        else if (sort.isEmpty) residual.orderBy(col("item_id").asc).limit(size)
+        else HyperStorage.sortAndLimit(residual, sort, resolver,
+          col("item_id").asc, size)
       val revision = im.storage.revisionOf(uri)
-      (p, QueryResult(ordered.limit(size), revision))
+      (p, QueryResult(limited, revision))
     }
   }
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.engine.{FeedEvent, HyperStorage, WriteOp}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** The reference's reliable change feed (ST1/ST2/ST6) on Structured
+  * Streaming.
+  *
+  * - ST1: one FEED:<method> event per applied write, revision attached
+  *   (PrimaryWorker.scala:217-227).
+  * - ST6: gapless monotonic revision assignment per document — the
+  *   reference serializes writes through one actor per URI
+  *   (ShardProcessor.scala:363-420); here `flatMapGroupsWithState` keyed
+  *   by document_uri gives the same single-writer-per-key guarantee with
+  *   COMPACT state (one Long per live document — at 100 TB the state store
+  *   holds only #documents longs, not bodies).
+  * - ST2: at-least-once delivery with per-key ordering — publish happens
+  *   inside `foreachBatch` partitioned by document_uri and sorted by
+  *   revision; a failed batch is replayed from the checkpoint on restart
+  *   (duplicates possible, exactly like the reference's
+  *   publish-then-complete loop, BackgroundContentTaskCompleter.scala:
+  *   83-96), so sinks must be idempotent on (uri, item, revision).
+  */
+object ChangeFeed {
+
+  implicit private val feedEnc: org.apache.spark.sql.Encoder[FeedEvent] =
+    Encoders.product[FeedEvent]
+  implicit private val longEnc: org.apache.spark.sql.Encoder[Long] =
+    Encoders.scalaLong
+
+  /** ST6: assign gapless per-document revisions to a stream of write ops.
+    * State = last revision per URI (a single Long). Ops inside a batch are
+    * ordered by `seq`; the method is rewritten to its feed:* form. POST
+    * id-gen is deterministic (seq-derived), so a replayed batch emits
+    * identical events (SURVEY §7.4 risk 1). */
+  def assignRevisions(ops: Dataset[WriteOp]): Dataset[FeedEvent] = {
+    ops.groupByKey(op => HyperStorage.splitPath(op.path)._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uri: String, it: Iterator[WriteOp], state: GroupState[Long]) =>
+          var rev = state.getOption.getOrElse(0L)
+          var postCounter = 0L
+          val out = it.toSeq.sortBy(_.seq).map { op =>
+            val (_, rawItem) = HyperStorage.splitPath(op.path)
+            val (method, itemId) = op.method.toUpperCase match {
+              case "POST" if rawItem.isEmpty =>
+                postCounter += 1
+                ("put", f"${op.seq}%019d-$postCounter%04d")
+              case m => (m.toLowerCase, rawItem)
+            }
+            rev += 1
+            FeedEvent(uri, itemId, s"feed:$method", rev, op.body)
+          }
+          state.update(rev)
+          out.iterator
+      }
+  }
+
+  /** ST2: deliver a feed stream to a sink with per-key ordering. The sink
+    * runs inside foreachBatch — exceptions fail the batch; restarting from
+    * the same checkpoint replays it (at-least-once). */
+  def deliver(feed: Dataset[FeedEvent], checkpointDir: String)
+      (send: FeedEvent => Unit): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: Dataset[FeedEvent], _: Long) =>
+        batch
+          .repartition(col("document_uri"))
+          .sortWithinPartitions(col("document_uri"), col("revision"))
+          .foreachPartition { (it: Iterator[FeedEvent]) => it.foreach(send) }
+      }
+      .start()
+
+  /** File-based feed source: stream an append-only parquet feed directory
+    * (the batch engine's `ApplyResult.feed` written with `append`). */
+  def fromParquetDir(spark: SparkSession, dir: String): Dataset[FeedEvent] = {
+    val schema = Encoders.product[FeedEvent].schema
+    spark.readStream.schema(schema).parquet(dir).as[FeedEvent]
+  }
+}
