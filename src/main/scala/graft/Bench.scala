@@ -29,6 +29,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // steady-state warmup: JIT the parquet reader / codegen / shuffle
+    // machinery once so the first timed query doesn't absorb JVM startup
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").count().collect()
+    }
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)

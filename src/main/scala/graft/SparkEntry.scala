@@ -452,6 +452,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: similarity search -------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -509,6 +515,28 @@ object SparkEntry {
         .select(col("media_id"), col("decoded_ok"),
           element_at(col("features"), 1).as("f0"))
         .orderBy("media_id")
+    }),
+
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.frameSample(media, chunkBytes = 64)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    "st3_recovery_worklist" -> ((s, dir) => {
+      // batch 1 (regions, quantum 1) completed; batch 2 (nations, quantum
+      // 2) incomplete → the recovery pass must re-drive exactly batch 2 in
+      // (uri, revision) order
+      val rFeed = emptyStore(s).applyOps(putOps(s, t(s, dir, "region"),
+        "regions~", "r_regionkey", Seq("r_name"))).feed
+      val nFeed = emptyStore(s).applyOps(putOps(s, t(s, dir, "nation"),
+        "nations~", "n_nationkey", Seq("n_name"))).feed
+      val l1 = Ledger.fromFeed(rFeed, 60000L)
+      val ledger = Ledger.complete(l1, l1.select("txn_id"))
+        .unionByName(Ledger.fromFeed(nFeed, 120000L))
+      Ledger.recoveryWorkList(ledger, 0L, 10L)
+        .select(col("document_uri"), col("txn_id"), col("revision"))
     })
   )
 
@@ -783,7 +811,30 @@ object SparkEntry {
     "mm_decode_stub" ->
       """SELECT doc_id AS media_id, TRUE AS decoded_ok,
         |       CAST(strlen(text) AS DOUBLE) AS f0
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_frames" ->
+      """SELECT media_id, frame_idx FROM (
+        |  SELECT doc_id AS media_id,
+        |         unnest(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)))
+        |           AS frame_idx
+        |  FROM documents)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "st3_recovery_worklist" ->
+      """SELECT 'nations~' AS document_uri,
+        |       'nations~/' || CAST(n_nationkey AS VARCHAR) || '#' ||
+        |       CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) AS VARCHAR) AS txn_id,
+        |       ROW_NUMBER() OVER (ORDER BY n_nationkey) AS revision
+        |FROM nation ORDER BY document_uri, revision""".stripMargin
   )
 
   /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —

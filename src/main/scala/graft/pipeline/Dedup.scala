@@ -143,16 +143,20 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
     * sign of Σ_tokens (±1 per token depending on bit b of xxhash64(token)).
     * Pure codegen'd expression (64 × |tokens| bit tests per row). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    // bit positions unrolled at plan-build time (shift amounts must be
-    // static); one codegen'd expression tree per row
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+
+  /** The 64 bit-vote folds over a PRE-MATERIALIZED token-hash array. Keep
+    * the hash array in its own (persisted) projection: each of the 64
+    * aggregates traverses the array column, and higher-order functions are
+    * not subexpression-eliminated — inlining the tokenize+hash expression
+    * would recompute it 64× per row. */
+  def simhashFromHashes(hashes: Column): Column =
     (0 until 64).map { b =>
       val bitSum = aggregate(hashes, lit(0L),
         (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
-  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * banding the 64-bit fingerprint into `bands` chunks (pigeonhole: any
@@ -162,8 +166,10 @@ object Dedup {
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     val bits = 64 / bands
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .persist() // barrier: keep the 64-bit-test expression out of the self-join sides
+    val hashed = df.select(col(idCol).as("id"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("hs")).persist()
+    val withSig = hashed.select(col("id"), simhashFromHashes(col("hs")).as("sig"))
+      .persist() // barrier: keep the 64-bit-vote expression out of the self-join sides
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bits)

@@ -46,6 +46,45 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs, EXACT: every pair with
+    * cosine >= threshold. The right side is broadcast and the predicate is
+    * non-equi, so this is quadratic — the oracle baseline for small/medium
+    * corpora; use [[cosineNearDupPairsLsh]] as the bucketed scale path. */
+  def cosineNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val a = prep(df, idCol, vecCol)
+    val b = prep(df, idCol, vecCol)
+      .withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb")
+      .withColumnRenamed("nrm", "nrmb")
+    a.join(broadcast(b), col("id") < col("id_b"))
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** Scale path for cosine near-dup: candidates limited to pairs whose
+    * sign-buckets are within Hamming distance 1 (probabilistic recall);
+    * exact cosine verification on candidates only. */
+  def cosineNearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      planes: Int = 6, dim: Int = 64): DataFrame = {
+    val base = prep(df, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val probes = array(
+      col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = base.select(col("id"), col("v"), col("nrm"),
+      explode(probes).as("probe"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrmb"), col("bucket").as("bucket_b"))
+    a.join(b, col("probe") === col("bucket_b") && col("id") < col("id_b"))
+      .select(col("id"), col("id_b"), col("v"), col("vb"), col("nrm"), col("nrmb"))
+      .distinct()
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1]. Fixed by construction — no RNG, no
     * Date.now; identical across runs and executors. */

@@ -92,6 +92,17 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "embedding cosine near-dup" - {
+    "LSH-bucketed variant finds a subset of the exact pairs, deterministically" in {
+      val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val lsh = Similarity.cosineNearDupPairsLsh(emb, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      lsh.subsetOf(exact) shouldBe true
+      if (exact.nonEmpty) (lsh.size.toDouble / exact.size) should be >= 0.2
+    }
+  }
+
   "TextAnalysis" - {
     "token counting on crafted strings" in {
       import spark.implicits._
