@@ -1,38 +1,23 @@
 package graft
 
-import graft.engine._
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Ad-hoc perf probe (not part of the driver contract). */
+/** Ad-hoc plan/perf probe (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "plans"
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-    time("warmup count")(orders.count())
-    val log = Content.fromTable(orders, "orders~", "o_orderkey")
-    time("fromTable materialize count")(log.count())
-    val st = HyperStorage(spark, log)
-    time("staticRow")(st.staticRow("orders~"))
-    time("staticRow again")(st.staticRow("orders~"))
-    time("full o4 query + count") {
-      val q = st.query("orders~", filter = Some("o_totalprice > 1000"),
-        sort = Seq(SortBy("o_totalprice", descending = true)), size = 50)
-      q.rows.count()
-    }
-    time("result only (skipMax disabled)") {
-      val q = st.query("orders~", filter = Some("o_totalprice > 1000"),
-        sort = Seq(SortBy("o_totalprice", descending = true)), size = 50,
-        skipMax = -1)
-      q.rows.count()
+    if (what == "plans") {
+      for (q <- Seq("q3_shipping", "q1_agg", "w1_window_rank", "s4_index_scan")) {
+        println(s"\n===== $q =====")
+        val df = SparkEntry.queries(q)(spark, dir)
+        val plan = df.queryExecution.executedPlan.toString
+        println(plan.linesIterator.take(30).mkString("\n"))
+      }
     }
     spark.stop()
   }

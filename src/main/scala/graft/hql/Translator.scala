@@ -248,13 +248,27 @@ object Translator {
 
   private def function(name: String, args: Seq[Ast], r: FieldResolver): Column = {
     val cols = args.map(a => translate(a, r))
+    def s(i: Int) = cols(i).cast(StringType)
+    def d(i: Int) = if (r.isDynamic) tryCastDec(cols(i)) else cols(i)
     name.toLowerCase match {
-      case "length"  => length(cols.head.cast(StringType)).cast(Dec)
-      case "lower"   => lower(cols.head.cast(StringType))
-      case "upper"   => upper(cols.head.cast(StringType))
-      case "abs"     => abs(if (r.isDynamic) tryCastDec(cols.head) else cols.head)
-      case "coalesce" => coalesce(cols: _*)
-      case other     => sys.error(s"unsupported function: $other")
+      case "length"     => length(s(0)).cast(Dec)
+      case "lower"      => lower(s(0))
+      case "upper"      => upper(s(0))
+      case "trim"       => trim(s(0))
+      case "abs"        => abs(d(0))
+      case "round"      => round(d(0), if (cols.size > 1) args(1) match {
+        case Const(HNumber(n)) => n.toInt; case _ => 0
+      } else 0)
+      case "ceil"       => ceil(d(0)).cast(Dec)
+      case "floor"      => floor(d(0)).cast(Dec)
+      case "concat"     => concat(cols.indices.map(s): _*)
+      case "substr" | "substring" =>
+        substring(s(0), d(1).cast("int"), if (cols.size > 2) d(2).cast("int") else lit(Int.MaxValue))
+      case "startswith" => s(0).startsWith(s(1))
+      case "endswith"   => s(0).endsWith(s(1))
+      case "contains"   => s(0).contains(s(1))
+      case "coalesce"   => coalesce(cols: _*)
+      case other        => sys.error(s"unsupported function: $other")
     }
   }
 }

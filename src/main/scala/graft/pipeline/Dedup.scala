@@ -34,6 +34,21 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
 
+  /** Skew-safe exact dedup: two-phase aggregation with a salt on the
+    * content hash. A pathological key (one document duplicated 10⁹ times
+    * at 100 TB) would otherwise send its whole group to one reducer; the
+    * salted partial collapses each (hash, salt) cell map-side first, so
+    * the final per-hash group sees at most `salts` rows. Same result as
+    * [[exactSurvivors]]. */
+  def exactSurvivorsSalted(
+      df: DataFrame, textCol: String, idCol: String, salts: Int = 64): DataFrame =
+    df.select(sha2(col(textCol), 256).as("content_hash"), col(idCol))
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)))
+      .groupBy("content_hash", "__salt")
+      .agg(min(col(idCol)).as("__min_id"), count(lit(1)).as("__cnt"))
+      .groupBy("content_hash")
+      .agg(min("__min_id").as(idCol), sum("__cnt").as("copies"))
+
   /** Exact-duplicate pairs (dup → canonical), for delete lists. */
   def exactDuplicatePairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("content_hash").orderBy(col(idCol))

@@ -52,6 +52,25 @@ object Multimodal {
         substring(col("media"), col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
   }
 
+  /** Resize stage STUB: byte-stride subsampling stands in for pixel
+    * resampling (a real impl decodes, resamples, re-encodes). Keeps the
+    * schema/partitioning contract of a resize: same rows, smaller blobs,
+    * meta rewritten. */
+  def resizeStub(df: DataFrame, factor: Int): DataFrame = {
+    val n = octet_length(col("media"))
+    df.withColumn("media",
+        expr(s"filter(transform(sequence(1, octet_length(media)), " +
+          s"i -> IF(i % $factor = 1, substring(media, i, 1), NULL)), x -> x IS NOT NULL)")
+        .cast("array<binary>"))
+      .withColumn("media",
+        aggregate(col("media"), lit(Array.emptyByteArray),
+          (acc, b) => concat(acc, b)))
+      .withColumn("meta", struct(
+        col("meta.kind"), (col("meta.width") / factor).cast("int").as("width"),
+        (col("meta.height") / factor).cast("int").as("height"),
+        col("meta.sample_rate")))
+  }
+
   /** Batch-shaped decode: mapPartitions so a real codec could amortize
     * per-batch setup (model load, decoder context) across rows — the shape
     * a vectorized decode needs. STUB kernel: deterministic byte-histogram

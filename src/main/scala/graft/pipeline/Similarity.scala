@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Codegen'd native loop ([[graft.functions.DotProduct]]); the
+    * zip_with/aggregate formulation stays available but is interpreted. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot_product(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

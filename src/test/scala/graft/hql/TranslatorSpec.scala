@@ -93,6 +93,15 @@ class TranslatorSpec extends AnyFreeSpec with Matchers with SparkFixture {
       keep("""length(a) = 5""", """{"a":"hello"}""", """{"a":"xy"}""") shouldBe Seq(0)
       keep("""lower(a) = "abc"""", """{"a":"ABC"}""", """{"a":"AB"}""") shouldBe Seq(0)
     }
+    "functions: string and numeric helpers" in {
+      keep("""substr(a, 1, 2) = "he"""", """{"a":"hello"}""", """{"a":"xy"}""") shouldBe Seq(0)
+      keep("""startswith(a, "he")""", """{"a":"hello"}""", """{"a":"ohello"}""") shouldBe Seq(0)
+      keep("""contains(a, "ell")""", """{"a":"hello"}""", """{"a":"xy"}""") shouldBe Seq(0)
+      keep("""round(b) = 3""", """{"b":3.4}""", """{"b":3.6}""") shouldBe Seq(0)
+      keep("""ceil(b) = 4 and floor(b) = 3""", """{"b":3.4}""", """{"b":5.2}""") shouldBe Seq(0)
+      keep("""concat(a, "x") = "hix"""", """{"a":"hi"}""", """{"a":"ho"}""") shouldBe Seq(0)
+      keep("""trim(a) = "hi"""", """{"a":"  hi "}""", """{"a":"ho"}""") shouldBe Seq(0)
+    }
     "constant folding happens in Catalyst (plan has literal)" in {
       // parquet-backed plan so the optimizer can't collapse it to a
       // LocalRelation; the folded literal 45 must appear in the filter

@@ -92,6 +92,37 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "DotProduct expression" - {
+    "matches the interpreted zip_with/aggregate formulation and codegens" in {
+      import graft.functions.VectorFunctions.dot_product
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val both = e.select(
+        dot_product(col("v"), col("v")).as("native"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0d), (a, x) => a + x).as("hof"))
+      both.filter(col("native") =!= col("hof")).count() shouldBe 0
+      // alone, the expression participates in whole-stage codegen (the HOF
+      // formulation would poison its projection out of codegen)
+      val nativeOnly = e.select(dot_product(col("v"), col("v")).as("d"))
+      nativeOnly.queryExecution.executedPlan.toString should
+        include regex """\*\(\d+\) Project \[dotproduct"""
+    }
+  }
+
+  "salted exact dedup" - {
+    "matches the unsalted aggregation" in {
+      import spark.implicits._
+      val df = Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "aa"), (5L, "bb"))
+        .toDF("doc_id", "text")
+      val plain = Dedup.exactSurvivors(df, "text", "doc_id")
+        .select("doc_id", "copies").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val salted = Dedup.exactSurvivorsSalted(df, "text", "doc_id", salts = 4)
+        .select("doc_id", "copies").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      salted shouldBe plain
+    }
+  }
+
   "embedding cosine near-dup" - {
     "LSH-bucketed variant finds a subset of the exact pairs, deterministically" in {
       val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
@@ -147,6 +178,13 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       frames.length shouldBe 3 // 130 bytes → 64+64+2
       frames.map(_.getAs[Array[Byte]]("frame").length).toSeq shouldBe Seq(64, 64, 2)
       Multimodal.frameSample(df, 64, stride = 2).count() shouldBe 2 // frames 0,2
+    }
+
+    "resizeStub shrinks blobs by the stride factor" in {
+      import spark.implicits._
+      val df = Multimodal.fromText(Seq((1L, "abcdefgh")).toDF("id", "t"), "id", "t")
+      val out = Multimodal.resizeStub(df, factor = 2).collect()(0)
+      new String(out.getAs[Array[Byte]]("media")) shouldBe "aceg"
     }
 
     "decodeStub emits deterministic moments with real partitioning" in {
