@@ -173,6 +173,21 @@ object SparkEntry {
           j("body", "c_acctbal").cast("double").as("acctbal"))
     }),
 
+    "o2_sort_missing_fields" -> ((s, dir) => {
+      import s.implicits._
+      // `region` present only on even keys: missing fields sort LAST asc
+      val ops = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("seq"),
+        lit("PUT").as("method"),
+        concat(lit("nations~/"), col("n_nationkey").cast("string")).as("path"),
+        to_json(struct(col("n_name").as("name"),
+          when(col("n_nationkey") % 2 === 0, col("n_regionkey")).as("region"))).as("body")
+      ).as[WriteOp]
+      val log = emptyStore(s).applyOps(ops).log
+      HyperStorage(s, log).query("nations~", sort = Seq(SortBy("region")))
+        .rows.select(col("item_id"), j("body", "region").cast("int").as("region"))
+    }),
+
     "o3_default_page" -> ((s, dir) => {
       val st = collection(s, dir, "orders", "o_orderkey", "orders~")
       st.query("orders~").rows.select(col("item_id"),
@@ -411,6 +426,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "e2_props_extract" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+
     "e1_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -606,6 +630,21 @@ object SparkEntry {
         |       c_mktsegment AS mktsegment, c_acctbal AS acctbal
         |FROM customer
         |ORDER BY c_mktsegment ASC, c_acctbal DESC, item_id ASC LIMIT 50""".stripMargin,
+
+    "o2_sort_missing_fields" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS item_id,
+        |       CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_regionkey AS INTEGER) END
+        |         AS region
+        |FROM nation
+        |ORDER BY (CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END),
+        |         (CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey END),
+        |         item_id""".stripMargin,
+
+    "e2_props_extract" ->
+      """SELECT event_type,
+        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       COUNT(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "o3_default_page" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS item_id,
