@@ -79,6 +79,18 @@ object SparkEntry {
         .rows.select(col("item_id"), j("body", "c_name").as("name"))
     }),
 
+    "s2_store_scan" -> ((s, dir) => {
+      // through the crc32-partitioned parquet store: the per-URI read
+      // prunes to one directory partition (ContentStoreSpec pins the plan)
+      val path = s"/tmp/graft_store_${dir.replace('/', '_')}"
+      ContentStore.write(
+        Content.fromTable(t(s, dir, "customer"), "customers~", "c_custkey"),
+        path, org.apache.spark.sql.SaveMode.Overwrite)
+      ContentStore.open(s, path)
+        .query("customers~", itemIdFilter = Some((">", "500")), size = 40)
+        .rows.select(col("item_id"), j("body", "c_name").as("name"))
+    }),
+
     "s3_static_revision" -> ((s, dir) => {
       import s.implicits._
       val ops = putOps(s, t(s, dir, "nation"), "nations~", "n_nationkey",
@@ -331,7 +343,9 @@ object SparkEntry {
         concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
         to_json(struct(col("s_acctbal").as("acctbal"))).as("body")).as[WriteOp]
       val r1 = emptyStore(s).applyOps(puts)
-      val st = HyperStorage(s, r1.log)
+      // materialize the applied log once (in production it lands in
+      // storage); otherwise every downstream action replays the cogroup
+      val st = HyperStorage(s, r1.log.persist())
       val im = new IndexManager(st)
       im.createIndex("suppliers~", "rich", Nil, Some("acctbal > 5000"))
       val patches = sup.filter(col("s_suppkey") <= 20).select(
@@ -582,6 +596,11 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_name AS name
         |FROM customer WHERE CAST(c_custkey AS VARCHAR) < '1200'
         |ORDER BY item_id DESC LIMIT 25""".stripMargin,
+
+    "s2_store_scan" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_name AS name
+        |FROM customer WHERE CAST(c_custkey AS VARCHAR) > '500'
+        |ORDER BY item_id LIMIT 40""".stripMargin,
 
     "s3_static_revision" ->
       "SELECT COUNT(*) AS revision FROM nation",

@@ -69,7 +69,8 @@ final case class ApplyResult(log: DataFrame, feed: DataFrame, rejected: DataFram
   * BEFORE the latest-revision window, so the predicate reaches the scan
   * (partition pruning) instead of sitting above a whole-log shuffle.
   */
-final class HyperStorage(val spark: SparkSession, val log: DataFrame) {
+final class HyperStorage(val spark: SparkSession, val log: DataFrame,
+    val uriPruner: String => Column = _ => lit(true)) {
   import HyperStorage._
 
   /** Whole latest visible state (all collections). Unreserved full view —
@@ -77,9 +78,11 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame) {
     * 100 TB a compacted current-state table replaces re-derivation). */
   lazy val current: DataFrame = Content.latestView(log)
 
-  /** Latest row per (uri,item) for one URI — filter below the window. */
+  /** Latest row per (uri,item) for one URI — the URI predicate (plus the
+    * store's partition-pruning predicate, ContentStore) lands below the
+    * latest-revision aggregation, directly on the scan. */
   private def latestFor(uri: String): DataFrame =
-    Content.latestRows(log.filter(col("document_uri") === uri))
+    Content.latestRows(log.filter(uriPruner(uri) && col("document_uri") === uri))
 
   /** S1 point get: document (itemId="") or collection item. Deleted
     * documents / items of deleted collections are invisible. */
@@ -259,7 +262,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame) {
     val touched = ops.map(op => splitPath(op.path)._1).distinct()
       .toDF("document_uri")
     val latest = Content.latestRows(
-        log.join(broadcast(touched), Seq("document_uri"), "left_semi"))
+        log.select(Content.schema.fieldNames.map(col): _*)
+          .join(broadcast(touched), Seq("document_uri"), "left_semi"))
       .select(Content.schema.fieldNames.map(col): _*)
       .as[ContentRow]
 
@@ -275,7 +279,10 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame) {
       .select(Content.schema.fieldNames.map(col): _*)
     val feed = applied.flatMap(_.feed).toDF()
     val rejected = applied.flatMap(_.rejected).toDF()
-    ApplyResult(log.unionByName(newRows), feed, rejected)
+    // storage-layer columns (ContentStore's `part`) are dropped from the
+    // merged logical log; the store recomputes them on write-back
+    ApplyResult(log.select(Content.schema.fieldNames.map(col): _*)
+      .unionByName(newRows), feed, rejected)
   }
 
   /** Local convenience for small batches (tests / single-doc API). */

@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Driver-contract consistency guards: every oracle belongs to a query;
+  * every query is oracle-checked unless deliberately exempt; the flagship
+  * entry returns rows at the smoke scale; bench headliners exist. */
+class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  /** Approximate / hash-specific ops whose results cannot be reproduced in
+    * DuckDB; the driver records a weaker rows-only check for these. */
+  private val oracleExempt = Set("ann_lsh_topk", "dedup_simhash")
+
+  "SparkEntry" - {
+    "every oracle key has a query entry" in {
+      (SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet) shouldBe empty
+    }
+    "every query has an oracle unless exempt" in {
+      (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet) shouldBe oracleExempt
+    }
+    "bench headline names resolve" in {
+      Bench.headline.filterNot(SparkEntry.queries.contains) shouldBe empty
+    }
+    "entry() answers the smoke check (rows > 0 at sf0.001)" in {
+      SparkEntry.entry(spark).count() should be > 0L
+    }
+    "IntegratedSpec paging: POSTed items page back in id order" in {
+      // reference IntegratedSpec.scala:275-363 — POST 250 items, page with
+      // the default size, ids are monotonic and pages don't overlap
+      import graft.engine._
+      val sess = spark
+      import sess.implicits._
+      val ops = (1 to 250).map(i => WriteOp(i.toLong, "POST", "posted~", s"""{"n":$i}"""))
+      val log = HyperStorage(spark, Content.empty(spark))
+        .applyOps(sess.createDataset(ops)).log
+      val st = HyperStorage(spark, log)
+      val p1 = st.query("posted~") // default size 100
+      val ids1 = p1.rows.collect().map(_.getAs[String]("item_id")).toSeq
+      ids1.length shouldBe 100
+      ids1 shouldBe ids1.sorted
+      val p2 = st.query("posted~", itemIdFilter = Some((">", ids1.last)))
+      val ids2 = p2.rows.collect().map(_.getAs[String]("item_id")).toSeq
+      ids2.length shouldBe 100
+      (ids1.toSet & ids2.toSet) shouldBe empty
+      ids2.head should be > ids1.last
+      st.revisionOf("posted~") shouldBe 250
+    }
+  }
+}
