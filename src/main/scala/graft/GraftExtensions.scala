@@ -1,0 +1,60 @@
+package graft
+
+import graft.engine.{JsonMergePatch, JsonNullStrip}
+import graft.functions.DotProduct
+import graft.hql.{FieldResolver, Translator}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL surface for the engine's custom expressions, both as a
+  * `spark.sql.extensions=graft.GraftExtensions` plug-in and as an
+  * imperative [[GraftFunctions.register]] for existing sessions:
+  *
+  *   SELECT dot_product(a, b)                -- codegen'd vector dot
+  *   SELECT json_merge_patch(body, patch)    -- RFC-7386-style shallow merge
+  *   SELECT json_null_strip(body)            -- recursive null removal
+  *   SELECT hql(body, 'a > 5 and b = "x"')   -- the reference's filter
+  *                                           -- language as a SQL predicate
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  /** `hql(jsonBody, 'filter')` — the filter string must be a literal; it
+    * parses at plan time into native Catalyst expressions (no UDF). */
+  private def hqlBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(body, Literal(s: UTF8String, StringType)) =>
+      Bridge.resolvedExpression(
+        Translator.predicate(s.toString, FieldResolver.json(Bridge.column(body))))
+    case _ => throw new IllegalArgumentException(
+      "hql(body, 'filter') expects a JSON column and a literal filter string")
+  }
+
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("dot_product"), info("dot_product", classOf[DotProduct]),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (FunctionIdentifier("json_merge_patch"),
+        info("json_merge_patch", classOf[JsonMergePatch]),
+        (args: Seq[Expression]) => JsonMergePatch(args(0), args(1))),
+      (FunctionIdentifier("json_null_strip"),
+        info("json_null_strip", classOf[JsonNullStrip]),
+        (args: Seq[Expression]) => JsonNullStrip(args(0))),
+      (FunctionIdentifier("hql"), info("hql", Translator.getClass),
+        hqlBuilder _))
+
+  /** Register on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** SQL function surface (SparkSessionExtensions / registry). */
+class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  "GraftFunctions" - {
+    "register exposes the custom expressions to spark.sql" in {
+      GraftFunctions.register(spark)
+      spark.sql("SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect()(0).getDouble(0) shouldBe 11.0
+      spark.sql(
+        """SELECT json_merge_patch('{"a":1,"b":2}', '{"b":null,"c":3}') AS m""")
+        .collect()(0).getString(0) shouldBe """{"a":1,"c":3}"""
+      spark.sql("""SELECT json_null_strip('{"a":null,"b":{"c":null,"d":1}}') AS s""")
+        .collect()(0).getString(0) shouldBe """{"b":{"d":1}}"""
+      val kept = spark.sql(
+        """SELECT hql(body, 'b > 10 and a = "x"') AS keep FROM (
+          |  SELECT '{"a":"x","b":12}' AS body UNION ALL
+          |  SELECT '{"a":"x","b":5}' AS body) t""".stripMargin)
+        .collect().map(_.getBoolean(0)).toSeq
+      kept shouldBe Seq(true, false)
+    }
+
+    "hql rejects a non-literal filter argument" in {
+      GraftFunctions.register(spark)
+      an[Exception] should be thrownBy
+        spark.sql("SELECT hql('{}', concat('a', '>1'))").collect()
+    }
+  }
+}
