@@ -522,7 +522,8 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
-          col("mean_token_len"), col("alpha_ratio"), col("punct_ratio"))
+          col("mean_token_len"), col("alpha_ratio"), col("punct_ratio"),
+          col("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -845,7 +846,10 @@ object SparkEntry {
         |  (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
         |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-        |    / CAST(length(text) AS DOUBLE) AS punct_ratio
+        |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        |  LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 100.0) *
+        |  ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+        |    / CAST(length(text) AS DOUBLE)) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->

@@ -228,14 +228,16 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val resolver = FieldResolver.json(col("body"))
     val lastBody = Option(lastRow.getAs[String]("body")).getOrElse("{}")
     val lastId = lastRow.getAs[String]("item_id")
-    def lastVal(f: String): Column =
-      lit(JsonOps.extractText(lastBody, f).orNull)
     // strict-after predicate: (f1=v1 ∧ … ∧ fk>vk) ∨ … ∨ (f1>v1), with the
-    // trailing item_id comparison for full determinism.
+    // trailing item_id comparison for full determinism. Field comparisons
+    // go through the NORMALIZED sort key (struct comparison), so numeric
+    // boundary values page numerically and text ones lexically — the same
+    // ordering the sort itself uses.
     val keyed: Seq[(Column, Column, Boolean)] =
       sort.map { s =>
         val c = resolver.resolve(graft.hql.Ident(s.fieldName)).getOrElse(lit(null))
-        (c, lastVal(s.fieldName), s.descending)
+        val lastRaw = lit(JsonOps.extractText(lastBody, s.fieldName).orNull)
+        (HyperStorage.normKey(c), HyperStorage.normKey(lastRaw), s.descending)
       } :+ ((col("item_id"), lit(lastId), !ascending))
     val after = keyed.indices.map { i =>
       val eqPrefix = keyed.take(i).map { case (c, v, _) => c <=> v }
@@ -321,9 +323,11 @@ object HyperStorage {
     * (numeric-castable values order before text within a field; missing
     * field ⇒ sorts LAST ascending / first descending — pinned by
     * CollectionOrderingSpec). */
-  def sortKey(s: SortBy, resolver: FieldResolver): Column = {
-    val raw = resolver.resolve(graft.hql.Ident(s.fieldName))
-      .getOrElse(lit(null))
+  def sortKey(s: SortBy, resolver: FieldResolver): Column =
+    normKey(resolver.resolve(graft.hql.Ident(s.fieldName)).getOrElse(lit(null)))
+
+  /** Normalized orderable key of a raw (JSON-text) value. */
+  def normKey(raw: Column): Column = {
     val dec = raw.cast(StringType).try_cast(DecimalType(38, 18))
     struct(
       when(raw.isNull, 2).when(dec.isNotNull, 0).otherwise(1).as("t"),

@@ -72,5 +72,8 @@ object TextAnalysis {
         when(length(t) > 0,
           length(regexp_replace(t, "[^.,;:!?]", "")).cast("double") / length(t))
         .otherwise(lit(0.0)))
+      // [0,1] composite: enough tokens × mostly-alphabetic content
+      .withColumn("quality_score",
+        least(lit(1.0), col("n_tokens") / lit(100.0)) * col("alpha_ratio"))
   }
 }

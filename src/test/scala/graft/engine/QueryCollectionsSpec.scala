@@ -91,6 +91,25 @@ class QueryCollectionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .length shouldBe 10
     }
 
+    "queryAfter pages NUMERICALLY on numeric sort fields" in {
+      // n values are distinct and deliberately misaligned with id order;
+      // text-comparing the boundary would break page 2 (e.g. "9" > "10")
+      val ops = (1 to 30).map(i =>
+        WriteOp(i.toLong, "PUT", f"nums~/i$i%03d", s"""{"n":${(i * 7) % 31}}"""))
+      val st = HyperStorage(spark,
+        HyperStorage(spark, Content.empty(spark)).applySeq(ops).log)
+      val sort = Seq(SortBy("n"))
+      def n(r: org.apache.spark.sql.Row): Int =
+        JsonOps.extractText(r.getAs[String]("body"), "n").get.toInt
+      val p1 = st.query("nums~", sort = sort, size = 10).rows.collect()
+      val p2 = st.queryAfter("nums~", p1.last, sort = sort, size = 10).rows.collect()
+      val p3 = st.queryAfter("nums~", p2.last, sort = sort, size = 10).rows.collect()
+      val all = (p1 ++ p2 ++ p3).map(n).toSeq
+      all.length shouldBe 30
+      all shouldBe all.sorted // numeric order across page boundaries
+      all.distinct.length shouldBe 30 // no overlap between pages
+    }
+
     "queryAfter pages without overlap (O6 resume keys)" in {
       val st = fixture
       val sort = Seq(SortBy("a"))
