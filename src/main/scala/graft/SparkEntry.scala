@@ -480,7 +480,7 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashDedupPairs(t(s, dir, "documents"), "text", "doc_id",
-          n = 3, k = 64, bands = 16, threshold = 0.5)
+          n = 3, k = 32, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 

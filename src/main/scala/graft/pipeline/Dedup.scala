@@ -129,9 +129,12 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     * shingle → minhash(k) → LSH bands → bucket join → verify. The scale
     * path: candidate volume ∝ true collisions. */
+  /** Default k=32/bands=16 (r=2): for the near-dup regime this targets
+    * (J ≳ 0.9) the per-pair miss probability is (1−J²)¹⁶ < 1e-18, and the
+    * signature costs half of k=64. */
   def minhashDedupPairs(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, k: Int = 64, bands: Int = 16,
+      n: Int = 3, k: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     // persist() is load-bearing: without it Catalyst's project-collapse
     // inlines the shingle expression into every one of the k per-position

@@ -104,6 +104,14 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
       QueryPlanner.plan(fixture, "collection-1~",
         Some("""a = "hello""""), Nil).source shouldBe "primary"
     }
+    "compound EQ-prefix + item_id range pushdown (reference :253-270)" in {
+      val p = QueryPlanner.plan(fixture, "collection-1~",
+        Some("""b > 10 and a = "hello" and id > "item2""""), Seq(SortBy("a")))
+      p.source shouldBe "index2"
+      p.pushdown shouldBe Seq(
+        graft.hql.FieldFilter("t0", graft.hql.HText("hello"), graft.hql.FilterEq),
+        graft.hql.FieldFilter("item_id", graft.hql.HText("item2"), graft.hql.FilterGt))
+    }
     "pushdown lands on the index sort column" in {
       val p = QueryPlanner.plan(fixture, "collection-1~",
         Some("""b > 10 and a > "goodbye""""), Seq(SortBy("a")))
