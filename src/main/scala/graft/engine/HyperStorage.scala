@@ -169,8 +169,14 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val items = latest.filter(visNoTomb && col("revision") > tombRev)
     val withRange = items.filter(rangeCond)
 
-    val idOrder = if (ascending) col("item_id").asc else col("item_id").desc
-    val exactSort = sort.isEmpty || sort.map(_.fieldName) == Seq("id")
+    // `sort=id` IS the clustering order: it maps to the physical item_id
+    // column (lexical, like the reference's text-typed id — NOT the JSON
+    // normKey, which would order numeric-looking ids numerically), and its
+    // direction drives the scan direction for the guard.
+    val idSortOnly = sort.size == 1 && sort.head.fieldName == "id"
+    val effectiveAsc = if (idSortOnly) !sort.head.descending else ascending
+    val idOrder = if (effectiveAsc) col("item_id").asc else col("item_id").desc
+    val exactSort = sort.isEmpty || idSortOnly
 
     val filtered = pred.fold(withRange)(withRange.filter)
 
@@ -198,17 +204,17 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
         // boundary = item_id of the target-th accepted row in scan order;
         // skipped = rejected rows positioned before it
         val b = filtered.orderBy(idOrder).limit(math.min(target, Int.MaxValue).toInt)
-          .agg(if (ascending) max("item_id") else min("item_id")).collect()(0)
+          .agg(if (effectiveAsc) max("item_id") else min("item_id")).collect()(0)
         val boundary = b.getString(0)
         val before =
-          if (ascending) col("item_id") < boundary else col("item_id") > boundary
+          if (effectiveAsc) col("item_id") < boundary else col("item_id") > boundary
         val skipped = withRange.filter(!pred.get && before).count()
         if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
       }
     }
 
     val sorted =
-      if (sort.isEmpty) filtered.orderBy(idOrder).limit(size)
+      if (sort.isEmpty || idSortOnly) filtered.orderBy(idOrder).limit(size)
       else sortAndLimit(filtered, sort, resolver, idOrder, size)
 
     QueryResult(sorted, staticRevision)
@@ -272,10 +278,12 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val opsByUri = ops.groupByKey(op => splitPath(op.path)._1)
     val stateByUri = latest.groupByKey(_.document_uri)
 
+    // persisted: the three outputs (log/feed/rejected) would otherwise each
+    // replay the whole per-key fold on every action
     val applied: Dataset[ApplyOutcome] =
       opsByUri.cogroup(stateByUri) { (uri, opIt, stateIt) =>
         applyForDocument(uri, opIt.toSeq.sortBy(_.seq), stateIt.toSeq)
-      }
+      }.persist()
 
     val newRows = applied.flatMap(_.row).toDF()
       .select(Content.schema.fieldNames.map(col): _*)

@@ -60,8 +60,9 @@ object FieldResolver {
   *  - Unknown identifier ⇒ eval error ⇒ row rejected, even under `or`
   *    (HEval throws EvalIdentifierNotFound): statically-absent identifiers
   *    therefore force the whole predicate to `false`.
-  *  - `x has [a,b]` ⇒ x contains ALL listed values when x is a list, or
-  *    x ∈ {a} when compared against scalars; `has not` is the negation.
+  *  - `x has [a,b]` ⇒ ANY/intersects: scalar x ∈ list, or list-valued x
+  *    shares at least one element with the list; `has not` negates (see
+  *    [[Translator.has]] for why ANY matches the reference).
   *  - Numeric comparisons on dynamic (JSON) fields follow "decimal iff both
   *    numbers, else text" (IndexLogic.scala:179, CollectionOrdering
   *    HyperbusAdapter.scala:341-376).

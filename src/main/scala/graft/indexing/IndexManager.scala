@@ -97,15 +97,24 @@ final class IndexManager(val storage: HyperStorage) {
     val indexing = IndexDef(uri, indexId, sortBy, filterBy,
       StatusIndexing, IndexLogic.tableName(sortBy))
     defs += (uri, indexId) -> indexing
-    val items = Content.visible(
-        Content.latestRows(storage.log.filter(col("document_uri") === uri)))
-      .filter(col("item_id") =!= "")
-    val table = materialize(items, indexing).persist()
-    table.count() // force the build; fails atomically if the filter is bad
-    val normal = indexing.copy(status = StatusNormal)
-    defs += (uri, indexId) -> normal
-    tables += (uri, indexId) -> table
-    normal
+    try {
+      // apply the storage's partition pruner like every per-URI read —
+      // a ContentStore-backed build scans one directory partition
+      val items = Content.visible(
+          Content.latestRows(storage.log.filter(
+            storage.uriPruner(uri) && col("document_uri") === uri)))
+        .filter(col("item_id") =!= "")
+      val table = materialize(items, indexing).persist()
+      table.count() // force the build
+      val normal = indexing.copy(status = StatusNormal)
+      defs += (uri, indexId) -> normal
+      tables += (uri, indexId) -> table
+      normal
+    } catch {
+      case e: Throwable =>
+        defs -= ((uri, indexId)) // failed build leaves no phantom def
+        throw e
+    }
   }
 
   /** M7: delete an index. */
@@ -129,6 +138,13 @@ final class IndexManager(val storage: HyperStorage) {
   def applyFeed(feed: DataFrame): Unit = {
     val touchedUris = feed.select("document_uri").distinct()
       .collect().map(_.getString(0)).toSet
+    // collection-level tombstones (item_id = "") cascade: drop the
+    // collection's indexes entirely (PrimaryWorker.scala:310-328;
+    // IndexingSpec.scala:655-692)
+    val deletedCollections = feed
+      .filter(col("item_id") === "" && col("method") === "feed:delete")
+      .select("document_uri").distinct().collect().map(_.getString(0)).toSet
+    deletedCollections.foreach(dropCollectionIndexes)
     for (((uri, id), d) <- defs if touchedUris(uri) && d.status == StatusNormal) {
       val events = feed.filter(col("document_uri") === uri && col("item_id") =!= "")
       // last event per item wins inside the batch

@@ -46,8 +46,11 @@ object Multimodal {
     * sampling (row explodes to frames; partitioning carries over). */
   def frameSample(df: DataFrame, chunkBytes: Int, stride: Int = 1): DataFrame = {
     val nFrames = ceil(octet_length(col("media")).cast("double") / chunkBytes).cast("int")
-    df.withColumn("frame_idx",
-        explode(filter(sequence(lit(0), nFrames - 1), i => i % stride === 0)))
+    // empty media ⇒ zero frames (sequence(0, -1) would step DOWN and emit
+    // phantom indices [0, -1]); explode of the empty array drops the row
+    val idxs = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("frame_idx", explode(filter(idxs, i => i % stride === 0)))
       .withColumn("frame",
         substring(col("media"), col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
   }

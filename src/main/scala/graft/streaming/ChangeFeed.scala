@@ -30,27 +30,41 @@ object ChangeFeed {
   implicit private val longEnc: org.apache.spark.sql.Encoder[Long] =
     Encoders.scalaLong
 
-  /** ST6: assign gapless per-document revisions to a stream of write ops.
-    * State = last revision per URI (a single Long). Ops inside a batch are
-    * ordered by `seq`; the method is rewritten to its feed:* form. POST
-    * id-gen is deterministic (seq-derived), so a replayed batch emits
-    * identical events (SURVEY §7.4 risk 1). */
+  /** ST6: assign gapless per-document INGEST revisions to a stream of
+    * write ops. State = last revision per URI (a single Long). Ops inside
+    * a batch are ordered by `seq`; the method is rewritten to its feed:*
+    * form. POST id-gen is deterministic (seq-derived), so a replayed batch
+    * emits identical events (SURVEY §7.4 risk 1).
+    *
+    * CONTRACT: this is the ingest-ordering stage — the revision sequence
+    * numbers every arriving op. Whether an op ultimately applies (PATCH of
+    * an absent doc ⇒ 404) and what the merged body is require document
+    * state that deliberately does NOT live in this operator (compact
+    * Long-only state at 100 TB); the materializing pipeline is
+    * foreachBatch → [[graft.engine.HyperStorage.applyOps]] (see the
+    * end-to-end ChangeFeedSpec), whose APPLIED revisions are the ones the
+    * content store serves. PATCH events here carry the patch body, not the
+    * merged result. POST to a non-collection path is dropped (the batch
+    * path rejects it with method-not-allowed). */
   def assignRevisions(ops: Dataset[WriteOp]): Dataset[FeedEvent] = {
     ops.groupByKey(op => HyperStorage.splitPath(op.path)._1)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uri: String, it: Iterator[WriteOp], state: GroupState[Long]) =>
           var rev = state.getOption.getOrElse(0L)
           var postCounter = 0L
-          val out = it.toSeq.sortBy(_.seq).map { op =>
+          val out = it.toSeq.sortBy(_.seq).flatMap { op =>
             val (_, rawItem) = HyperStorage.splitPath(op.path)
-            val (method, itemId) = op.method.toUpperCase match {
-              case "POST" if rawItem.isEmpty =>
+            val rewritten = op.method.toUpperCase match {
+              case "POST" if HyperStorage.isCollectionUri(uri) && rawItem.isEmpty =>
                 postCounter += 1
-                ("put", f"${op.seq}%019d-$postCounter%04d")
-              case m => (m.toLowerCase, rawItem)
+                Some(("put", f"${op.seq}%019d-$postCounter%04d"))
+              case "POST" => None // batch path: method-not-allowed
+              case m => Some((m.toLowerCase, rawItem))
             }
-            rev += 1
-            FeedEvent(uri, itemId, s"feed:$method", rev, op.body)
+            rewritten.map { case (method, itemId) =>
+              rev += 1
+              FeedEvent(uri, itemId, s"feed:$method", rev, op.body)
+            }
           }
           state.update(rev)
           out.iterator

@@ -39,6 +39,22 @@ class QueryCollectionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     "query by id desc" in {
       ids(fixture.query("collection-1~", sort = Seq(SortBy("id", descending = true)),
         size = 50, ascending = false)) shouldBe Seq("item3", "item2", "item1")
+      // the id-desc sort alone drives the scan direction
+      ids(fixture.query("collection-1~",
+        sort = Seq(SortBy("id", descending = true)), size = 50)) shouldBe
+        Seq("item3", "item2", "item1")
+    }
+
+    "sort by id is the clustering (lexical) order, even for numeric-looking ids" in {
+      val ops = Seq(
+        WriteOp(1, "PUT", "nums~/9", """{"v":1}"""),
+        WriteOp(2, "PUT", "nums~/10", """{"v":2}"""),
+        WriteOp(3, "PUT", "nums~/100", """{"v":3}"""))
+      val st = HyperStorage(spark,
+        HyperStorage(spark, Content.empty(spark)).applySeq(ops).log)
+      ids(st.query("nums~", sort = Seq(SortBy("id")))) shouldBe
+        Seq("10", "100", "9") // lexical like the reference's text-typed id
+      ids(st.query("nums~")) shouldBe Seq("10", "100", "9") // same as no sort
     }
 
     "query with filter b > 10" in {

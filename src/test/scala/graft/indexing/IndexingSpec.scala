@@ -173,6 +173,22 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
       im.indexTable("collection-1~", "index1").get
         .select("item_id").collect().map(_.getString(0)).toSeq shouldBe Seq("item3")
     }
+    "collection DELETE in the feed cascades index drops" in {
+      val im = fixture
+      val r = im.storage.applySeq(Seq(
+        WriteOp(10, "DELETE", "collection-1~", null)))
+      im.applyFeed(r.feed)
+      im.indexDefs("collection-1~") shouldBe Seq.empty
+    }
+    "a failed build leaves no phantom def (retry allowed)" in {
+      val im = fixture
+      an[Exception] should be thrownBy
+        im.createIndex("collection-1~", "bad", Nil, Some("nosuchfn(x) = 1"))
+      im.indexDef("collection-1~", "bad") shouldBe None
+      // retry with a good filter succeeds
+      im.createIndex("collection-1~", "bad", Nil, Some("b > 0"))
+        .status shouldBe IndexDef.StatusNormal
+    }
     "sort-field change updates the typed column (obsolete row replaced)" in {
       val im = fixture
       val r = im.storage.applySeq(Seq(

@@ -180,6 +180,12 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       Multimodal.frameSample(df, 64, stride = 2).count() shouldBe 2 // frames 0,2
     }
 
+    "frameSample emits no frames for empty media" in {
+      import spark.implicits._
+      val df = Multimodal.fromText(Seq((1L, "")).toDF("id", "t"), "id", "t")
+      Multimodal.frameSample(df, chunkBytes = 64).count() shouldBe 0
+    }
+
     "resizeStub shrinks blobs by the stride factor" in {
       import spark.implicits._
       val df = Multimodal.fromText(Seq((1L, "abcdefgh")).toDF("id", "t"), "id", "t")

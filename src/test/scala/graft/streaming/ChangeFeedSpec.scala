@@ -62,6 +62,44 @@ class ChangeFeedSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
 
+    "end-to-end streaming CRUD: ops stream → state store → queries (ST6+S6)" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      import graft.engine._
+      val storePath = Files.createTempDirectory("graft-stream-store").toString
+      val source = MemoryStream[WriteOp]
+      // the write pipeline: each micro-batch folds through applyOps (per-key
+      // serialized) and appends the produced revisions to the content store
+      val q = source.toDS().writeStream
+        .option("checkpointLocation", newCheckpoint())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[WriteOp], _: Long) =>
+          val s = batch.sparkSession
+          val existing =
+            if (new java.io.File(storePath).listFiles() != null &&
+              new java.io.File(storePath).list().nonEmpty)
+              ContentStore.open(s, storePath)
+            else HyperStorage(s, Content.empty(s))
+          val before = existing.revisionOf("c~")
+          val r = existing.applyOps(batch)
+          ContentStore.write(
+            r.log.filter(org.apache.spark.sql.functions.col("revision") > before),
+            storePath)
+        }.start()
+      try {
+        source.addData(WriteOp(1, "PUT", "c~/a", """{"x":1}"""))
+        q.processAllAvailable()
+        source.addData(WriteOp(2, "PATCH", "c~/a", """{"y":2}"""),
+          WriteOp(3, "PUT", "c~/b", """{"x":9}"""))
+        q.processAllAvailable()
+      } finally q.stop()
+      val st = ContentStore.open(spark, storePath)
+      st.revisionOf("c~") shouldBe 3
+      st.get("c~/a").map(_.getAs[String]("body")) shouldBe
+        Some("""{"x":1,"id":"a","y":2}""")
+      st.query("c~").rows.collect().map(_.getAs[String]("item_id")).toSeq shouldBe
+        Seq("a", "b")
+    }
+
     "delivers at-least-once with idempotent completion after a faulty publish (ST2)" in {
       implicit val sql = spark.sqlContext
       import spark.implicits._
