@@ -133,9 +133,47 @@ object AstComparator {
     case _ => NotEqual
   }
 
-  /** Validation of a filter expression against an empty context: parse +
-    * fold must succeed; unresolved identifiers are fine
-    * (IndexLogic.scala:71-79 tolerates only EvalIdentifierNotFound). */
+  /** Validation of a filter expression against an empty context
+    * (IndexLogic.scala:71-79: HEval with empty bindings, tolerating only
+    * EvalIdentifierNotFound): parse must succeed, operators and functions
+    * must be known with plausible arity, and any identifier-free,
+    * function-free subtree must actually evaluate (so `5 and 4` is
+    * rejected like the reference's eval error, while `x and b > 5` passes
+    * on unresolved identifiers alone). */
   def validate(filter: String): Boolean =
-    HqlParser.parse(filter).isSuccess
+    HqlParser.parse(filter).toOption.exists(semanticallyValid)
+
+  private val KnownOps: Set[String] =
+    Ops.Comparisons ++ Set("and", "or", "has", "has not", "+", "-", "*", "/", "%")
+
+  /** name → (minArity, maxArity) of the translator's function surface. */
+  private val KnownFuncs: Map[String, (Int, Int)] = Map(
+    "length" -> (1, 1), "lower" -> (1, 1), "upper" -> (1, 1),
+    "trim" -> (1, 1), "abs" -> (1, 1), "ceil" -> (1, 1), "floor" -> (1, 1),
+    "round" -> (1, 2), "substr" -> (2, 3), "substring" -> (2, 3),
+    "startswith" -> (2, 2), "endswith" -> (2, 2), "contains" -> (2, 2),
+    "concat" -> (1, Int.MaxValue), "coalesce" -> (1, Int.MaxValue))
+
+  def semanticallyValid(ast: Ast): Boolean = {
+    def hasFunc(t: Ast): Boolean = t match {
+      case _: Func => true
+      case Binary(l, _, r) => hasFunc(l) || hasFunc(r)
+      case Unary(_, a) => hasFunc(a)
+      case _ => false
+    }
+    def constEvalOk(t: Ast): Boolean =
+      !t.isConstant || hasFunc(t) || evalConst(t).isDefined
+    def walk(t: Ast): Boolean = t match {
+      case _: Const | _: Ident => true
+      case u @ Unary(op, a) =>
+        Set("-", "!")(op) && walk(a) && constEvalOk(u)
+      case b @ Binary(l, op, r) =>
+        KnownOps(op) && walk(l) && walk(r) && constEvalOk(b)
+      case Func(name, args) =>
+        KnownFuncs.get(name.toLowerCase).exists { case (lo, hi) =>
+          args.size >= lo && args.size <= hi
+        } && args.forall(walk)
+    }
+    walk(ast)
+  }
 }

@@ -38,6 +38,13 @@ class HqlParserSpec extends AnyFreeSpec with Matchers {
     "validate tolerates unresolved identifiers, rejects garbage" in {
       AstComparator.validate("someField > 5") shouldBe true
       AstComparator.validate("x ~~ 5") shouldBe false
+      // identifier-tolerant EVAL semantics (IndexLogic.scala:71-79):
+      AstComparator.validate("5 and 4") shouldBe false    // const eval error
+      AstComparator.validate("x and b > 5") shouldBe true // only unresolved idents
+      AstComparator.validate("nosuchfn(x) = 1") shouldBe false
+      AstComparator.validate("length(x) > 2") shouldBe true
+      AstComparator.validate("length(x, y) > 2") shouldBe false // arity
+      AstComparator.validate("""contains(a, "b")""") shouldBe true
     }
   }
 }
