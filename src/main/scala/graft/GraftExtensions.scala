@@ -39,18 +39,25 @@ object GraftFunctions {
       "hql(body, 'filter') expects a JSON column and a literal filter string")
   }
 
+  private def arity(name: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      if (args.size == n) b(args)
+      else throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${args.size}")
+
   val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       (FunctionIdentifier("dot_product"), info("dot_product", classOf[DotProduct]),
-        (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+        arity("dot_product", 2)(args => DotProduct(args(0), args(1)))),
       (FunctionIdentifier("json_merge_patch"),
         info("json_merge_patch", classOf[JsonMergePatch]),
-        (args: Seq[Expression]) => JsonMergePatch(args(0), args(1))),
+        arity("json_merge_patch", 2)(args => JsonMergePatch(args(0), args(1)))),
       (FunctionIdentifier("json_null_strip"),
         info("json_null_strip", classOf[JsonNullStrip]),
-        (args: Seq[Expression]) => JsonNullStrip(args(0))),
+        arity("json_null_strip", 1)(args => JsonNullStrip(args(0)))),
       (FunctionIdentifier("hql"), info("hql", Translator.getClass),
-        hqlBuilder _))
+        arity("hql", 2)(hqlBuilder)))
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -662,7 +662,8 @@ object SparkEntry {
 
     "e2_props_extract" ->
       """SELECT event_type,
-        |       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
         |       COUNT(*) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

@@ -53,8 +53,11 @@ private[engine] final case class ApplyOutcome(
     row: Option[ContentRow], feed: Option[FeedEvent], rejected: Option[RejectedOp])
 
 /** Batch write result: the new content log, the change feed slice, and the
-  * per-op rejections (error taxonomy channel). */
-final case class ApplyResult(log: DataFrame, feed: DataFrame, rejected: DataFrame)
+  * per-op rejections (error taxonomy channel). Call [[release]] once the
+  * outputs are consumed (e.g. after write-back in a foreachBatch loop) to
+  * drop the cached fold backing all three. */
+final case class ApplyResult(log: DataFrame, feed: DataFrame, rejected: DataFrame,
+    release: () => Unit = () => ())
 
 /** HyperStorage-on-Spark: the reference's query and mutation capabilities
   * over a content log DataFrame.
@@ -131,7 +134,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       size: Int = DefaultPageSize,
       skipMax: Int = DefaultMaxSkippedRows,
       ascending: Boolean = true,
-      itemIdFilter: Option[(String, String)] = None): QueryResult = {
+      itemIdFilter: Option[(String, String)] = None,
+      extraPredicate: Option[Column] = None): QueryResult = {
 
     val latest = latestFor(collectionUri)
     val resolver = FieldResolver.json(col("body"))
@@ -178,7 +182,10 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val idOrder = if (effectiveAsc) col("item_id").asc else col("item_id").desc
     val exactSort = sort.isEmpty || idSortOnly
 
-    val filtered = pred.fold(withRange)(withRange.filter)
+    val filtered0 = pred.fold(withRange)(withRange.filter)
+    // resume-key predicates land BELOW the sort: each page is a top-k over
+    // the remainder, never a full sort above a limit
+    val filtered = extraPredicate.fold(filtered0)(filtered0.filter)
 
     // skipMax contract (HyperbusAdapter.scala:181-197, 278-283): the
     // reference scans in clustering order and errors once it has SKIPPED
@@ -235,25 +242,28 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val lastBody = Option(lastRow.getAs[String]("body")).getOrElse("{}")
     val lastId = lastRow.getAs[String]("item_id")
     // strict-after predicate: (f1=v1 ∧ … ∧ fk>vk) ∨ … ∨ (f1>v1), with the
-    // trailing item_id comparison for full determinism. Field comparisons
-    // go through the NORMALIZED sort key (struct comparison), so numeric
-    // boundary values page numerically and text ones lexically — the same
-    // ordering the sort itself uses.
+    // trailing item_id comparison for full determinism. Body-field
+    // comparisons go through the NORMALIZED sort key (struct comparison),
+    // so numeric boundary values page numerically and text ones lexically
+    // — the same ordering the sort itself uses. `sort=id` is the lexical
+    // clustering order (exactly as in query()), so it contributes only
+    // the item_id comparison, not a normKey over the body id.
+    val idSortOnly = sort.size == 1 && sort.head.fieldName == "id"
+    val effAsc = if (idSortOnly) !sort.head.descending else ascending
     val keyed: Seq[(Column, Column, Boolean)] =
-      sort.map { s =>
+      sort.filterNot(_.fieldName == "id").map { s =>
         val c = resolver.resolve(graft.hql.Ident(s.fieldName)).getOrElse(lit(null))
         val lastRaw = lit(JsonOps.extractText(lastBody, s.fieldName).orNull)
         (HyperStorage.normKey(c), HyperStorage.normKey(lastRaw), s.descending)
-      } :+ ((col("item_id"), lit(lastId), !ascending))
+      } :+ ((col("item_id"), lit(lastId), !effAsc))
     val after = keyed.indices.map { i =>
       val eqPrefix = keyed.take(i).map { case (c, v, _) => c <=> v }
       val (c, v, desc) = keyed(i)
       val gt = if (desc) c < v else c > v
       (eqPrefix :+ gt).reduce(_ && _)
     }.reduce(_ || _)
-    val base = query(collectionUri, filter, sort, size = Int.MaxValue,
-      skipMax = -1, ascending = ascending)
-    QueryResult(base.rows.filter(after).limit(size), base.revision)
+    query(collectionUri, filter, sort, size = size, skipMax = -1,
+      ascending = ascending, extraPredicate = Some(after))
   }
 
   /** Apply a batch of write operations (M1-M5). Operations are grouped by
@@ -292,7 +302,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     // storage-layer columns (ContentStore's `part`) are dropped from the
     // merged logical log; the store recomputes them on write-back
     ApplyResult(log.select(Content.schema.fieldNames.map(col): _*)
-      .unionByName(newRows), feed, rejected)
+      .unionByName(newRows), feed, rejected,
+      release = () => { applied.unpersist(); () })
   }
 
   /** Local convenience for small batches (tests / single-doc API). */

@@ -220,18 +220,27 @@ object Translator {
       case Const(HList(items)) =>
         if (r.isDynamic) {
           // JSON value extracted as text: either a JSON list "[1,2,3]" or a
-          // scalar; test both shapes textually
+          // scalar. Number items compare NUMERICALLY (reference HNumber ==
+          // via BigDecimal: `x has [1]` matches {"x":1.0}); others
+          // textually. (JSON-text extraction can't distinguish "1" from 1,
+          // so numeric-looking strings also match number items — the one
+          // divergence from the typed reference model.)
           val arr = from_json(lc.cast(StringType), ArrayType(StringType))
-          items.map { v =>
-            val s = v match {
-              case HText(t) => lit(t)
-              case HNumber(n) => lit(n.bigDecimal.toPlainString)
-              case HBool(b) => lit(b.toString)
-              case HNull => lit("null")
-              case l: HList => lit(l.render)
-            }
-            when(arr.isNotNull, array_contains(arr, s))
-              .otherwise(lc.cast(StringType) === s)
+          items.map {
+            case HNumber(n) =>
+              val nl = lit(n.bigDecimal)
+              when(arr.isNotNull, exists(arr, e => e.try_cast(Dec) === nl))
+                .otherwise(tryCastDec(lc) === nl)
+            case v =>
+              val s = v match {
+                case HText(t) => lit(t)
+                case HBool(b) => lit(b.toString)
+                case HNull => lit("null")
+                case l: HList => lit(l.render)
+                case _: HNumber => lit(null) // unreachable
+              }
+              when(arr.isNotNull, array_contains(arr, s))
+                .otherwise(lc.cast(StringType) === s)
           }.reduce(_ || _)
         } else if (isArray) {
           items.map(v => array_contains(lc, constColumn(v))).reduce(_ || _)

@@ -113,6 +113,8 @@ final class IndexManager(val storage: HyperStorage) {
     } catch {
       case e: Throwable =>
         defs -= ((uri, indexId)) // failed build leaves no phantom def
+        tables.get((uri, indexId)).foreach(_.unpersist())
+        tables -= ((uri, indexId))
         throw e
     }
   }
@@ -245,9 +247,15 @@ object QueryPlanner {
       }
       val limited =
         if (p.exactSortMatch && p.ckFields.nonEmpty)
-          // index order: typed physical columns, no per-row JSON work
+          // index order: typed physical columns, no per-row JSON work.
+          // Nulls (missing sort fields) order LAST ascending / FIRST
+          // descending to match the primary path's normKey contract
+          // (CollectionOrderingSpec); the remaining type-mixing divergence
+          // (a text column orders lexically) mirrors the reference, whose
+          // index scans also use the storage column's native order.
           residual.orderBy(p.ckFields.map(ck =>
-            if (ck.ascending) col(ck.name).asc else col(ck.name).desc) :+
+            if (ck.ascending) col(ck.name).asc_nulls_last
+            else col(ck.name).desc_nulls_first) :+
             (if (p.reversed) col("item_id").desc else col("item_id").asc): _*)
             .limit(size)
         else if (sort.isEmpty) residual.orderBy(col("item_id").asc).limit(size)

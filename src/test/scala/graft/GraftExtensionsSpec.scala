@@ -29,5 +29,13 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       an[Exception] should be thrownBy
         spark.sql("SELECT hql('{}', concat('a', '>1'))").collect()
     }
+
+    "wrong arity raises a descriptive error, not IndexOutOfBounds" in {
+      GraftFunctions.register(spark)
+      val e = intercept[Exception] {
+        spark.sql("SELECT dot_product(array(1.0d))").collect()
+      }
+      e.getMessage should include("2 arguments")
+    }
   }
 }

@@ -55,6 +55,11 @@ class QueryCollectionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       ids(st.query("nums~", sort = Seq(SortBy("id")))) shouldBe
         Seq("10", "100", "9") // lexical like the reference's text-typed id
       ids(st.query("nums~")) shouldBe Seq("10", "100", "9") // same as no sort
+      // queryAfter under sort=[id] pages in the SAME lexical order
+      val p1 = st.query("nums~", sort = Seq(SortBy("id")), size = 2)
+      val p2 = st.queryAfter("nums~", p1.rows.collect().last,
+        sort = Seq(SortBy("id")), size = 2)
+      ids(p2) shouldBe Seq("9")
     }
 
     "query with filter b > 10" in {

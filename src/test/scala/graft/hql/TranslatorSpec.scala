@@ -87,6 +87,11 @@ class TranslatorSpec extends AnyFreeSpec with Matchers with SparkFixture {
         Seq(0, 2)
       keep("x has not [1,2]", """{"x":1}""", """{"x":3}""") shouldBe Seq(1)
     }
+    "has compares numbers numerically (1.0 matches 1)" in {
+      keep("x has [1,2]",
+        """{"x":1.0}""", """{"x":3.0}""", """{"x":[2.0,9]}""") shouldBe Seq(0, 2)
+      keep("""x has ["a",5]""", """{"x":"a"}""", """{"x":5.0}""") shouldBe Seq(0, 1)
+    }
     "bare identifier truthiness" in {
       keep("x or y",
         """{"x":true}""", """{"y":true,"x":false}""", """{"x":false}""") shouldBe

@@ -52,6 +52,9 @@ def main(sf_dir, out_dir):
             results[name] = f"ORDER-ONLY-MISMATCH rows={len(g)}"
             continue
         results[name] = f"OK rows={len(g)}"
+    if not results:
+        print(f"NO RESULTS found under {out_dir} — did Verify run?")
+        sys.exit(1)
     width = max(len(k) for k in results)
     nok = 0
     for k in sorted(results):
