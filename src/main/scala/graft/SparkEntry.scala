@@ -153,8 +153,11 @@ object SparkEntry {
 
     "f5_filter_constfold" -> ((s, dir) => {
       val st = collection(s, dir, "part", "p_partkey", "parts~")
+      // ~11% selectivity: at sf0.1 the default 10k skip cap would trip
+      // (correct per the reference contract); raise it for the entry
       st.query("parts~",
-          filter = Some("p_size > 2 * 20 + 5 and p_retailprice <= 1500"), size = 3000)
+          filter = Some("p_size > 2 * 20 + 5 and p_retailprice <= 1500"),
+          size = 3000, skipMax = 500000)
         .rows.select(col("item_id"),
           j("body", "p_size").cast("int").as("psize"),
           j("body", "p_retailprice").cast("double").as("retailprice"))
@@ -809,8 +812,8 @@ object SparkEntry {
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "dedup_exact" ->
-      """SELECT doc_id, CAST(2 AS BIGINT) AS copies
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT MIN(doc_id) AS doc_id, CAST(2 * COUNT(*) AS BIGINT) AS copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
