@@ -433,6 +433,17 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q6_date_range" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2)).as("total"))
+        .orderBy("month")
+    }),
+
     "w1_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -790,6 +801,15 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_date_range" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |         AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY month""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT event_id, user_id,
