@@ -43,6 +43,55 @@ object SparkEntry {
 
   private def emptyStore(s: SparkSession) = HyperStorage(s, Content.empty(s))
 
+  /** Decimal → double through the decimal's string rendering. Both Spark and
+    * DuckDB parse decimal strings with correctly-rounded double conversion,
+    * so the result is bit-identical on both sides — unlike a direct
+    * decimal→double cast, whose rounding path is engine-specific at scale 18.
+    * Used by the driver-hash probe entries (CORRECTNESS_r02 flagged the three
+    * DECIMAL-output entries red despite value equality at 3 SFs; round 3
+    * ships the same result in double/decimal/varchar to bisect the hasher). */
+  private def decAsDouble(c: org.apache.spark.sql.Column) =
+    c.cast("string").cast("double")
+
+  /** Shared builder for the q1 probes: exact decimal sums per return status. */
+  private def q1Rows(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("sum_base"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Shared builder for the q3 probes: top-10 revenue, exact decimal agg;
+    * ordering is decided on the decimal BEFORE any representation cast. */
+  private def q3Rows(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    // small dimension side broadcast — no shuffle of lineitem for the join
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1.0d) - col("l_discount")).cast(DecimalType(18, 2))))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Shared builder for the m6 probes: filtered decimal-sorted index rows. */
+  private def m6IndexRows(s: SparkSession, dir: String): DataFrame = {
+    val st = collection(s, dir, "supplier", "s_suppkey", "suppliers~")
+    val im = new IndexManager(st)
+    im.createIndex("suppliers~", "by_acctbal",
+      Seq(IndexSortItem("s_acctbal", Some("decimal"), Some("asc"))),
+      Some("s_acctbal > 1000"))
+    im.indexTable("suppliers~", "by_acctbal").get
+  }
+
   private def collection(s: SparkSession, dir: String, table: String,
       idCol: String, uri: String): HyperStorage =
     HyperStorage(s, Content.fromTable(t(s, dir, table), uri, idCol))
@@ -313,15 +362,18 @@ object SparkEntry {
     }),
 
     // ---- S4/M6/M8: materialized secondary indexes -----------------------
-    "m6_index_build" -> ((s, dir) => {
-      val st = collection(s, dir, "supplier", "s_suppkey", "suppliers~")
-      val im = new IndexManager(st)
-      im.createIndex("suppliers~", "by_acctbal",
-        Seq(IndexSortItem("s_acctbal", Some("decimal"), Some("asc"))),
-        Some("s_acctbal > 1000"))
-      im.indexTable("suppliers~", "by_acctbal").get
-        .select(col("item_id"), col("d0")).orderBy("item_id")
-    }),
+    "m6_index_build" -> ((s, dir) =>
+      m6IndexRows(s, dir)
+        .select(col("item_id"), decAsDouble(col("d0")).as("d0"))
+        .orderBy("item_id")),
+
+    // driver-hash representation probes (see decAsDouble scaladoc)
+    "m6_index_build_dec" -> ((s, dir) =>
+      m6IndexRows(s, dir).select(col("item_id"), col("d0")).orderBy("item_id")),
+    "m6_index_build_str" -> ((s, dir) =>
+      m6IndexRows(s, dir)
+        .select(col("item_id"), col("d0").cast("string").as("d0"))
+        .orderBy("item_id")),
 
     "s4_index_scan" -> ((s, dir) => {
       val st = collection(s, dir, "customer", "c_custkey", "customers~")
@@ -388,30 +440,29 @@ object SparkEntry {
 
     // ---- analytics (joins/aggs/windows — Spark built-ins over the engine's
     // tables; the reference has none of these, SURVEY §2.3-2.5) ----------
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_base"),
-          count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag", "l_linestatus")
-    }),
+    "q1_agg" -> ((s, dir) =>
+      q1Rows(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        decAsDouble(col("sum_qty")).as("sum_qty"),
+        decAsDouble(col("sum_base")).as("sum_base"),
+        col("cnt"))),
+    // driver-hash representation probes (see decAsDouble scaladoc)
+    "q1_agg_dec" -> ((s, dir) => q1Rows(s, dir)),
+    "q1_agg_str" -> ((s, dir) =>
+      q1Rows(s, dir).select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty").cast("string").as("sum_qty"),
+        col("sum_base").cast("string").as("sum_base"),
+        col("cnt"))),
 
-    "q3_shipping" -> ((s, dir) => {
-      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, dir, "orders")
-      val li = t(s, dir, "lineitem")
-      // small dimension side broadcast — no shuffle of lineitem for the join
-      li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey")
-        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1.0d) - col("l_discount")).cast(DecimalType(18, 2))))
-          .cast(DecimalType(38, 4)).as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey"))
-        .limit(10)
-    }),
+    "q3_shipping" -> ((s, dir) =>
+      q3Rows(s, dir).select(
+        col("l_orderkey"), decAsDouble(col("revenue")).as("revenue"))),
+    // driver-hash representation probes (see decAsDouble scaladoc)
+    "q3_shipping_dec" -> ((s, dir) => q3Rows(s, dir)),
+    "q3_shipping_str" -> ((s, dir) =>
+      q3Rows(s, dir).select(
+        col("l_orderkey"), col("revenue").cast("string").as("revenue"))),
 
     "q5_local_supplier" -> ((s, dir) => {
       val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -737,9 +788,19 @@ object SparkEntry {
         |SELECT 100, 'ghost~', 'PUT', 'collection-put-not-implemented'
         |ORDER BY seq""".stripMargin,
 
+    // double/decimal/varchar triplets for the driver-hash bisection: the
+    // same rows, different final representation (see decAsDouble scaladoc)
     "m6_index_build" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id, s_acctbal AS d0
+        |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
+    "m6_index_build_dec" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
         |       CAST(CAST(s_acctbal AS VARCHAR) AS DECIMAL(38,18)) AS d0
+        |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
+    "m6_index_build_str" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
+        |       CAST(CAST(CAST(s_acctbal AS VARCHAR) AS DECIMAL(38,18))
+        |            AS VARCHAR) AS d0
         |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
 
     "s4_index_scan" ->
@@ -774,12 +835,40 @@ object SparkEntry {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q1_agg_dec" ->
+      """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q1_agg_str" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |       AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
+        |  COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_shipping" ->
+      """SELECT l_orderkey, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10)
+        |ORDER BY revenue DESC, l_orderkey""".stripMargin,
+    "q3_shipping_dec" ->
       """SELECT l_orderkey,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
@@ -788,6 +877,18 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q3_shipping_str" ->
+      """SELECT l_orderkey, CAST(rev AS VARCHAR) AS revenue
+        |FROM (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY l_orderkey ORDER BY rev DESC, l_orderkey LIMIT 10)
+        |ORDER BY rev DESC, l_orderkey""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
