@@ -550,9 +550,14 @@ object SparkEntry {
     }),
 
     "dedup_simhash" -> ((s, dir) => {
+      // md5-derived 60-bit token hash so the fingerprints (and thus the
+      // exact-Hamming pair set) are reproducible in the DuckDB oracle;
+      // production callers default to xxhash64/64-bit
       Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 3, bands = 4)
-        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+          maxHamming = 3, bands = 4, width = 60,
+          tokenHash = Dedup.md5TokenHash)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     }),
 
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -938,6 +943,8 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_simhash" -> simhashOracle,
+    "ann_lsh_topk" -> annLshOracle,
 
     "ann_cosine_topk" ->
       """WITH e AS (
@@ -1023,6 +1030,69 @@ object SparkEntry {
         |       ROW_NUMBER() OVER (ORDER BY n_nationkey) AS revision
         |FROM nation ORDER BY document_uri, revision""".stripMargin
   )
+
+  /** Exact-Hamming ground truth for the simhash pair set, computed from
+    * scratch in DuckDB: the same md5-derived 60-bit token hashes, the same
+    * per-bit majority vote, brute-force pairs with bit_count(xor) <= 3.
+    * The banded Spark path is pigeonhole-complete for maxHamming <= bands-1,
+    * so the two pair sets must be IDENTICAL — a hard oracle, not rows-only. */
+  private def simhashOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |h AS (
+      |  SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS th
+      |  FROM tok),
+      |votes AS (
+      |  SELECT doc_id, b.bit,
+      |         CASE WHEN SUM(CASE WHEN (th >> b.bit) & 1 = 1
+      |                            THEN 1 ELSE -1 END) > 0
+      |              THEN (1::BIGINT << b.bit) ELSE 0 END AS bitval
+      |  FROM h CROSS JOIN (SELECT unnest(range(60)) AS bit) b
+      |  GROUP BY doc_id, b.bit),
+      |sig AS (
+      |  SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS sig
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Full replay of the LSH-ANN algorithm in DuckDB: the deterministic
+    * hyperplanes are inlined as double literals (shortest-round-trip
+    * rendering parses back to identical doubles), buckets/multiprobes/
+    * re-rank run the same computation — so even this APPROXIMATE operator
+    * gets an exact oracle. */
+  private def annLshOracle: String = {
+    def planeLit(p: Int): String =
+      pipeline.Similarity.planeVector(p, 64).map(_.toString)
+        .mkString("[", ", ", "]")
+    val bucketExpr = (0 until 4).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n     + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e),
+       |q AS (
+       |  SELECT vec_id AS query_id, v AS qv,
+       |         unnest([bucket, xor(bucket,1), xor(bucket,2),
+       |                 xor(bucket,4), xor(bucket,8)]) AS probe
+       |  FROM bkt WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS id,
+       |         list_cosine_similarity(q.qv, c.v) AS sim
+       |  FROM q JOIN bkt c ON c.bucket = q.probe AND c.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —
     * the oracle for both the deterministic shared-shingle path and the

@@ -158,36 +158,48 @@ object Dedup {
     verifyJaccard(sharedShingleCandidates(sh, maxShingleFreq), sh, threshold)
   }
 
-  /** 64-bit SimHash over whitespace tokens: bit b of the fingerprint is the
-    * sign of Σ_tokens (±1 per token depending on bit b of xxhash64(token)).
-    * Pure codegen'd expression (64 × |tokens| bit tests per row). */
-  def simhash(text: Column): Column =
-    simhashFromHashes(transform(tokens(text), t => xxhash64(t)))
+  /** md5-derived 60-bit token hash: the first 15 hex chars of md5(token)
+    * parsed as an integer. Slower than xxhash64 but reproducible in any
+    * engine with an md5() (DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT) —
+    * used where the fingerprints themselves must be oracle-checkable. */
+  def md5TokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
-  /** The 64 bit-vote folds over a PRE-MATERIALIZED token-hash array. Keep
-    * the hash array in its own (persisted) projection: each of the 64
+  /** `width`-bit SimHash over whitespace tokens: bit b of the fingerprint is
+    * the sign of Σ_tokens (±1 per token depending on bit b of
+    * tokenHash(token)). Pure codegen'd expression (width × |tokens| bit
+    * tests per row). */
+  def simhash(text: Column, width: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): Column =
+    simhashFromHashes(transform(tokens(text), tokenHash), width)
+
+  /** The per-bit vote folds over a PRE-MATERIALIZED token-hash array. Keep
+    * the hash array in its own (persisted) projection: each of the `width`
     * aggregates traverses the array column, and higher-order functions are
     * not subexpression-eliminated — inlining the tokenize+hash expression
-    * would recompute it 64× per row. */
-  def simhashFromHashes(hashes: Column): Column =
-    (0 until 64).map { b =>
+    * would recompute it width× per row. */
+  def simhashFromHashes(hashes: Column, width: Int = 64): Column =
+    (0 until width).map { b =>
       val bitSum = aggregate(hashes, lit(0L),
         (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
-    * banding the 64-bit fingerprint into `bands` chunks (pigeonhole: any
-    * pair within maxHamming <= bands-1 shares at least one exact band) and
-    * verifying with bit_count(xor). */
+    * banding the `width`-bit fingerprint into `bands` chunks (pigeonhole:
+    * any pair within maxHamming <= bands-1 shares at least one exact band)
+    * and verifying with bit_count(xor). */
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    val bits = 64 / bands
+      maxHamming: Int = 3, bands: Int = 4, width: Int = 64,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+    require(width % bands == 0, s"width $width not divisible by bands $bands")
+    val bits = width / bands
     val hashed = df.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("hs")).persist()
-    val withSig = hashed.select(col("id"), simhashFromHashes(col("hs")).as("sig"))
-      .persist() // barrier: keep the 64-bit-vote expression out of the self-join sides
+      transform(tokens(col(textCol)), tokenHash).as("hs")).persist()
+    val withSig = hashed
+      .select(col("id"), simhashFromHashes(col("hs"), width).as("sig"))
+      .persist() // barrier: keep the bit-vote expression out of the self-join sides
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bits)

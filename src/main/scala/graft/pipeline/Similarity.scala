@@ -95,6 +95,12 @@ object Similarity {
     (h.toDouble / Int.MaxValue.toDouble)
   }
 
+  /** The full hyperplane `p` as plain doubles — public so an external
+    * oracle can replay the exact bucket function (the constants, rendered
+    * shortest-round-trip, parse back to the identical doubles). */
+  def planeVector(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => planeComponent(p, j))
+
   /** Sign-bit bucket of a vector under `planes` random hyperplanes. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
     (0 until planes).map { p =>
