@@ -401,7 +401,10 @@ object SparkEntry {
       // materialize the applied log once (in production it lands in
       // storage); otherwise every downstream action replays the cogroup
       val st = HyperStorage(s, r1.log.persist())
-      val im = new IndexManager(st)
+      // durable manager: the maintenance below is a partition-scoped
+      // parquet merge, not an in-memory union chain
+      val im = new IndexManager(st, Some(new graft.indexing.IndexStore(s,
+        s"/tmp/graft_idx_${dir.replace('/', '_')}_${System.nanoTime()}")))
       im.createIndex("suppliers~", "rich", Nil, Some("acctbal > 5000"))
       val patches = sup.filter(col("s_suppkey") <= 20).select(
         (col("s_suppkey") + 1000).cast("long").as("seq"),

@@ -36,13 +36,19 @@ object IndexDef {
   *
   * The sort-field columns are extracted ONCE at build/maintenance time
   * into typed columns (text / decimal(38,18)) — scans sort and push
-  * predicates on native columns, no per-row JSON parsing. At cluster
-  * scale each index table would be written as parquet bucketed by
-  * `document_uri`, making index scans co-partitioned with the primary. */
-final class IndexManager(val storage: HyperStorage) {
+  * predicates on native columns, no per-row JSON parsing.
+  *
+  * With a [[IndexStore]] attached, defs and tables are DURABLE parquet: a
+  * restarted manager over the same store path sees every NORMAL index, and
+  * maintenance is a partition-scoped on-disk merge (bounded lineage). The
+  * store-less mode keeps everything in cached DataFrames for tests and
+  * one-shot jobs, truncating lineage per batch via localCheckpoint. */
+final class IndexManager(val storage: HyperStorage,
+    val store: Option[IndexStore] = None) {
   import IndexDef._
 
-  private var defs = Map.empty[(String, String), IndexDef]
+  private var defs: Map[(String, String), IndexDef] =
+    store.map(_.loadDefs()).getOrElse(Map.empty)
   private var tables = Map.empty[(String, String), DataFrame]
 
   def indexDefs(uri: String): Seq[IndexDef] =
@@ -52,7 +58,12 @@ final class IndexManager(val storage: HyperStorage) {
     defs.get((uri, indexId))
 
   def indexTable(uri: String, indexId: String): Option[DataFrame] =
-    tables.get((uri, indexId))
+    store match {
+      case Some(st) =>
+        defs.get((uri, indexId)).filter(_.status == StatusNormal)
+          .map(_ => st.openTable(uri, indexId))
+      case None => tables.get((uri, indexId))
+    }
 
   /** Typed sort-column expressions for a body column. */
   private def sortCols(sortBy: Seq[IndexSortItem], body: Column): Seq[Column] = {
@@ -97,6 +108,9 @@ final class IndexManager(val storage: HyperStorage) {
     val indexing = IndexDef(uri, indexId, sortBy, filterBy,
       StatusIndexing, IndexLogic.tableName(sortBy))
     defs += (uri, indexId) -> indexing
+    // durable: record the INDEXING def BEFORE building, so a crash leaves
+    // a resumable pending build (reference pending_index semantics)
+    store.foreach(_.saveDefs(defs.values))
     try {
       // apply the storage's partition pruner like every per-URI read —
       // a ContentStore-backed build scans one directory partition
@@ -104,29 +118,47 @@ final class IndexManager(val storage: HyperStorage) {
           Content.latestRows(storage.log.filter(
             storage.uriPruner(uri) && col("document_uri") === uri)))
         .filter(col("item_id") =!= "")
-      val table = materialize(items, indexing).persist()
-      table.count() // force the build
+      val built = materialize(items, indexing)
+      store match {
+        case Some(st) => st.writeTable(uri, indexId, built)
+        case None =>
+          val table = built.persist()
+          table.count() // force the build
+          tables += (uri, indexId) -> table
+      }
       val normal = indexing.copy(status = StatusNormal)
       defs += (uri, indexId) -> normal
-      tables += (uri, indexId) -> table
+      store.foreach(_.saveDefs(defs.values))
       normal
     } catch {
       case e: Throwable =>
         defs -= ((uri, indexId)) // failed build leaves no phantom def
         tables.get((uri, indexId)).foreach(_.unpersist())
         tables -= ((uri, indexId))
+        store.foreach { st => st.dropTable(uri, indexId); st.saveDefs(defs.values) }
         throw e
     }
   }
+
+  /** Resume every interrupted build (status INDEXING after a restart) —
+    * the reference's PendingIndexWorker.scala:24-85 loop. */
+  def resumePendingBuilds(): Seq[IndexDef] =
+    defs.values.filter(_.status == StatusIndexing).toSeq.map { d =>
+      defs -= ((d.collectionUri, d.indexId))
+      createIndex(d.collectionUri, d.indexId, d.sortBy, d.filterBy)
+    }
 
   /** M7: delete an index. */
   def deleteIndex(uri: String, indexId: String): Unit = {
     val d = defs.getOrElse((uri, indexId),
       throw new NotFound(s"index: $uri/$indexId"))
     defs += (uri, indexId) -> d.copy(status = StatusDeleting)
+    store.foreach(_.saveDefs(defs.values)) // DELETING survives a crash mid-drop
     tables.get((uri, indexId)).foreach(_.unpersist())
     tables -= ((uri, indexId))
+    store.foreach(_.dropTable(uri, indexId))
     defs -= ((uri, indexId))
+    store.foreach(_.saveDefs(defs.values))
   }
 
   /** Collection-delete cascade (M3): drop all indexes of the collection
@@ -136,33 +168,62 @@ final class IndexManager(val storage: HyperStorage) {
 
   /** M8: incremental maintenance from a feed batch — for every touched
     * item: drop its old index rows, re-insert if it (still) passes the
-    * membership filter with its new sort-field values. */
+    * membership filter with its new sort-field values.
+    *
+    * The feed is first semi-joined against the (small, driver-held) def
+    * list, so a 100 TB-scale batch spanning millions of collections never
+    * ships its URI set to the driver — only URIs that actually carry an
+    * index (bounded by the def count) are ever collected. */
   def applyFeed(feed: DataFrame): Unit = {
-    val touchedUris = feed.select("document_uri").distinct()
-      .collect().map(_.getString(0)).toSet
-    // collection-level tombstones (item_id = "") cascade: drop the
-    // collection's indexes entirely (PrimaryWorker.scala:310-328;
-    // IndexingSpec.scala:655-692)
-    val deletedCollections = feed
-      .filter(col("item_id") === "" && col("method") === "feed:delete")
-      .select("document_uri").distinct().collect().map(_.getString(0)).toSet
-    deletedCollections.foreach(dropCollectionIndexes)
-    for (((uri, id), d) <- defs if touchedUris(uri) && d.status == StatusNormal) {
-      val events = feed.filter(col("document_uri") === uri && col("item_id") =!= "")
-      // last event per item wins inside the batch
-      val latest = Content.latestRows(
-        events.select(col("document_uri"), col("item_id"), col("revision"),
-          col("body"),
-          (col("method") === "feed:delete" || col("body").isNull).as("is_deleted")))
-      val touchedItems = latest.select("item_id").distinct()
-      val replacement = materialize(
-        latest.filter(!col("is_deleted")).select("item_id", "revision", "body"), d)
-      val old = tables((uri, id))
-      val updated = old.join(broadcast(touchedItems), Seq("item_id"), "left_anti")
-        .unionByName(replacement).persist()
-      updated.count()
-      old.unpersist()
-      tables += (uri, id) -> updated
+    if (defs.isEmpty) return
+    val spark0 = storage.spark
+    import spark0.implicits._
+    val indexedUris = defs.values.map(_.collectionUri).toSet.toSeq
+    val relevant = feed
+      .join(broadcast(indexedUris.toDF("document_uri")),
+        Seq("document_uri"), "left_semi")
+      .persist()
+    try {
+      val touchedUris = relevant.select("document_uri").distinct()
+        .collect().map(_.getString(0)).toSet // bounded by defs.size
+      // collection-level tombstones (item_id = "") cascade: drop the
+      // collection's indexes entirely (PrimaryWorker.scala:310-328;
+      // IndexingSpec.scala:655-692)
+      val deletedCollections = relevant
+        .filter(col("item_id") === "" && col("method") === "feed:delete")
+        .select("document_uri").distinct().collect().map(_.getString(0)).toSet
+      deletedCollections.foreach(dropCollectionIndexes)
+      for (((uri, id), d) <- defs if touchedUris(uri) && d.status == StatusNormal) {
+        val events = relevant.filter(
+          col("document_uri") === uri && col("item_id") =!= "")
+        // last event per item wins inside the batch
+        val latest = Content.latestRows(
+          events.select(col("document_uri"), col("item_id"), col("revision"),
+            col("body"),
+            (col("method") === "feed:delete" || col("body").isNull).as("is_deleted")))
+        val touchedItems = latest.select("item_id").distinct()
+        val replacement = materialize(
+          latest.filter(!col("is_deleted")).select("item_id", "revision", "body"), d)
+        store match {
+          case Some(st) =>
+            // partition-scoped on-disk merge; lineage ends at the parquet
+            st.mergeTable(uri, id, touchedItems, replacement)
+          case None =>
+            val old = tables((uri, id))
+            val updated = old
+              .join(broadcast(touchedItems), Seq("item_id"), "left_anti")
+              .unionByName(replacement)
+              // localCheckpoint (eager) materializes AND truncates lineage —
+              // without it N batches stack N anti-join/union layers and every
+              // downstream action replays the whole chain
+              .localCheckpoint()
+            old.unpersist()
+            tables += (uri, id) -> updated
+        }
+      }
+    } finally {
+      relevant.unpersist()
+      ()
     }
   }
 }

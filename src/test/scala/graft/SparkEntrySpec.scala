@@ -8,9 +8,10 @@ import org.scalatest.matchers.should.Matchers
   * entry returns rows at the smoke scale; bench headliners exist. */
 class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
 
-  /** Approximate / hash-specific ops whose results cannot be reproduced in
-    * DuckDB; the driver records a weaker rows-only check for these. */
-  private val oracleExempt = Set("ann_lsh_topk", "dedup_simhash")
+  /** Every registered query is oracle-checked — the simhash/LSH entries
+    * got exact oracles in round 3 (md5-derived token hashes, inlined
+    * hyperplane constants), so nothing is exempt anymore. */
+  private val oracleExempt = Set.empty[String]
 
   "SparkEntry" - {
     "every oracle key has a query entry" in {

@@ -199,4 +199,70 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
       ids(q) shouldBe Seq("item1", "item3") // "aaaa" < "way way"
     }
   }
+
+  "durable store (IndexStore)" - {
+    def newStoragePath(): (HyperStorage, String) = {
+      val r = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
+        WriteOp(1, "PUT", "collection-1~/item1", """{"a":"hello","b":100500}"""),
+        WriteOp(2, "PUT", "collection-1~/item2", """{"a":"goodbye","b":1}"""),
+        WriteOp(3, "PUT", "collection-1~/item3", """{"a":"way way","b":12}""")))
+      (HyperStorage(spark, r.log.persist()),
+        java.nio.file.Files.createTempDirectory("graft_idx").toString)
+    }
+    def items(im: IndexManager, id: String): Seq[String] =
+      im.indexTable("collection-1~", id).get
+        .select("item_id").collect().map(_.getString(0)).sorted.toSeq
+
+    "a restarted manager sees NORMAL indexes and serves from parquet" in {
+      val (st, path) = newStoragePath()
+      val im1 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im1.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+      // restart: a FRESH manager over the same store path
+      val im2 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im2.indexDef("collection-1~", "index1").get.status shouldBe
+        IndexDef.StatusNormal
+      items(im2, "index1") shouldBe Seq("item1", "item3")
+      val (p, q) = QueryPlanner.query(im2, "collection-1~",
+        Some("b > 10"), Seq(SortBy("id")), 50)
+      p.source shouldBe "index1"
+      ids(q) shouldBe Seq("item1", "item3")
+    }
+
+    "maintenance merges on disk; the merged table survives restart" in {
+      val (st, path) = newStoragePath()
+      val im1 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im1.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+      val r = st.applySeq(Seq(
+        WriteOp(10, "PUT", "collection-1~/item4", """{"a":"zzz","b":99}"""),
+        WriteOp(11, "PATCH", "collection-1~/item3", """{"b":5}""")))
+      im1.applyFeed(r.feed)
+      items(im1, "index1") shouldBe Seq("item1", "item4")
+      val im2 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      items(im2, "index1") shouldBe Seq("item1", "item4")
+    }
+
+    "delete drops def and table durably" in {
+      val (st, path) = newStoragePath()
+      val im1 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im1.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+      im1.deleteIndex("collection-1~", "index1")
+      val im2 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im2.indexDef("collection-1~", "index1") shouldBe None
+      im2.indexTable("collection-1~", "index1") shouldBe None
+    }
+
+    "an interrupted build is resumable (pending_index semantics)" in {
+      val (st, path) = newStoragePath()
+      val store = new IndexStore(spark, path)
+      // simulate a crash after the def was recorded but before the build
+      store.saveDefs(Seq(IndexDef("collection-1~", "pend", Nil,
+        Some("b > 10"), IndexDef.StatusIndexing, "index_content")))
+      val im = new IndexManager(st, Some(store))
+      im.indexTable("collection-1~", "pend") shouldBe None // not NORMAL yet
+      im.resumePendingBuilds().map(_.indexId) shouldBe Seq("pend")
+      im.indexDef("collection-1~", "pend").get.status shouldBe
+        IndexDef.StatusNormal
+      items(im, "pend") shouldBe Seq("item1", "item3")
+    }
+  }
 }
