@@ -361,6 +361,26 @@ object SparkEntry {
         .orderBy("seq")
     }),
 
+    "m10_timestamps" -> ((s, dir) => {
+      import s.implicits._
+      val nat = t(s, dir, "nation")
+      val puts = putOps(s, nat, "nations~", "n_nationkey", Seq("n_name"))
+      val r1 = emptyStore(s).applyOps(puts, batchTsMillis = 60000L)
+      // second batch re-PUTs every item: created_at must survive,
+      // modified_at must move to the new batch time
+      val updates = nat.select(
+        (col("n_nationkey") + 100).cast("long").as("seq"),
+        lit("PUT").as("method"),
+        concat(lit("nations~/"), col("n_nationkey").cast("string")).as("path"),
+        to_json(struct(col("n_name"), lit(2).as("v"))).as("body")).as[WriteOp]
+      val r2 = HyperStorage(s, r1.log).applyOps(updates, batchTsMillis = 120000L)
+      Content.latestView(r2.log)
+        .select(col("item_id"),
+          unix_millis(col("created_at")).as("created_ms"),
+          unix_millis(col("modified_at")).as("modified_ms"))
+        .orderBy("item_id")
+    }),
+
     // ---- S4/M6/M8: materialized secondary indexes -----------------------
     "m6_index_build" -> ((s, dir) =>
       m6IndexRows(s, dir)
@@ -795,6 +815,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT 100, 'ghost~', 'PUT', 'collection-put-not-implemented'
         |ORDER BY seq""".stripMargin,
+
+    "m10_timestamps" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS item_id,
+        |       CAST(60000 AS BIGINT) AS created_ms,
+        |       CAST(120000 AS BIGINT) AS modified_ms
+        |FROM nation ORDER BY item_id""".stripMargin,
 
     // double/decimal/varchar triplets for the driver-hash bisection: the
     // same rows, different final representation (see decAsDouble scaladoc)

@@ -273,7 +273,13 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     * below the window: writing k documents reads k documents' state, not
     * the whole store. Returns the appended log, the feed events, and the
     * rejected ops (404/409 channel). */
-  def applyOps(ops: Dataset[WriteOp]): ApplyResult = {
+  /** `batchTsMillis` is the DETERMINISTIC event time stamped onto every
+    * written row (created_at on first write, modified_at always) — the
+    * batch equivalent of the reference's per-write wall clock
+    * (db/Db.scala:47-48, scheme.cql:8-9). Streaming callers pass the batch
+    * time, like [[Ledger.fromFeed]]; the default keeps batch entries
+    * reproducible. */
+  def applyOps(ops: Dataset[WriteOp], batchTsMillis: Long = 0L): ApplyResult = {
     val sess = spark
     import sess.implicits._
 
@@ -292,7 +298,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     // replay the whole per-key fold on every action
     val applied: Dataset[ApplyOutcome] =
       opsByUri.cogroup(stateByUri) { (uri, opIt, stateIt) =>
-        applyForDocument(uri, opIt.toSeq.sortBy(_.seq), stateIt.toSeq)
+        applyForDocument(uri, opIt.toSeq.sortBy(_.seq), stateIt.toSeq,
+          batchTsMillis)
       }.persist()
 
     val newRows = applied.flatMap(_.row).toDF()
@@ -307,10 +314,10 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
   }
 
   /** Local convenience for small batches (tests / single-doc API). */
-  def applySeq(ops: Seq[WriteOp]): ApplyResult = {
+  def applySeq(ops: Seq[WriteOp], batchTsMillis: Long = 0L): ApplyResult = {
     val sess = spark
     import sess.implicits._
-    applyOps(sess.createDataset(ops))
+    applyOps(sess.createDataset(ops), batchTsMillis)
   }
 }
 
@@ -383,7 +390,9 @@ object HyperStorage {
     * 404 PATCH/DELETE of an absent resource (:272-278), collection DELETE
     * tombstoning the whole collection (:310-328). */
   private[engine] def applyForDocument(
-      uri: String, ops: Seq[WriteOp], state: Seq[ContentRow]): Iterator[ApplyOutcome] = {
+      uri: String, ops: Seq[WriteOp], state: Seq[ContentRow],
+      batchTsMillis: Long = 0L): Iterator[ApplyOutcome] = {
+    val batchTs = new java.sql.Timestamp(batchTsMillis)
     val isCollection = isCollectionUri(uri)
     var items: Map[String, ContentRow] =
       state.filter(_.item_id.nonEmpty).map(r => r.item_id -> r).toMap
@@ -412,7 +421,12 @@ object HyperStorage {
 
       def emit(itemId: String, body: String, deleted: Boolean, feedMethod: String): Unit = {
         val rev = staticRevision + 1
-        val row = ContentRow(uri, itemId, rev, body, deleted, null, null)
+        // created_at survives every rewrite of the same item (tombstones
+        // included — the reference keeps the Cassandra row's createdAt,
+        // Db.scala:47-48); modified_at is the batch event time
+        val created = (if (itemId.isEmpty) docRow else items.get(itemId))
+          .flatMap(r => Option(r.created_at)).getOrElse(batchTs)
+        val row = ContentRow(uri, itemId, rev, body, deleted, created, batchTs)
         if (itemId.isEmpty) docRow = Some(row) else items += itemId -> row
         staticRevision = rev
         out += ApplyOutcome(Some(row),

@@ -28,6 +28,26 @@ class HyperStorageSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got("b") shouldBe """{"y":3,"id":"b"}"""
     }
 
+    "created_at survives PATCH, DELETE and re-PUT; modified_at tracks batches" in {
+      def ts(st: HyperStorage, id: String): (Long, Long) = {
+        val r = Content.latestView(st.log)
+          .filter(org.apache.spark.sql.functions.col("item_id") === id)
+          .collect().head
+        (r.getAs[java.sql.Timestamp]("created_at").getTime,
+          r.getAs[java.sql.Timestamp]("modified_at").getTime)
+      }
+      val r1 = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}""")), batchTsMillis = 1000L)
+      val r2 = HyperStorage(spark, r1.log).applySeq(Seq(
+        WriteOp(2, "PATCH", "docs~/a", """{"y":2}""")), batchTsMillis = 2000L)
+      ts(HyperStorage(spark, r2.log), "a") shouldBe ((1000L, 2000L))
+      val r3 = HyperStorage(spark, r2.log).applySeq(Seq(
+        WriteOp(3, "DELETE", "docs~/a", null),
+        WriteOp(4, "PUT", "docs~/a", """{"x":9}""")), batchTsMillis = 3000L)
+      // the tombstoned row keeps the original create time (Db.scala:47-48)
+      ts(HyperStorage(spark, r3.log), "a") shouldBe ((1000L, 3000L))
+    }
+
     "PATCH merges shallowly and null-deletes" in {
       val r = store.applySeq(Seq(
         WriteOp(1, "PUT", "docs~/a", """{"text1":"abc","text2":"klmn"}"""),
