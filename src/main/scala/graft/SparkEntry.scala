@@ -409,6 +409,23 @@ object SparkEntry {
         j("body", "c_acctbal").cast("double").as("acctbal"))
     }),
 
+    "o4_index_skipmax" -> ((s, dir) => {
+      // index-served query WITH the skipped-rows guard active: the
+      // residual mktsegment filter rejects scanned index rows, but the
+      // page fills early in index order, so the guard passes exactly
+      // where the primary path's positional semantics would
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      val im = new IndexManager(st)
+      im.createIndex("customers~", "by_acctbal",
+        Seq(IndexSortItem("c_acctbal", Some("decimal"), Some("asc"))),
+        Some("c_acctbal > 0"))
+      val (plan, q) = QueryPlanner.query(im, "customers~",
+        Some("c_acctbal > 0 and c_mktsegment = \"BUILDING\""),
+        Seq(SortBy("c_acctbal")), size = 10)
+      require(plan.source == "by_acctbal", s"expected index scan, got ${plan.source}")
+      q.rows.select(col("item_id"), decAsDouble(col("d0")).as("acctbal"))
+    }),
+
     "m8_index_maintenance" -> ((s, dir) => {
       import s.implicits._
       val sup = t(s, dir, "supplier")
@@ -841,6 +858,12 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_acctbal AS acctbal
         |FROM customer WHERE c_acctbal > 1000 AND c_acctbal < 5000
         |ORDER BY c_acctbal, item_id LIMIT 1000""".stripMargin,
+
+    "o4_index_skipmax" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_acctbal AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
+        |ORDER BY c_acctbal, item_id LIMIT 10""".stripMargin,
 
     "m8_index_maintenance" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,

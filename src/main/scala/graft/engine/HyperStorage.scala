@@ -215,7 +215,11 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
         val boundary = b.getString(0)
         val before =
           if (effectiveAsc) col("item_id") < boundary else col("item_id") > boundary
-        val skipped = withRange.filter(!pred.get && before).count()
+        // coalesce: a NULL predicate (missing field) REJECTS the row, so it
+        // must count as skipped — bare !pred would drop it from the count
+        // and let the guard pass where the total-kept precheck counted it
+        val skipped = withRange
+          .filter(!coalesce(pred.get, lit(false)) && before).count()
         if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
       }
     }

@@ -1,6 +1,7 @@
 package graft.indexing
 
-import graft.engine.{Conflict, Content, HyperStorage, NotFound, QueryResult, SortBy}
+import graft.engine.{Conflict, Content, HyperStorage, NotFound, QueryResult,
+  QuerySkippedRowsLimited, SortBy}
 import graft.hql._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -274,6 +275,52 @@ object QueryPlanner {
       pushdown, ck, reversed, exact)
   }
 
+  /** The primary path's skipMax contract (HyperStorage.query:190-221)
+    * replayed in the INDEX's clustering order: error once more than
+    * skipMax residual-rejected rows precede the point where the page
+    * fills. NULL predicate results (missing fields) reject the row and
+    * count as skipped, exactly like the primary guard. */
+  private def skippedRowsGuard(d: IndexDef, p: QueryPlan, pushed: DataFrame,
+      pred: Column, sort: Seq[SortBy], size: Int, skipMax: Int): Unit = {
+    val predOk = coalesce(pred, lit(false))
+    val c = pushed.agg(count(lit(1)), count_if(predOk)).collect()(0)
+    val (total, kept) = (c.getLong(0), c.getLong(1))
+    if (total - kept <= skipMax) return
+    val exact = sort.isEmpty || (p.exactSortMatch && p.ckFields.nonEmpty)
+    val target = if (exact) size.toLong else size.toLong + skipMax
+    if (kept < target) throw new QuerySkippedRowsLimited(skipMax)
+    // index scan order: the index's own clustering columns + item_id,
+    // all reversed when the matched scan is reversed
+    val nFields = d.sortBy.size
+    val base: Seq[(String, Boolean)] = d.sortBy.zipWithIndex.map {
+      case (it, i) => (IndexLogic.tableFieldName(it, nFields, i), !it.isDesc)
+    } :+ (("item_id", true))
+    val scan = if (exact && p.reversed) base.map { case (n, a) => (n, !a) }
+      else base
+    val order = scan.map { case (n, a) =>
+      if (a) col(n).asc_nulls_last else col(n).desc_nulls_first }
+    // boundary = scan-order key of the target-th accepted row (TakeOrdered,
+    // never a global sort); `before` = lexicographically earlier in scan
+    // order, with the same nulls-last-asc / nulls-first-desc convention
+    val boundary = pushed.filter(predOk)
+      .orderBy(order: _*).limit(math.min(target, Int.MaxValue).toInt)
+      .select(scan.map(s => col(s._1)): _*).collect().last
+    val before = scan.indices.map { i =>
+      val eqPrefix = scan.take(i).zipWithIndex.map { case ((n, _), j) =>
+        col(n) <=> lit(boundary.get(j)) }
+      val (n, a) = scan(i)
+      val b = lit(boundary.get(i))
+      val lt =
+        if (a) when(b.isNull, col(n).isNotNull)
+          .otherwise(coalesce(col(n) < b, lit(false)))
+        else when(b.isNull, lit(false))
+          .otherwise(col(n).isNull || col(n) > b)
+      (eqPrefix :+ lt).reduce(_ && _)
+    }.reduce(_ || _)
+    val skipped = pushed.filter(!predOk && before).count()
+    if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
+  }
+
   private def filterColumn(ff: FieldFilter): Column = {
     val c = col(ff.name)
     val v = Translator.constColumn(ff.value)
@@ -291,21 +338,29 @@ object QueryPlanner {
     * parquet-pushable — F3 wired); the FULL residual filter is always
     * re-applied (HyperbusAdapter.scala:235-244); index order is used when
     * the sort matches exactly, else residual in-memory order
-    * (:181-197). Returns the plan alongside the rows. */
+    * (:181-197). Returns the plan alongside the rows.
+    *
+    * The skipped-rows guard applies REGARDLESS of chosen source — the
+    * reference raises query-skipped-rows-limited from the shared fetch
+    * loop (HyperbusAdapter.scala:278-283), so an index-served query must
+    * refuse the same scans the primary path refuses. Rows the index
+    * pre-filtered away (its filterBy) never count: they are not scanned. */
   def query(im: IndexManager, uri: String,
       filter: Option[String] = None, sort: Seq[SortBy] = Nil,
-      size: Int = HyperStorage.DefaultPageSize): (QueryPlan, QueryResult) = {
+      size: Int = HyperStorage.DefaultPageSize,
+      skipMax: Int = HyperStorage.DefaultMaxSkippedRows): (QueryPlan, QueryResult) = {
     val p = plan(im, uri, filter, sort)
     if (p.source == "primary") {
-      (p, im.storage.query(uri, filter, sort, size))
+      (p, im.storage.query(uri, filter, sort, size, skipMax = skipMax))
     } else {
       val table = im.indexTable(uri, p.source).get
       val resolver = FieldResolver.json(col("body"))
       val pushed = p.pushdown.foldLeft(table)((df, ff) => df.filter(filterColumn(ff)))
-      val residual = filter match {
-        case Some(f) => pushed.filter(Translator.predicate(f, resolver))
-        case None => pushed
-      }
+      val residualPred = filter.map(f => Translator.predicate(f, resolver))
+      val residual = residualPred.fold(pushed)(pushed.filter)
+      if (residualPred.isDefined && skipMax >= 0)
+        skippedRowsGuard(im.indexDef(uri, p.source).get, p, pushed,
+          residualPred.get, sort, size, skipMax)
       val limited =
         if (p.exactSortMatch && p.ckFields.nonEmpty)
           // index order: typed physical columns, no per-row JSON work.

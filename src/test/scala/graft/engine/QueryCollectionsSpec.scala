@@ -112,6 +112,21 @@ class QueryCollectionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .length shouldBe 10
     }
 
+    "skipMax: NULL-rejected rows (missing field) count as skipped" in {
+      // q exists ONLY on the last 5 items, so the 25 earlier rows are
+      // rejected with a NULL predicate — they must count toward the cap
+      // even though the page (5 accepted rows) eventually fills
+      val ops = (1 to 30).map(i => WriteOp(i.toLong, "PUT", f"nul~/i$i%03d",
+        if (i > 25) s"""{"n":$i,"q":1}""" else s"""{"n":$i}"""))
+      val st = HyperStorage(spark,
+        HyperStorage(spark, Content.empty(spark)).applySeq(ops).log)
+      a[QuerySkippedRowsLimited] should be thrownBy
+        st.query("nul~", filter = Some("q = 1"), size = 5, skipMax = 3)
+      // with the cap above the 25 missing-field rows it succeeds
+      ids(st.query("nul~", filter = Some("q = 1"), size = 5, skipMax = 25))
+        .length shouldBe 5
+    }
+
     "queryAfter pages NUMERICALLY on numeric sort fields" in {
       // n values are distinct and deliberately misaligned with id order;
       // text-comparing the boundary would break page 2 (e.g. "9" > "10")

@@ -200,6 +200,57 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "skipMax guards the index-served path (error-taxonomy parity)" - {
+    // 30 items: a = i, b = i % 2, c = 1 for the first 10 items else 0.
+    // Index byA: sorted by a asc, members b = 1 (odd a — 15 member rows).
+    // c is NOT a sort field, so a c-filter is pure residual: rejected
+    // member rows are genuinely SCANNED-and-skipped (an a-range would be
+    // pushed into the scan instead and never count).
+    def guarded: IndexManager = {
+      val ops = (1 to 30).map(i => WriteOp(i.toLong, "PUT", f"col~/item$i%02d",
+        s"""{"a":$i,"b":${i % 2},"c":${if (i <= 10) 1 else 0}}"""))
+      val r = HyperStorage(spark, Content.empty(spark)).applySeq(ops)
+      val im = new IndexManager(HyperStorage(spark, r.log.persist()))
+      im.createIndex("col~", "byA",
+        Seq(IndexSortItem("a", Some("decimal"), Some("asc"))), Some("b = 1"))
+      im
+    }
+
+    "a page that cannot fill trips query-skipped-rows-limited" in {
+      val im = guarded
+      QueryPlanner.plan(im, "col~", Some("b = 1 and c = 2"), Seq(SortBy("a")))
+        .source shouldBe "byA" // precondition: index-served, not primary
+      // no member matches c = 2: every scanned row is a skip
+      a[QuerySkippedRowsLimited] should be thrownBy
+        QueryPlanner.query(im, "col~",
+          Some("b = 1 and c = 2"), Seq(SortBy("a")), size = 5, skipMax = 3)
+    }
+
+    "positional: rejections AFTER the page fills don't count" in {
+      val im = guarded
+      // accepted rows (c = 1 ⇒ a = 1..9 odd) are a PREFIX of the index
+      // scan order, so the page fills before anything is skipped — passes
+      // even with skipMax = 0 though 10 member rows are rejected overall
+      val (p, q) = QueryPlanner.query(im, "col~",
+        Some("b = 1 and c = 1"), Seq(SortBy("a")), size = 5, skipMax = 0)
+      p.source shouldBe "byA"
+      ids(q) shouldBe Seq("item01", "item03", "item05", "item07", "item09")
+    }
+
+    "positional: rejections BEFORE the boundary trip the cap" in {
+      val im = guarded
+      // accepted (c = 0) rows start at a = 11: the 5 c = 1 member rows
+      // before them are skipped first — 5 > skipMax = 2
+      a[QuerySkippedRowsLimited] should be thrownBy
+        QueryPlanner.query(im, "col~",
+          Some("b = 1 and c = 0"), Seq(SortBy("a")), size = 5, skipMax = 2)
+      // the primary path refuses the same query shape (parity)
+      a[QuerySkippedRowsLimited] should be thrownBy
+        im.storage.query("col~", Some("b = 1 and c = 0"),
+          Seq(SortBy("a")), size = 5, skipMax = 2).rows.collect()
+    }
+  }
+
   "durable store (IndexStore)" - {
     def newStoragePath(): (HyperStorage, String) = {
       val r = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
