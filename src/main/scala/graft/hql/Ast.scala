@@ -38,6 +38,25 @@ sealed trait Ast {
   /** True when no identifiers occur (constant-foldable,
     * reference Comparation.scala:17). */
   def isConstant: Boolean = identifiers.isEmpty
+
+  /** Render back to parseable HQL (fully parenthesized, so
+    * `HqlParser(render)` reproduces this AST — pinned by scalacheck). */
+  def render: String = this match {
+    case Const(v)       => v.render
+    case i: Ident       => i.segments.map(Ast.renderSegment).mkString(".")
+    case Unary(op, a)   => s"$op(${a.render})"
+    case Binary(l, "has", r)     => s"(${l.render}) has (${r.render})"
+    case Binary(l, "has not", r) => s"(${l.render}) has not (${r.render})"
+    case Binary(l, op, r) => s"(${l.render}) $op (${r.render})"
+    case Func(n, args)  => s"$n(${args.map(_.render).mkString(", ")})"
+  }
+}
+object Ast {
+  private val Bare = "[A-Za-z_][A-Za-z0-9_]*".r
+  private val Reserved = Set("and", "or", "not", "has", "true", "false", "null")
+  private[hql] def renderSegment(seg: String): String =
+    if (Bare.matches(seg) && !Reserved.contains(seg.toLowerCase)) seg
+    else s"`$seg`"
 }
 final case class Const(v: HValue) extends Ast
 /** Dotted identifier `a.b.c` → segments Seq("a","b","c"). */

@@ -60,15 +60,22 @@ object HqlParser extends RegexParsers {
 
   private val keyword = Set("and", "or", "not", "has", "true", "false", "null")
 
-  private def segment: Parser[String] =
-    ("`" ~> """[^`]+""".r <~ "`") |
-    """[A-Za-z_][A-Za-z0-9_\-]*""".r
+  // NO `-` inside bare segments: `b-1 > 0` must parse as the subtraction
+  // `b - 1 > 0`, not as an identifier named "b-1" (which would silently
+  // reject every row as an unknown field). Hyphenated field names remain
+  // expressible with backquotes: `` `b-1` ``. The (text, quoted) pair lets
+  // the keyword restriction apply to BARE heads only — `` `has` `` is a
+  // legitimate field name.
+  private def segment: Parser[(String, Boolean)] =
+    ("`" ~> """[^`]+""".r <~ "`" ^^ (s => (s, true))) |
+    ("""[A-Za-z_][A-Za-z0-9_]*""".r ^^ (s => (s, false)))
 
   private def identifier: Parser[Ident] =
     rep1sep(segment, ".") ^? ({
-      case segs if !keyword.contains(segs.head.toLowerCase) || segs.size > 1 =>
-        Ident(segs)
-    }, segs => s"reserved word used as identifier: ${segs.mkString(".")}")
+      case segs if segs.head._2 || !keyword.contains(segs.head._1.toLowerCase) ||
+          segs.size > 1 =>
+        Ident(segs.map(_._1))
+    }, segs => s"reserved word used as identifier: ${segs.map(_._1).mkString(".")}")
 
   private def funcCall: Parser[Func] =
     identifier ~ ("(" ~> repsep(or, ",") <~ ")") ^^ {

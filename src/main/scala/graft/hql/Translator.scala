@@ -79,10 +79,42 @@ object Translator {
 
   /** Translate a full filter expression into a boolean predicate Column:
     * null (eval failure) collapses to false, like the reference's
-    * "row rejected on eval error". */
+    * "row rejected on eval error".
+    *
+    * The reference evaluates the WHOLE expression per row and rejects on
+    * any eval error (HEval, HyperbusAdapter.scala:238-242 catch ⇒ false):
+    * a missing identifier or a non-boolean value in boolean position
+    * fails the row EVEN under `or`. Spark's three-valued logic would keep
+    * `a = 1 or b = 2` when a = 1 and b is absent, so the translated
+    * predicate is conjoined with per-row eval guards. */
   def predicate(ast: Ast, resolver: FieldResolver): Column = {
     if (hasUnknownIdent(ast, resolver)) return lit(false)
-    asPredicate(translate(ast, resolver))
+    (asPredicate(translate(ast, resolver)) +: evalGuards(ast, resolver))
+      .reduce(_ && _)
+  }
+
+  /** Per-row validity conditions the reference's evaluator enforces:
+    * every referenced identifier resolves to a value, and every operand in
+    * boolean position (and/or/not, or the root) is an actual boolean. */
+  private def evalGuards(ast: Ast, r: FieldResolver): Seq[Column] = {
+    if (!r.isDynamic) return Nil // typed schemas are checked statically
+    val identGuards =
+      ast.identifiers.distinct.flatMap(r.resolve).map(_.isNotNull)
+    val truthy = boolPositions(ast).map { a =>
+      val c = translate(a, r).cast(StringType)
+      c === "true" || c === "false" // HEval asBoolean throws on non-bool
+    }
+    identGuards ++ truthy
+  }
+
+  /** Subexpressions evaluated for TRUTHINESS: operands of and/or/not (and
+    * the root) that aren't themselves boolean-producing expressions. */
+  private def boolPositions(ast: Ast): Seq[Ast] = ast match {
+    case Binary(l, "and" | "or", r) => boolPositions(l) ++ boolPositions(r)
+    case Unary("!", a)              => boolPositions(a)
+    case Binary(_, op, _)
+      if Ops.Comparisons.contains(op) || op == "has" || op == "has not" => Nil
+    case other => Seq(other) // bare ident / func / arithmetic / const
   }
 
   /** Convenience: parse + predicate. */

