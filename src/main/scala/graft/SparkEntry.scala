@@ -471,6 +471,21 @@ object SparkEntry {
         .orderBy("revision")
     }),
 
+    "st2_pipeline_ledger" -> ((s, dir) => {
+      // the assembled reliable-write loop in batch form: applyOps →
+      // ledger intent → content write-back → ordered publish → completion
+      // markers; the oracle checks the folded ledger output
+      val base = s"/tmp/graft_pipe_${dir.replace('/', '_')}_${System.nanoTime()}"
+      val ops = putOps(s, t(s, dir, "region"), "regions~", "r_regionkey",
+        Seq("r_name"))
+      graft.streaming.FeedPipeline.runBatch(
+        ops, 60000L, s"$base/store", s"$base/ledger")(_ => ())
+      graft.streaming.FeedPipeline.ledgerState(s, s"$base/ledger")
+        .select(col("txn_id"), col("revision"), col("completed"),
+          col("dt_quantum"))
+        .orderBy("txn_id")
+    }),
+
     "st5_quantize" -> ((s, dir) => {
       events(s, dir)
         .select(Ledger.quantum(col("ts_ms")).as("quantum"))
@@ -885,6 +900,14 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision
         |  FROM region WHERE r_regionkey < 2)
         |SELECT * FROM puts UNION ALL SELECT * FROM dels ORDER BY revision""".stripMargin,
+
+    "st2_pipeline_ledger" ->
+      """SELECT 'regions~/' || CAST(r_regionkey AS VARCHAR) || '#' ||
+        |       CAST(ROW_NUMBER() OVER (ORDER BY r_regionkey) AS VARCHAR)
+        |         AS txn_id,
+        |       ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision,
+        |       TRUE AS completed, CAST(1 AS BIGINT) AS dt_quantum
+        |FROM region ORDER BY txn_id""".stripMargin,
 
     "st5_quantize" ->
       """SELECT epoch_ms(ts) // 60000 AS quantum, COUNT(*) AS cnt

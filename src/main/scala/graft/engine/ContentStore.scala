@@ -30,10 +30,31 @@ object ContentStore {
     log.withColumn("part", partitionCol(col("document_uri")))
       .write.partitionBy("part").mode(mode).parquet(path)
 
+  /** Idempotent per-batch write: rows land under (part, batch=batchTs) and
+    * a REPLAY of the same batch dynamically overwrites exactly its own
+    * partitions — the standard Spark exactly-once file-sink discipline.
+    * Readers that must see only COMMITTED prior state filter the batch
+    * column (see FeedPipeline.runBatch). */
+  def writeBatch(log: DataFrame, path: String, batchTs: Long): Unit =
+    log.withColumn("part", partitionCol(col("document_uri")))
+      .withColumn("batch", lit(batchTs))
+      .write.partitionBy("part", "batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
+
   /** Open the store as a HyperStorage whose per-URI reads carry the
     * partition predicate (directory pruning before any IO). The `part`
     * column rides along in the log; engine projections ignore it. */
   def open(spark: SparkSession, path: String): HyperStorage =
     new HyperStorage(spark, spark.read.parquet(path),
       uriPruner = uri => col("part") === partitionOf(uri))
+
+  /** Open an existing store, or an empty in-memory log when nothing has
+    * been written yet (the bootstrap case of a write-back loop). */
+  def openOrEmpty(spark: SparkSession, path: String): HyperStorage = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) open(spark, path)
+    else HyperStorage(spark, Content.empty(spark))
+  }
 }

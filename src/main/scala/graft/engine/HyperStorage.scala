@@ -53,11 +53,12 @@ private[engine] final case class ApplyOutcome(
     row: Option[ContentRow], feed: Option[FeedEvent], rejected: Option[RejectedOp])
 
 /** Batch write result: the new content log, the change feed slice, and the
-  * per-op rejections (error taxonomy channel). Call [[release]] once the
-  * outputs are consumed (e.g. after write-back in a foreachBatch loop) to
-  * drop the cached fold backing all three. */
+  * per-op rejections (error taxonomy channel). `appended` is ONLY the rows
+  * this batch produced — what a write-back loop appends to durable storage.
+  * Call [[release]] once the outputs are consumed (e.g. after write-back in
+  * a foreachBatch loop) to drop the cached fold backing all three. */
 final case class ApplyResult(log: DataFrame, feed: DataFrame, rejected: DataFrame,
-    release: () => Unit = () => ())
+    release: () => Unit = () => (), appended: DataFrame = null)
 
 /** HyperStorage-on-Spark: the reference's query and mutation capabilities
   * over a content log DataFrame.
@@ -314,7 +315,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     // merged logical log; the store recomputes them on write-back
     ApplyResult(log.select(Content.schema.fieldNames.map(col): _*)
       .unionByName(newRows), feed, rejected,
-      release = () => { applied.unpersist(); () })
+      release = () => { applied.unpersist(); () },
+      appended = newRows)
   }
 
   /** Local convenience for small batches (tests / single-doc API). */

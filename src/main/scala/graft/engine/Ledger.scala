@@ -45,13 +45,25 @@ object Ledger {
   def incomplete(ledger: DataFrame): DataFrame = ledger.filter(!col("completed"))
 
   /** S8: mark the given txn_ids completed (idempotent — completing a
-    * completed txn is a no-op, the at-least-once contract ST2). */
+    * completed txn is a no-op, the at-least-once contract ST2). No
+    * broadcast hint: a recovery window can carry millions of txn_ids, so
+    * the join strategy is left to AQE, which broadcasts small sides at
+    * runtime and shuffles big ones. */
   def complete(ledger: DataFrame, txnIds: DataFrame): DataFrame = {
     val done = txnIds.select(col("txn_id")).distinct()
       .withColumn("__done", lit(true))
-    ledger.join(broadcast(done), Seq("txn_id"), "left_outer")
+    ledger.join(done, Seq("txn_id"), "left_outer")
       .withColumn("completed", col("completed") || coalesce(col("__done"), lit(false)))
       .drop("__done")
+  }
+
+  /** Fold an APPEND-ONLY ledger log (intent rows + completion markers with
+    * identical identity columns) into current per-transaction state. */
+  def current(ledgerLog: DataFrame): DataFrame = {
+    val keys = ledgerLog.columns.filterNot(_ == "completed")
+    ledgerLog.groupBy(keys.map(col): _*)
+      .agg(max(col("completed")).as("completed"))
+      .select(ledgerLog.columns.map(col): _*)
   }
 
   /** S10 checkpoint: per-partition low-water mark = the quantum below

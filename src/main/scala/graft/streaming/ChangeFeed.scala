@@ -71,6 +71,16 @@ object ChangeFeed {
       }
   }
 
+  /** Publish one batch of feed events with per-key ordering: partitioned
+    * by document_uri, sorted by (uri, revision) within each partition —
+    * the reference's per-document ordered Kafka publish. An exception
+    * fails the caller's batch (at-least-once on replay). */
+  def publish(batch: Dataset[FeedEvent])(send: FeedEvent => Unit): Unit =
+    batch
+      .repartition(col("document_uri"))
+      .sortWithinPartitions(col("document_uri"), col("revision"))
+      .foreachPartition { (it: Iterator[FeedEvent]) => it.foreach(send) }
+
   /** ST2: deliver a feed stream to a sink with per-key ordering. The sink
     * runs inside foreachBatch — exceptions fail the batch; restarting from
     * the same checkpoint replays it (at-least-once). */
@@ -81,10 +91,7 @@ object ChangeFeed {
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: Dataset[FeedEvent], _: Long) =>
-        batch
-          .repartition(col("document_uri"))
-          .sortWithinPartitions(col("document_uri"), col("revision"))
-          .foreachPartition { (it: Iterator[FeedEvent]) => it.foreach(send) }
+        publish(batch)(send)
       }
       .start()
 

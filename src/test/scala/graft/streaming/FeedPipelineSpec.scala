@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkFixture
+import graft.engine._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+import java.nio.file.Files
+
+/** The assembled reliable-write loop (reference
+  * BackgroundContentTaskCompleter.scala:83-110): store write-back, ordered
+  * publish, ledger intent/completion, checkpoint advance — including a
+  * crash between publish and completion driven through replay. */
+class FeedPipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def paths() =
+    (tmp("fp-store"), tmp("fp-ledger"), tmp("fp-ckpt"))
+
+  "FeedPipeline" - {
+    "runs the whole loop: store + ordered publish + ledger + checkpoint" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      TestSink.reset()
+      val (storePath, ledgerPath, ckpt) = paths()
+      val source = MemoryStream[WriteOp]
+      val q = FeedPipeline.start(source.toDS(), storePath, ledgerPath, ckpt)(
+        TestSink.send)
+      try {
+        source.addData(
+          WriteOp(1, "PUT", "c~/a", """{"x":1}"""),
+          WriteOp(2, "PUT", "c~/b", """{"x":2}"""))
+        q.processAllAvailable()
+        source.addData(
+          WriteOp(3, "PATCH", "c~/a", """{"y":9}"""),
+          WriteOp(4, "DELETE", "c~/b", null))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // content store reflects both batches
+      val st = ContentStore.open(spark, storePath)
+      st.revisionOf("c~") shouldBe 4
+      st.get("c~/a").map(_.getAs[String]("body")) shouldBe
+        Some("""{"x":1,"id":"a","y":9}""")
+      st.get("c~/b") shouldBe None
+
+      // every event delivered, revisions gapless
+      TestSink.delivered.keys.map(_._3).toSeq.sorted shouldBe Seq(1L, 2L, 3L, 4L)
+
+      // ledger folded state: all four transactions completed
+      val ledger = FeedPipeline.ledgerState(spark, ledgerPath)
+      ledger.count() shouldBe 4
+      ledger.filter(!org.apache.spark.sql.functions.col("completed"))
+        .count() shouldBe 0
+
+      // checkpoint advanced to the LAST batch's quantum (batchTs = id*60s,
+      // fully complete partition ⇒ max seen quantum)
+      FeedPipeline.checkpoints(spark, ledgerPath)
+        .collect().map(_.getAs[Long]("checkpoint_quantum")).toSeq shouldBe Seq(1L)
+    }
+
+    "crash between publish and completion: incomplete ledger, clean replay" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      TestSink.reset()
+      TestSink.failOn = Some("i2") // publish of i2 throws exactly once
+      val (storePath, ledgerPath, ckpt) = paths()
+      val source = MemoryStream[WriteOp]
+      source.addData(
+        WriteOp(1, "PUT", "c~/i1", "{}"),
+        WriteOp(2, "PUT", "c~/i2", "{}"))
+
+      val q1 = FeedPipeline.start(source.toDS(), storePath, ledgerPath, ckpt)(
+        TestSink.send)
+      val failed = intercept[Exception] { q1.processAllAvailable() }
+      failed.getMessage should include("faulty publish")
+      q1.stop()
+
+      // the batch failed AFTER intent landed: the ledger shows incomplete
+      // transactions — exactly what the recovery scan must re-drive
+      val mid = FeedPipeline.ledgerState(spark, ledgerPath)
+      Ledger.recoveryWorkList(mid, 0L, 10L).count() shouldBe 2
+
+      // restart from the SAME checkpoint: the batch replays end-to-end.
+      // The replay re-derives the SAME revisions from pre-batch state and
+      // overwrites its own content/ledger partitions (exactly-once state).
+      val q2 = FeedPipeline.start(source.toDS(), storePath, ledgerPath, ckpt)(
+        TestSink.send)
+      try q2.processAllAvailable() finally q2.stop()
+
+      TestSink.delivered.keySet.map(_._2) shouldBe Set("i1", "i2")
+      TestSink.delivered.keys.map(_._3).toSeq.sorted shouldBe Seq(1L, 2L)
+      val after = FeedPipeline.ledgerState(spark, ledgerPath)
+      after.count() shouldBe 2 // the replay replaced, not duplicated
+      after.filter(!org.apache.spark.sql.functions.col("completed"))
+        .count() shouldBe 0
+      // replayed content partitions overwrote the crashed attempt's rows
+      val st = ContentStore.open(spark, storePath)
+      st.query("c~").rows.collect().map(_.getAs[String]("item_id")).toSeq shouldBe
+        Seq("i1", "i2")
+      st.revisionOf("c~") shouldBe 2
+    }
+  }
+}
