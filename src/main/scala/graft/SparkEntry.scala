@@ -94,7 +94,10 @@ object SparkEntry {
 
   private def collection(s: SparkSession, dir: String, table: String,
       idCol: String, uri: String): HyperStorage =
-    HyperStorage(s, Content.fromTable(t(s, dir, table), uri, idCol))
+    // persist: query() runs at least two actions over the log (the guard
+    // aggregate + the result), and the to_json adaptation dominates the
+    // scan — materialize it once instead of re-serializing per action
+    HyperStorage(s, Content.fromTable(t(s, dir, table), uri, idCol).persist())
 
   // ------------------------------------------------------------- the queries
 
