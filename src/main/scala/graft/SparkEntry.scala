@@ -43,6 +43,16 @@ object SparkEntry {
 
   private def emptyStore(s: SparkSession) = HyperStorage(s, Content.empty(s))
 
+  /** A FIXED per-(purpose, sfDir) scratch dir, wiped on entry — repeated
+    * Verify/Bench runs reuse one path instead of leaking a nanoTime-named
+    * tree per invocation. */
+  private def scratchDir(s: SparkSession, purpose: String, dir: String): String = {
+    val path = s"/tmp/graft_${purpose}_${dir.replace('/', '_')}"
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    path
+  }
+
   /** Decimal → double through the decimal's string rendering. Both Spark and
     * DuckDB parse decimal strings with correctly-rounded double conversion,
     * so the result is bit-identical on both sides — unlike a direct
@@ -443,8 +453,8 @@ object SparkEntry {
       val st = HyperStorage(s, r1.log.persist())
       // durable manager: the maintenance below is a partition-scoped
       // parquet merge, not an in-memory union chain
-      val im = new IndexManager(st, Some(new graft.indexing.IndexStore(s,
-        s"/tmp/graft_idx_${dir.replace('/', '_')}_${System.nanoTime()}")))
+      val im = new IndexManager(st,
+        Some(new graft.indexing.IndexStore(s, scratchDir(s, "idx", dir))))
       im.createIndex("suppliers~", "rich", Nil, Some("acctbal > 5000"))
       val patches = sup.filter(col("s_suppkey") <= 20).select(
         (col("s_suppkey") + 1000).cast("long").as("seq"),
@@ -478,7 +488,7 @@ object SparkEntry {
       // the assembled reliable-write loop in batch form: applyOps →
       // ledger intent → content write-back → ordered publish → completion
       // markers; the oracle checks the folded ledger output
-      val base = s"/tmp/graft_pipe_${dir.replace('/', '_')}_${System.nanoTime()}"
+      val base = scratchDir(s, "pipe", dir)
       val ops = putOps(s, t(s, dir, "region"), "regions~", "r_regionkey",
         Seq("r_name"))
       graft.streaming.FeedPipeline.runBatch(

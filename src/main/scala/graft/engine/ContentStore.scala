@@ -50,11 +50,16 @@ object ContentStore {
       uriPruner = uri => col("part") === partitionOf(uri))
 
   /** Open an existing store, or an empty in-memory log when nothing has
-    * been written yet (the bootstrap case of a write-back loop). */
+    * been written yet (the bootstrap case of a write-back loop). Only
+    * COMMITTED output counts as existing — a crashed first write leaves
+    * `_temporary`/`_SUCCESS` debris that must not make the replay try to
+    * read a store with no data files. */
   def openOrEmpty(spark: SparkSession, path: String): HyperStorage = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) open(spark, path)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(s => !s.getPath.getName.startsWith("_"))
+    if (hasData) open(spark, path)
     else HyperStorage(spark, Content.empty(spark))
   }
 }

@@ -52,6 +52,14 @@ final class IndexManager(val storage: HyperStorage,
     store.map(_.loadDefs()).getOrElse(Map.empty)
   private var tables = Map.empty[(String, String), DataFrame]
 
+  // finish interrupted deletes on load: a DELETING def whose drop crashed
+  // would otherwise block re-creation of the id forever (409 on retry)
+  for (st <- store; d <- defs.values.toSeq if d.status == StatusDeleting) {
+    st.dropTable(d.collectionUri, d.indexId)
+    defs -= ((d.collectionUri, d.indexId))
+    st.saveDefs(defs.values)
+  }
+
   def indexDefs(uri: String): Seq[IndexDef] =
     defs.values.filter(_.collectionUri == uri).toSeq.sortBy(_.indexId)
 
@@ -142,11 +150,20 @@ final class IndexManager(val storage: HyperStorage,
   }
 
   /** Resume every interrupted build (status INDEXING after a restart) —
-    * the reference's PendingIndexWorker.scala:24-85 loop. */
+    * the reference's PendingIndexWorker.scala:24-85 loop. A resume attempt
+    * that fails TRANSIENTLY restores the pending def (the accepted build
+    * is not silently discarded) and the loop continues with the rest. */
   def resumePendingBuilds(): Seq[IndexDef] =
-    defs.values.filter(_.status == StatusIndexing).toSeq.map { d =>
-      defs -= ((d.collectionUri, d.indexId))
-      createIndex(d.collectionUri, d.indexId, d.sortBy, d.filterBy)
+    defs.values.filter(_.status == StatusIndexing).toSeq.flatMap { d =>
+      val key = (d.collectionUri, d.indexId)
+      defs -= key
+      try Some(createIndex(d.collectionUri, d.indexId, d.sortBy, d.filterBy))
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          defs += key -> d
+          store.foreach(_.saveDefs(defs.values))
+          None
+      }
     }
 
   /** M7: delete an index. */
@@ -289,22 +306,18 @@ object QueryPlanner {
     val exact = sort.isEmpty || (p.exactSortMatch && p.ckFields.nonEmpty)
     val target = if (exact) size.toLong else size.toLong + skipMax
     if (kept < target) throw new QuerySkippedRowsLimited(skipMax)
-    // index scan order: the index's own clustering columns + item_id,
-    // all reversed when the matched scan is reversed
-    val nFields = d.sortBy.size
-    val base: Seq[(String, Boolean)] = d.sortBy.zipWithIndex.map {
-      case (it, i) => (IndexLogic.tableFieldName(it, nFields, i), !it.isDesc)
-    } :+ (("item_id", true))
-    val scan = if (exact && p.reversed) base.map { case (n, a) => (n, !a) }
-      else base
-    val order = scan.map { case (n, a) =>
-      if (a) col(n).asc_nulls_last else col(n).desc_nulls_first }
-    // boundary = scan-order key of the target-th accepted row (TakeOrdered,
-    // never a global sort); `before` = lexicographically earlier in scan
-    // order, with the same nulls-last-asc / nulls-first-desc convention
+    val scan = scanOrder(d, exact && p.reversed)
+    val order = orderCols(scan)
+    // boundary = scan-order key of the target-th accepted row: TakeOrdered
+    // for the first `target`, then the REVERSE order's top-1 — a single
+    // row reaches the driver, never the 10k-row page (target can be
+    // size + skipMax)
+    val revOrder = scan.map { case (n, a) =>
+      if (a) col(n).desc_nulls_first else col(n).asc_nulls_last }
     val boundary = pushed.filter(predOk)
       .orderBy(order: _*).limit(math.min(target, Int.MaxValue).toInt)
-      .select(scan.map(s => col(s._1)): _*).collect().last
+      .select(scan.map(s => col(s._1)): _*)
+      .orderBy(revOrder: _*).limit(1).collect().head
     val before = scan.indices.map { i =>
       val eqPrefix = scan.take(i).zipWithIndex.map { case ((n, _), j) =>
         col(n) <=> lit(boundary.get(j)) }
@@ -320,6 +333,20 @@ object QueryPlanner {
     val skipped = pushed.filter(!predOk && before).count()
     if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
   }
+
+  /** The index's physical scan order: its clustering columns in declared
+    * direction, then item_id asc — all reversed for a reversed scan. */
+  private def scanOrder(d: IndexDef, reversed: Boolean): Seq[(String, Boolean)] = {
+    val n = d.sortBy.size
+    val base = d.sortBy.zipWithIndex.map { case (it, i) =>
+      (IndexLogic.tableFieldName(it, n, i), !it.isDesc)
+    } :+ (("item_id", true))
+    if (reversed) base.map { case (c, a) => (c, !a) } else base
+  }
+
+  private def orderCols(scan: Seq[(String, Boolean)]): Seq[Column] =
+    scan.map { case (n, a) =>
+      if (a) col(n).asc_nulls_last else col(n).desc_nulls_first }
 
   private def filterColumn(ff: FieldFilter): Column = {
     val c = col(ff.name)
@@ -353,14 +380,14 @@ object QueryPlanner {
     if (p.source == "primary") {
       (p, im.storage.query(uri, filter, sort, size, skipMax = skipMax))
     } else {
+      val d = im.indexDef(uri, p.source).get
       val table = im.indexTable(uri, p.source).get
       val resolver = FieldResolver.json(col("body"))
       val pushed = p.pushdown.foldLeft(table)((df, ff) => df.filter(filterColumn(ff)))
       val residualPred = filter.map(f => Translator.predicate(f, resolver))
       val residual = residualPred.fold(pushed)(pushed.filter)
       if (residualPred.isDefined && skipMax >= 0)
-        skippedRowsGuard(im.indexDef(uri, p.source).get, p, pushed,
-          residualPred.get, sort, size, skipMax)
+        skippedRowsGuard(d, p, pushed, residualPred.get, sort, size, skipMax)
       val limited =
         if (p.exactSortMatch && p.ckFields.nonEmpty)
           // index order: typed physical columns, no per-row JSON work.
@@ -374,7 +401,12 @@ object QueryPlanner {
             else col(ck.name).desc_nulls_first) :+
             (if (p.reversed) col("item_id").desc else col("item_id").asc): _*)
             .limit(size)
-        else if (sort.isEmpty) residual.orderBy(col("item_id").asc).limit(size)
+        else if (sort.isEmpty)
+          // no requested sort ⇒ the chosen index's own clustering order,
+          // exactly what the reference's source scan returns — also the
+          // order the skipped-rows guard measured against
+          residual.orderBy(orderCols(scanOrder(d, reversed = false)): _*)
+            .limit(size)
         else HyperStorage.sortAndLimit(residual, sort, resolver,
           col("item_id").asc, size)
       val revision = im.storage.revisionOf(uri)

@@ -40,8 +40,14 @@ final class IndexStore(val spark: SparkSession, val path: String) {
   def tableDir(uri: String, indexId: String): String =
     s"$path/tables/${enc(uri)}/${enc(indexId)}"
 
-  def loadDefs(): Map[(String, String), IndexDef] =
-    if (!fs.exists(new Path(defsPath))) Map.empty
+  def loadDefs(): Map[(String, String), IndexDef] = {
+    // crash recovery for saveDefs' swap: a complete tmp with no live defs
+    // dir means the crash hit between delete and rename — finish the swap
+    val live = new Path(defsPath)
+    val tmp = new Path(defsPath + ".tmp")
+    if (!fs.exists(live) && fs.exists(new Path(tmp, "_SUCCESS")))
+      fs.rename(tmp, live)
+    if (!fs.exists(live)) Map.empty
     else spark.read.parquet(defsPath).collect().map { r =>
       val sortBy = Option(r.getAs[String]("sort_by")).filter(_.nonEmpty)
         .map(_.split(";", -1).toSeq.map(decodeItem)).getOrElse(Nil)
@@ -51,29 +57,54 @@ final class IndexStore(val spark: SparkSession, val path: String) {
         r.getAs[String]("status"), r.getAs[String]("table_name"))
       (d.collectionUri, d.indexId) -> d
     }.toMap
+  }
 
-  /** Overwrite the (small, driver-held) def metadata. Called on every
-    * status transition so a restarted manager resumes from the last one —
-    * INDEXING defs surface as resumable builds, like `pending_index`. */
+  /** Replace the (small, driver-held) def metadata. Called on every status
+    * transition so a restarted manager resumes from the last one —
+    * INDEXING defs surface as resumable builds, like `pending_index`.
+    * Written to a tmp dir and swapped in, so a crash never leaves a
+    * half-written live dir; the delete→rename window is covered by
+    * loadDefs' tmp recovery. */
   def saveDefs(defs: Iterable[IndexDef]): Unit = {
     val spark0 = spark
     import spark0.implicits._
+    val tmp = defsPath + ".tmp"
     defs.toSeq
       .map(d => (d.collectionUri, d.indexId,
         d.sortBy.map(encodeItem).mkString(";"),
         d.filterBy.orNull, d.status, d.tableName))
       .toDF("collection_uri", "index_id", "sort_by", "filter_by",
         "status", "table_name")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(defsPath)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    fs.delete(new Path(defsPath), true)
+    fs.rename(new Path(tmp), new Path(defsPath))
+    ()
   }
 
-  def writeTable(uri: String, indexId: String, rows: DataFrame): Unit =
-    rows.withColumn("ipart", ipartCol(col("item_id")))
-      .write.partitionBy("ipart").mode(SaveMode.Overwrite)
-      .parquet(tableDir(uri, indexId))
+  /** The `_schema` anchor makes empty tables readable: a partitioned write
+    * of zero rows emits no parquet footers, so without it a NORMAL index
+    * whose filter matched nothing would crash every open with
+    * 'Unable to infer schema'. Underscore-prefixed, so data reads of the
+    * table dir ignore it. */
+  private def schemaAnchor(dir: String) = s"$dir/_schema"
 
+  def writeTable(uri: String, indexId: String, rows: DataFrame): Unit = {
+    val dir = tableDir(uri, indexId)
+    rows.withColumn("ipart", ipartCol(col("item_id")))
+      .write.partitionBy("ipart").mode(SaveMode.Overwrite).parquet(dir)
+    rows.limit(0).write.mode(SaveMode.Overwrite).parquet(schemaAnchor(dir))
+  }
+
+  /** Open with the anchored schema (never inference) — zero-row tables and
+    * merge-emptied partitions read as empty DataFrames, not errors. */
   def openTable(uri: String, indexId: String): DataFrame =
-    spark.read.parquet(tableDir(uri, indexId)).drop("ipart")
+    openRaw(tableDir(uri, indexId)).drop("ipart")
+
+  private def openRaw(dir: String): DataFrame = {
+    val schema = spark.read.parquet(schemaAnchor(dir)).schema
+      .add("ipart", org.apache.spark.sql.types.IntegerType)
+    spark.read.schema(schema).parquet(dir)
+  }
 
   def dropTable(uri: String, indexId: String): Unit = {
     fs.delete(new Path(tableDir(uri, indexId)), true)
@@ -83,7 +114,15 @@ final class IndexStore(val spark: SparkSession, val path: String) {
   /** Partition-scoped merge: drop all index rows of `touchedItems`, insert
     * `replacement`, touching only the item-hash partitions involved. The
     * tmp write fully materializes before any directory is swapped, so the
-    * scoped self-read never races the rewrite. */
+    * scoped self-read never races the rewrite.
+    *
+    * Known window: the per-partition swap loop is not atomic ACROSS
+    * partitions — a crash mid-loop leaves some partitions merged and
+    * others not (single-partition batches are safe). Closing it needs a
+    * table-format commit manifest (the next durability step at cluster
+    * scale); the reference has the same non-atomicity across its per-row
+    * Cassandra index mutations (BackgroundContentTaskCompleter retries
+    * row-wise until the feed transaction completes). */
   def mergeTable(uri: String, indexId: String, touchedItems: DataFrame,
       replacement: DataFrame): Unit = {
     val dir = tableDir(uri, indexId)
@@ -91,7 +130,7 @@ final class IndexStore(val spark: SparkSession, val path: String) {
       .select(ipartCol(col("item_id")).as("ipart")).distinct()
       .collect().map(_.getInt(0)) // bounded by IndexPartitions
     if (parts.isEmpty) return
-    val scoped = spark.read.parquet(dir)
+    val scoped = openRaw(dir)
       .filter(col("ipart").isin(parts.toSeq: _*)).drop("ipart")
     val updated = scoped
       .join(broadcast(touchedItems.select("item_id")), Seq("item_id"), "left_anti")

@@ -49,6 +49,10 @@ object FeedPipeline {
       .start()
 
   /** One batch of the loop — also usable directly for batch ingestion.
+    * `tsMillis` IS the batch identity: it keys the idempotent partition
+    * overwrites below, so it must be unique per distinct batch (the
+    * streaming default id*60000 is; a batch caller supplies its own
+    * monotonic series).
     *
     * Replay-idempotent (exactly-once STATE, at-least-once DELIVERY): the
     * batch is always re-derived from the PRE-batch state — the state read
@@ -80,9 +84,13 @@ object FeedPipeline {
       val feed = r.feed.localCheckpoint()
       val appended = r.appended.localCheckpoint()
       // 1. durable intent BEFORE any effect (write-ahead): overwrites this
-      // batch's quantum partition, clearing a crashed attempt's leftovers
+      // BATCH's partition, clearing a crashed attempt's leftovers. Keyed
+      // by the batch identity itself, NOT dt_quantum — two batches can
+      // share a minute quantum, and an overwrite keyed on the coarser
+      // quantum would erase the earlier batch's ledger rows
       Ledger.fromFeed(feed, tsMillis)
-        .write.partitionBy("dt_quantum")
+        .withColumn("batch", lit(tsMillis))
+        .write.partitionBy("batch")
         .option("partitionOverwriteMode", "dynamic")
         .mode(SaveMode.Overwrite).parquet(ledgerPath)
       // 2. content write-back: this batch's rows under their own batch
@@ -96,18 +104,17 @@ object FeedPipeline {
       // 4. completion markers, APPENDED only after the publish succeeded
       // (append keeps intent rows intact; Ledger.current folds the pair)
       Ledger.fromFeed(feed, tsMillis).withColumn("completed", lit(true))
-        .write.partitionBy("dt_quantum")
+        .withColumn("batch", lit(tsMillis))
+        .write.partitionBy("batch")
         .mode(SaveMode.Append).parquet(ledgerPath)
       ()
     } finally r.release()
   }
 
-  /** Current per-transaction ledger state (intent ∪ completions folded).
-    * dt_quantum comes back from partition-directory inference as int —
-    * restore the Ledger.fromFeed long schema. */
+  /** Current per-transaction ledger state (intent ∪ completions folded;
+    * the physical `batch` partition key is dropped). */
   def ledgerState(spark: SparkSession, ledgerPath: String): DataFrame =
-    Ledger.current(spark.read.parquet(ledgerPath)
-      .withColumn("dt_quantum", col("dt_quantum").cast("long")))
+    Ledger.current(spark.read.parquet(ledgerPath).drop("batch"))
 
   /** Per-partition checkpoint low-water marks over the folded ledger. */
   def checkpoints(spark: SparkSession, ledgerPath: String): DataFrame =

@@ -139,6 +139,22 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
         Some("b > 10"), Seq(SortBy("a", descending = true)), 50)
       ids(q) shouldBe Seq("item3", "item1")
     }
+    "no requested sort serves the index's own clustering order" in {
+      // a-order is the REVERSE of id-order: the served page must follow
+      // the index clustering (what the reference's source scan returns and
+      // what the skipped-rows guard measures), not item_id order
+      val r = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
+        WriteOp(1, "PUT", "rev~/item1", """{"a":"z","b":20}"""),
+        WriteOp(2, "PUT", "rev~/item2", """{"a":"y","b":20}"""),
+        WriteOp(3, "PUT", "rev~/item3", """{"a":"x","b":20}""")))
+      val im = new IndexManager(HyperStorage(spark, r.log))
+      im.createIndex("rev~", "byA",
+        Seq(IndexSortItem("a", Some("text"), Some("asc"))), Some("b > 10"))
+      val (p, q) = QueryPlanner.query(im, "rev~", Some("b > 10"), Nil, 50)
+      p.source shouldBe "byA"
+      ids(q) shouldBe Seq("item3", "item2", "item1")
+    }
+
     "residual filter applies on top of a wider index" in {
       val (p, q) = QueryPlanner.query(fixture, "collection-1~",
         Some("b > 100"), Seq(SortBy("id")), 50)
@@ -300,6 +316,35 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
       val im2 = new IndexManager(st, Some(new IndexStore(spark, path)))
       im2.indexDef("collection-1~", "index1") shouldBe None
       im2.indexTable("collection-1~", "index1") shouldBe None
+    }
+
+    "an index whose filter matches nothing is durable and readable" in {
+      val (st, path) = newStoragePath()
+      val im1 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im1.createIndex("collection-1~", "none", Nil, Some("b > 999999"))
+      items(im1, "none") shouldBe Seq.empty // schema anchor, not an error
+      val im2 = new IndexManager(st, Some(new IndexStore(spark, path)))
+      items(im2, "none") shouldBe Seq.empty
+      // maintenance over the empty table works and inserts the first row
+      val r = st.applySeq(Seq(WriteOp(10, "PUT", "collection-1~/itemX",
+        """{"a":"x","b":9999999}""")))
+      im2.applyFeed(r.feed)
+      items(im2, "none") shouldBe Seq("itemX")
+    }
+
+    "a crashed delete (DELETING def) is finished on load" in {
+      val (st, path) = newStoragePath()
+      val store = new IndexStore(spark, path)
+      val im1 = new IndexManager(st, Some(store))
+      im1.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+      // simulate a crash mid-delete: DELETING recorded, table not dropped
+      store.saveDefs(Seq(IndexDef("collection-1~", "index1", Nil,
+        Some("b > 10"), IndexDef.StatusDeleting, "index_content")))
+      val im2 = new IndexManager(st, Some(store))
+      im2.indexDef("collection-1~", "index1") shouldBe None // finished
+      // the id is re-creatable (no phantom 409)
+      im2.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+        .status shouldBe IndexDef.StatusNormal
     }
 
     "an interrupted build is resumable (pending_index semantics)" in {
