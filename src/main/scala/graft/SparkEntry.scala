@@ -634,6 +634,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_embedding_cosine_lsh" -> ((s, dir) => {
+      // the 100×-scale path for embedding near-dup: sign-bucket LSH with
+      // Hamming-1 multiprobe + exact verify — oracle replays the exact
+      // bucketing (inlined hyperplanes), so the approximate path is
+      // hash-checked, not rows-only
+      Similarity.cosineNearDupPairsLsh(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, planes = 6, dim = 64)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: similarity search -------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -645,6 +655,13 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => {
       Similarity.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, planes = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      Similarity.annIvfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -1033,6 +1050,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> jaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,
+    "ann_ivf_topk" -> annIvfOracle,
+    "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,
 
     "ann_cosine_topk" ->
       """WITH e AS (
@@ -1151,13 +1170,19 @@ object SparkEntry {
     * rendering parses back to identical doubles), buckets/multiprobes/
     * re-rank run the same computation — so even this APPROXIMATE operator
     * gets an exact oracle. */
-  private def annLshOracle: String = {
-    def planeLit(p: Int): String =
-      pipeline.Similarity.planeVector(p, 64).map(_.toString)
-        .mkString("[", ", ", "]")
-    val bucketExpr = (0 until 4).map { p =>
+  private def planeLit(p: Int): String =
+    pipeline.Similarity.planeVector(p, 64).map(_.toString)
+      .mkString("[", ", ", "]")
+
+  /** SQL for the sign-bucket of `v` under the first `planes` deterministic
+    * hyperplanes — shared by every LSH-replay oracle. */
+  private def bucketSql(planes: Int): String =
+    (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n     + ")
+
+  private def annLshOracle: String = {
+    val bucketExpr = bucketSql(4)
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bkt AS (
@@ -1181,6 +1206,50 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Replay of the LSH near-dup pair search: candidates are exactly the
+    * pairs whose sign-buckets are within Hamming distance 1 (== the
+    * Hamming-1 multiprobe set), verified with exact cosine. */
+  private def cosineLshPairsOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, v,
+       |    ${bucketSql(6)} AS bucket
+       |  FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 1
+       |  AND list_cosine_similarity(a.v, b.v) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Replay of the IVF-flat search: deterministic centroids (first nlist
+    * vectors in id order), nearest-centroid assignment with centroid-id
+    * tie-break, nprobe probing, exact re-rank. */
+  private def annIvfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+      |scored AS (
+      |  SELECT e.vec_id, e.v, c.cid,
+      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crn
+      |  FROM e CROSS JOIN c),
+      |assign AS (SELECT vec_id, v, cid FROM scored WHERE crn = 1),
+      |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid FROM scored
+      |           WHERE vec_id < 10 AND crn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT qp.query_id, a.vec_id AS id,
+      |         list_cosine_similarity(qp.qv, a.v) AS sim
+      |  FROM qprobe qp JOIN assign a
+      |    ON a.cid = qp.cid AND a.vec_id != qp.query_id),
+      |ranked AS (
+      |  SELECT query_id, id AS neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, id) AS rank
+      |  FROM cand)
+      |SELECT query_id, neighbor_id, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —
     * the oracle for both the deterministic shared-shingle path and the

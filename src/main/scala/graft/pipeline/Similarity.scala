@@ -109,6 +109,43 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** IVF-flat ANN with DETERMINISTIC coarse centroids: the first `nlist`
+    * corpus vectors in id order serve as the coarse quantizer — no
+    * training iterations, so the whole structure is reproducible by an
+    * external oracle (a production deployment plugs k-means centroids
+    * into the same shape). One bucketing pass assigns every corpus vector
+    * to its nearest centroid (ties broken by centroid id); each query
+    * probes its `nprobe` nearest centroid lists and exact-reranks.
+    * Candidates ∝ probed-list occupancy ≈ nprobe/nlist of the corpus —
+    * the classic IVF trade, never N². */
+  def annIvfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val centroids = corpus.orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def nearest(side: DataFrame, keep: Int): DataFrame = {
+      val scored = side.join(broadcast(centroids))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cv", "cnrm", "csim", "crn")
+    }
+    val assigned = nearest(corpus, 1)
+    val probes = nearest(prep(df.filter(queryPred), idCol, vecCol), nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("cid"))
+    val cands = assigned.join(broadcast(probes),
+        Seq("cid")).filter(col("id") =!= col("query_id"))
+      .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))
+    cands.select("query_id", "id", "sim").distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: corpus hashed once into sign buckets; each query
     * probes its own bucket plus all Hamming-1 neighbor buckets (multiprobe)
     * and exact-reranks the candidates. Approximate (recall < 1 by design);

@@ -90,6 +90,20 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       val recall = (a1 & exact).size.toDouble / exact.size
       recall should be >= 0.3 // approximate by design; exact re-rank of candidates
     }
+
+    "IVF ANN achieves usable recall vs exact top-k and is deterministic" in {
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def run() = Similarity.annIvfTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, 5, nlist = 8, nprobe = 3)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a1 = run(); val a2 = run()
+      a1 shouldBe a2 // deterministic centroids (first nlist ids)
+      val recall = (a1 & exact).size.toDouble / exact.size
+      recall should be >= 0.3 // nprobe/nlist trade; exact re-rank of candidates
+    }
   }
 
   "DotProduct expression" - {
