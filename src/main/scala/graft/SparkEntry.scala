@@ -499,6 +499,28 @@ object SparkEntry {
         .orderBy("txn_id")
     }),
 
+    "st4_transaction_list" -> ((s, dir) => {
+      // pending-transaction visibility: two batches of writes, the first
+      // completed — readers see only the second batch's txns per document
+      val r1 = emptyStore(s).applyOps(
+        putOps(s, t(s, dir, "region"), "regions~", "r_regionkey", Seq("r_name")))
+      val l1 = Ledger.fromFeed(r1.feed, 60000L)
+      val done = Ledger.complete(l1, l1.select("txn_id"))
+      val st = HyperStorage(s, r1.log)
+      val r2 = st.applyOps(
+        t(s, dir, "region").filter(col("r_regionkey") < 3).select(
+          (col("r_regionkey") + 100).cast("long").as("seq"),
+          lit("PATCH").as("method"),
+          concat(lit("regions~/"), col("r_regionkey").cast("string")).as("path"),
+          lit("""{"touched":true}""").as("body"))
+          .as[WriteOp](HyperStorage.writeOpEncoder))
+      val ledger = done.unionByName(Ledger.fromFeed(r2.feed, 120000L))
+      Ledger.transactionList(ledger)
+        .select(col("document_uri"),
+          concat_ws(",", col("transaction_list")).as("pending"))
+        .orderBy("document_uri")
+    }),
+
     "st5_quantize" -> ((s, dir) => {
       events(s, dir)
         .select(Ledger.quantum(col("ts_ms")).as("quantum"))
@@ -938,6 +960,14 @@ object SparkEntry {
         |       ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision,
         |       TRUE AS completed, CAST(1 AS BIGINT) AS dt_quantum
         |FROM region ORDER BY txn_id""".stripMargin,
+
+    "st4_transaction_list" ->
+      """WITH n AS (SELECT COUNT(*) AS c FROM region)
+        |SELECT 'regions~' AS document_uri,
+        |       string_agg('regions~/' || CAST(r_regionkey AS VARCHAR) || '#' ||
+        |                  CAST(c + r_regionkey + 1 AS VARCHAR), ','
+        |                  ORDER BY r_regionkey) AS pending
+        |FROM region, n WHERE r_regionkey < 3 GROUP BY 1""".stripMargin,
 
     "st5_quantize" ->
       """SELECT epoch_ms(ts) // 60000 AS quantum, COUNT(*) AS cnt

@@ -66,6 +66,20 @@ object Ledger {
       .select(ledgerLog.columns.map(col): _*)
   }
 
+  /** The reference's `transaction_list` static column (scheme.cql:5,
+    * PrimaryWorker.scala:254,263): the pending (uncompleted) transactions
+    * of each document, visible to readers until the background completer
+    * clears them. Here the ledger is the source of truth, so the list is
+    * a per-document aggregation of incomplete rows, ordered by revision. */
+  def transactionList(ledger: DataFrame): DataFrame =
+    incomplete(ledger)
+      .groupBy("document_uri")
+      .agg(array_sort(collect_list(struct(col("revision"), col("txn_id"))))
+        .as("__txns"))
+      .select(col("document_uri"),
+        transform(col("__txns"), t => t.getField("txn_id"))
+          .as("transaction_list"))
+
   /** S10 checkpoint: per-partition low-water mark = the quantum below
     * which everything is complete (min incomplete quantum − 1, or the max
     * seen quantum when the partition is fully complete). */
