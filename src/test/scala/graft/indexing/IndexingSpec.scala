@@ -347,6 +347,21 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .status shouldBe IndexDef.StatusNormal
     }
 
+    "pushed sort-field predicates reach the parquet scan of a durable index" in {
+      val (st, path) = newStoragePath()
+      val im = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im.createIndex("collection-1~", "byB",
+        Seq(IndexSortItem("b", Some("decimal"), Some("asc"))), None)
+      val (p, q) = QueryPlanner.query(im, "collection-1~",
+        Some("b > 10"), Seq(SortBy("b")), 50)
+      p.source shouldBe "byB"
+      p.pushdown should not be empty
+      // the typed d0 filter must land at the FileScan, not above it
+      val plan = q.rows.queryExecution.executedPlan.toString
+      plan should include("PushedFilters: [")
+      (plan should include).regex("PushedFilters: \\[[^\\]]*d0")
+    }
+
     "an interrupted build is resumable (pending_index semantics)" in {
       val (st, path) = newStoragePath()
       val store = new IndexStore(spark, path)
