@@ -1237,6 +1237,16 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Spark's exact cosine computation, spelled out:
+    * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))). Deliberately NOT
+    * DuckDB's list_cosine_similarity (dot/sqrt(xx*yy)) — where the SET of
+    * results depends on a comparison (centroid assignment, a threshold),
+    * the oracle must run the bit-identical operation sequence, or a 1-ulp
+    * divergence in the division path flips set membership. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))"
+
   /** Replay of the LSH near-dup pair search: candidates are exactly the
     * pairs whose sign-buckets are within Hamming distance 1 (== the
     * Hamming-1 multiprobe set), verified with exact cosine. */
@@ -1250,36 +1260,36 @@ object SparkEntry {
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |FROM bkt a JOIN bkt b ON a.vec_id < b.vec_id
        |WHERE bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 1
-       |  AND list_cosine_similarity(a.v, b.v) >= 0.4
+       |  AND ${cosSql("a.v", "b.v")} >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Replay of the IVF-flat search: deterministic centroids (first nlist
     * vectors in id order), nearest-centroid assignment with centroid-id
     * tie-break, nprobe probing, exact re-rank. */
   private def annIvfOracle: String =
-    """WITH e AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
-      |scored AS (
-      |  SELECT e.vec_id, e.v, c.cid,
-      |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-      |            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS crn
-      |  FROM e CROSS JOIN c),
-      |assign AS (SELECT vec_id, v, cid FROM scored WHERE crn = 1),
-      |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid FROM scored
-      |           WHERE vec_id < 10 AND crn <= 4),
-      |cand AS (
-      |  SELECT DISTINCT qp.query_id, a.vec_id AS id,
-      |         list_cosine_similarity(qp.qv, a.v) AS sim
-      |  FROM qprobe qp JOIN assign a
-      |    ON a.cid = qp.cid AND a.vec_id != qp.query_id),
-      |ranked AS (
-      |  SELECT query_id, id AS neighbor_id,
-      |         ROW_NUMBER() OVER (PARTITION BY query_id
-      |                            ORDER BY sim DESC, id) AS rank
-      |  FROM cand)
-      |SELECT query_id, neighbor_id, rank FROM ranked
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS crn
+       |  FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, v, cid FROM scored WHERE crn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid FROM scored
+       |           WHERE vec_id < 10 AND crn <= 4),
+       |cand AS (
+       |  SELECT qp.query_id, a.vec_id AS id,
+       |         ${cosSql("qp.qv", "a.v")} AS sim
+       |  FROM qprobe qp JOIN assign a
+       |    ON a.cid = qp.cid AND a.vec_id != qp.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, id) AS rank
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —
     * the oracle for both the deterministic shared-shingle path and the

@@ -140,7 +140,11 @@ object Similarity {
         Seq("cid")).filter(col("id") =!= col("query_id"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id"))
-    cands.select("query_id", "id", "sim").distinct()
+    // no distinct (unlike the LSH multiprobe): each corpus vector lives in
+    // exactly ONE inverted list and a query's probes carry distinct cids,
+    // so (query_id, id) pairs are already unique — a dedup here would be
+    // a pure extra shuffle over the candidate set
+    cands.select("query_id", "id", "sim")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))

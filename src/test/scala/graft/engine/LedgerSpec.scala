@@ -36,6 +36,25 @@ class LedgerSpec extends AnyFreeSpec with Matchers with SparkFixture {
       cp(0).getAs[Long]("checkpoint_quantum") shouldBe 2L
     }
 
+    "transaction_list shows a document's pending txns in revision order" in {
+      import spark.implicits._
+      val feed = Seq(
+        FeedEvent("d~", "i2", "feed:put", 2L, "{}"),
+        FeedEvent("d~", "i1", "feed:put", 1L, "{}"),
+        FeedEvent("d~", "i3", "feed:put", 3L, "{}"),
+        FeedEvent("e~", "x", "feed:put", 1L, "{}")).toDF()
+      val l = Ledger.complete(Ledger.fromFeed(feed, 60000L),
+        feedOf().sparkSession.createDataset(Seq("d~/i2#2")).toDF("txn_id"))
+      val rows = Ledger.transactionList(l).orderBy("document_uri").collect()
+      rows.map(_.getString(0)).toSeq shouldBe Seq("d~", "e~")
+      // revision-ordered, completed txn (i2#2) excluded
+      rows(0).getSeq[String](1) shouldBe Seq("d~/i1#1", "d~/i3#3")
+      rows(1).getSeq[String](1) shouldBe Seq("e~/x#1")
+      // fully-completed documents disappear from the list
+      val all = Ledger.complete(l, l.select("txn_id"))
+      Ledger.transactionList(all).count() shouldBe 0
+    }
+
     "fully-complete partition checkpoints at its max quantum" in {
       val f = feedOf("a" -> 1L)
       val l = Ledger.complete(Ledger.fromFeed(f, 300000L),
