@@ -528,6 +528,17 @@ object SparkEntry {
         .orderBy("quantum")
     }),
 
+    "st7_windowed_counts" -> ((s, dir) => {
+      // the Structured Streaming windowed-agg operator in its batch shape
+      // (withWatermark is a no-op in batch) — the streaming semantics
+      // (finalize-on-watermark, late-drop) are pinned in StreamsSpec
+      graft.streaming.Streams.windowedCounts(
+          events(s, dir).select(timestamp_millis(col("ts_ms")).as("t")),
+          "t", "1 minute", "1 minute")
+        .select(unix_millis(col("window_start")).as("window_ms"), col("cnt"))
+        .orderBy("window_ms")
+    }),
+
     // ---- analytics (joins/aggs/windows — Spark built-ins over the engine's
     // tables; the reference has none of these, SURVEY §2.3-2.5) ----------
     "q1_agg" -> ((s, dir) =>
@@ -972,6 +983,10 @@ object SparkEntry {
     "st5_quantize" ->
       """SELECT epoch_ms(ts) // 60000 AS quantum, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY quantum""".stripMargin,
+
+    "st7_windowed_counts" ->
+      """SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ms, COUNT(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY window_ms""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+import java.nio.file.Files
+
+/** Watermarked windowed aggregation: append mode emits a window only once
+  * the watermark finalizes it, and rows arriving behind the watermark are
+  * dropped — the state-bounding contract. */
+class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  "Streams.windowedCounts" - {
+    "finalizes windows on watermark advance and drops late rows" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[Long] // event-time millis
+      val counts = Streams.windowedCounts(
+        src.toDS().select(timestamp_millis(col("value")).as("t")),
+        "t", "1 minute", "1 minute")
+      val q = counts.writeStream.format("memory").queryName("wc")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-wc").toString)
+        .outputMode("append").start()
+      try {
+        src.addData(5000L, 15000L, 65000L) // window 0 ×2, window 1 ×1
+        q.processAllAvailable()
+        // watermark after this batch = 200000 - 60000 = 140000:
+        // windows [0,60s) and [60s,120s) finalize and emit
+        src.addData(200000L)
+        q.processAllAvailable()
+        // LATE: behind the watermark — silently dropped, window 0 stays 2
+        src.addData(1000L)
+        q.processAllAvailable()
+        // push the watermark past window [180s,240s) to flush it
+        src.addData(400000L)
+        q.processAllAvailable()
+        val rows = spark.table("wc").collect()
+          .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+            r.getAs[Long]("cnt"))).toMap
+        rows(0L) shouldBe 2L       // the late 1000L was NOT counted
+        rows(60000L) shouldBe 1L
+        rows(180000L) shouldBe 1L
+      } finally q.stop()
+    }
+
+    "the same transformation runs in batch mode (oracle shape)" in {
+      import spark.implicits._
+      val batch = Seq(5000L, 15000L, 65000L, 1000L)
+        .toDF("value").select(timestamp_millis(col("value")).as("t"))
+      val got = Streams.windowedCounts(batch, "t", "1 minute", "1 minute")
+        .select(unix_millis(col("window_start")).as("ms"), col("cnt"))
+        .orderBy("ms").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      got shouldBe Seq((0L, 3L), (60000L, 1L)) // batch sees everything
+    }
+  }
+}
