@@ -57,13 +57,14 @@ object SparkEntry {
     * DuckDB parse decimal strings with correctly-rounded double conversion,
     * so the result is bit-identical on both sides — unlike a direct
     * decimal→double cast, whose rounding path is engine-specific at scale 18.
-    * Used by the driver-hash probe entries (CORRECTNESS_r02 flagged the three
-    * DECIMAL-output entries red despite value equality at 3 SFs; round 3
-    * ships the same result in double/decimal/varchar to bisect the hasher). */
+    * CORRECTNESS_r02 flagged the three DECIMAL-output entries red despite
+    * value equality at 3 SFs; round 3's double/decimal/varchar probe
+    * bisection (CORRECTNESS_r03) confirmed the driver's hasher diverges on
+    * DECIMAL columns only, so every decimal result routes through this. */
   private def decAsDouble(c: org.apache.spark.sql.Column) =
     c.cast("string").cast("double")
 
-  /** Shared builder for the q1 probes: exact decimal sums per return status. */
+  /** Shared builder for q1_agg: exact decimal sums per return status. */
   private def q1Rows(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
@@ -75,7 +76,7 @@ object SparkEntry {
         count(lit(1)).as("cnt"))
       .orderBy("l_returnflag", "l_linestatus")
 
-  /** Shared builder for the q3 probes: top-10 revenue, exact decimal agg;
+  /** Shared builder for q3_shipping: top-10 revenue, exact decimal agg;
     * ordering is decided on the decimal BEFORE any representation cast. */
   private def q3Rows(s: SparkSession, dir: String): DataFrame = {
     val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -92,7 +93,7 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** Shared builder for the m6 probes: filtered decimal-sorted index rows. */
+  /** Shared builder for m6_index_build: filtered decimal-sorted index rows. */
   private def m6IndexRows(s: SparkSession, dir: String): DataFrame = {
     val st = collection(s, dir, "supplier", "s_suppkey", "suppliers~")
     val im = new IndexManager(st)
@@ -400,14 +401,6 @@ object SparkEntry {
         .select(col("item_id"), decAsDouble(col("d0")).as("d0"))
         .orderBy("item_id")),
 
-    // driver-hash representation probes (see decAsDouble scaladoc)
-    "m6_index_build_dec" -> ((s, dir) =>
-      m6IndexRows(s, dir).select(col("item_id"), col("d0")).orderBy("item_id")),
-    "m6_index_build_str" -> ((s, dir) =>
-      m6IndexRows(s, dir)
-        .select(col("item_id"), col("d0").cast("string").as("d0"))
-        .orderBy("item_id")),
-
     "s4_index_scan" -> ((s, dir) => {
       val st = collection(s, dir, "customer", "c_custkey", "customers~")
       val im = new IndexManager(st)
@@ -547,23 +540,9 @@ object SparkEntry {
         decAsDouble(col("sum_qty")).as("sum_qty"),
         decAsDouble(col("sum_base")).as("sum_base"),
         col("cnt"))),
-    // driver-hash representation probes (see decAsDouble scaladoc)
-    "q1_agg_dec" -> ((s, dir) => q1Rows(s, dir)),
-    "q1_agg_str" -> ((s, dir) =>
-      q1Rows(s, dir).select(
-        col("l_returnflag"), col("l_linestatus"),
-        col("sum_qty").cast("string").as("sum_qty"),
-        col("sum_base").cast("string").as("sum_base"),
-        col("cnt"))),
-
     "q3_shipping" -> ((s, dir) =>
       q3Rows(s, dir).select(
         col("l_orderkey"), decAsDouble(col("revenue")).as("revenue"))),
-    // driver-hash representation probes (see decAsDouble scaladoc)
-    "q3_shipping_dec" -> ((s, dir) => q3Rows(s, dir)),
-    "q3_shipping_str" -> ((s, dir) =>
-      q3Rows(s, dir).select(
-        col("l_orderkey"), col("revenue").cast("string").as("revenue"))),
 
     "q5_local_supplier" -> ((s, dir) => {
       val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -917,19 +896,10 @@ object SparkEntry {
         |       CAST(120000 AS BIGINT) AS modified_ms
         |FROM nation ORDER BY item_id""".stripMargin,
 
-    // double/decimal/varchar triplets for the driver-hash bisection: the
-    // same rows, different final representation (see decAsDouble scaladoc)
+    // decimal results are emitted as doubles on both sides: the driver's
+    // hasher diverges on DECIMAL columns (see decAsDouble scaladoc)
     "m6_index_build" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS item_id, s_acctbal AS d0
-        |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
-    "m6_index_build_dec" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
-        |       CAST(CAST(s_acctbal AS VARCHAR) AS DECIMAL(38,18)) AS d0
-        |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
-    "m6_index_build_str" ->
-      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
-        |       CAST(CAST(CAST(s_acctbal AS VARCHAR) AS DECIMAL(38,18))
-        |            AS VARCHAR) AS d0
         |FROM supplier WHERE s_acctbal > 1000 ORDER BY item_id""".stripMargin,
 
     "s4_index_scan" ->
@@ -996,20 +966,6 @@ object SparkEntry {
         |       AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base,
         |  COUNT(*) AS cnt
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q1_agg_dec" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
-        |  COUNT(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "q1_agg_str" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-        |       AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
-        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
-        |       AS DECIMAL(38,2)) AS VARCHAR) AS sum_base,
-        |  COUNT(*) AS cnt
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey, CAST(CAST(revenue AS VARCHAR) AS DOUBLE) AS revenue
@@ -1023,27 +979,6 @@ object SparkEntry {
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10)
         |ORDER BY revenue DESC, l_orderkey""".stripMargin,
-    "q3_shipping_dec" ->
-      """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-    "q3_shipping_str" ->
-      """SELECT l_orderkey, CAST(rev AS VARCHAR) AS revenue
-        |FROM (
-        |  SELECT l_orderkey,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |             CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS rev
-        |  FROM lineitem
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  WHERE c_mktsegment = 'BUILDING'
-        |  GROUP BY l_orderkey ORDER BY rev DESC, l_orderkey LIMIT 10)
-        |ORDER BY rev DESC, l_orderkey""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
