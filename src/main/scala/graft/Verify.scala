@@ -10,7 +10,10 @@ object Verify {
     // only (local iteration; the driver always passes exactly two args)
     val only: Option[Seq[String]] =
       args.drop(2).headOption.map(_.split(',').toSeq)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the machine's cores (capped at 32): an unset env var must
+    // not silently throttle the run to local[4]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

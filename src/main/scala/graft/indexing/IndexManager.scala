@@ -202,14 +202,23 @@ final class IndexManager(val storage: HyperStorage,
         Seq("document_uri"), "left_semi")
       .persist()
     try {
-      val touchedUris = relevant.select("document_uri").distinct()
-        .collect().map(_.getString(0)).toSet // bounded by defs.size
-      // collection-level tombstones (item_id = "") cascade: drop the
-      // collection's indexes entirely (PrimaryWorker.scala:310-328;
+      // one job answers both driver-side questions (result bounded by
+      // defs.size): which indexed collections the batch touches, and which
+      // carry a collection-level tombstone (item_id = "") — those cascade
+      // to a full index drop (PrimaryWorker.scala:310-328;
       // IndexingSpec.scala:655-692)
-      val deletedCollections = relevant
-        .filter(col("item_id") === "" && col("method") === "feed:delete")
-        .select("document_uri").distinct().collect().map(_.getString(0)).toSet
+      val uriStats = relevant.groupBy("document_uri")
+        .agg(
+          max(col("item_id") === "" && col("method") === "feed:delete")
+            .as("coll_deleted"),
+          collect_set(when(col("item_id") =!= "",
+            IndexStore.ipartCol(col("item_id")))).as("iparts"))
+        .collect()
+      val touchedUris = uriStats.map(_.getString(0)).toSet
+      val touchedParts = uriStats
+        .map(r => r.getString(0) -> r.getSeq[Int](2)).toMap
+      val deletedCollections =
+        uriStats.filter(_.getBoolean(1)).map(_.getString(0)).toSet
       deletedCollections.foreach(dropCollectionIndexes)
       for (((uri, id), d) <- defs if touchedUris(uri) && d.status == StatusNormal) {
         val events = relevant.filter(
@@ -225,7 +234,8 @@ final class IndexManager(val storage: HyperStorage,
         store match {
           case Some(st) =>
             // partition-scoped on-disk merge; lineage ends at the parquet
-            st.mergeTable(uri, id, touchedItems, replacement)
+            st.mergeTable(uri, id, touchedItems, replacement,
+              knownParts = touchedParts.get(uri))
           case None =>
             val old = tables((uri, id))
             val updated = old

@@ -41,20 +41,19 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     s"$path/tables/${enc(uri)}/${enc(indexId)}"
 
   def loadDefs(): Map[(String, String), IndexDef] = {
-    // crash recovery for saveDefs' swap: a complete tmp with no live defs
-    // dir means the crash hit between delete and rename — finish the swap
+    // crash recovery for saveDefs' swap: a tmp file with no live file
+    // means the crash hit between delete and rename — finish the swap
     val live = new Path(defsPath)
     val tmp = new Path(defsPath + ".tmp")
-    if (!fs.exists(live) && fs.exists(new Path(tmp, "_SUCCESS")))
-      fs.rename(tmp, live)
+    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
     if (!fs.exists(live)) Map.empty
-    else spark.read.parquet(defsPath).collect().map { r =>
-      val sortBy = Option(r.getAs[String]("sort_by")).filter(_.nonEmpty)
-        .map(_.split(";", -1).toSeq.map(decodeItem)).getOrElse(Nil)
-      val d = IndexDef(
-        r.getAs[String]("collection_uri"), r.getAs[String]("index_id"),
-        sortBy, Option(r.getAs[String]("filter_by")),
-        r.getAs[String]("status"), r.getAs[String]("table_name"))
+    else readUtf8(fs, live).split("\n").iterator.filter(_.nonEmpty).map { line =>
+      val Array(uri, id, sortBy, filterBy, status, tableName) =
+        line.split("\t", -1).map(f => URLDecoder.decode(f, "UTF-8"))
+      val d = IndexDef(uri, id,
+        Option(sortBy).filter(_.nonEmpty)
+          .map(_.split(";", -1).toSeq.map(decodeItem)).getOrElse(Nil),
+        Option(filterBy).filter(_.nonEmpty), status, tableName)
       (d.collectionUri, d.indexId) -> d
     }.toMap
   }
@@ -62,37 +61,47 @@ final class IndexStore(val spark: SparkSession, val path: String) {
   /** Replace the (small, driver-held) def metadata. Called on every status
     * transition so a restarted manager resumes from the last one —
     * INDEXING defs surface as resumable builds, like `pending_index`.
-    * Written to a tmp dir and swapped in, so a crash never leaves a
-    * half-written live dir; the delete→rename window is covered by
+    * A driver-side FS write (no Spark job — the metadata is a handful of
+    * rows, and each index lifecycle transition would otherwise pay a full
+    * job): written to a tmp file and swapped in, so a crash never leaves a
+    * half-written live file; the delete→rename window is covered by
     * loadDefs' tmp recovery. */
   def saveDefs(defs: Iterable[IndexDef]): Unit = {
-    val spark0 = spark
-    import spark0.implicits._
-    val tmp = defsPath + ".tmp"
-    defs.toSeq
-      .map(d => (d.collectionUri, d.indexId,
-        d.sortBy.map(encodeItem).mkString(";"),
-        d.filterBy.orNull, d.status, d.tableName))
-      .toDF("collection_uri", "index_id", "sort_by", "filter_by",
-        "status", "table_name")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
-    fs.delete(new Path(defsPath), true)
-    fs.rename(new Path(tmp), new Path(defsPath))
+    val body = defs.toSeq.map { d =>
+      Seq(d.collectionUri, d.indexId, d.sortBy.map(encodeItem).mkString(";"),
+        d.filterBy.getOrElse(""), d.status, d.tableName)
+        .map(f => URLEncoder.encode(f, "UTF-8")).mkString("\t")
+    }.mkString("\n")
+    val tmp = new Path(defsPath + ".tmp")
+    writeUtf8(fs, tmp, body)
+    fs.delete(new Path(defsPath), false)
+    fs.rename(tmp, new Path(defsPath))
     ()
   }
 
   /** The `_schema` anchor makes empty tables readable: a partitioned write
     * of zero rows emits no parquet footers, so without it a NORMAL index
     * whose filter matched nothing would crash every open with
-    * 'Unable to infer schema'. Underscore-prefixed, so data reads of the
-    * table dir ignore it. */
-  private def schemaAnchor(dir: String) = s"$dir/_schema"
+    * 'Unable to infer schema'. A driver-written JSON schema file (no Spark
+    * job), underscore-prefixed so data reads of the table dir ignore it. */
+  private def schemaAnchor(dir: String) = s"$dir/_schema.json"
 
   def writeTable(uri: String, indexId: String, rows: DataFrame): Unit = {
     val dir = tableDir(uri, indexId)
+    writePartitioned(rows, dir)
+    writeUtf8(fs, new Path(schemaAnchor(dir)), rows.schema.json)
+  }
+
+  /** Cluster rows by their target directory before the partitioned write:
+    * without the repartition every input task opens a writer per ipart it
+    * touches (up to tasks×IndexPartitions tiny files — the classic
+    * small-files problem); with it each directory is written by exactly
+    * one task per job. */
+  private def writePartitioned(rows: DataFrame, dir: String): Unit = {
     rows.withColumn("ipart", ipartCol(col("item_id")))
+      .repartition(IndexPartitions, col("ipart"))
       .write.partitionBy("ipart").mode(SaveMode.Overwrite).parquet(dir)
-    rows.limit(0).write.mode(SaveMode.Overwrite).parquet(schemaAnchor(dir))
+    ()
   }
 
   /** Open with the anchored schema (never inference) — zero-row tables and
@@ -101,7 +110,9 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     openRaw(tableDir(uri, indexId)).drop("ipart")
 
   private def openRaw(dir: String): DataFrame = {
-    val schema = spark.read.parquet(schemaAnchor(dir)).schema
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(readUtf8(fs, new Path(schemaAnchor(dir))))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
       .add("ipart", org.apache.spark.sql.types.IntegerType)
     spark.read.schema(schema).parquet(dir)
   }
@@ -124,11 +135,14 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     * Cassandra index mutations (BackgroundContentTaskCompleter retries
     * row-wise until the feed transaction completes). */
   def mergeTable(uri: String, indexId: String, touchedItems: DataFrame,
-      replacement: DataFrame): Unit = {
+      replacement: DataFrame, knownParts: Option[Seq[Int]] = None): Unit = {
     val dir = tableDir(uri, indexId)
-    val parts = touchedItems
+    // bounded by IndexPartitions; callers that already aggregated the
+    // touched item-hash partitions (applyFeed's one-pass uri stats) pass
+    // them in and skip this job
+    val parts = knownParts.getOrElse(touchedItems
       .select(ipartCol(col("item_id")).as("ipart")).distinct()
-      .collect().map(_.getInt(0)) // bounded by IndexPartitions
+      .collect().map(_.getInt(0)).toSeq)
     if (parts.isEmpty) return
     val scoped = openRaw(dir)
       .filter(col("ipart").isin(parts.toSeq: _*)).drop("ipart")
@@ -136,8 +150,7 @@ final class IndexStore(val spark: SparkSession, val path: String) {
       .join(broadcast(touchedItems.select("item_id")), Seq("item_id"), "left_anti")
       .unionByName(replacement)
     val tmp = s"$dir.tmp-merge"
-    updated.withColumn("ipart", ipartCol(col("item_id")))
-      .write.partitionBy("ipart").mode(SaveMode.Overwrite).parquet(tmp)
+    writePartitioned(updated, tmp)
     parts.foreach { p =>
       val dst = new Path(s"$dir/ipart=$p")
       val src = new Path(s"$tmp/ipart=$p")
@@ -157,6 +170,23 @@ object IndexStore {
 
   def ipartCol(itemId: Column): Column =
     pmod(crc32(itemId), lit(IndexPartitions)).cast("int")
+
+  private def writeUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+  }
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")
 
