@@ -1,7 +1,8 @@
 package graft.indexing
 
-import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 import org.apache.hadoop.fs.Path
 import java.net.{URLDecoder, URLEncoder}
 
@@ -11,24 +12,41 @@ import java.net.{URLDecoder, URLEncoder}
   * IndexDefTaskWorker.scala:71-110 persists the def BEFORE building so an
   * interrupted build is resumable after restart).
   *
-  * Layout:
+  * Layout — a manifest-committed mini table format:
   * {{{
-  *   <path>/defs                                — parquet, one row per def
-  *   <path>/tables/<enc(uri)>/<enc(id)>/ipart=N — index rows, parquet,
-  *       partitioned by crc32(item_id) % IndexPartitions
+  *   <path>/defs                     — driver-written def rows (atomic swap)
+  *   <path>/tables/<enc(uri)>/<enc(id)>/
+  *     _schema.json                  — driver-written Spark schema JSON
+  *     _manifest                     — lines "ipart<TAB>root": which staging
+  *                                     root currently owns each partition
+  *     w-<G>/ipart=N/…parquet        — immutable staging roots, one per
+  *                                     build/merge job
   * }}}
+  * Index rows are hash-clustered by `crc32(item_id) % IndexPartitions`.
   *
-  * The item-hash directory partitioning makes incremental maintenance
-  * PARTITION-SCOPED: a feed batch touching k items rewrites at most
-  * min(k, IndexPartitions) directories (partition-pruned read → anti-join
-  * → tmp write → directory swap) and never re-reads or rewrites the rest
-  * of the table — the row-wise MERGE the reference performs in Cassandra
-  * (BackgroundContentTaskCompleter.scala:126-188) expressed as bulk
-  * partition rewrites, with lineage truncated at every batch because the
-  * table lives on disk, not in an ever-deepening cached union.
+  * The item-hash partitioning makes incremental maintenance
+  * PARTITION-SCOPED: a feed batch touching k items reads and rewrites at
+  * most min(k, IndexPartitions) partitions into a NEW immutable staging
+  * root, then commits by atomically swapping the single `_manifest` file —
+  * never mutating data in place. A crash before the manifest swap leaves
+  * the previous table version fully intact (the half-written root is
+  * unreferenced and garbage-collected later); a crash during the swap is
+  * healed by loadManifest's tmp recovery. This closes the cross-partition
+  * atomicity window a per-directory rename loop would have, the same
+  * snapshot-commit discipline cluster table formats use. The row-wise
+  * Cassandra MERGE the reference performs
+  * (BackgroundContentTaskCompleter.scala:126-188) is thus expressed as
+  * bulk partition rewrites with lineage truncated at every batch.
+  *
+  * When merges scatter a table's partitions across more than
+  * [[IndexStore.MaxRoots]] roots, the table is compacted back into one
+  * root (full rewrite, amortized over many merges) so read plans stay a
+  * bounded union and small files don't accumulate.
   *
   * Single writer per store path, mirroring the reference's one-owner-per-
-  * shard discipline (ShardProcessor); readers may open concurrently.
+  * shard discipline (ShardProcessor); readers may open concurrently, but a
+  * DataFrame held across a later commit may see its files GC'd — re-open
+  * per query, as [[IndexManager.indexTable]] does.
   */
 final class IndexStore(val spark: SparkSession, val path: String) {
   import IndexStore._
@@ -41,21 +59,16 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     s"$path/tables/${enc(uri)}/${enc(indexId)}"
 
   def loadDefs(): Map[(String, String), IndexDef] = {
-    // crash recovery for saveDefs' swap: a tmp file with no live file
-    // means the crash hit between delete and rename — finish the swap
-    val live = new Path(defsPath)
-    val tmp = new Path(defsPath + ".tmp")
-    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
-    if (!fs.exists(live)) Map.empty
-    else readUtf8(fs, live).split("\n").iterator.filter(_.nonEmpty).map { line =>
-      val Array(uri, id, sortBy, filterBy, status, tableName) =
-        line.split("\t", -1).map(f => URLDecoder.decode(f, "UTF-8"))
-      val d = IndexDef(uri, id,
-        Option(sortBy).filter(_.nonEmpty)
-          .map(_.split(";", -1).toSeq.map(decodeItem)).getOrElse(Nil),
-        Option(filterBy).filter(_.nonEmpty), status, tableName)
-      (d.collectionUri, d.indexId) -> d
-    }.toMap
+    Option(readSwapped(fs, defsPath)).map(_.split("\n").iterator
+      .filter(_.nonEmpty).map { line =>
+        val Array(uri, id, sortBy, filterBy, status, tableName) =
+          line.split("\t", -1).map(f => URLDecoder.decode(f, "UTF-8"))
+        val d = IndexDef(uri, id,
+          Option(sortBy).filter(_.nonEmpty)
+            .map(_.split(";", -1).toSeq.map(decodeItem)).getOrElse(Nil),
+          Option(filterBy).filter(_.nonEmpty), status, tableName)
+        (d.collectionUri, d.indexId) -> d
+      }.toMap).getOrElse(Map.empty)
   }
 
   /** Replace the (small, driver-held) def metadata. Called on every status
@@ -63,21 +76,13 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     * INDEXING defs surface as resumable builds, like `pending_index`.
     * A driver-side FS write (no Spark job — the metadata is a handful of
     * rows, and each index lifecycle transition would otherwise pay a full
-    * job): written to a tmp file and swapped in, so a crash never leaves a
-    * half-written live file; the delete→rename window is covered by
-    * loadDefs' tmp recovery. */
-  def saveDefs(defs: Iterable[IndexDef]): Unit = {
-    val body = defs.toSeq.map { d =>
+    * job), atomically swapped in. */
+  def saveDefs(defs: Iterable[IndexDef]): Unit =
+    writeSwapped(fs, defsPath, defs.toSeq.map { d =>
       Seq(d.collectionUri, d.indexId, d.sortBy.map(encodeItem).mkString(";"),
         d.filterBy.getOrElse(""), d.status, d.tableName)
         .map(f => URLEncoder.encode(f, "UTF-8")).mkString("\t")
-    }.mkString("\n")
-    val tmp = new Path(defsPath + ".tmp")
-    writeUtf8(fs, tmp, body)
-    fs.delete(new Path(defsPath), false)
-    fs.rename(tmp, new Path(defsPath))
-    ()
-  }
+    }.mkString("\n"))
 
   /** The `_schema` anchor makes empty tables readable: a partitioned write
     * of zero rows emits no parquet footers, so without it a NORMAL index
@@ -86,10 +91,58 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     * job), underscore-prefixed so data reads of the table dir ignore it. */
   private def schemaAnchor(dir: String) = s"$dir/_schema.json"
 
+  private def tableSchema(dir: String): StructType =
+    DataType.fromJson(readUtf8(fs, new Path(schemaAnchor(dir))))
+      .asInstanceOf[StructType]
+
+  // ---------------------------------------------------------- manifest
+
+  private def manifestPath(dir: String) = s"$dir/_manifest"
+
+  /** ipart → staging-root name (relative to the table dir). */
+  private def loadManifest(dir: String): Map[Int, String] =
+    Option(readSwapped(fs, manifestPath(dir))).map(_.split("\n").iterator
+      .filter(_.nonEmpty).map { line =>
+        val Array(p, root) = line.split("\t", -1)
+        p.toInt -> root
+      }.toMap).getOrElse(Map.empty)
+
+  /** THE commit point: a table version is exactly what its manifest lists.
+    * After the atomic swap, unreferenced staging roots (superseded
+    * partitions, aborted writes) are garbage. */
+  private def commitManifest(dir: String, m: Map[Int, String]): Unit = {
+    writeSwapped(fs, manifestPath(dir),
+      m.toSeq.sorted.map { case (p, root) => s"$p\t$root" }.mkString("\n"))
+    val live = m.values.toSet
+    Option(fs.globStatus(new Path(s"$dir/w-*"))).getOrElse(Array.empty)
+      .map(_.getPath).filterNot(p => live(p.getName))
+      .foreach(fs.delete(_, true))
+  }
+
+  /** Next staging-root name: max existing generation + 1 (single writer). */
+  private def nextRoot(dir: String): String = {
+    val g = Option(fs.globStatus(new Path(s"$dir/w-*")))
+      .getOrElse(Array.empty)
+      .flatMap(s => s.getPath.getName.stripPrefix("w-").toIntOption)
+    s"w-${if (g.isEmpty) 1 else g.max + 1}"
+  }
+
+  /** The ipart dirs a staging write actually produced (a partition whose
+    * merge result is empty emits no dir — it simply leaves the manifest). */
+  private def writtenParts(root: Path): Seq[Int] =
+    Option(fs.globStatus(new Path(root, "ipart=*"))).getOrElse(Array.empty)
+      .flatMap(_.getPath.getName.stripPrefix("ipart=").toIntOption).toSeq
+
+  // ------------------------------------------------------------ tables
+
+  /** Full (re)build: one fresh staging root owning every partition. */
   def writeTable(uri: String, indexId: String, rows: DataFrame): Unit = {
     val dir = tableDir(uri, indexId)
-    writePartitioned(rows, dir)
+    val root = nextRoot(dir)
+    writePartitioned(rows, s"$dir/$root")
     writeUtf8(fs, new Path(schemaAnchor(dir)), rows.schema.json)
+    commitManifest(dir,
+      writtenParts(new Path(dir, root)).map(_ -> root).toMap)
   }
 
   /** Cluster rows by their target directory before the partitioned write:
@@ -104,17 +157,29 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     ()
   }
 
-  /** Open with the anchored schema (never inference) — zero-row tables and
-    * merge-emptied partitions read as empty DataFrames, not errors. */
+  /** Open the committed table version (manifest snapshot) with the
+    * anchored schema — zero-row tables and merge-emptied partitions read
+    * as empty DataFrames, not errors. */
   def openTable(uri: String, indexId: String): DataFrame =
     openRaw(tableDir(uri, indexId)).drop("ipart")
 
+  /** Committed rows of the given partitions only (directory-level pruning
+    * through the manifest — no file listing outside the named parts). */
+  private def openParts(dir: String, m: Map[Int, String],
+      parts: Iterable[Int]): DataFrame = {
+    val schema = tableSchema(dir).add("ipart", IntegerType)
+    val byRoot = parts.toSeq.flatMap(p => m.get(p).map(root => (root, p)))
+      .groupBy(_._1)
+    byRoot.toSeq.sortBy(_._1).map { case (root, ps) =>
+      spark.read.option("basePath", s"$dir/$root").schema(schema)
+        .parquet(ps.map(p => s"$dir/$root/ipart=${p._2}"): _*)
+    }.reduceOption(_.unionByName(_)).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
+  }
+
   private def openRaw(dir: String): DataFrame = {
-    val schema = org.apache.spark.sql.types.DataType
-      .fromJson(readUtf8(fs, new Path(schemaAnchor(dir))))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-      .add("ipart", org.apache.spark.sql.types.IntegerType)
-    spark.read.schema(schema).parquet(dir)
+    val m = loadManifest(dir)
+    openParts(dir, m, m.keys)
   }
 
   def dropTable(uri: String, indexId: String): Unit = {
@@ -124,16 +189,10 @@ final class IndexStore(val spark: SparkSession, val path: String) {
 
   /** Partition-scoped merge: drop all index rows of `touchedItems`, insert
     * `replacement`, touching only the item-hash partitions involved. The
-    * tmp write fully materializes before any directory is swapped, so the
-    * scoped self-read never races the rewrite.
-    *
-    * Known window: the per-partition swap loop is not atomic ACROSS
-    * partitions — a crash mid-loop leaves some partitions merged and
-    * others not (single-partition batches are safe). Closing it needs a
-    * table-format commit manifest (the next durability step at cluster
-    * scale); the reference has the same non-atomicity across its per-row
-    * Cassandra index mutations (BackgroundContentTaskCompleter retries
-    * row-wise until the feed transaction completes). */
+    * new staging root fully materializes BEFORE the manifest swap, so the
+    * scoped self-read never races the rewrite, and a crash at any point
+    * leaves the previous committed version intact (atomicity across all
+    * touched partitions — the manifest swap is the single commit point). */
   def mergeTable(uri: String, indexId: String, touchedItems: DataFrame,
       replacement: DataFrame, knownParts: Option[Seq[Int]] = None): Unit = {
     val dir = tableDir(uri, indexId)
@@ -144,29 +203,43 @@ final class IndexStore(val spark: SparkSession, val path: String) {
       .select(ipartCol(col("item_id")).as("ipart")).distinct()
       .collect().map(_.getInt(0)).toSeq)
     if (parts.isEmpty) return
-    val scoped = openRaw(dir)
-      .filter(col("ipart").isin(parts.toSeq: _*)).drop("ipart")
+    val m = loadManifest(dir)
+    val scoped = openParts(dir, m, parts).drop("ipart")
     val updated = scoped
       .join(broadcast(touchedItems.select("item_id")), Seq("item_id"), "left_anti")
       .unionByName(replacement)
-    val tmp = s"$dir.tmp-merge"
-    writePartitioned(updated, tmp)
-    parts.foreach { p =>
-      val dst = new Path(s"$dir/ipart=$p")
-      val src = new Path(s"$tmp/ipart=$p")
-      fs.delete(dst, true)
-      if (fs.exists(src)) fs.rename(src, dst)
-    }
-    fs.delete(new Path(tmp), true)
-    ()
+    val root = nextRoot(dir)
+    writePartitioned(updated, s"$dir/$root")
+    val merged = (m -- parts) ++
+      writtenParts(new Path(dir, root)).map(_ -> root)
+    commitManifest(dir, merged)
+    compactIfScattered(dir, merged)
   }
+
+  /** Bound read-plan width and file count: when a table's partitions are
+    * scattered over more than [[MaxRoots]] staging roots, rewrite it into
+    * one root (cost: one full-table job, amortized over the ≥MaxRoots
+    * merges that caused it — the same background-compaction bargain
+    * cluster table formats strike). */
+  private def compactIfScattered(dir: String, m: Map[Int, String]): Unit =
+    if (m.values.toSet.size > MaxRoots) {
+      val rows = openParts(dir, m, m.keys).drop("ipart")
+      val root = nextRoot(dir)
+      writePartitioned(rows, s"$dir/$root")
+      commitManifest(dir,
+        writtenParts(new Path(dir, root)).map(_ -> root).toMap)
+    }
 }
 
 object IndexStore {
-  /** Item-hash directory partition count for index tables. Small enough to
-    * keep little indexes compact; a 100 TB deployment raises it the same
-    * way ContentStore.NumPartitions scales with the content log. */
+  /** Item-hash partition count for index tables. Small enough to keep
+    * little indexes compact; a 100 TB deployment raises it the same way
+    * ContentStore.NumPartitions scales with the content log. */
   val IndexPartitions = 32
+
+  /** Compaction threshold: maximum staging roots a table may scatter
+    * across before it is rewritten into one. */
+  val MaxRoots = 8
 
   def ipartCol(itemId: Column): Column =
     pmod(crc32(itemId), lit(IndexPartitions)).cast("int")
@@ -186,6 +259,27 @@ object IndexStore {
       while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
       new String(buf.toByteArray, "UTF-8")
     } finally in.close()
+  }
+
+  /** Atomic single-file replace: write `<p>.tmp`, delete live, rename. A
+    * crash between delete and rename is healed on read (tmp adopted). */
+  private def writeSwapped(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      body: String): Unit = {
+    val tmp = new Path(path + ".tmp")
+    writeUtf8(fs, tmp, body)
+    fs.delete(new Path(path), false)
+    fs.rename(tmp, new Path(path))
+    ()
+  }
+
+  /** Read a [[writeSwapped]] file, finishing an interrupted swap; null if
+    * the file has never been written. */
+  private def readSwapped(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): String = {
+    val live = new Path(path)
+    val tmp = new Path(path + ".tmp")
+    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
+    if (!fs.exists(live)) null else readUtf8(fs, live)
   }
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")

@@ -362,6 +362,45 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
       (plan should include).regex("PushedFilters: \\[[^\\]]*d0")
     }
 
+    "a crashed merge (staging root, no manifest swap) leaves the committed version intact" in {
+      val (st, path) = newStoragePath()
+      val store = new IndexStore(spark, path)
+      val im1 = new IndexManager(st, Some(store))
+      im1.createIndex("collection-1~", "index1", Nil, Some("b > 10"))
+      // simulate a crash mid-merge: an orphan staging root exists (even
+      // with junk files) but the manifest still points at the previous
+      // version — reads must not see it
+      val dir = store.tableDir("collection-1~", "index1")
+      val orphan = new java.io.File(s"$dir/w-999/ipart=0")
+      orphan.mkdirs()
+      new java.io.File(orphan, "part-junk.parquet").createNewFile()
+      items(im1, "index1") shouldBe Seq("item1", "item3")
+      // the next committed write garbage-collects the orphan root
+      val r = st.applySeq(Seq(WriteOp(10, "PUT", "collection-1~/item4",
+        """{"a":"zzz","b":99}""")))
+      im1.applyFeed(r.feed)
+      items(im1, "index1") shouldBe Seq("item1", "item3", "item4")
+      new java.io.File(s"$dir/w-999").exists() shouldBe false
+    }
+
+    "repeated merges compact back into a bounded number of staging roots" in {
+      val (st, path) = newStoragePath()
+      val store = new IndexStore(spark, path)
+      val im = new IndexManager(st, Some(store))
+      im.createIndex("collection-1~", "index1", Nil, None)
+      val n = IndexStore.MaxRoots + 2
+      for (i <- 0 until n) {
+        val r = st.applySeq(Seq(WriteOp(100 + i, "PUT",
+          s"collection-1~/extra$i", s"""{"a":"x","b":$i}""")))
+        im.applyFeed(r.feed)
+      }
+      items(im, "index1") should contain allElementsOf
+        (0 until n).map(i => s"extra$i") ++ Seq("item1", "item2", "item3")
+      val roots = new java.io.File(store.tableDir("collection-1~", "index1"))
+        .listFiles().count(_.getName.startsWith("w-"))
+      roots should be <= IndexStore.MaxRoots
+    }
+
     "an interrupted build is resumable (pending_index semantics)" in {
       val (st, path) = newStoragePath()
       val store = new IndexStore(spark, path)
