@@ -154,6 +154,36 @@ object SparkEntry {
         .rows.select(col("item_id"), j("body", "c_name").as("name"))
     }),
 
+    "s2_compact_store" -> ((s, dir) => {
+      // compaction (the reference's Cassandra-compaction role): a store
+      // holding one row per WRITE shrinks to one row per KEY with reads
+      // invariant — latest bodies, revisions, pruning all preserved
+      import s.implicits._
+      val base = scratchDir(s, "compact", dir)
+      val nat = t(s, dir, "nation")
+      val r1 = emptyStore(s).applyOps(
+        putOps(s, nat, "nations~", "n_nationkey", Seq("n_name")))
+      ContentStore.write(r1.log, s"$base/store",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val st1 = ContentStore.open(s, s"$base/store")
+      val patches = nat.filter(col("n_nationkey") < 10).select(
+        (col("n_nationkey") + 100).cast("long").as("seq"),
+        lit("PATCH").as("method"),
+        concat(lit("nations~/"), col("n_nationkey").cast("string")).as("path"),
+        to_json(struct(lit(2).as("v"))).as("body")).as[WriteOp]
+      val r2 = st1.applyOps(patches)
+      ContentStore.write(r2.appended, s"$base/store")
+      ContentStore.compact(s, s"$base/store")
+      val st2 = ContentStore.open(s, s"$base/store")
+      val keys = nat.count()
+      val physical = st2.log.count()
+      require(physical == keys, s"compaction left $physical rows for $keys keys")
+      st2.query("nations~", size = 100).rows.select(
+        col("item_id"), col("revision"),
+        j("body", "n_name").as("name"),
+        j("body", "v").cast("int").as("v"))
+    }),
+
     "s3_static_revision" -> ((s, dir) => {
       import s.implicits._
       val ops = putOps(s, t(s, dir, "nation"), "nations~", "n_nationkey",
@@ -769,6 +799,17 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_name AS name
         |FROM customer WHERE CAST(c_custkey AS VARCHAR) > '500'
         |ORDER BY item_id LIMIT 40""".stripMargin,
+
+    // revisions are per-collection sequential: batch 1 assigns 1..N in seq
+    // order (seq = n_nationkey), batch 2's patches continue at N+1
+    "s2_compact_store" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS item_id,
+        |  CAST(CASE WHEN n_nationkey < 10
+        |       THEN (SELECT COUNT(*) FROM nation) + 1 + n_nationkey
+        |       ELSE n_nationkey + 1 END AS BIGINT) AS revision,
+        |  n_name AS name,
+        |  CASE WHEN n_nationkey < 10 THEN 2 ELSE NULL END AS v
+        |FROM nation ORDER BY item_id""".stripMargin,
 
     "s3_static_revision" ->
       "SELECT COUNT(*) AS revision FROM nation",

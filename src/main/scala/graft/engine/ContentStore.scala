@@ -45,9 +45,54 @@ object ContentStore {
   /** Open the store as a HyperStorage whose per-URI reads carry the
     * partition predicate (directory pruning before any IO). The `part`
     * column rides along in the log; engine projections ignore it. */
-  def open(spark: SparkSession, path: String): HyperStorage =
+  def open(spark: SparkSession, path: String): HyperStorage = {
+    recoverCompact(spark, path)
     new HyperStorage(spark, spark.read.parquet(path),
       uriPruner = uri => col("part") === partitionOf(uri))
+  }
+
+  /** Compaction — the role Cassandra's compaction plays for the reference
+    * (scheme.cql's leveled store): rewrite the log keeping only the LATEST
+    * revision per (document_uri, item_id). Every read path goes through
+    * the latest-revision view, and per-key max revisions (hence static
+    * revisions and tombstone visibility) are preserved, so reads are
+    * invariant — but a store that accumulated one row per WRITE shrinks
+    * back to one row per KEY. Latest tombstone rows are kept (dropping
+    * them would lower collection static revisions); aging them out is a
+    * separate retention policy.
+    *
+    * The rewrite lands in `<path>.compact` and swaps in whole; a crash
+    * between delete and rename is healed by [[recoverCompact]] on the
+    * next open. A `batch` column (FeedPipeline stores) keeps its values
+    * and its partition layout, so batch-replay dynamic overwrite and
+    * prior-state batch exclusion still address the right directories. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    recoverCompact(spark, path)
+    val log = spark.read.parquet(path)
+    val partCols = Seq("part") ++
+      (if (log.columns.contains("batch")) Seq("batch") else Nil)
+    val tmp = s"$path.compact"
+    Content.latestRows(log)
+      .repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    ()
+  }
+
+  /** Finish a compaction swap that crashed between delete and rename: a
+    * COMMITTED tmp (has _SUCCESS) with no live store is adopted. */
+  private def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact")
+    if (!fs.exists(p) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      fs.rename(tmp, p)
+    ()
+  }
 
   /** Open an existing store, or an empty in-memory log when nothing has
     * been written yet (the bootstrap case of a write-back loop). Only
@@ -55,6 +100,7 @@ object ContentStore {
     * `_temporary`/`_SUCCESS` debris that must not make the replay try to
     * read a store with no data files. */
   def openOrEmpty(spark: SparkSession, path: String): HyperStorage = {
+    recoverCompact(spark, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(p) &&

@@ -37,14 +37,16 @@ object FeedPipeline {
     * quanta and row timestamps (default: one minute per batch — never
     * wall-clock, so a replayed batch reproduces identical rows). */
   def start(ops: Dataset[WriteOp], storePath: String, ledgerPath: String,
-      checkpointDir: String, batchTsOf: Long => Long = _ * 60000L)
+      checkpointDir: String, batchTsOf: Long => Long = _ * 60000L,
+      indexes: Option[graft.indexing.IndexManager] = None)
       (send: FeedEvent => Unit): StreamingQuery =
     ops.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: Dataset[WriteOp], batchId: Long) =>
-        runBatch(batch, batchTsOf(batchId), storePath, ledgerPath)(send)
+        runBatch(batch, batchTsOf(batchId), storePath, ledgerPath,
+          indexes)(send)
       }
       .start()
 
@@ -62,7 +64,9 @@ object FeedPipeline {
     * batch=ts, ledger intent under its dt_quantum), replacing any partial
     * earlier attempt instead of stacking on top of it. */
   def runBatch(batch: Dataset[WriteOp], tsMillis: Long, storePath: String,
-      ledgerPath: String)(send: FeedEvent => Unit): Unit = {
+      ledgerPath: String,
+      indexes: Option[graft.indexing.IndexManager] = None)
+      (send: FeedEvent => Unit): Unit = {
     val s = batch.sparkSession
     val full = ContentStore.openOrEmpty(s, storePath)
     // pre-batch state: a crashed earlier attempt of THIS batch may have
@@ -96,6 +100,13 @@ object FeedPipeline {
       // 2. content write-back: this batch's rows under their own batch
       // partition (idempotent overwrite on replay)
       ContentStore.writeBatch(appended, storePath, tsMillis)
+      // 2b. secondary-index maintenance from the same feed (the
+      // completer's index step, BackgroundContentTaskCompleter:126-188):
+      // a partition-scoped manifest-committed merge per touched index.
+      // Idempotent on replay — the merge recomputes each touched item's
+      // rows from the feed batch (delete-obsolete + reinsert), so
+      // re-merging the identical batch rewrites the same result
+      indexes.foreach(_.applyFeed(feed))
       // 3. ordered publish — an exception here fails the batch AFTER the
       // intent landed: recovery sees the incomplete transactions
       implicit val enc: org.apache.spark.sql.Encoder[FeedEvent] =

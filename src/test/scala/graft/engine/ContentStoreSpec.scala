@@ -53,6 +53,59 @@ class ContentStoreSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
+    "compaction keeps reads invariant and shrinks to one row per key" in {
+      import org.apache.spark.sql.functions.col
+      val path = tempStore()
+      val r1 = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PUT", "docs~/b", """{"x":2}""")))
+      ContentStore.write(r1.log, path, SaveMode.Overwrite)
+      val st1 = ContentStore.open(spark, path)
+      val r2 = st1.applySeq(Seq(
+        WriteOp(3, "PATCH", "docs~/a", """{"y":9}"""),
+        WriteOp(4, "DELETE", "docs~/b", null),
+        WriteOp(5, "PUT", "docs~/c", """{"x":3}""")))
+      ContentStore.write(r2.log.filter(col("revision") > 1), path)
+      // capture pre-compaction observations NOW: the old file listing is
+      // invalid after the swap
+      val before = ContentStore.open(spark, path)
+      val rowsBefore = before.log.count()
+      val revBefore = before.revisionOf("docs~")
+      ContentStore.compact(spark, path)
+      val after = ContentStore.open(spark, path)
+      // reads invariant: latest values, tombstone still hides b,
+      // revisions preserved
+      after.query("docs~").rows.collect()
+        .map(r => r.getAs[String]("item_id") -> r.getAs[String]("body"))
+        .toSeq.sorted shouldBe Seq(
+          "a" -> """{"x":1,"id":"a","y":9}""", "c" -> """{"x":3,"id":"c"}""")
+      // per-collection sequential revisions: batch 2 continues at 3
+      after.get("docs~/a").map(_.getAs[Long]("revision")) shouldBe Some(3L)
+      after.revisionOf("docs~") shouldBe revBefore
+      // physically one row per key (a, b-tombstone, c) < the 5-write log
+      val rowsAfter = after.log.count()
+      rowsAfter shouldBe 3
+      rowsAfter should be < rowsBefore
+      // pruning still works on the rewritten layout
+      val plan = after.getDF("docs~/a").queryExecution.executedPlan.toString
+      plan should include("PartitionFilters")
+    }
+
+    "a compaction swap that crashed before rename is healed on open" in {
+      val path = tempStore()
+      val r = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}""")))
+      ContentStore.write(r.log, path, SaveMode.Overwrite)
+      // simulate the crash window: committed tmp exists, live dir deleted
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(s"$path.compact")
+      fs.rename(new org.apache.hadoop.fs.Path(path), tmp)
+      val st = ContentStore.open(spark, path) // adopts the tmp
+      st.get("docs~/a").map(_.getAs[String]("body")) shouldBe
+        Some("""{"x":1,"id":"a"}""")
+    }
+
     "writes after applyOps keep serving (append mode)" in {
       val path = tempStore()
       val r1 = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(

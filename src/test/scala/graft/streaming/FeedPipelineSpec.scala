@@ -61,6 +61,41 @@ class FeedPipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect().map(_.getAs[Long]("checkpoint_quantum")).toSeq shouldBe Seq(1L)
     }
 
+    "maintains durable secondary indexes through the loop, across crash/replay" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      import graft.indexing.{IndexManager, IndexStore}
+      TestSink.reset()
+      val (storePath, ledgerPath, ckpt) = paths()
+      // bootstrap: an index over the (initially empty) durable store
+      val im = new IndexManager(
+        ContentStore.openOrEmpty(spark, storePath),
+        Some(new IndexStore(spark, tmp("fp-idx"))))
+      im.createIndex("c~", "big", Nil, Some("x > 5"))
+      TestSink.failOn = Some("m2") // crash mid-batch-2, AFTER index merge
+      val source = MemoryStream[WriteOp]
+      val q1 = FeedPipeline.start(source.toDS(), storePath, ledgerPath, ckpt,
+        indexes = Some(im))(TestSink.send)
+      source.addData(
+        WriteOp(1, "PUT", "c~/m1", """{"x":9}"""),
+        WriteOp(2, "PUT", "c~/m2", """{"x":1}"""))
+      intercept[Exception] { q1.processAllAvailable() }
+      q1.stop()
+      // replay the batch, then run a second one that flips memberships
+      TestSink.failOn = None
+      val q2 = FeedPipeline.start(source.toDS(), storePath, ledgerPath, ckpt,
+        indexes = Some(im))(TestSink.send)
+      try {
+        q2.processAllAvailable()
+        source.addData(
+          WriteOp(3, "PATCH", "c~/m1", """{"x":2}"""), // leaves the index
+          WriteOp(4, "PATCH", "c~/m2", """{"x":8}""")) // enters the index
+        q2.processAllAvailable()
+      } finally q2.stop()
+      im.indexTable("c~", "big").get.select("item_id").collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("m2")
+    }
+
     "crash between publish and completion: incomplete ledger, clean replay" in {
       implicit val sql = spark.sqlContext
       import spark.implicits._
