@@ -24,23 +24,30 @@ object ContentStore {
     (c.getValue % NumPartitions).toInt
   }
 
-  /** Append (or overwrite) a content-log slice into the partitioned store. */
+  /** Append (or overwrite) a content-log slice into the partitioned store.
+    * Heals a half-finished compaction swap first — writing into the
+    * delete-to-rename crash window would otherwise recreate the live dir
+    * and permanently strand the pre-compaction data in `<path>.compact`. */
   def write(log: DataFrame, path: String,
-      mode: SaveMode = SaveMode.Append): Unit =
+      mode: SaveMode = SaveMode.Append): Unit = {
+    recoverCompact(log.sparkSession, path)
     log.withColumn("part", partitionCol(col("document_uri")))
       .write.partitionBy("part").mode(mode).parquet(path)
+  }
 
   /** Idempotent per-batch write: rows land under (part, batch=batchTs) and
     * a REPLAY of the same batch dynamically overwrites exactly its own
     * partitions — the standard Spark exactly-once file-sink discipline.
     * Readers that must see only COMMITTED prior state filter the batch
     * column (see FeedPipeline.runBatch). */
-  def writeBatch(log: DataFrame, path: String, batchTs: Long): Unit =
+  def writeBatch(log: DataFrame, path: String, batchTs: Long): Unit = {
+    recoverCompact(log.sparkSession, path)
     log.withColumn("part", partitionCol(col("document_uri")))
       .withColumn("batch", lit(batchTs))
       .write.partitionBy("part", "batch")
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Open the store as a HyperStorage whose per-URI reads carry the
     * partition predicate (directory pruning before any IO). The `part`
@@ -63,16 +70,42 @@ object ContentStore {
     *
     * The rewrite lands in `<path>.compact` and swaps in whole; a crash
     * between delete and rename is healed by [[recoverCompact]] on the
-    * next open. A `batch` column (FeedPipeline stores) keeps its values
-    * and its partition layout, so batch-replay dynamic overwrite and
-    * prior-state batch exclusion still address the right directories. */
-  def compact(spark: SparkSession, path: String): Unit = {
+    * next open or write. A `batch` column (FeedPipeline stores) keeps its
+    * values and its partition layout, so batch-replay dynamic overwrite
+    * and prior-state batch exclusion still address the right directories.
+    *
+    * Replay safety for batch stores: a crashed batch's replay re-derives
+    * its revisions from the PRE-batch state (FeedPipeline.runBatch reads
+    * `batch =!= ts`), so the rows of a batch that might still replay —
+    * and every key's pre-state relative to it — must survive compaction
+    * un-folded. Rows with `batch >= foldBelowBatch` are therefore passed
+    * through raw; only the prefix folds. The default keeps the NEWEST
+    * batch raw (a single-writer stream has at most one incomplete
+    * trailing batch); pass `Long.MaxValue` only when every transaction is
+    * known complete (e.g. Ledger.recoveryWorkList is empty). latestRows
+    * of (folded prefix ∪ raw tail) equals latestRows of the original for
+    * every tail batch's state read, so replays still see exact pre-batch
+    * state. */
+  def compact(spark: SparkSession, path: String,
+      foldBelowBatch: Option[Long] = None): Unit = {
     recoverCompact(spark, path)
     val log = spark.read.parquet(path)
-    val partCols = Seq("part") ++
-      (if (log.columns.contains("batch")) Seq("batch") else Nil)
+    val hasBatch = log.columns.contains("batch")
+    val partCols = Seq("part") ++ (if (hasBatch) Seq("batch") else Nil)
+    val compacted =
+      if (!hasBatch) Content.latestRows(log)
+      else {
+        // partition-dir read-back narrows batch to int — cast before max
+        val cutoff = foldBelowBatch.getOrElse(
+          log.agg(max(col("batch").cast("long"))).collect()(0) match {
+            case r if r.isNullAt(0) => Long.MinValue
+            case r => r.getLong(0)
+          })
+        Content.latestRows(log.filter(col("batch") < cutoff))
+          .unionByName(log.filter(col("batch") >= cutoff))
+      }
     val tmp = s"$path.compact"
-    Content.latestRows(log)
+    compacted
       .repartition(partCols.map(col): _*)
       .write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(path)

@@ -59,6 +59,12 @@ final class IndexStore(val spark: SparkSession, val path: String) {
     s"$path/tables/${enc(uri)}/${enc(indexId)}"
 
   def loadDefs(): Map[(String, String), IndexDef] = {
+    // a DIRECTORY at the defs path is the pre-manifest parquet layout:
+    // fail with intent, not an IO error deep in a parquet reader
+    if (fs.exists(new Path(defsPath)) &&
+        fs.getFileStatus(new Path(defsPath)).isDirectory)
+      throw new IllegalStateException(
+        s"$defsPath uses the old parquet def layout; rebuild the index store")
     Option(readSwapped(fs, defsPath)).map(_.split("\n").iterator
       .filter(_.nonEmpty).map { line =>
         val Array(uri, id, sortBy, filterBy, status, tableName) =
@@ -92,7 +98,7 @@ final class IndexStore(val spark: SparkSession, val path: String) {
   private def schemaAnchor(dir: String) = s"$dir/_schema.json"
 
   private def tableSchema(dir: String): StructType =
-    DataType.fromJson(readUtf8(fs, new Path(schemaAnchor(dir))))
+    DataType.fromJson(readSwapped(fs, schemaAnchor(dir)))
       .asInstanceOf[StructType]
 
   // ---------------------------------------------------------- manifest
@@ -135,12 +141,18 @@ final class IndexStore(val spark: SparkSession, val path: String) {
 
   // ------------------------------------------------------------ tables
 
-  /** Full (re)build: one fresh staging root owning every partition. */
+  /** Full (re)build: one fresh staging root owning every partition. The
+    * schema anchor is a swapped write (a crash can never leave it
+    * truncated), and it lands before the manifest commit; a table's
+    * schema is a pure function of its IndexDef — a schema CHANGE always
+    * goes through dropTable (delete + create) — so the
+    * new-schema-over-old-manifest crash window rewrites an identical
+    * schema and is benign. */
   def writeTable(uri: String, indexId: String, rows: DataFrame): Unit = {
     val dir = tableDir(uri, indexId)
     val root = nextRoot(dir)
     writePartitioned(rows, s"$dir/$root")
-    writeUtf8(fs, new Path(schemaAnchor(dir)), rows.schema.json)
+    writeSwapped(fs, schemaAnchor(dir), rows.schema.json)
     commitManifest(dir,
       writtenParts(new Path(dir, root)).map(_ -> root).toMap)
   }
@@ -261,25 +273,50 @@ object IndexStore {
     } finally in.close()
   }
 
-  /** Atomic single-file replace: write `<p>.tmp`, delete live, rename. A
-    * crash between delete and rename is healed on read (tmp adopted). */
+  /** Atomic single-file replace: write `<p>.tmp` (with a length header so
+    * a partially-written tmp is detectable), delete live, rename. A crash
+    * between delete and rename is healed on read (the COMPLETE tmp is
+    * adopted); a crash mid-tmp-write leaves the live file untouched and
+    * the invalid tmp is discarded. */
   private def writeSwapped(fs: org.apache.hadoop.fs.FileSystem, path: String,
       body: String): Unit = {
     val tmp = new Path(path + ".tmp")
-    writeUtf8(fs, tmp, body)
+    writeUtf8(fs, tmp, s"${body.getBytes("UTF-8").length}\n" + body)
     fs.delete(new Path(path), false)
     fs.rename(tmp, new Path(path))
     ()
   }
 
+  /** Payload of a header-framed file, or null when incomplete/corrupt. */
+  private def validPayload(content: String): String = {
+    val nl = content.indexOf('\n')
+    if (nl < 0) return null
+    val payload = content.substring(nl + 1)
+    content.substring(0, nl).toLongOption match {
+      case Some(len) if payload.getBytes("UTF-8").length == len => payload
+      case _ => null
+    }
+  }
+
   /** Read a [[writeSwapped]] file, finishing an interrupted swap; null if
-    * the file has never been written. */
+    * the file has never been (completely) written. Only a tmp that passes
+    * the length check is adopted — a crash mid-tmp-write must not replace
+    * a readable store with garbage. */
   private def readSwapped(fs: org.apache.hadoop.fs.FileSystem,
       path: String): String = {
     val live = new Path(path)
     val tmp = new Path(path + ".tmp")
-    if (!fs.exists(live) && fs.exists(tmp)) fs.rename(tmp, live)
-    if (!fs.exists(live)) null else readUtf8(fs, live)
+    if (!fs.exists(live) && fs.exists(tmp)) {
+      if (validPayload(readUtf8(fs, tmp)) != null) fs.rename(tmp, live)
+      else fs.delete(tmp, false) // partial write; live was never deleted
+    }
+    if (!fs.exists(live)) null
+    else {
+      val p = validPayload(readUtf8(fs, live))
+      if (p == null)
+        throw new IllegalStateException(s"corrupt swapped file: $path")
+      p
+    }
   }
 
   private def enc(s: String): String = URLEncoder.encode(s, "UTF-8")

@@ -35,7 +35,13 @@ object FeedPipeline {
   /** Start the streaming loop over an ops stream. `batchTsOf` maps the
     * micro-batch id to the deterministic event-time millis used for ledger
     * quanta and row timestamps (default: one minute per batch — never
-    * wall-clock, so a replayed batch reproduces identical rows). */
+    * wall-clock, so a replayed batch reproduces identical rows).
+    *
+    * `indexes` is for MAINTENANCE only (applyFeed never reads its storage
+    * handle): create indexes BEFORE starting the stream, or from a FRESH
+    * IndexManager over a newly opened store — the wired manager's storage
+    * snapshot is frozen at construction, so a createIndex through it after
+    * batches have run would build from stale state. */
   def start(ops: Dataset[WriteOp], storePath: String, ledgerPath: String,
       checkpointDir: String, batchTsOf: Long => Long = _ * 60000L,
       indexes: Option[graft.indexing.IndexManager] = None)

@@ -65,7 +65,7 @@ class ContentStoreSpec extends AnyFreeSpec with Matchers with SparkFixture {
         WriteOp(3, "PATCH", "docs~/a", """{"y":9}"""),
         WriteOp(4, "DELETE", "docs~/b", null),
         WriteOp(5, "PUT", "docs~/c", """{"x":3}""")))
-      ContentStore.write(r2.log.filter(col("revision") > 1), path)
+      ContentStore.write(r2.appended, path) // the delta rows only
       // capture pre-compaction observations NOW: the old file listing is
       // invalid after the swap
       val before = ContentStore.open(spark, path)
@@ -89,6 +89,37 @@ class ContentStoreSpec extends AnyFreeSpec with Matchers with SparkFixture {
       // pruning still works on the rewritten layout
       val plan = after.getDF("docs~/a").queryExecution.executedPlan.toString
       plan should include("PartitionFilters")
+    }
+
+    "batch-store compaction keeps the newest batch raw for replay" in {
+      import org.apache.spark.sql.functions.col
+      val path = tempStore()
+      // batch 1: three writes, two of them to the same key
+      val r1 = HyperStorage(spark, Content.empty(spark)).applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PUT", "docs~/a", """{"x":2}"""),
+        WriteOp(3, "PUT", "docs~/b", """{"x":3}""")), batchTsMillis = 60000L)
+      ContentStore.writeBatch(r1.appended, path, 60000L)
+      // batch 2: one more revision of a
+      val st1 = ContentStore.open(spark, path)
+      val r2 = st1.applySeq(Seq(
+        WriteOp(4, "PATCH", "docs~/a", """{"y":9}""")), batchTsMillis = 120000L)
+      ContentStore.writeBatch(r2.appended, path, 120000L)
+      ContentStore.compact(spark, path) // default: newest batch stays raw
+      val log = spark.read.parquet(path)
+      // prefix folded (a@rev2, b@rev3), tail raw (a@rev4 under batch 120000)
+      log.count() shouldBe 3
+      log.filter(col("batch") === 120000L).count() shouldBe 1
+      // a replay of batch 120000 still sees the exact pre-batch state
+      val preState = Content.latestRows(log.filter(col("batch") =!= 120000L))
+      preState.filter(col("item_id") === "a").collect()
+        .map(_.getAs[Long]("revision")).toSeq shouldBe Seq(2L)
+      // reads unchanged
+      ContentStore.open(spark, path).get("docs~/a")
+        .map(_.getAs[String]("body")) shouldBe Some("""{"x":2,"id":"a","y":9}""")
+      // explicit full fold once everything is known complete
+      ContentStore.compact(spark, path, Some(Long.MaxValue))
+      spark.read.parquet(path).count() shouldBe 2
     }
 
     "a compaction swap that crashed before rename is healed on open" in {
