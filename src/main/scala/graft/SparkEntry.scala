@@ -522,6 +522,38 @@ object SparkEntry {
         .orderBy("txn_id")
     }),
 
+    "st2_pipeline_indexed" -> ((s, dir) => {
+      // the loop WITH in-loop secondary-index maintenance: batch 1 builds
+      // the store, batch 2 flips memberships; the index table (durable,
+      // manifest-committed, merged per batch) is the checked result
+      import s.implicits._
+      val base = scratchDir(s, "pipeidx", dir)
+      val im = new IndexManager(
+        ContentStore.openOrEmpty(s, s"$base/store"),
+        Some(new graft.indexing.IndexStore(s, s"$base/idx")))
+      im.createIndex("suppliers~", "rich", Nil, Some("acctbal > 5000"))
+      val sup = t(s, dir, "supplier")
+      val puts = sup.select(
+        col("s_suppkey").cast("long").as("seq"),
+        lit("PUT").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        to_json(struct(col("s_acctbal").as("acctbal"))).as("body")).as[WriteOp]
+      graft.streaming.FeedPipeline.runBatch(
+        puts, 60000L, s"$base/store", s"$base/ledger", Some(im))(_ => ())
+      val patches = sup.filter(col("s_suppkey") <= 20).select(
+        (col("s_suppkey") + 10000).cast("long").as("seq"),
+        lit("PATCH").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        to_json(struct((col("s_acctbal") + 10000).as("acctbal"))).as("body"))
+        .as[WriteOp]
+      graft.streaming.FeedPipeline.runBatch(
+        patches, 120000L, s"$base/store", s"$base/ledger", Some(im))(_ => ())
+      im.indexTable("suppliers~", "rich").get
+        .select(col("item_id"),
+          j("body", "acctbal").cast("double").as("acctbal"))
+        .orderBy("item_id")
+    }),
+
     "st4_transaction_list" -> ((s, dir) => {
       // pending-transaction visibility: two batches of writes, the first
       // completed — readers see only the second batch's txns per document
@@ -982,6 +1014,15 @@ object SparkEntry {
         |       ROW_NUMBER() OVER (ORDER BY r_regionkey) AS revision,
         |       TRUE AS completed, CAST(1 AS BIGINT) AS dt_quantum
         |FROM region ORDER BY txn_id""".stripMargin,
+
+    "st2_pipeline_indexed" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
+        |       CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
+        |            ELSE s_acctbal END AS acctbal
+        |FROM supplier
+        |WHERE (CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
+        |            ELSE s_acctbal END) > 5000
+        |ORDER BY item_id""".stripMargin,
 
     "st4_transaction_list" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM region)

@@ -362,6 +362,28 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
       (plan should include).regex("PushedFilters: \\[[^\\]]*d0")
     }
 
+    "pushdown survives a multi-root (post-merge) table: filters land at every scan" in {
+      val (st, path) = newStoragePath()
+      val im = new IndexManager(st, Some(new IndexStore(spark, path)))
+      im.createIndex("collection-1~", "byB",
+        Seq(IndexSortItem("b", Some("decimal"), Some("asc"))), None)
+      // a merge scatters the table across two staging roots
+      val r = st.applySeq(Seq(
+        WriteOp(10, "PUT", "collection-1~/item4", """{"a":"m","b":77}""")))
+      im.applyFeed(r.feed)
+      val (p, q) = QueryPlanner.query(im, "collection-1~",
+        Some("b > 10"), Seq(SortBy("b")), 50)
+      p.source shouldBe "byB"
+      ids(q) shouldBe Seq("item3", "item4", "item1")
+      val plan = q.rows.queryExecution.executedPlan.toString
+      // Catalyst pushes the filter through the union: every parquet scan
+      // of the manifest's roots carries the typed d0 predicate
+      val pushed = "PushedFilters: \\[[^\\]]*d0".r.findAllIn(plan).size
+      val scans = "PushedFilters: \\[".r.findAllIn(plan).size
+      scans should be >= 2
+      pushed shouldBe scans
+    }
+
     "a crashed merge (staging root, no manifest swap) leaves the committed version intact" in {
       val (st, path) = newStoragePath()
       val store = new IndexStore(spark, path)
