@@ -685,6 +685,22 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      // pairwise near-dups → connected components → one canonical
+      // survivor (min doc_id) per cluster; singletons survive themselves
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        n = 3, threshold = 0.5)
+      val clusters = Dedup.duplicateClusters(pairs)
+        .withColumnRenamed("id", "doc_id")
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .withColumn("survivor", col("cluster_id") === col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashDedupPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 3, k = 32, bands = 16, threshold = 0.5)
@@ -1110,6 +1126,7 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+    "dedup_clusters" -> clustersOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
@@ -1327,6 +1344,43 @@ object SparkEntry {
     * the oracle for both the deterministic shared-shingle path and the
     * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
     * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
+  /** Ground-truth components via a recursive closure over the SAME exact
+    * n-gram-Jaccard pair set [[jaccardOracle]] computes: each node's
+    * cluster is the minimum id it can reach. */
+  private def clustersOracle: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+      |                             FOR i IN range(1, len(t) - 1)])
+      |         ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS la, len(b.s) AS lb
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  WHERE inter > 0
+      |    AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT x.id, e.b FROM reach x JOIN edges e ON x.r = e.a),
+      |lbl AS (
+      |  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+      |SELECT d.doc_id,
+      |       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+      |       COALESCE(l.cluster_id, d.doc_id) = d.doc_id AS survivor
+      |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   private def jaccardOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -148,6 +148,47 @@ object Dedup {
     verifyJaccard(cand, sh, threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph: every node
+    * gets the MIN id of its component as `cluster_id` — the training-data
+    * dedup step that turns pairwise matches into one canonical survivor
+    * per cluster (survivor = the row whose id equals its cluster_id).
+    *
+    * Min-label propagation: each iteration pushes labels one hop along
+    * the (symmetrized) edges and folds with a min-aggregate, so the loop
+    * runs O(component diameter) rounds — near-dup graphs have tiny
+    * diameters in practice, and at extreme scale the same loop upgrades
+    * to large-star/small-star without changing callers. Each round is one
+    * shuffle join + one shuffle agg on (id) and localCheckpoints its
+    * result: lineage stays one round deep, never the whole history. The
+    * driver sees only the converged-count per round, never the labels.
+    *
+    * Input columns `id_a`/`id_b`; output (id, cluster_id), covering only
+    * ids that appear in some pair — callers left-join their full table
+    * and coalesce to the row's own id (singleton clusters). */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val hop = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.unionByName(hop)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Deterministic exact near-dup pairs (oracle path): all pairs with
     * n-gram Jaccard >= threshold via the shared-shingle candidate join. */
   def ngramJaccardPairs(

@@ -24,6 +24,16 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((1L, 3L), (2L, 1L))
     }
 
+    "duplicate clusters: min-label components, chains included" in {
+      import spark.implicits._
+      // 1-2-3 is a CHAIN (no direct 1-3 pair): propagation must walk
+      // hops, not just fold direct pairs; 5-6 is a separate component
+      val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+      val got = Dedup.duplicateClusters(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+    }
+
     "exact duplicate pairs point at the canonical" in {
       import spark.implicits._
       val df = Seq((1L, "aa"), (3L, "aa"), (2L, "bb")).toDF("doc_id", "text")
