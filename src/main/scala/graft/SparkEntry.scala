@@ -647,6 +647,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "e3_asof_attribution" -> ((s, dir) => {
+      // backward as-of join (purchase ← latest prior click per user):
+      // union-tagged single-shuffle window plan, no range-join explosion
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.pipeline.AsOfJoin.asof(purchases, clicks, "user_id", "ts",
+          rightCols = Seq("click_id", "click_value"), suffix = "")
+        .select(col("event_id"), col("user_id"),
+          col("click_id"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     "e2_props_extract" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_type"),
@@ -768,6 +784,19 @@ object SparkEntry {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("mean_token_len"), col("alpha_ratio"), col("punct_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "text_corpus_filter" -> ((s, dir) => {
+      // the composed C4-style corpus cleanup in ONE shuffle-free,
+      // codegen'd projection pass: language gate + quality gate + token
+      // bounds — what a training pipeline runs before dedup
+      val q = TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      q.filter(col("lang_pred") === "en" && col("quality_score") >= 0.5 &&
+          col("n_tokens").between(20, 1000))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("quality_score"))
         .orderBy("doc_id")
     }),
@@ -915,6 +944,14 @@ object SparkEntry {
         |ORDER BY (CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END),
         |         (CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey END),
         |         item_id""".stripMargin,
+
+    "e3_asof_attribution" ->
+      """SELECT p.event_id, p.user_id,
+        |       c.event_id AS click_id, c.value AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "e2_props_extract" ->
       """SELECT event_type,
@@ -1169,6 +1206,24 @@ object SparkEntry {
         |  ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
         |    / CAST(length(text) AS DOUBLE)) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_corpus_filter" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 100.0) *
+        |    ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+        |      / CAST(length(text) AS DOUBLE)) AS quality_score,
+        |    CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '),
+        |           x -> x IN ('the','and','of','to','in','is','that','with',
+        |                      'for','was')))
+        |         > 0 THEN 'en' ELSE 'und' END AS lang_pred
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, quality_score FROM q
+        |WHERE lang_pred = 'en' AND quality_score >= 0.5
+        |  AND n_tokens BETWEEN 20 AND 1000
+        |ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left row, attach the single right row
+  * with the greatest timestamp at-or-before the left row's timestamp
+  * within the same key — event attribution, "state as of", point-in-time
+  * feature lookup. Left-join semantics: a left row with no prior right
+  * row keeps nulls.
+  *
+  * Spark-first plan: NOT a range join — a `l.ts >= r.ts` non-equi join
+  * explodes to every prior candidate per left row and re-aggregates.
+  * Instead the two sides are UNION-tagged and processed with ONE shuffle
+  * by key and ONE window sort: `last(right payload, ignoreNulls)` over
+  * (key ORDER BY ts, side) hands each left row the most recent right row
+  * at-or-before it (the right side sorts first on timestamp ties, so
+  * "at-or-before" is inclusive, matching ASOF semantics). Cost: one
+  * shuffle + one sort of |L|+|R| — the same shape as a groupBy; no
+  * broadcast; skew follows the key distribution like any keyed op.
+  */
+object AsOfJoin {
+
+  /** `key` and `ts` must exist on both sides. The right side contributes
+    * `rightCols`, suffixed to avoid collisions; every left column is kept
+    * as-is. */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String], suffix: String = "_right"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lPayload = struct(leftCols.map(left(_)): _*)
+    val rPayload = struct(rightCols.map(right(_)): _*)
+    val lType = left.select(lPayload).schema.head.dataType
+    val rType = right.select(rPayload).schema.head.dataType
+    val combined = left.select(col(key), col(ts), lit(1).as("__side"),
+        lPayload.as("__l"), lit(null).cast(rType).as("__r"))
+      .unionByName(right.select(col(key), col(ts), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rPayload.as("__r")))
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    combined
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__m.$c").as(c + suffix)): _*)
+  }
+}

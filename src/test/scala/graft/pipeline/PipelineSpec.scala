@@ -24,6 +24,21 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((1L, 3L), (2L, 1L))
     }
 
+    "as-of join: latest at-or-before per key, inclusive ties, null when none" in {
+      import spark.implicits._
+      val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 15L, "p3"))
+        .toDF("k", "ts", "name")
+      val right = Seq((1L, 5L, "r5"), (1L, 10L, "r10"), (1L, 25L, "r25"),
+        (3L, 1L, "rX")).toDF("k", "ts", "v")
+      val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"))
+        .select("name", "v_right").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      got shouldBe Map(
+        "p1" -> Some("r10"), // tie at ts=10 matches (inclusive at-or-before)
+        "p2" -> Some("r10"), // r25 is after, r10 latest prior
+        "p3" -> None)        // key 2 has no right rows; key 3 never leaks
+    }
+
     "duplicate clusters: min-label components, chains included" in {
       import spark.implicits._
       // 1-2-3 is a CHAIN (no direct 1-3 pair): propagation must walk
