@@ -16,8 +16,8 @@ object Bench {
     "m1_put_get", "m4_delete_items",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "text_quality", "text_fingerprint", "text_langid",
-    "w1_window_rank", "e1_sessionize", "st5_quantize")
+    "text_quality", "text_fingerprint", "text_langid", "text_corpus_filter",
+    "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -734,7 +734,9 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    "dedup_embedding_cosine" -> ((s, dir) => {
+    "dedup_embedding_cosine_exact" -> ((s, dir) => {
+      // exact all-pairs oracle baseline (quadratic by construction);
+      // the production 100x-scale binding is the _lsh entry below
       Similarity.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.4)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
@@ -1256,7 +1258,7 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY media_id, frame_idx""".stripMargin,
 
-    "dedup_embedding_cosine" ->
+    "dedup_embedding_cosine_exact" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b
