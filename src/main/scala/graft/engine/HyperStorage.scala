@@ -11,6 +11,37 @@ final class NotFound(path: String) extends GraftError(s"not-found: $path")
 final class Conflict(msg: String) extends GraftError(msg)
 final class QuerySkippedRowsLimited(max: Int)
     extends GraftError(s"query-skipped-rows-limited: $max")
+final class QueryTimeout(ms: Long) extends GraftError(s"query-timeout: ${ms}ms")
+
+/** The reference's query-deadline contract (HyperbusAdapter.scala:280-281:
+  * `endTimeInMillis` checked per fetch round → `query-timeout`). A Spark
+  * query is ONE complete job rather than an iterative refetch loop, so the
+  * surviving contract is a wall-clock deadline around the query's actions:
+  * the body runs in a tagged Spark job group, and on expiry every job in
+  * the group is cancelled (executors interrupt) before [[QueryTimeout]] is
+  * thrown — a timed-out query releases its cluster resources instead of
+  * running on. The reference's `query-count-limited` (:278-279) bounds its
+  * refetch RECURSION, which has no Spark analog (O7 N/A by design). */
+object QueryGuard {
+  import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+  import scala.concurrent.duration.Duration
+
+  def withDeadline[T](spark: SparkSession, timeoutMillis: Long)(body: => T): T = {
+    val group = s"graft-deadline-${java.util.UUID.randomUUID()}"
+    val f = Future {
+      // job group is thread-local: set it on the thread running the actions
+      spark.sparkContext.setJobGroup(group, "graft query deadline",
+        interruptOnCancel = true)
+      try body finally spark.sparkContext.clearJobGroup()
+    }(ExecutionContext.global)
+    try Await.result(f, Duration(timeoutMillis, "ms"))
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        throw new QueryTimeout(timeoutMillis)
+    }
+  }
+}
 
 final case class SortBy(fieldName: String, descending: Boolean = false)
 object SortBy {

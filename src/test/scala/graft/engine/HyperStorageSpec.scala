@@ -151,4 +151,31 @@ class HyperStorageSpec extends AnyFreeSpec with Matchers with SparkFixture {
       rows1 shouldBe rows2
     }
   }
+
+  "QueryGuard (query-timeout taxonomy)" - {
+    "a query within its deadline returns normally; errors propagate as-is" in {
+      val st = HyperStorage(spark, store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""))).log)
+      QueryGuard.withDeadline(spark, 60000L) {
+        st.query("docs~").rows.count()
+      } shouldBe 1L
+      a[NotFound] should be thrownBy QueryGuard.withDeadline(spark, 60000L) {
+        st.query("missing~").rows.count()
+      }
+    }
+
+    "an over-deadline query is cancelled and raises query-timeout" in {
+      val t0 = System.nanoTime()
+      a[QueryTimeout] should be thrownBy
+        QueryGuard.withDeadline(spark, 300L) {
+          // ~minutes of work uncancelled (and overflow-free — a sum that
+          // overflowed would throw ArithmeticException before the
+          // deadline); the elapsed assertion below only holds because the
+          // job-group cancellation interrupts the running tasks
+          spark.range(500000000000L).selectExpr("sum(id % 7)").collect()
+        }
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      elapsedMs should be < 30000L
+    }
+  }
 }
