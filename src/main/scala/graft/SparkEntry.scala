@@ -1187,40 +1187,31 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "text_tokens" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |    AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS bpe_tokens
+        |            ELSE $WsTokensSql END AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-        |  (length(text) - (len(regexp_split_to_array(trim(text), '\s+')) - 1))
-        |    / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
-        |    AS mean_token_len,
-        |  (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+      s"""SELECT doc_id,
+        |  CAST($WsTokensSql AS BIGINT) AS n_tokens,
+        |  (length(text) - ($WsTokensSql - 1))
+        |    / CAST($WsTokensSql AS DOUBLE) AS mean_token_len,
+        |  $AlphaRatioSql AS alpha_ratio,
         |  length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
         |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
-        |  LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 100.0) *
-        |  ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-        |    / CAST(length(text) AS DOUBLE)) AS quality_score
+        |  $QualityScoreSql AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // composed from the SAME SQL fragments the component oracles use —
+    // a formula tweak lands everywhere or nowhere
     "text_corpus_filter" ->
-      """WITH q AS (
+      s"""WITH q AS (
         |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |      AS n_tokens,
-        |    LEAST(1.0, len(regexp_split_to_array(trim(text), '\s+')) / 100.0) *
-        |    ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
-        |      / CAST(length(text) AS DOUBLE)) AS quality_score,
-        |    CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '),
-        |           x -> x IN ('the','and','of','to','in','is','that','with',
-        |                      'for','was')))
-        |         > 0 THEN 'en' ELSE 'und' END AS lang_pred
+        |    CAST($WsTokensSql AS BIGINT) AS n_tokens,
+        |    $QualityScoreSql AS quality_score,
+        |    $LangPredSql AS lang_pred
         |  FROM documents)
         |SELECT doc_id, n_tokens, quality_score FROM q
         |WHERE lang_pred = 'en' AND quality_score >= 0.5
@@ -1234,10 +1225,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" ->
-      """SELECT doc_id,
-        |  CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '),
-        |         x -> x IN ('the','and','of','to','in','is','that','with','for','was')))
-        |       > 0 THEN 'en' ELSE 'und' END AS lang_pred
+      s"""SELECT doc_id, $LangPredSql AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_blob_stats" ->
@@ -1397,10 +1385,22 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —
-    * the oracle for both the deterministic shared-shingle path and the
-    * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
-    * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
+  // -- shared DuckDB fragments for the text-analysis oracles: the
+  // composed corpus filter must gate on EXACTLY the formulas the
+  // component entries pin, so each lives once --
+  private val WsTokensSql =
+    """len(regexp_split_to_array(trim(text), '\s+'))"""
+  private val AlphaRatioSql =
+    """(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+      |    / CAST(length(text) AS DOUBLE)""".stripMargin
+  private val QualityScoreSql =
+    s"""LEAST(1.0, $WsTokensSql / 100.0) * ($AlphaRatioSql)"""
+  private val LangPredSql =
+    """CASE WHEN len(list_filter(string_split(lower(trim(text)), ' '),
+      |         x -> x IN ('the','and','of','to','in','is','that','with',
+      |                    'for','was')))
+      |     > 0 THEN 'en' ELSE 'und' END""".stripMargin
+
   /** Ground-truth components via a recursive closure over the SAME exact
     * n-gram-Jaccard pair set [[jaccardOracle]] computes: each node's
     * cluster is the minimum id it can reach. */
@@ -1438,6 +1438,10 @@ object SparkEntry {
       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Exact 3-gram Jaccard >= 0.5 pairs, computed from scratch in DuckDB —
+    * the oracle for both the deterministic shared-shingle path and the
+    * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
+    * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
   private def jaccardOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

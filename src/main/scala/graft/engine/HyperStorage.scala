@@ -23,22 +23,48 @@ final class QueryTimeout(ms: Long) extends GraftError(s"query-timeout: ${ms}ms")
   * running on. The reference's `query-count-limited` (:278-279) bounds its
   * refetch RECURSION, which has no Spark analog (O7 N/A by design). */
 object QueryGuard {
-  import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-  import scala.concurrent.duration.Duration
+  /** How long a timed-out query gets to die before we stop re-cancelling
+    * its job group and walk away (the thread is a daemon either way). */
+  private val CancelGraceMillis = 10000L
 
   def withDeadline[T](spark: SparkSession, timeoutMillis: Long)(body: => T): T = {
     val group = s"graft-deadline-${java.util.UUID.randomUUID()}"
-    val f = Future {
-      // job group is thread-local: set it on the thread running the actions
+    // a dedicated thread, not an ExecutionContext: the job group is
+    // thread-local, the body BLOCKS on Spark actions (it would pin a
+    // shared pool thread), and a timeout must be able to interrupt it
+    val started = new java.util.concurrent.CountDownLatch(1)
+    @volatile var outcome: Either[Throwable, T] = null
+    val t = new Thread(() => {
       spark.sparkContext.setJobGroup(group, "graft query deadline",
         interruptOnCancel = true)
-      try body finally spark.sparkContext.clearJobGroup()
-    }(ExecutionContext.global)
-    try Await.result(f, Duration(timeoutMillis, "ms"))
-    catch {
-      case _: TimeoutException =>
+      started.countDown()
+      try outcome = Right(body)
+      catch { case e: Throwable => outcome = Left(e) }
+      finally spark.sparkContext.clearJobGroup()
+    }, group)
+    t.setDaemon(true)
+    t.start()
+    t.join(math.max(timeoutMillis, 1L))
+    if (t.isAlive) {
+      // the latch guarantees the group was registered before any job this
+      // body submits — a cancel can never race ahead of setJobGroup; the
+      // re-cancel loop catches jobs the body submits AFTER the first
+      // cancel (a multi-job body between actions), and the interrupt
+      // surfaces in non-Spark blocking sections
+      started.await()
+      var waited = 0L
+      while (t.isAlive && waited < CancelGraceMillis) {
         spark.sparkContext.cancelJobGroup(group)
-        throw new QueryTimeout(timeoutMillis)
+        t.interrupt()
+        t.join(200L)
+        waited += 200L
+      }
+      throw new QueryTimeout(timeoutMillis)
+    }
+    outcome match {
+      case Right(v) => v
+      case Left(e) => throw e // body errors propagate untranslated
+      case null => throw new QueryTimeout(timeoutMillis)
     }
   }
 }

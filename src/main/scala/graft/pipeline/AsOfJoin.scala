@@ -24,7 +24,14 @@ object AsOfJoin {
 
   /** `key` and `ts` must exist on both sides. The right side contributes
     * `rightCols`, suffixed to avoid collisions; every left column is kept
-    * as-is. */
+    * as-is.
+    *
+    * SQL join semantics on NULL keys: a NULL key never matches (right
+    * rows with a NULL key are dropped; left rows with one keep null right
+    * columns) — without the gate the window partition would happily match
+    * NULL to NULL. Right rows tying on (key, ts) resolve
+    * DETERMINISTICALLY toward the greatest right payload (struct order),
+    * so repeated runs pick the same row. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightCols: Seq[String], suffix: String = "_right"): DataFrame = {
     val leftCols = left.columns.toSeq
@@ -34,9 +41,13 @@ object AsOfJoin {
     val rType = right.select(rPayload).schema.head.dataType
     val combined = left.select(col(key), col(ts), lit(1).as("__side"),
         lPayload.as("__l"), lit(null).cast(rType).as("__r"))
-      .unionByName(right.select(col(key), col(ts), lit(0).as("__side"),
-        lit(null).cast(lType).as("__l"), rPayload.as("__r")))
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .unionByName(right.filter(col(key).isNotNull)
+        .select(col(key), col(ts), lit(0).as("__side"),
+          lit(null).cast(lType).as("__l"), rPayload.as("__r")))
+    // __r last: right-side ties on (ts) order by payload, so last() picks
+    // the greatest — a deterministic choice (ASOF engines pick an
+    // arbitrary one; any fixed rule is equally valid)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

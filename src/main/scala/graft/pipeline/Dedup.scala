@@ -183,6 +183,9 @@ object Dedup {
       changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .filter(col("cluster_id") =!= col("prev")).count()
+      // release the superseded round's checkpoint blocks NOW — without
+      // this, executors hold O(rounds) full label-table copies until GC
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()

@@ -39,6 +39,20 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         "p3" -> None)        // key 2 has no right rows; key 3 never leaks
     }
 
+    "as-of join: NULL keys never match; right-side ties pick deterministically" in {
+      import spark.implicits._
+      val left = Seq((Option.empty[Long], 10L, "pN"), (Some(1L), 10L, "p1"))
+        .toDF("k", "ts", "name")
+      val right = Seq((Option.empty[Long], 5L, "rN"),
+        (Some(1L), 5L, "rA"), (Some(1L), 5L, "rB")).toDF("k", "ts", "v")
+      val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"))
+        .select("name", "v_right").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      got shouldBe Map(
+        "pN" -> None,       // NULL key: SQL semantics, no NULL-to-NULL match
+        "p1" -> Some("rB")) // tie at (k=1, ts=5): greatest payload wins
+    }
+
     "duplicate clusters: min-label components, chains included" in {
       import spark.implicits._
       // 1-2-3 is a CHAIN (no direct 1-3 pair): propagation must walk
