@@ -637,6 +637,32 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    "q7_stats" -> ((s, dir) => {
+      // statistical aggregates (variance / stddev / correlation) derived
+      // from EXACT decimal power sums, converted once via the string
+      // rendering, then identical scalar IEEE formulas on both engines —
+      // a direct stddev_samp/corr would differ in summation order and
+      // fail the bit-exact hash
+      val q = col("l_quantity").cast(DecimalType(18, 2))
+      val p = col("l_extendedprice").cast(DecimalType(18, 2))
+      def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+        decAsDouble(sum(c).cast(DecimalType(38, scale)))
+      val a = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("cnt"),
+        count(lit(1)).cast("double").as("nd"),
+        dsum(q, 2).as("sq"), dsum(p, 2).as("sp"),
+        dsum((q * q).cast(DecimalType(38, 4)), 4).as("sqq"),
+        dsum((p * p).cast(DecimalType(38, 4)), 4).as("spp"),
+        dsum((p * q).cast(DecimalType(38, 4)), 4).as("spq"))
+      val vq = (col("sqq") - col("sq") * col("sq") / col("nd")) / (col("nd") - 1)
+      val vp = (col("spp") - col("sp") * col("sp") / col("nd")) / (col("nd") - 1)
+      val cov = (col("spq") - col("sp") * col("sq") / col("nd")) / (col("nd") - 1)
+      a.select(col("l_returnflag"), col("cnt"),
+          vq.as("var_qty"), sqrt(vp).as("sd_price"),
+          (cov / (sqrt(vq) * sqrt(vp))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "w1_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1138,6 +1164,37 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // same exact-decimal power sums, same string→double conversion, same
+    // scalar formula text ⇒ bit-identical doubles on both engines
+    "q7_stats" ->
+      """WITH a AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS cnt, CAST(COUNT(*) AS DOUBLE) AS nd,
+        |    CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |         AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sq,
+        |    CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sp,
+        |    CAST(CAST(CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                            CAST(l_quantity AS DECIMAL(18,2))
+        |                       AS DECIMAL(38,4)))
+        |         AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sqq,
+        |    CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                            CAST(l_extendedprice AS DECIMAL(18,2))
+        |                       AS DECIMAL(38,4)))
+        |         AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS spp,
+        |    CAST(CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                            CAST(l_quantity AS DECIMAL(18,2))
+        |                       AS DECIMAL(38,4)))
+        |         AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS spq
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, cnt,
+        |  (sqq - sq * sq / nd) / (nd - 1) AS var_qty,
+        |  sqrt((spp - sp * sp / nd) / (nd - 1)) AS sd_price,
+        |  ((spq - sp * sq / nd) / (nd - 1)) /
+        |    (sqrt((sqq - sq * sq / nd) / (nd - 1)) *
+        |     sqrt((spp - sp * sp / nd) / (nd - 1))) AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT event_id, user_id,
