@@ -10,7 +10,7 @@ object Bench {
     * agg/join/window, dedup, ANN, text) — what the 2×-of-baseline gate
     * actually measures. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_shipping", "q5_local_supplier",
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q7_stats",
     "f1_filter_numeric", "o2_sort_multifield", "o4_topk_overfetch",
     "s4_index_scan", "m6_index_build", "m8_index_maintenance",
     "m1_put_get", "m4_delete_items",
