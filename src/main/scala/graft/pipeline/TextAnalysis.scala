@@ -44,13 +44,31 @@ object TextAnalysis {
   }
 
   /** Heuristic language ID: the language whose stopword list scores the
-    * highest ratio; "und" (undetermined) when no list scores > 0. */
+    * most token hits (argmax over hit counts ≡ argmax over ratios — the
+    * denominator is the same token count for every language); "und"
+    * (undetermined) when no list hits. Ties break toward the
+    * lexicographically greatest language code, like the ratio version.
+    *
+    * ONE traversal of ONE tokenization: the per-language counts
+    * accumulate in a single `aggregate` whose finish lambda does the
+    * argmax — higher-order-function lambdas are not subexpression-
+    * eliminated, so the per-language-aggregate formulation would
+    * re-split and re-scan the text once per language. */
   def langId(text: Column): Column = {
-    val scored = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(stopwordRatio(text, words).as("score"), lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    val langs = Stopwords.toSeq.sortBy(_._1)
+    val zero = array(langs.map(_ => lit(0)): _*)
+    val counted = aggregate(
+      split(lower(trim(text)), "\\s+"),
+      zero,
+      (acc, t) => array(langs.zipWithIndex.map { case ((_, words), i) =>
+        element_at(acc, i + 1) +
+          when(array_contains(typedlit(words), t), 1).otherwise(0)
+      }: _*),
+      acc => array_max(array(langs.zipWithIndex.map { case ((lang, _), i) =>
+        struct(element_at(acc, i + 1).as("score"), lit(lang).as("lang"))
+      }: _*)))
+    when(counted.getField("score") > 0, counted.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Quality features per document: char/token counts, mean token length,
