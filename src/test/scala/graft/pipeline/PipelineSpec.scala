@@ -53,6 +53,17 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         "p1" -> Some("rB")) // tie at (k=1, ts=5): greatest payload wins
     }
 
+    "as-of join plans exactly one shuffle (no range-join explosion)" in {
+      import spark.implicits._
+      val left = Seq((1L, 10L, "p1")).toDF("k", "ts", "name")
+      val right = Seq((1L, 5L, "r5")).toDF("k", "ts", "v")
+      val plan = AsOfJoin.asof(left, right, "k", "ts", Seq("v"))
+        .queryExecution.executedPlan.toString
+      "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+
     "duplicate clusters: min-label components, chains included" in {
       import spark.implicits._
       // 1-2-3 is a CHAIN (no direct 1-3 pair): propagation must walk
