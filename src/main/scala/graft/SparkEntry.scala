@@ -256,6 +256,23 @@ object SparkEntry {
           j("body", "p_retailprice").cast("double").as("retailprice"))
     }),
 
+    "f11_sql_surface" -> ((s, dir) => {
+      // the SQL extension surface under the gate: hql() (the reference's
+      // filter language as a plan-time-translated SQL predicate),
+      // json_merge_patch and json_null_strip, all through spark.sql
+      GraftFunctions.register(s)
+      Content.fromTable(t(s, dir, "customer"), "customers~", "c_custkey")
+        .createOrReplaceTempView("f11_content")
+      s.sql("""
+        SELECT item_id,
+               get_json_object(json_merge_patch(body, '{"tag":"rich","c_comment":null}'),
+                               '$.tag') AS tag,
+               CAST(get_json_object(body, '$.c_acctbal') AS DOUBLE) AS acctbal
+        FROM f11_content
+        WHERE hql(body, 'c_acctbal > 9000 and c_mktsegment != "MACHINERY"')
+        ORDER BY item_id""")
+    }),
+
     "f8_null_strip" -> ((s, dir) => {
       import s.implicits._
       val ops = t(s, dir, "region").select(
@@ -952,6 +969,13 @@ object SparkEntry {
         |       CAST(p_size AS INTEGER) AS psize, p_retailprice AS retailprice
         |FROM part WHERE p_size > 45 AND p_retailprice <= 1500
         |ORDER BY item_id LIMIT 3000""".stripMargin,
+
+    "f11_sql_surface" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS item_id, 'rich' AS tag,
+        |       c_acctbal AS acctbal
+        |FROM customer
+        |WHERE c_acctbal > 9000 AND c_mktsegment != 'MACHINERY'
+        |ORDER BY item_id""".stripMargin,
 
     "f8_null_strip" ->
       """SELECT CAST(r_regionkey AS VARCHAR) AS item_id, r_name AS name,
