@@ -690,6 +690,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "st8_session_windows" -> ((s, dir) => {
+      // native gap-based session windows (streaming-capable shape run in
+      // batch); microsecond precision on BOTH sides so the gap rule can
+      // never straddle a rounding boundary
+      val ev = events(s, dir).filter(col("user_id") < 50)
+        .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      graft.streaming.Streams
+        .sessionCounts(ev, "user_id", "t", "30 minutes", "1 minute")
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     "e3_asof_attribution" -> ((s, dir) => {
       // backward as-of join (purchase ← latest prior click per user):
       // union-tagged single-shuffle window plan, no range-join explosion
@@ -996,6 +1010,27 @@ object SparkEntry {
         |ORDER BY (CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 1 END),
         |         (CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey END),
         |         item_id""".stripMargin,
+
+    // gaps-and-islands at MICROsecond precision: new session iff the gap
+    // to the previous event is >= 30 min (an event exactly at the
+    // previous window's end opens a new session, like session_window)
+    "st8_session_windows" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 50),
+        |g AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |      AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(us) AS session_start_us, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "e3_asof_attribution" ->
       """SELECT p.event_id, p.user_id,

@@ -46,6 +46,36 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
 
+    "sessionCounts merges within the gap and finalizes on watermark" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(Long, Long)] // (user, event-time millis)
+      val sess = Streams.sessionCounts(
+        src.toDS().select(col("_1").as("u"),
+          timestamp_millis(col("_2")).as("t")),
+        "u", "t", "1 minute", "1 minute")
+      val q = sess.writeStream.format("memory").queryName("sc")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sc").toString)
+        .outputMode("append").start()
+      try {
+        // user 1: 5s and 10s merge (gap < 1 min); 100s opens a new session
+        src.addData((1L, 5000L), (1L, 10000L), (1L, 100000L), (2L, 7000L))
+        q.processAllAvailable()
+        src.addData((1L, 500000L)) // watermark 440s: finalizes the above
+        q.processAllAvailable()
+        src.addData((1L, 900000L)) // watermark 840s: finalizes the 500s one
+        q.processAllAvailable()
+        val rows = spark.table("sc").collect()
+          .map(r => ((r.getAs[Long]("u"),
+            r.getAs[java.sql.Timestamp]("session_start").getTime),
+            r.getAs[Long]("n_events"))).toMap
+        rows((1L, 5000L)) shouldBe 2L
+        rows((1L, 100000L)) shouldBe 1L
+        rows((2L, 7000L)) shouldBe 1L
+      } finally q.stop()
+    }
+
     "the same transformation runs in batch mode (oracle shape)" in {
       import spark.implicits._
       val batch = Seq(5000L, 15000L, 65000L, 1000L)
