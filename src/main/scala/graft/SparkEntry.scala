@@ -743,6 +743,17 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "e4_interval_join" -> ((s, dir) => {
+      // banded range join: per event, how many same-type events follow
+      // within 10 minutes (+ the first one's timestamp) — an equi join on
+      // (event_type, time bucket), never a nested-loop range join
+      val ev = events(s, dir).select("event_id", "event_type", "ts_ms")
+      graft.pipeline.IntervalJoin.followWithin(ev, ev, "event_id", "ts_ms",
+          spanMs = 600000L, equi = Seq("event_type"))
+        .select(col("event_id"), col("matches"), col("next_ts_ms"))
+        .orderBy("event_id")
+    }),
+
     // ---- LLM-pipeline: dedup -------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -868,6 +879,39 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
+    }),
+
+    // ---- LLM-pipeline: sampling & corpus statistics ---------------------
+    "sample_hash" -> ((s, dir) => {
+      // shuffle-free deterministic sample: a pure filter on the md5-derived
+      // key hash — the 100 TB sampling path (no RNG, no state, no shuffle)
+      graft.pipeline.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+
+    "sample_stratified" -> ((s, dir) => {
+      // exact per-language quota: ceil(0.2 · n) rows per stratum in
+      // deterministic hash order (one shuffle on the stratum key)
+      graft.pipeline.Sampling.stratifiedExact(
+          t(s, dir, "documents"), "lang", "doc_id", 0.2)
+        .select(col("doc_id"), col("lang")).orderBy("doc_id")
+    }),
+
+    "stat_quantiles" -> ((s, dir) => {
+      // exact per-language token-count quantiles via distinct-value
+      // compression (never sorts raw rows inside a stratum)
+      graft.pipeline.Stats.groupQuantiles(t(s, dir, "documents"), "lang",
+          TextAnalysis.tokenCount(col("text")).cast("long"),
+          Seq(0.5, 0.9, 0.99))
+        .select(col("lang"), col("p"), col("q"))
+        .orderBy("lang", "p")
+    }),
+
+    "stat_heavy_hitters" -> ((s, dir) => {
+      // exact top-25 tokens: two-phase count absorbs token skew map-side,
+      // TakeOrdered picks the head without a global sort
+      graft.pipeline.Stats.topTokens(t(s, dir, "documents"), "text", 25)
+        .orderBy(col("cnt").desc, col("token"))
     }),
 
     // ---- LLM-pipeline: multimodal binary columns ------------------------
@@ -1275,6 +1319,16 @@ object SparkEntry {
         |       COUNT(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "e4_interval_join" ->
+      """SELECT a.event_id,
+        |       CAST(COUNT(b.ts) AS BIGINT) AS matches,
+        |       MIN(epoch_ms(b.ts)) AS next_ts_ms
+        |FROM events a LEFT JOIN events b
+        |  ON b.event_type = a.event_type
+        | AND epoch_ms(b.ts) > epoch_ms(a.ts)
+        | AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 600000
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, CAST(2 * COUNT(*) AS BIGINT) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -1343,6 +1397,49 @@ object SparkEntry {
     "text_langid" ->
       s"""SELECT doc_id, $LangPredSql AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // deterministic md5-keyed sampling — the threshold literal is
+    // Sampling.hashThreshold(0.25) inlined
+    "sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      < ${pipeline.Sampling.hashThreshold(0.25)}
+        |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM ranked
+        |WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
+
+    "stat_quantiles" ->
+      s"""WITH counts AS (
+        |  SELECT lang,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                   ELSE $WsTokensSql END AS BIGINT) AS v,
+        |         COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts)
+        |SELECT lang, p, MIN(v) AS q
+        |FROM cum CROSS JOIN
+        |  (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) ps
+        |WHERE cum >= greatest(1, ceil(n * p))
+        |GROUP BY lang, p ORDER BY lang, p""".stripMargin,
+
+    "stat_heavy_hitters" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token != ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
 
     "mm_blob_stats" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

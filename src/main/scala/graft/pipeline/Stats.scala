@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics for corpus curation: exact grouped quantiles and
+  * heavy hitters, both shaped for 100 TB inputs.
+  */
+object Stats {
+
+  /** Exact discrete quantiles per group, via distinct-value compression.
+    *
+    * The naive exact quantile sorts every ROW inside each group — with few
+    * groups (languages, sources) that is a handful of giant sorted
+    * partitions, a guaranteed straggler at scale. This plan instead:
+    *
+    *   1. `groupBy(group, value).count` — one shuffle, map-side combine;
+    *      the working set collapses from |rows| to |distinct values|
+    *      (token counts, char lengths etc. have tiny value domains).
+    *   2. running sum over the compressed (group, value) table — the
+    *      window sorts only distinct values per group.
+    *   3. the p-quantile is the smallest value whose cumulative count
+    *      reaches ceil(p·n) — one filter + min-aggregate per p.
+    *
+    * Discrete (type-preserving, no interpolation): quantile(p) is always an
+    * observed value, q(p) = min{ v : |x <= v| >= max(1, ceil(p·n)) }.
+    * Deterministic, so it replays exactly in any SQL engine.
+    * Output: (group, p, q) one row per group × p.
+    */
+  def groupQuantiles(
+      df: DataFrame, groupCol: String, valueCol: Column,
+      ps: Seq[Double]): DataFrame = {
+    val counts = df.select(col(groupCol), valueCol.as("__v"))
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = counts
+      .withColumn("__cum",
+        sum("__c").over(Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
+      .withColumn("__n", sum("__c").over(Window.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col("__v"), col("__cum"), col("__n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("__cum") >= greatest(lit(1L), ceil(col("__n") * col("p"))))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(col("__v")).as("q"))
+  }
+
+  /** Top-k most frequent whitespace tokens with exact counts (heavy
+    * hitters). explode → two-phase count (map-side combine absorbs the
+    * token skew: each task pre-folds its own 'the's) → global top-k via
+    * TakeOrdered (no full sort). Ties break on the token itself, so the
+    * result set is deterministic. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+}

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Sampling / grouped quantiles / heavy hitters / interval join. */
+class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  "Sampling" - {
+    "hashSample is deterministic and roughly the requested fraction" in {
+      val a = Sampling.hashSample(docs, "doc_id", 0.25)
+      val b = Sampling.hashSample(docs, "doc_id", 0.25)
+      val na = a.count()
+      na shouldBe b.count() // identical set on every run
+      val n = docs.count().toDouble
+      na.toDouble should be(0.25 * n +- 0.12 * n) // binomial tolerance
+      // a is a subset of a larger-fraction sample (thresholds nest)
+      val wide = Sampling.hashSample(docs, "doc_id", 0.5)
+      a.join(wide, Seq("doc_id"), "left_anti").count() shouldBe 0L
+    }
+
+    "stratifiedExact takes exactly ceil(fraction*n) rows per stratum" in {
+      val per = Sampling.stratifiedExact(docs, "lang", "doc_id", 0.2)
+        .groupBy("lang").count()
+      val want = docs.groupBy("lang").count()
+        .withColumn("want", ceil(col("count") * 0.2)).drop("count")
+      per.join(want, "lang")
+        .filter(col("count") =!= col("want")).count() shouldBe 0L
+    }
+
+    "stratifiedExact picks the same rows on every run" in {
+      val a = Sampling.stratifiedExact(docs, "lang", "doc_id", 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Sampling.stratifiedExact(docs, "lang", "doc_id", 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      a shouldBe b
+    }
+  }
+
+  "Stats.groupQuantiles" - {
+    "matches the definition q(p) = min{v : |x <= v| >= ceil(p*n)}" in {
+      import spark.implicits._
+      // group g: values 1..10 → p50 = 5, p90 = 9, p100-ish (0.99) = 10
+      val df = (1 to 10).map(v => ("g", v.toLong)).toDF("grp", "v")
+      val got = Stats.groupQuantiles(df, "grp", col("v"), Seq(0.5, 0.9, 0.99))
+        .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+      got shouldBe Map(0.5 -> 5L, 0.9 -> 9L, 0.99 -> 10L)
+    }
+
+    "handles duplicated values and single-row groups" in {
+      import spark.implicits._
+      val df = Seq(("a", 7L), ("b", 1L), ("b", 1L), ("b", 2L))
+        .toDF("grp", "v")
+      val got = Stats.groupQuantiles(df, "grp", col("v"), Seq(0.5))
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      got shouldBe Map("a" -> 7L, "b" -> 1L) // ceil(0.5*3)=2nd of (1,1,2) = 1
+    }
+
+    "never sorts raw rows: the window input is the compressed value table" in {
+      import spark.implicits._
+      val df = (1 to 1000).map(i => ("g", (i % 5).toLong)).toDF("grp", "v")
+      // 5 distinct values → the plan's window sees ≤5 rows per group;
+      // verify via the aggregated count feeding the window
+      val q = Stats.groupQuantiles(df, "grp", col("v"), Seq(0.5))
+      q.collect().map(_.getLong(2)).toSeq shouldBe Seq(2L)
+      val plan = q.queryExecution.optimizedPlan.toString
+      // an Aggregate must sit below the Window operator
+      plan.indexOf("Window") should be < plan.lastIndexOf("Aggregate")
+    }
+  }
+
+  "Stats.topTokens" - {
+    "exact counts, deterministic tie-break on the token" in {
+      import spark.implicits._
+      val df = Seq("b a a", "c b", "a  c").toDF("text") // double space → empty token dropped
+      val got = Stats.topTokens(df, "text", 3)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      got shouldBe Seq(("a", 3L), ("b", 2L), ("c", 2L))
+    }
+  }
+
+  "IntervalJoin.followWithin" - {
+    "counts strictly-after rows within span, per equi key, zero-filled" in {
+      import spark.implicits._
+      val ev = Seq(
+        (1L, "x", 0L), (2L, "x", 500L), (3L, "x", 1500L),
+        (4L, "y", 100L), (5L, "y", 5000L)).toDF("id", "typ", "ts_ms")
+      val got = IntervalJoin.followWithin(ev, ev, "id", "ts_ms",
+          spanMs = 1000L, equi = Seq("typ"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+      got shouldBe Set(
+        (1L, 1L, Some(500L)),  // 500 ∈ (0, 1000]; 1500 is outside
+        (2L, 1L, Some(1500L)), // 1500 ∈ (500, 1500]
+        (3L, 0L, None),
+        (4L, 0L, None),        // 5000 > 100+1000
+        (5L, 0L, None))
+    }
+
+    "window boundaries are (exclusive, inclusive]" in {
+      import spark.implicits._
+      val ev = Seq((1L, "x", 0L), (2L, "x", 1000L), (3L, "x", 0L))
+        .toDF("id", "typ", "ts_ms")
+      val got = IntervalJoin.followWithin(ev, ev, "id", "ts_ms", 1000L, Seq("typ"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ts=0 rows: the other ts=0 row is NOT after (strict >); ts=1000 IS (inclusive ≤)
+      got shouldBe Map(1L -> 1L, 2L -> 0L, 3L -> 1L)
+    }
+
+    "plans an equi join on (keys, bucket), not a nested-loop range join" in {
+      import spark.implicits._
+      val ev = Seq((1L, "x", 0L)).toDF("id", "typ", "ts_ms")
+      val plan = IntervalJoin.followWithin(ev, ev, "id", "ts_ms", 1000L, Seq("typ"))
+        .queryExecution.executedPlan.toString
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+    }
+  }
+}
