@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g starves 16-32 concurrent tasks: GC pressure keeps collecting the
+  // soft-referenced Jackson BufferRecyclers, so every per-row JSON parse
+  // reallocates its buffers — observed 25x slowdown on JSON-heavy scans.
+  // The box has 128 GiB; give forked runs real headroom by default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

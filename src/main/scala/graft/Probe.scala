@@ -38,6 +38,68 @@ object Probe {
         println(plan.linesIterator.take(30).mkString("\n"))
       }
     }
+    if (what == "o4") {
+      // decompose o4: adaptation/persist vs guard agg vs top-k
+      import graft.engine._
+      def tick[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val a = f
+        println(f"[o4] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); a
+      }
+      for (r <- 1 to 3) {
+        val log = tick("fromTable+persist") {
+          val l = Content.fromTable(
+            spark.read.parquet(s"$dir/orders.parquet"), "orders~", "o_orderkey").persist()
+          l.count(); l
+        }
+        val st = HyperStorage(spark, log)
+        val res = tick("query()") {
+          st.query("orders~", filter = Some("o_totalprice > 1000"),
+            sort = Seq(SortBy("o_totalprice", descending = true)), size = 50)
+        }
+        tick("topk count") { res.rows.count() }
+        log.unpersist(true)
+      }
+    }
+    if (what == "tls") {
+      // run a JSON-heavy query a few times, then dump executor-thread
+      // ThreadLocalMap contents (size + top referent classes)
+      for (_ <- 1 to 3)
+        SparkEntry.queries("o4_topk_overfetch")(spark, dir).count()
+      import spark.implicits._
+      val report = spark.range(0, 16, 1, 16).mapPartitions { _ =>
+        val th = Thread.currentThread()
+        val f = classOf[Thread].getDeclaredField("threadLocals")
+        f.setAccessible(true)
+        val map = f.get(th)
+        if (map == null) Iterator(th.getName -> "no-map")
+        else {
+          val tf = map.getClass.getDeclaredField("table")
+          tf.setAccessible(true)
+          val table = tf.get(map).asInstanceOf[Array[AnyRef]]
+          val entries = table.filter(_ != null)
+          val kinds = entries.map { e =>
+            val ref = e.asInstanceOf[java.lang.ref.Reference[AnyRef]].get()
+            if (ref == null) "STALE" else ref.getClass.getName
+          }
+          val top = kinds.groupBy(identity).view.mapValues(_.length).toSeq
+            .sortBy(-_._2).take(8).mkString("; ")
+          Iterator(th.getName -> s"cap=${table.length} live=${entries.length} :: $top")
+        }
+      }.collect()
+      report.distinct.foreach { case (n, s) => println(s"[tls] $n $s") }
+    }
+    if (what == "time") {
+      // Probe <dir> time <query,query,...> [reps] — per-run seconds
+      val names = args(2).split(",").toSeq
+      val reps = if (args.length > 3) args(3).toInt else 3
+      for (q <- names; r <- 1 to reps) {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        println(f"[time] $q run$r ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
     spark.stop()
   }
 }

@@ -193,11 +193,21 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       skipMax: Int = DefaultMaxSkippedRows,
       ascending: Boolean = true,
       itemIdFilter: Option[(String, String)] = None,
-      extraPredicate: Option[Column] = None): QueryResult = {
+      extraPredicate: Option[FieldResolver => Column] = None): QueryResult = {
 
-    val latest = latestFor(collectionUri)
-    val resolver = FieldResolver.json(col("body"))
-    val pred = filter.map(f => Translator.predicate(f, resolver))
+    val latest0 = latestFor(collectionUri)
+    // ONE JSON parse per row per action: every field the filter, the sort
+    // keys and the resume-key predicate touch is extracted by a single
+    // json_tuple pass; the per-expression get_json_object alternative
+    // re-parses the body once per occurrence per operator (Jackson parser
+    // creation dominates JSON-heavy scan profiles)
+    val ast = filter.map(f => graft.hql.HqlParser(f))
+    val idents = (ast.map(_.identifiers).getOrElse(Nil) ++
+      sort.filterNot(_.fieldName == "id")
+        .map(s => graft.hql.Ident(s.fieldName))).distinct
+    val (latest, resolver, helperCols) =
+      FieldResolver.materializedJson(latest0, col("body"), idents)
+    val pred = ast.map(a => Translator.predicate(a, resolver))
 
     val rangeCond: Column = itemIdFilter.map { case (op, v) =>
       op match {
@@ -243,7 +253,7 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val filtered0 = pred.fold(withRange)(withRange.filter)
     // resume-key predicates land BELOW the sort: each page is a top-k over
     // the remainder, never a full sort above a limit
-    val filtered = extraPredicate.fold(filtered0)(filtered0.filter)
+    val filtered = extraPredicate.fold(filtered0)(b => filtered0.filter(b(resolver)))
 
     // skipMax contract (HyperbusAdapter.scala:181-197, 278-283): the
     // reference scans in clustering order and errors once it has SKIPPED
@@ -286,7 +296,7 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       if (sort.isEmpty || idSortOnly) filtered.orderBy(idOrder).limit(size)
       else sortAndLimit(filtered, sort, resolver, idOrder, size)
 
-    QueryResult(sorted, staticRevision)
+    QueryResult(sorted.drop(helperCols: _*), staticRevision)
   }
 
   /** O6 cursor pagination: the page after `lastRow` under the same sort.
@@ -300,7 +310,6 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       sort: Seq[SortBy] = Nil,
       size: Int = DefaultPageSize,
       ascending: Boolean = true): QueryResult = {
-    val resolver = FieldResolver.json(col("body"))
     val lastBody = Option(lastRow.getAs[String]("body")).getOrElse("{}")
     val lastId = lastRow.getAs[String]("item_id")
     // strict-after predicate: (f1=v1 ∧ … ∧ fk>vk) ∨ … ∨ (f1>v1), with the
@@ -310,20 +319,24 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     // — the same ordering the sort itself uses. `sort=id` is the lexical
     // clustering order (exactly as in query()), so it contributes only
     // the item_id comparison, not a normKey over the body id.
+    // Built against the resolver query() provides, so the boundary fields
+    // read the SAME single-parse materialized columns as the sort keys.
     val idSortOnly = sort.size == 1 && sort.head.fieldName == "id"
     val effAsc = if (idSortOnly) !sort.head.descending else ascending
-    val keyed: Seq[(Column, Column, Boolean)] =
-      sort.filterNot(_.fieldName == "id").map { s =>
-        val c = resolver.resolve(graft.hql.Ident(s.fieldName)).getOrElse(lit(null))
-        val lastRaw = lit(JsonOps.extractText(lastBody, s.fieldName).orNull)
-        (HyperStorage.normKey(c), HyperStorage.normKey(lastRaw), s.descending)
-      } :+ ((col("item_id"), lit(lastId), !effAsc))
-    val after = keyed.indices.map { i =>
-      val eqPrefix = keyed.take(i).map { case (c, v, _) => c <=> v }
-      val (c, v, desc) = keyed(i)
-      val gt = if (desc) c < v else c > v
-      (eqPrefix :+ gt).reduce(_ && _)
-    }.reduce(_ || _)
+    def after(resolver: FieldResolver): Column = {
+      val keyed: Seq[(Column, Column, Boolean)] =
+        sort.filterNot(_.fieldName == "id").map { s =>
+          val c = resolver.resolve(graft.hql.Ident(s.fieldName)).getOrElse(lit(null))
+          val lastRaw = lit(JsonOps.extractText(lastBody, s.fieldName).orNull)
+          (HyperStorage.normKey(c), HyperStorage.normKey(lastRaw), s.descending)
+        } :+ ((col("item_id"), lit(lastId), !effAsc))
+      keyed.indices.map { i =>
+        val eqPrefix = keyed.take(i).map { case (c, v, _) => c <=> v }
+        val (c, v, desc) = keyed(i)
+        val gt = if (desc) c < v else c > v
+        (eqPrefix :+ gt).reduce(_ && _)
+      }.reduce(_ || _)
+    }
     query(collectionUri, filter, sort, size = size, skipMax = -1,
       ascending = ascending, extraPredicate = Some(after))
   }

@@ -1,6 +1,6 @@
 package graft.hql
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -48,6 +48,42 @@ object FieldResolver {
     val isDynamic = true
     def resolve(ident: Ident): Option[Column] =
       Some(get_json_object(body, "$." + ident.segments.mkString(".")))
+  }
+
+  /** Materialize every identifier in `idents` out of a JSON-text `body`
+    * column with ONE parse per row, and resolve against the materialized
+    * columns.
+    *
+    * The plain [[json]] resolver plants an independent `get_json_object`
+    * per identifier occurrence — a filter + sort + guard over the same body
+    * re-parses the JSON once per expression per row per action (Jackson
+    * parser creation dominates the task profile on JSON-heavy scans; CSE
+    * does not cross operator boundaries). Top-level fields ride a single
+    * `json_tuple` generator (one parse extracts them all); nested paths
+    * fall back to `get_json_object` (both return identical JSON-text
+    * scalars). Callers drop `helperCols` before exposing rows. */
+  def materializedJson(df: DataFrame, body: Column, idents: Seq[Ident])
+      : (DataFrame, FieldResolver, Seq[String]) = {
+    val distinct = idents.distinct
+    val names = distinct.zipWithIndex
+      .map { case (i, n) => i -> s"__jf$n" }.toMap
+    val (tops, nested) = distinct.partition(_.segments.size == 1)
+    val withTops =
+      if (tops.isEmpty) df
+      else df.select(col("*"),
+        json_tuple(body, tops.map(_.segments.head): _*)
+          .as(tops.map(names)))
+    val out = nested.foldLeft(withTops) { (d, i) =>
+      d.withColumn(names(i),
+        get_json_object(body, "$." + i.segments.mkString(".")))
+    }
+    val resolver = new FieldResolver {
+      val isDynamic = true
+      def resolve(ident: Ident): Option[Column] = Some(
+        names.get(ident).map(col).getOrElse(
+          get_json_object(body, "$." + ident.segments.mkString("."))))
+    }
+    (out, resolver, distinct.map(names))
   }
 }
 

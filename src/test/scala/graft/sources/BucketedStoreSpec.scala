@@ -18,8 +18,15 @@ class BucketedStoreSpec extends AnyFreeSpec with Matchers with SparkFixture {
 
   "bucketed tables join and aggregate with no shuffle" in withSortMergeOnly {
     import spark.implicits._
-    spark.sql("DROP TABLE IF EXISTS bk_facts")
-    spark.sql("DROP TABLE IF EXISTS bk_dims")
+    // a fresh (in-memory) catalog doesn't know tables from a previous test
+    // JVM, but their warehouse directories survive — clear both layers or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS
+    for (t <- Seq("bk_facts", "bk_dims")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     val facts = (1 to 1000).map(i => (i.toLong % 97, s"f$i")).toDF("k", "a")
     val dims = (1 to 500).map(i => (i.toLong % 97, i * 1.5)).toDF("k", "b")
     BucketedStore.write(facts, "bk_facts", "k", buckets = 8)
