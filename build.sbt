@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // reallocates its buffers — observed 25x slowdown on JSON-heavy scans.
   // The box has 128 GiB; give forked runs real headroom by default.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // the 240m default JIT code cache fills after ~13 codegen-heavy queries
+  // in one session; the widest generated methods (minhash's k lambdas,
+  // simhash's per-bit votes) then run interpreted — observed 100x collapse
+  // (dedup_minhash_lsh 4.5s isolated vs 499s as bench query #14)
+  "-XX:ReservedCodeCacheSize=1g",
 )

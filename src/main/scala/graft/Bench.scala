@@ -47,15 +47,28 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
       else headline.filter(SparkEntry.queries.contains)
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e"); false }
-      // a throwing query records -1, is excluded from the total, and is
-      // listed in "failed" — a regression to a fast failure cannot shrink
-      // the headline number
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      // min of two runs: this box is a shared VM with bursty CPU steal
+      // (~10% average, far higher in spikes) — a single sample can report
+      // a 10-100x outlier that has nothing to do with the plan. The min is
+      // the honest throughput estimate under external noise.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); false }
+        // a throwing query records -1, is excluded from the total, and is
+        // listed in "failed" — a regression to a fast failure cannot shrink
+        // the headline number
+        val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // entries persist their intermediates and never release them (the
+        // driver contract has no release hook); 30 queries in one session
+        // otherwise accumulate every prior entry's cache, and late entries
+        // pay eviction + memory pressure for blocks they never read
+        spark.sharedState.cacheManager.clearCache()
+        elapsed
+      }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

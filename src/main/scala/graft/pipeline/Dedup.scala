@@ -17,6 +17,17 @@ object Dedup {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Spread a narrow input across the cluster before CPU-heavy per-row
+    * work. A corpus that arrives as one (or few) small files plans one
+    * partition — and then ONE task shingles/hashes every document while
+    * the rest of the cluster idles. No-op when the input is already at
+    * least as wide as the default parallelism (the 100 TB case: thousands
+    * of input splits — never pay a gratuitous shuffle there). */
+  private def rebalance(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Word n-gram shingles (distinct set) — the unit of Jaccard similarity.
     * Rows shorter than n shingle to the whole text. */
   def shingles(text: Column, n: Int): Column = {
@@ -58,11 +69,35 @@ object Dedup {
       .select(col(idCol).as("dup_id"), col("canonical_id"))
   }
 
-  /** MinHash signature: k minimums of seeded xxhash64 over the shingle set.
-    * One pass per row, fully codegen'd (no UDF). */
+  /** MinHash signature expression: k minimums of seeded xxhash64 over the
+    * shingle set, as a single per-row column. CAUTION: higher-order
+    * function lambdas are evaluated by the INTERPRETED expression engine
+    * (no codegen) — k × |shingles| virtual-dispatched evals per row, and
+    * throughput degrades further in long-lived sessions as JIT profiles
+    * pollute. Prefer [[minhashSignatures]] (codegen'd aggregation) on any
+    * hot path; this form remains for single-pass/streaming contexts. */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
       s => array_min(transform(shingleCol, x => xxhash64(s, x))))
+
+  /** MinHash signatures via explode + hash aggregation — the codegen'd,
+    * scale-preferred form: shingles explode to rows, k seeded `min(xxhash64)`
+    * aggregates fold them map-side (partial aggregation collapses each id
+    * to one row per partition BEFORE the shuffle, so the exchange carries
+    * |ids| rows of k longs), and the signature array is assembled from the
+    * k aggregate columns. Whole plan lives in WholeStageCodegen; identical
+    * values to [[minhashSignature]].
+    *
+    * Input (id, sh); output (id, sig). Rows whose shingle set is empty drop
+    * out (no shingles ⇒ nothing to hash ⇒ can never collide anyway);
+    * [[shingles]] never emits an empty set. */
+  def minhashSignatures(shingled: DataFrame, k: Int): DataFrame =
+    shingled.select(col("id"), explode(col("sh")).as("s"))
+      .groupBy("id")
+      .agg(min(xxhash64(lit(0), col("s"))).as("__m0"),
+        (1 until k).map(i => min(xxhash64(lit(i), col("s"))).as(s"__m$i")): _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
 
   /** LSH candidate pairs: split the k-wide signature into `bands` bands of
     * k/bands rows; docs colliding on any full band are candidates. The
@@ -122,9 +157,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** id + distinct shingle set, the shared input of the dedup family. */
+  /** id + distinct shingle set, the shared input of the dedup family.
+    * Rebalanced first: shingling is the CPU-heavy per-row stage. */
   def shingled(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    rebalance(df).select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
 
   /** MinHash-LSH near-duplicate pairs with exact-Jaccard verification:
     * shingle → minhash(k) → LSH bands → bucket join → verify. The scale
@@ -143,7 +179,10 @@ object Dedup {
     // materialized shingle set is the intermediate a 100 TB run would
     // spill to disk (MEMORY_AND_DISK default).
     val sh = shingled(df, textCol, idCol, n).persist()
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), k)).persist()
+    // signatures via the codegen'd aggregation (minhashSignatures), not the
+    // per-row HOF lambda: interpreted HOF eval was the whole-query
+    // bottleneck (observed 60x in long-lived sessions)
+    val sig = minhashSignatures(sh, k).persist()
     val cand = lshCandidatePairs(sig, "id", "sig", bands)
     verifyJaccard(cand, sh, threshold)
   }
@@ -221,13 +260,38 @@ object Dedup {
     * the hash array in its own (persisted) projection: each of the `width`
     * aggregates traverses the array column, and higher-order functions are
     * not subexpression-eliminated — inlining the tokenize+hash expression
-    * would recompute it width× per row. */
+    * would recompute it width× per row. CAUTION: `aggregate` lambdas run
+    * interpreted (see [[minhashSignature]]); prefer [[simhashSignatures]]
+    * on hot paths. */
   def simhashFromHashes(hashes: Column, width: Int = 64): Column =
     (0 until width).map { b =>
       val bitSum = aggregate(hashes, lit(0L),
         (s, h) => s + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << b)).otherwise(0L)
     }.reduce((a, c) => a.bitwiseOR(c))
+
+  /** SimHash fingerprints via explode + hash aggregation — codegen'd
+    * throughout and NARROW: token-hash rows (id, h) fan out over the
+    * `width` bit positions, per-(id, bit) ±1 votes fold map-side (the
+    * shuffle carries |ids| × width vote rows), and a second tiny aggregate
+    * sums the winning bits' values into the fingerprint. Identical values
+    * to [[simhashFromHashes]] over the same hashes (empty hash sets never
+    * occur: `split` yields at least one token).
+    *
+    * Deliberately NOT one `width`-column aggregate: a 60-sum HashAggregate
+    * generates a method large enough that its (Janino + C2) compilation
+    * dominates the query in a long-lived session; two narrow aggregates
+    * compile instantly and scale the same. */
+  def simhashSignatures(tokenHashes: DataFrame, width: Int): DataFrame =
+    tokenHashes
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(width - 1))).as("bit"))
+      .groupBy("id", "bit")
+      .agg(sum(when(expr("shiftright(h, bit)")
+          .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("vote"))
+      .groupBy("id")
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * banding the `width`-bit fingerprint into `bands` chunks (pigeonhole:
@@ -239,11 +303,13 @@ object Dedup {
       tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     require(width % bands == 0, s"width $width not divisible by bands $bands")
     val bits = width / bands
-    val hashed = df.select(col(idCol).as("id"),
-      transform(tokens(col(textCol)), tokenHash).as("hs")).persist()
-    val withSig = hashed
-      .select(col("id"), simhashFromHashes(col("hs"), width).as("sig"))
-      .persist() // barrier: keep the bit-vote expression out of the self-join sides
+    // tokens explode BEFORE hashing, so the token hash runs codegen'd on
+    // rows — no interpreted array-lambda anywhere in the pipeline
+    val tokenHashes = rebalance(df)
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__tok"))
+      .select(col("id"), tokenHash(col("__tok")).as("h"))
+    val withSig = simhashSignatures(tokenHashes, width)
+      .persist() // barrier: keep the signature agg out of the self-join sides
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bits)
