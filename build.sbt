@@ -29,8 +29,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 8g starves 16-32 concurrent tasks: GC pressure keeps collecting the
   // soft-referenced Jackson BufferRecyclers, so every per-row JSON parse
   // reallocates its buffers — observed 25x slowdown on JSON-heavy scans.
-  // The box has 128 GiB; give forked runs real headroom by default.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Default to ~40% of physical RAM capped at 48g (128 GiB box → 48g)
+  // instead of a hardcoded number: a hardcoded 48g on a smaller machine
+  // would exceed physical RAM and swap/OOM. SPARK_DRIVER_MEM overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", {
+    val physMb =
+      try {
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+          .getTotalMemorySize / (1024L * 1024L)
+      } catch { case _: Throwable => 16384L }
+    s"${math.min(49152L, math.max(4096L, physMb * 2 / 5))}m"
+  })}",
   // the 240m default JIT code cache fills after ~13 codegen-heavy queries
   // in one session; the widest generated methods (minhash's k lambdas,
   // simhash's per-bit votes) then run interpreted — observed 100x collapse

@@ -256,6 +256,33 @@ object SparkEntry {
           j("body", "p_retailprice").cast("double").as("retailprice"))
     }),
 
+    "f6_filter_validation" -> ((s, dir) => {
+      // F6 under the gate: createIndex validates filterBy BEFORE persisting
+      // the def (reference IndexDefTaskWorker rejects malformed filters at
+      // the API edge) — each case attempts a REAL createIndex; a rejected
+      // filter must throw and leave no def behind, an accepted one builds
+      import s.implicits._
+      val st = collection(s, dir, "region", "r_regionkey", "regions~")
+      val im = new IndexManager(st)
+      val cases = Seq(
+        "r_regionkey > 2",             // plain comparison — valid
+        "r_regionkey >",               // parse error
+        "frobnicate(r_name) != \"x\"", // unknown function
+        "5 and 4",                     // constant subtree fails boolean eval
+        "length(r_name, 2, 3) > 1",    // arity error
+        "x and b > 5")                 // unresolved identifiers alone are fine
+      val rows = cases.zipWithIndex.map { case (f, i) =>
+        val accepted =
+          try { im.createIndex("regions~", s"v$i", Nil, Some(f)); true }
+          catch { case _: IllegalArgumentException => false }
+        (i.toLong, f, accepted)
+      }
+      require(im.indexDefs("regions~").size == rows.count(_._3),
+        "rejected filters must not leave index defs behind")
+      s.createDataset(rows).toDF("case_id", "filter", "accepted")
+        .orderBy("case_id")
+    }),
+
     "f11_sql_surface" -> ((s, dir) => {
       // the SQL extension surface under the gate: hql() (the reference's
       // filter language as a plan-time-translated SQL predicate),
@@ -462,6 +489,25 @@ object SparkEntry {
         j("body", "c_acctbal").cast("double").as("acctbal"))
     }),
 
+    "o6_index_pagination" -> ((s, dir) => {
+      // O6 on the index path: page 2 fetched THROUGH the chosen index with
+      // typed resume-key filters (IndexLogic.leastRowsFilterFields), not a
+      // primary-path overfetch — both pages must stay on the index source
+      val st = collection(s, dir, "customer", "c_custkey", "customers~")
+      val im = new IndexManager(st)
+      im.createIndex("customers~", "by_acctbal",
+        Seq(IndexSortItem("c_acctbal", Some("decimal"), Some("asc"))), None)
+      val sort = Seq(SortBy("c_acctbal"))
+      val (p1, q1) = QueryPlanner.query(im, "customers~", None, sort, size = 100)
+      require(p1.source == "by_acctbal", s"expected index scan, got ${p1.source}")
+      val last = q1.rows.collect().last
+      val (p2, q2) = QueryPlanner.queryAfter(im, "customers~", last, None, sort,
+        size = 100)
+      require(p2.source == "by_acctbal", s"expected index page 2, got ${p2.source}")
+      q2.rows.select(col("item_id"), decAsDouble(col("d0")).as("acctbal"))
+        .orderBy("item_id")
+    }),
+
     "o4_index_skipmax" -> ((s, dir) => {
       // index-served query WITH the skipped-rows guard active: the
       // residual mktsegment filter rejects scanned index rows, but the
@@ -505,6 +551,30 @@ object SparkEntry {
       im.applyFeed(r2.feed) // incremental: touched items re-evaluated
       im.indexTable("suppliers~", "rich").get
         .select(col("item_id"), j("body", "acctbal").cast("double").as("acctbal"))
+        .orderBy("item_id")
+    }),
+
+    "m7_index_drop_durable" -> ((s, dir) => {
+      // M7 end-to-end durable: create two indexes, drop one, REOPEN the
+      // store (fresh IndexManager over the same IndexStore path — defs
+      // reload from the durable manifest, exactly what a restarted node
+      // does); the dropped index must stay gone, the survivor must serve
+      val st = collection(s, dir, "supplier", "s_suppkey", "suppliers~")
+      val path = scratchDir(s, "m7drop", dir)
+      val im = new IndexManager(st, Some(new graft.indexing.IndexStore(s, path)))
+      im.createIndex("suppliers~", "by_acctbal",
+        Seq(IndexSortItem("s_acctbal", Some("decimal"), Some("asc"))), None)
+      im.createIndex("suppliers~", "rich", Nil, Some("s_acctbal > 5000"))
+      im.deleteIndex("suppliers~", "by_acctbal")
+      val reopened =
+        new IndexManager(st, Some(new graft.indexing.IndexStore(s, path)))
+      require(reopened.indexDefs("suppliers~").map(_.indexId) == Seq("rich"),
+        s"expected only 'rich' to survive the drop+reopen")
+      require(reopened.indexTable("suppliers~", "by_acctbal").isEmpty,
+        "dropped index table must not reopen")
+      reopened.indexTable("suppliers~", "rich").get
+        .select(col("item_id"),
+          j("body", "s_acctbal").cast("double").as("acctbal"))
         .orderBy("item_id")
     }),
 
@@ -569,6 +639,42 @@ object SparkEntry {
         .select(col("item_id"),
           j("body", "acctbal").cast("double").as("acctbal"))
         .orderBy("item_id")
+    }),
+
+    "st6_stream_revisions" -> ((s, dir) => {
+      // ST6 under a REAL micro-batch executor: flatMapGroupsWithState over
+      // a file source, ≥2 triggers (maxFilesPerTrigger=1 over two appended
+      // files) — per-key revision state must carry ACROSS batches. Output
+      // pins gaplessness: per uri, revisions are exactly {1..n} iff
+      // count=n ∧ distinct=n ∧ max=n ∧ sum=n(n+1)/2.
+      import s.implicits._
+      val base = scratchDir(s, "st6", dir)
+      val ops = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("seq"),
+        lit("PUT").as("method"),
+        concat(lit("bucket"), pmod(col("c_custkey"), lit(8)).cast("string"),
+          lit("~/"), col("c_custkey").cast("string")).as("path"),
+        lit("{}").as("body"))
+      ops.filter(col("seq") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      ops.filter(col("seq") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream
+        .schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$base/in").as[WriteOp]
+      val q = graft.streaming.ChangeFeed.assignRevisions(stream)
+        .writeStream.format("memory").queryName("st6_revs")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st6_revs")
+        .groupBy(col("document_uri"))
+        .agg(count(lit(1)).as("events"),
+          max(col("revision")).as("max_rev"),
+          sum(col("revision")).as("rev_sum"),
+          countDistinct(col("revision")).as("distinct_revs"))
+        .orderBy("document_uri")
     }),
 
     "st4_transaction_list" -> ((s, dir) => {
@@ -1028,6 +1134,18 @@ object SparkEntry {
         |FROM part WHERE p_size > 45 AND p_retailprice <= 1500
         |ORDER BY item_id LIMIT 3000""".stripMargin,
 
+    // fixed-outcome oracle: the validation verdicts are the spec — the
+    // Spark side must reproduce them through the real createIndex path
+    "f6_filter_validation" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'r_regionkey > 2', TRUE),
+        |  (1, 'r_regionkey >', FALSE),
+        |  (2, 'frobnicate(r_name) != "x"', FALSE),
+        |  (3, '5 and 4', FALSE),
+        |  (4, 'length(r_name, 2, 3) > 1', FALSE),
+        |  (5, 'x and b > 5', TRUE)
+        |) AS t(case_id, filter, accepted) ORDER BY case_id""".stripMargin,
+
     "f11_sql_surface" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS item_id, 'rich' AS tag,
         |       c_acctbal AS acctbal
@@ -1164,6 +1282,12 @@ object SparkEntry {
         |FROM customer WHERE c_acctbal > 1000 AND c_acctbal < 5000
         |ORDER BY c_acctbal, item_id LIMIT 1000""".stripMargin,
 
+    "o6_index_pagination" ->
+      """SELECT item_id, acctbal FROM (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_acctbal AS acctbal
+        |  FROM customer ORDER BY c_acctbal, item_id LIMIT 100 OFFSET 100
+        |) ORDER BY item_id""".stripMargin,
+
     "o4_index_skipmax" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS item_id, c_acctbal AS acctbal
         |FROM customer
@@ -1178,6 +1302,10 @@ object SparkEntry {
         |WHERE (CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
         |            ELSE s_acctbal END) > 5000
         |ORDER BY item_id""".stripMargin,
+
+    "m7_index_drop_durable" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id, s_acctbal AS acctbal
+        |FROM supplier WHERE s_acctbal > 5000 ORDER BY item_id""".stripMargin,
 
     "st1_feed_events" ->
       """WITH puts AS (
@@ -1207,6 +1335,14 @@ object SparkEntry {
         |WHERE (CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
         |            ELSE s_acctbal END) > 5000
         |ORDER BY item_id""".stripMargin,
+
+    "st6_stream_revisions" ->
+      """SELECT 'bucket' || CAST(c_custkey % 8 AS VARCHAR) || '~' AS document_uri,
+        |       COUNT(*) AS events,
+        |       COUNT(*) AS max_rev,
+        |       CAST(COUNT(*) * (COUNT(*) + 1) // 2 AS BIGINT) AS rev_sum,
+        |       COUNT(*) AS distinct_revs
+        |FROM customer GROUP BY 1 ORDER BY document_uri""".stripMargin,
 
     "st4_transaction_list" ->
       """WITH n AS (SELECT COUNT(*) AS c FROM region)

@@ -57,17 +57,32 @@ object Content {
     * cascades; items re-created after the delete get revision > R and
     * become visible again).
     *
-    * The tombstone side is tiny at any scale (one row per deleted
-    * collection), so it is broadcast — no shuffle of the big side. */
+    * The tombstone side is one row per DELETED collection — usually tiny,
+    * so the broadcast hint is the default. It is NOT unconditional: a
+    * store that has accumulated tens of millions of deleted collections
+    * would turn the hint into a multi-GB forced broadcast, so above
+    * [[TombstoneBroadcastMax]] estimated tombstone rows the hint is
+    * dropped and AQE picks the strategy from runtime sizes. */
   def visible(latest: DataFrame): DataFrame = {
     val tomb = latest
       .filter(col("item_id") === "" && col("is_deleted"))
       .select(col("document_uri"), col("revision").as("__tomb_rev"))
+    // rowCount is rarely known statically; fall back to bytes (64B/row ≈
+    // a URI string + a long — order-of-magnitude is all the guard needs)
+    val stats = tomb.queryExecution.optimizedPlan.stats
+    val estRows = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 64L)
+    val tombSide = if (estRows <= TombstoneBroadcastMax) broadcast(tomb) else tomb
     latest.filter(!col("is_deleted"))
-      .join(broadcast(tomb), Seq("document_uri"), "left_outer")
+      .join(tombSide, Seq("document_uri"), "left_outer")
       .filter(col("__tomb_rev").isNull || col("revision") > col("__tomb_rev"))
       .drop("__tomb_rev")
   }
+
+  /** Above this many estimated collection tombstones, [[visible]] stops
+    * forcing the broadcast (≈10M rows ≈ 640MB estimated — past any sane
+    * broadcast size). */
+  val TombstoneBroadcastMax: Long = 10L * 1000 * 1000
 
   /** Latest visible state from an append log. */
   def latestView(log: DataFrame): DataFrame = visible(latestRows(log))

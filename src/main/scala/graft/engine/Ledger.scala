@@ -77,8 +77,9 @@ object Ledger {
       .agg(array_sort(collect_list(struct(col("revision"), col("txn_id"))))
         .as("__txns"))
       .select(col("document_uri"),
-        transform(col("__txns"), t => t.getField("txn_id"))
-          .as("transaction_list"))
+        // GetArrayStructFields (codegen'd) — not a transform() lambda,
+        // which would evaluate interpreted (CodegenFallback)
+        col("__txns").getField("txn_id").as("transaction_list"))
 
   /** S10 checkpoint: per-partition low-water mark = the quantum below
     * which everything is complete (min incomplete quantum − 1, or the max

@@ -1,0 +1,134 @@
+package graft.functions
+
+import java.util.{Arrays => JArrays, HashSet => JHashSet, LinkedHashSet => JLinkedHashSet}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Imperative per-row text kernels called from generated code.
+  *
+  * Why these exist: Spark's higher-order functions (`transform`,
+  * `aggregate`, `filter`) are `CodegenFallback` — they evaluate through the
+  * interpreted `Expression.eval` tree, k × |tokens| megamorphic virtual
+  * dispatches per row. Besides the steady-state ~10× cost, that path is the
+  * trigger of the intra-session throughput collapse we measured (a warm
+  * session's C2-compiled eval methods deoptimize when later queries load
+  * new generated classes into the same call sites; whole runs then execute
+  * at bytecode-interpreter speed — observed 20-50× wall-time outliers on
+  * `dedup_minhash_lsh`, stack-dump-confirmed in `ArrayTransform.nullSafeEval`).
+  * A single static, monomorphic kernel call per row keeps its own stable
+  * JIT profile and cannot be polluted by unrelated queries. */
+object TextKernels {
+  private val Space = UTF8String.fromString(" ")
+  private val WsRegex = UTF8String.fromString("\\s+")
+
+  /** Distinct word n-gram shingles, first-occurrence order — exact value
+    * parity with
+    * `array_distinct(transform(sequence(0, size(toks)-n), i => concat_ws(" ", slice(toks, i+1, n))))`
+    * over `toks = split(text, " ")`, with the whole-text fallback for rows
+    * shorter than n. */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(Space, -1)
+    if (toks.length >= n) {
+      val set = new JLinkedHashSet[UTF8String]()
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        set.add(UTF8String.concatWs(Space, JArrays.copyOfRange(toks, i, i + n): _*))
+        i += 1
+      }
+      new GenericArrayData(set.toArray())
+    } else new GenericArrayData(Array[Any](text))
+  }
+
+  /** Per-set token hit counts over whitespace tokens of
+    * `lower(trim(text))` — exact value parity with the per-language
+    * `aggregate(split(lower(trim(text)), "\\s+"), …)` fold (tokens hitting
+    * a set count once PER OCCURRENCE). One tokenization, one traversal. */
+  def tokenSetHits(text: UTF8String, sets: Array[JHashSet[UTF8String]]): ArrayData = {
+    val toks = text.trim().toLowerCase().split(WsRegex, -1)
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(toks(i))) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: java.lang.Integer).toArray[Any])
+  }
+}
+
+/** Codegen'd distinct word n-gram shingles (see [[TextKernels]] for the
+  * rationale and the exact HOF expression this replaces value-for-value).
+  * NULL text ⇒ NULL shingle set — NULL-text rows drop out of dedup at the
+  * downstream explode (the HOF form instead produced `[NULL]`; dedup over
+  * a NULL document is meaningless either way, and this form makes the
+  * exclusion explicit). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.wordShingles(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.wordShingles($t, $n)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** Codegen'd per-set token hit counts (see [[TextKernels.tokenSetHits]]).
+  * `sets` is fixed at plan time (stopword lists); the lookup HashSets ride
+  * into generated code as a reference object. */
+case class TokenSetHits(child: Expression, sets: Seq[Seq[String]]) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_set_hits expects a string input, got ${child.dataType.simpleString}")
+
+  @transient private lazy val lookup: Array[JHashSet[UTF8String]] =
+    sets.map { words =>
+      val s = new JHashSet[UTF8String]()
+      words.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.tokenSetHits(text.asInstanceOf[UTF8String], lookup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSets", lookup, "java.util.HashSet[]")
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.tokenSetHits($t, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TokenSetHits = copy(child = c)
+}
+
+object TextFunctions {
+  /** Distinct word n-gram shingles of a text column — codegen'd. */
+  def word_shingles(text: Column, n: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Hit counts of whitespace tokens (of lower(trim(text))) against each
+    * word set — codegen'd; returns array<int> aligned with `sets`. */
+  def token_set_hits(text: Column, sets: Seq[Seq[String]]): Column =
+    Bridge.column(TokenSetHits(Bridge.expression(text), sets))
+}

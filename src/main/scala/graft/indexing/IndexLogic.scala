@@ -41,55 +41,64 @@ object IndexLogic {
     if (index == size - 1 && item.fieldName == "id") "item_id"
     else (if (item.isDecimal) "d" else "t") + index.toString
 
-  /** Order-match weight (OrderFieldsLogic.scala:8-44): per-field exact=10,
-    * whole-scan-reversed=5, partial/mixed=3, mismatch=-10; empty query
-    * sort = 0. */
+  /** Order-match weight — the behavior of the reference's
+    * OrderFieldsLogic.scala:8-44, pinned scenario-for-scenario by
+    * OrderFieldsLogicSpec: the FIRST query field sets the scan polarity
+    * (10 = follows the index order exactly, 5 = whole scan reversed,
+    * -10 = not an index field); every later field must keep that
+    * polarity — the first polarity flip (or running past the index's
+    * fields) downgrades the match to partial (3), and a later non-index
+    * field is fatal (-10). Empty query sort weighs 0. */
   def weighOrdering(query: Seq[SortBy], indexSortedBy: Seq[IndexSortItem]): Int = {
-    val v = indexSortedBy.toVector
-    query.foldLeft((0 /*weight*/, 0 /*index*/)) {
-      case ((0, 0), sortBy) => (weighOne(sortBy, indexSortedBy.head), 1)
-      case ((5, index), sortBy) =>
-        if (v.size > index) {
-          val w = weighOne(sortBy, v(index))
-          (if (w == 10) 3 else w, index + 1)
-        } else (3, index + 1)
-      case ((10, index), sortBy) =>
-        if (v.size > index) {
-          val w = weighOne(sortBy, v(index))
-          (if (w == 5) 3 else w, index + 1)
-        } else (3, index + 1)
-      case ((weight, index), _) => (weight, index + 1)
-    }._1
+    if (query.isEmpty) return 0
+    val idx = indexSortedBy.toVector
+    val polarity = weighOne(query.head, idx.head)
+    if (polarity == -10) return -10
+    var i = 1
+    while (i < query.size) {
+      val w = if (i < idx.size) weighOne(query(i), idx(i)) else 3
+      if (w == -10) return -10
+      if (w != polarity) return 3
+      i += 1
+    }
+    polarity
   }
 
   private def weighOne(queryEl: SortBy, indexEl: IndexSortItem): Int =
-    if (queryEl.fieldName == indexEl.fieldName) {
-      if (indexEl.isDesc == queryEl.descending) 10 else 5
-    } else -10
+    if (queryEl.fieldName != indexEl.fieldName) -10
+    else if (indexEl.isDesc == queryEl.descending) 10
+    else 5
 
-  /** Usable clustering prefix + whole-scan `reversed` flag
-    * (OrderFieldsLogic.scala:46-80). */
+  /** Usable clustering prefix + whole-scan `reversed` flag — the behavior
+    * of the reference's OrderFieldsLogic.scala:46-80 (pinned by
+    * OrderFieldsLogicSpec): the first query field decides whether the
+    * scan runs forward or reversed; the prefix extends while field names
+    * line up positionally AND each field's direction keeps the chosen
+    * scan polarity. */
   def extractIndexSortFields(
       querySortBy: Seq[SortBy], indexSortedBy: Seq[IndexSortItem]): (Seq[CkField], Boolean) = {
-    val v = indexSortedBy.toVector
-    var reversed = false
+    val idx = indexSortedBy.toVector
     val size = querySortBy.size
-    val fields = querySortBy.zipWithIndex.map { case (q, index) =>
-      if (v.size > index) {
-        val is = v(index)
-        if (is.fieldName == q.fieldName) {
-          if (!is.isDesc != q.descending && !reversed)
-            Some(CkField(tableFieldName(is, size, index), ascending = !q.descending))
-          else if (!is.isDesc == q.descending && reversed)
-            Some(CkField(tableFieldName(is, size, index), ascending = !q.descending))
-          else if (index == 0) {
-            reversed = true
-            Some(CkField(tableFieldName(is, size, index), ascending = !q.descending))
-          } else None
-        } else None
-      } else None
-    }.takeWhile(_.isDefined).flatten
-    (fields, reversed)
+    val prefix = scala.collection.mutable.ListBuffer.empty[CkField]
+    var reversed = false
+    var i = 0
+    var open = true
+    while (open && i < size && i < idx.size) {
+      val q = querySortBy(i)
+      val is = idx(i)
+      // aligned = the index column's declared direction equals the
+      // query's requested direction for this field
+      val aligned = is.isDesc == q.descending
+      if (is.fieldName != q.fieldName) open = false
+      else {
+        if (i == 0) reversed = !aligned
+        if (aligned != reversed) // agrees with the chosen scan polarity
+          prefix += CkField(tableFieldName(is, size, i), ascending = !q.descending)
+        else open = false
+      }
+      i += 1
+    }
+    (prefix.toList, reversed)
   }
 
   /** Index usefulness weight (IndexLogic.scala:89-106): filter part via
@@ -166,9 +175,26 @@ object IndexLogic {
       case FilterEq => a == b
     }
 
-  /** O6 resume-key generation (IndexLogic.scala:108-165): from the last
-    * row seen, EQ on the sort prefix + GT/LT on the boundary field;
-    * detects range end against the query's own range filters. */
+  /** Per-position boundary value of the last page's final row: the
+    * physical column, the body's value for it, and how the scan orders
+    * it. Input to [[leastRowsFilterFields]]. */
+  private final case class PageBound(
+      column: String, value: HValue, ascending: Boolean, decimal: Boolean)
+
+  /** O6 resume-key generation — the behavior of the reference's
+    * IndexLogic.scala:108-165, driven live by `QueryPlanner.queryAfter`:
+    * from the last row of the previous page, EQ filters pin the
+    * clustering prefix and a strict GT/LT bounds the boundary position,
+    * so the next clustering scan starts right after the cursor.
+    *
+    * The boundary position starts at the deepest clustering field and
+    * retreats one position per exhausted sub-scan
+    * (`prevFilterFieldsSize` = the previous MERGED filter count,
+    * `prevFilterReachedEnd` = that sub-scan ran dry); positions already
+    * pinned by the query's own EQ filters never resume. Returns empty —
+    * end of the page chain — once the cursor sits outside any of the
+    * query's own range bounds, or when the boundary has retreated past
+    * every resumable position. */
   def leastRowsFilterFields(
       indexSortedBy: Seq[IndexSortItem],
       queryFilterFields: Seq[FieldFilter],
@@ -177,38 +203,33 @@ object IndexLogic {
       lastBodyJson: String,
       reversed: Boolean): Seq[FieldFilter] = {
     val size = indexSortedBy.size
-    val isbIdx = indexSortedBy.zipWithIndex.map { case (item, index) =>
-      val fieldName = tableFieldName(item, size, index)
-      (fieldName, fieldValue(lastBodyJson, item.fieldName),
-        !item.isDesc, index, item.isDecimal)
+    val bounds = indexSortedBy.zipWithIndex.map { case (item, pos) =>
+      PageBound(tableFieldName(item, size, pos),
+        fieldValue(lastBodyJson, item.fieldName), !item.isDesc, item.isDecimal)
     }
 
-    val reachedEnd = !queryFilterFields.forall { q =>
-      if (q.op != FilterEq) {
-        isbIdx.find(_._1 == q.name).map { i =>
-          valueRangeMatches(i._2, q.value, q.op, i._5)
-        }.getOrElse(true)
-      } else true
+    // cursor outside one of the query's own range filters ⇒ chain over
+    val pastRangeEnd = queryFilterFields.exists { q =>
+      q.op != FilterEq &&
+        bounds.exists(b => b.column == q.name &&
+          !valueRangeMatches(b.value, q.value, q.op, b.decimal))
     }
+    if (pastRangeEnd) return Seq.empty
 
-    if (reachedEnd) Seq.empty
-    else {
-      val startIndex = isbIdx.lastIndexWhere(isb =>
-        queryFilterFields.exists(qf => qf.name == isb._1 && qf.op == FilterEq)) + 1
-      val lastIndex =
-        if (prevFilterFieldsSize == 0 || !prevFilterReachedEnd) size - 1
-        else prevFilterFieldsSize - 2
-      isbIdx.flatMap {
-        case (fieldName, fieldValue, fieldAscending, index, _) if index >= startIndex =>
-          if (index == lastIndex) {
-            val op = if (reversed ^ fieldAscending) FilterGt else FilterLt
-            Some(FieldFilter(fieldName, fieldValue, op))
-          } else if (index <= lastIndex) {
-            Some(FieldFilter(fieldName, fieldValue, FilterEq))
-          } else None
-        case _ => None
+    val resumeFrom = bounds.lastIndexWhere(b =>
+      queryFilterFields.exists(q => q.op == FilterEq && q.name == b.column)) + 1
+    val boundaryPos =
+      if (prevFilterFieldsSize == 0 || !prevFilterReachedEnd) size - 1
+      else prevFilterFieldsSize - 2
+    bounds.zipWithIndex
+      .slice(resumeFrom, boundaryPos + 1)
+      .map { case (b, pos) =>
+        if (pos < boundaryPos) FieldFilter(b.column, b.value, FilterEq)
+        else FieldFilter(b.column, b.value,
+          // strict-after in scan direction: a reversed scan walks an
+          // ascending column downward (and vice versa)
+          if (reversed ^ b.ascending) FilterGt else FilterLt)
       }
-    }
   }
 
   /** Merge the query's EQ pushdowns with a resume filter

@@ -423,4 +423,83 @@ object QueryPlanner {
       (p, QueryResult(limited, revision))
     }
   }
+
+  /** O6 cursor pagination THROUGH the chosen index (reference
+    * HyperbusAdapter.scala:268-309): the page after `lastRow` under the
+    * same filter/sort, resumed with typed-column filters generated by the
+    * ported [[IndexLogic.leastRowsFilterFields]] — EQ on the clustering
+    * prefix + GT/LT on the boundary field, from the last row's body.
+    *
+    * The reference's fetch loop issues one Cassandra clustering scan per
+    * resume prefix, shortening the prefix each time a sub-scan exhausts
+    * (`prevFilterFieldsSize`/`prevFilterReachedEnd` drive the recursion).
+    * Here the same generator runs to fixpoint up front and the union of
+    * its prefix scans becomes ONE disjunctive predicate over the typed
+    * index columns — a single pushdown-friendly distributed scan instead
+    * of a driver-side multi-select loop, returning identical rows in
+    * identical order.
+    *
+    * Falls back to the primary path when the planner picks the primary
+    * source or the index cannot serve the requested sort (the same
+    * queries `query()` would serve residually). Like the primary
+    * [[HyperStorage.queryAfter]], pages after the first skip the
+    * skipped-rows guard. */
+  def queryAfter(im: IndexManager, uri: String,
+      lastRow: org.apache.spark.sql.Row,
+      filter: Option[String] = None, sort: Seq[SortBy] = Nil,
+      size: Int = HyperStorage.DefaultPageSize): (QueryPlan, QueryResult) = {
+    val p = plan(im, uri, filter, sort)
+    val servable = sort.isEmpty || (p.exactSortMatch && p.ckFields.nonEmpty)
+    if (p.source == "primary" || !servable)
+      (p, im.storage.queryAfter(uri, lastRow, filter, sort, size))
+    else {
+      val d = im.indexDef(uri, p.source).get
+      val table = im.indexTable(uri, p.source).get
+      val indexSortBy = d.sortBy :+ DefIdSort
+      val lastBody = Option(lastRow.getAs[String]("body")).getOrElse("{}")
+      // run the reference's shrinking-prefix recursion to fixpoint:
+      // least(0) = boundary on the last clustering field; each next set
+      // re-enters with the MERGED previous size (mergeLeast keeps the
+      // query's EQ pushdowns — the generator's startIndex/lastIndex
+      // arithmetic is defined against that merged length) until empty
+      val resumeSets = Iterator.iterate(
+          IndexLogic.leastRowsFilterFields(
+            indexSortBy, p.pushdown, 0, prevFilterReachedEnd = false,
+            lastBody, p.reversed)) { prev =>
+          val mergedSize =
+            IndexLogic.mergeLeastQueryFilterFields(p.pushdown, prev).size
+          IndexLogic.leastRowsFilterFields(
+            indexSortBy, p.pushdown, mergedSize, prevFilterReachedEnd = true,
+            lastBody, p.reversed)
+        }.takeWhile(_.nonEmpty).toSeq
+      if (resumeSets.isEmpty) {
+        // boundary already at/past the query's own range end — no page 2
+        (p, QueryResult(table.filter(lit(false)), im.storage.revisionOf(uri)))
+      } else {
+        val afterPred = resumeSets.map { s =>
+          IndexLogic.mergeLeastQueryFilterFields(p.pushdown, s)
+            .map(filterColumn).reduce(_ && _)
+        }.reduce(_ || _)
+        val resolver = FieldResolver.json(col("body"))
+        val pushed = table.filter(afterPred)
+        // full residual re-applied, exactly like query(): the merged
+        // resume filters deliberately DROP the query's range pushdowns
+        // (IndexLogic.scala:184-191) — the residual restores the range
+        // end; the generator's reachedEnd check stops the page chain
+        val residual = filter.map(f =>
+          Translator.predicate(f, resolver)).fold(pushed)(pushed.filter)
+        val limited =
+          if (sort.nonEmpty)
+            residual.orderBy(p.ckFields.map(ck =>
+              if (ck.ascending) col(ck.name).asc_nulls_last
+              else col(ck.name).desc_nulls_first) :+
+              (if (p.reversed) col("item_id").desc else col("item_id").asc): _*)
+              .limit(size)
+          else
+            residual.orderBy(orderCols(scanOrder(d, reversed = false)): _*)
+              .limit(size)
+        (p, QueryResult(limited, im.storage.revisionOf(uri)))
+      }
+    }
+  }
 }

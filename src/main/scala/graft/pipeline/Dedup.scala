@@ -29,8 +29,19 @@ object Dedup {
   }
 
   /** Word n-gram shingles (distinct set) — the unit of Jaccard similarity.
-    * Rows shorter than n shingle to the whole text. */
-  def shingles(text: Column, n: Int): Column = {
+    * Rows shorter than n shingle to the whole text. Backed by the codegen'd
+    * [[graft.functions.WordShingles]] kernel: the higher-order-function
+    * formulation ([[shinglesHof]]) evaluates interpreted and was the
+    * stack-dump-confirmed source of the warm-session 20-50× collapse on
+    * this pipeline's CPU stage. NULL text ⇒ NULL (excluded from dedup). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.word_shingles(text, n)
+
+  /** The `functions._` HOF formulation of [[shingles]] — value-identical on
+    * non-null text (pinned by spec). Interpreted eval (`transform` is
+    * CodegenFallback): keep off hot paths; retained as the executable
+    * specification of the shingle semantics. */
+  def shinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     array_distinct(
       when(size(toks) >= n,
@@ -102,18 +113,31 @@ object Dedup {
   /** LSH candidate pairs: split the k-wide signature into `bands` bands of
     * k/bands rows; docs colliding on any full band are candidates. The
     * band join is a shuffle on (band_index, band_hash) — bucket-local,
-    * never all-pairs. */
+    * never all-pairs. `k` (the signature width) is required statically so
+    * the band hashes compile to a codegen'd `xxhash64(band, elem…)` over
+    * `element_at` extractions — the `transform`+`slice` lambda alternative
+    * runs interpreted (hash-chain-identical values: XxHash64 folds array
+    * elements and scalar children through the same seed chain). */
   def lshCandidatePairs(
-      df: DataFrame, idCol: String, sigCol: String, bands: Int): DataFrame = {
+      df: DataFrame, idCol: String, sigCol: String, bands: Int, k: Int): DataFrame = {
+    require(k % bands == 0, s"signature width $k not divisible by bands $bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: (0 until r).map(j =>
+          element_at(col(sigCol), b * r + j + 1)): _*).as("bh"))
+    }
+    // MERGE hint: both sides are corpus-sized (ids × bands rows). Catalyst's
+    // static estimate of a projected text scan under-counts the array
+    // blow-up by ~1000× (measured 254 KB estimated vs 100s of MB actual at
+    // sf0.1), so without the hint the planner broadcasts a whole corpus
+    // side whenever the shared cache isn't materialized yet — a
+    // collect+serialize storm that measured 6-40× the query's true cost
+    // (and at 1000 executors would OOM the driver outright).
     val banded = df
-      .select(col(idCol).as("id"), col(sigCol).as("sig"))
-      .withColumn("r", (size(col("sig")) / bands).cast("int"))
-      .select(col("id"), explode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"),
-            xxhash64(b, slice(col("sig"), b * col("r") + 1, col("r"))).as("bh"))))
-        .as("b"))
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
+      .hint("merge")
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -129,10 +153,13 @@ object Dedup {
     * prefer [[lshCandidatePairs]] beyond ~10⁶ docs. */
   def sharedShingleCandidates(
       shingled: DataFrame, maxShingleFreq: Option[Int] = None): DataFrame = {
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("s"))
+    // merge hints: every side here is corpus-sized (see lshCandidatePairs
+    // — the static size estimate under a shingle projection is ~1000× low,
+    // and a mis-planned broadcast of an exploded shingle table is fatal)
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s")).hint("merge")
     val pruned = maxShingleFreq match {
       case Some(m) =>
-        val freq = exploded.groupBy("s").count().filter(col("count") <= m)
+        val freq = exploded.groupBy("s").count().filter(col("count") <= m).hint("merge")
         exploded.join(freq.select("s"), Seq("s"), "left_semi")
       case None => exploded
     }
@@ -147,8 +174,14 @@ object Dedup {
     * count), compute |∩| / |∪|. */
   def verifyJaccard(
       candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
-    val a = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // MERGE hint on each corpus side: without it, the under-estimated
+    // shingle side (see lshCandidatePairs) gets chosen for broadcast —
+    // the corpus must never be a build/broadcast side. The hint must sit
+    // on BOTH shingle branches: a strategy hint on `candidates` only
+    // reaches the first join, and the second (candidates⋈a)⋈b join then
+    // happily broadcasts `b` (observed: BuildRight on the sh_b side).
+    val a = shingled.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
+    val b = shingled.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
     candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -183,7 +216,7 @@ object Dedup {
     // per-row HOF lambda: interpreted HOF eval was the whole-query
     // bottleneck (observed 60x in long-lived sessions)
     val sig = minhashSignatures(sh, k).persist()
-    val cand = lshCandidatePairs(sig, "id", "sig", bands)
+    val cand = lshCandidatePairs(sig, "id", "sig", bands, k)
     verifyJaccard(cand, sh, threshold)
   }
 
@@ -318,6 +351,7 @@ object Dedup {
     val banded = withSig
       .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
+      .hint("merge") // corpus-sized self-join sides — never broadcast (see lshCandidatePairs)
     banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

@@ -47,10 +47,12 @@ object Multimodal {
   def frameSample(df: DataFrame, chunkBytes: Int, stride: Int = 1): DataFrame = {
     val nFrames = ceil(octet_length(col("media")).cast("double") / chunkBytes).cast("int")
     // empty media ⇒ zero frames (sequence(0, -1) would step DOWN and emit
-    // phantom indices [0, -1]); explode of the empty array drops the row
-    val idxs = when(nFrames > 0, sequence(lit(0), nFrames - 1))
+    // phantom indices [0, -1]); explode of the empty array drops the row.
+    // The stride rides in sequence()'s step argument (codegen'd) — a
+    // filter(…, i % stride === 0) lambda would evaluate interpreted.
+    val idxs = when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(stride)))
       .otherwise(array().cast("array<int>"))
-    df.withColumn("frame_idx", explode(filter(idxs, i => i % stride === 0)))
+    df.withColumn("frame_idx", explode(idxs))
       .withColumn("frame",
         substring(col("media"), col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
   }
@@ -58,16 +60,12 @@ object Multimodal {
   /** Resize stage STUB: byte-stride subsampling stands in for pixel
     * resampling (a real impl decodes, resamples, re-encodes). Keeps the
     * schema/partitioning contract of a resize: same rows, smaller blobs,
-    * meta rewritten. */
+    * meta rewritten. The stride runs in the codegen'd
+    * [[graft.functions.ByteStride]] kernel — one linear copy per blob
+    * (the previous HOF fold was interpreted AND quadratic in blob size). */
   def resizeStub(df: DataFrame, factor: Int): DataFrame = {
-    val n = octet_length(col("media"))
     df.withColumn("media",
-        expr(s"filter(transform(sequence(1, octet_length(media)), " +
-          s"i -> IF(i % $factor = 1, substring(media, i, 1), NULL)), x -> x IS NOT NULL)")
-        .cast("array<binary>"))
-      .withColumn("media",
-        aggregate(col("media"), lit(Array.emptyByteArray),
-          (acc, b) => concat(acc, b)))
+        graft.functions.ByteStrideFunctions.byte_stride(col("media"), factor))
       .withColumn("meta", struct(
         col("meta.kind"), (col("meta.width") / factor).cast("int").as("width"),
         (col("meta.height") / factor).cast("int").as("height"),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys.
@@ -13,25 +13,32 @@ import org.apache.spark.sql.functions._
   * followed by a same-key aggregation that re-concentrates the key.
   *
   * Mechanics: scatter the big (probe) side across `salts` sub-keys and
-  * replicate the small (build) side once per salt. Row-level output is
-  * identical to `probe.join(build, keys)` no matter how rows scatter, so
-  * the salt can be any cheap expression — including a nondeterministic one:
-  * a task retry that re-scatters differently still joins each probe row to
-  * the same replicated build rows.
+  * replicate the small (build) side once per salt.
+  *
+  * The salt is DETERMINISTIC per row content — never
+  * `monotonically_increasing_id()`/`rand()`: a nondeterministic expression
+  * inside a shuffle key means a fetch-failure retry recomputes different
+  * salts and routes rows to different reducers than the lost map output —
+  * the SPARK-38388 class of silent row duplication/loss, and fetch
+  * failures are routine on large clusters. Hashing the full row keeps the
+  * routing stable across retries; rows that are bytewise identical land in
+  * the same salt bucket (interchangeable rows — correctness unaffected;
+  * pass `saltOn` with a stable unique column to spread even those).
   */
 object SkewJoin {
 
   /** Inner equi-join equal to `probe.join(build, keys)`, with the hot keys
     * of `probe` spread over `salts` reducers. `build` is replicated
     * `salts`× through the shuffle (size its replication accordingly:
-    * salts × |build| rows move). */
+    * salts × |build| rows move). `saltOn` defaults to all probe columns —
+    * deterministic across task retries (see class doc). */
   def saltedJoin(
       probe: DataFrame, build: DataFrame, keys: Seq[String],
-      salts: Int): DataFrame = {
+      salts: Int, saltOn: Option[Column] = None): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
+    val saltSource = saltOn.getOrElse(xxhash64(probe.columns.map(col): _*))
     val scattered = probe.withColumn("__salt",
-      pmod(xxhash64(keys.map(col) :+ monotonically_increasing_id(): _*),
-        lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     scattered.join(replicated, keys :+ "__salt").drop("__salt")

@@ -27,11 +27,17 @@ object Stats {
     * observed value, q(p) = min{ v : |x <= v| >= max(1, ceil(p·n)) }.
     * Deterministic, so it replays exactly in any SQL engine.
     * Output: (group, p, q) one row per group × p.
+    *
+    * NULL values are dropped before counting (SQL-aggregate convention):
+    * without the filter a (group, NULL) count row sorts first in the
+    * window, inflates n, and shifts every quantile downward — q(p) could
+    * even come out NULL for small p. n = count of NON-NULL values.
     */
   def groupQuantiles(
       df: DataFrame, groupCol: String, valueCol: Column,
       ps: Seq[Double]): DataFrame = {
     val counts = df.select(col(groupCol), valueCol.as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
     val cum = counts
       .withColumn("__cum",

@@ -35,11 +35,15 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "es", "en", "que", "una", "por", "con"),
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
 
-  /** Fraction of tokens that belong to `words` (0 when empty text). */
+  /** Fraction of tokens that belong to `words` (0 when empty text). Hit
+    * counting runs in the codegen'd [[graft.functions.TokenSetHits]]
+    * kernel — the `aggregate` HOF alternative evaluates interpreted
+    * (CodegenFallback) and is both ~10× slower steady-state and exposed to
+    * the warm-session deopt collapse (see [[graft.functions.TextKernels]]). */
   def stopwordRatio(text: Column, words: Seq[String]): Column = {
     val toks = split(lower(trim(text)), "\\s+")
-    val hitCount = aggregate(toks, lit(0),
-      (acc, t) => acc + when(array_contains(typedlit(words), t), 1).otherwise(0))
+    val hitCount =
+      element_at(graft.functions.TextFunctions.token_set_hits(text, Seq(words)), 1)
     when(size(toks) > 0, hitCount.cast("double") / size(toks)).otherwise(lit(0.0))
   }
 
@@ -49,25 +53,18 @@ object TextAnalysis {
     * (undetermined) when no list hits. Ties break toward the
     * lexicographically greatest language code, like the ratio version.
     *
-    * ONE traversal of ONE tokenization: the per-language counts
-    * accumulate in a single `aggregate` whose finish lambda does the
-    * argmax — higher-order-function lambdas are not subexpression-
-    * eliminated, so the per-language-aggregate formulation would
-    * re-split and re-scan the text once per language. */
+    * ONE traversal of ONE tokenization inside the codegen'd
+    * [[graft.functions.TokenSetHits]] kernel (all five language counts
+    * accumulate in a single pass); the argmax over the count array is
+    * plain codegen'd `struct`/`array_max` — no interpreted lambda
+    * anywhere in the projection. */
   def langId(text: Column): Column = {
     val langs = Stopwords.toSeq.sortBy(_._1)
-    val zero = array(langs.map(_ => lit(0)): _*)
-    val counted = aggregate(
-      split(lower(trim(text)), "\\s+"),
-      zero,
-      (acc, t) => array(langs.zipWithIndex.map { case ((_, words), i) =>
-        element_at(acc, i + 1) +
-          when(array_contains(typedlit(words), t), 1).otherwise(0)
-      }: _*),
-      acc => array_max(array(langs.zipWithIndex.map { case ((lang, _), i) =>
-        struct(element_at(acc, i + 1).as("score"), lit(lang).as("lang"))
-      }: _*)))
-    when(counted.getField("score") > 0, counted.getField("lang"))
+    val hits = graft.functions.TextFunctions.token_set_hits(text, langs.map(_._2))
+    val best = array_max(array(langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(hits, i + 1).as("score"), lit(lang).as("lang"))
+    }: _*))
+    when(best.getField("score") > 0, best.getField("lang"))
       .otherwise(lit("und"))
   }
 

@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.SparkFixture
+import graft.pipeline.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The codegen'd text kernels (WordShingles / TokenSetHits) are drop-in
+  * value replacements for the interpreted HOF formulations they retired —
+  * pinned here element-for-element on the real corpus plus edge rows. */
+class TextExpressionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private lazy val edge = {
+    import spark.implicits._
+    Seq(
+      "",                        // empty: shingles to [""]
+      " ",                       // single space: tokens ["",""]
+      "one",                     // shorter than n: whole-text shingle
+      "one two",                 //
+      "one two three",           // exactly n
+      "a b c d e f g",           //
+      "dup dup dup dup",         // repeated shingles collapse (distinct)
+      "the and of to in is that the end",  // en stopwords, repeated hits
+      "der und die  das",        // double space: empty token
+      "  leading and trailing  " // trim matters for token hits
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  "WordShingles matches the HOF formulation on the corpus (n=3)" in {
+    val mismatches = docs.select(
+        Dedup.shingles(col("text"), 3).as("k"),
+        Dedup.shinglesHof(col("text"), 3).as("h"))
+      .filter(!(col("k") <=> col("h"))).count()
+    mismatches shouldBe 0L
+  }
+
+  "WordShingles matches the HOF formulation on edge rows (n=2..4)" in {
+    (2 to 4).foreach { n =>
+      val bad = edge.select(col("text"),
+          Dedup.shingles(col("text"), n).as("k"),
+          Dedup.shinglesHof(col("text"), n).as("h"))
+        .filter(!(col("k") <=> col("h"))).collect()
+      withClue(s"n=$n: ${bad.mkString(", ")}") { bad shouldBe empty }
+    }
+  }
+
+  "WordShingles is NULL on NULL text (rows drop out of dedup)" in {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    got(1L) shouldBe None
+    got(2L) should not be None
+    // and the signature pipeline emits nothing for the NULL row
+    val sh = df.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+    Dedup.minhashSignatures(sh, 4).select("id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+  }
+
+  "TokenSetHits matches the aggregate-HOF hit counts" in {
+    val langs = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
+    // the retired formulation, reconstructed inline as the executable spec
+    def hofHits(text: org.apache.spark.sql.Column) = {
+      val zero = array(langs.map(_ => lit(0)): _*)
+      aggregate(split(lower(trim(text)), "\\s+"), zero,
+        (acc, t) => array(langs.zipWithIndex.map { case ((_, words), i) =>
+          element_at(acc, i + 1) +
+            when(array_contains(typedlit(words), t), 1).otherwise(0)
+        }: _*))
+    }
+    Seq(docs.limit(500), edge).foreach { df =>
+      val bad = df.select(
+          TextFunctions.token_set_hits(col("text"), langs.map(_._2)).as("k"),
+          hofHits(col("text")).as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      bad shouldBe 0L
+    }
+  }
+
+  "langId still picks dominant language and falls back to und" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy plugh qwerty"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got shouldBe Map(1L -> "en", 2L -> "de", 3L -> "und", 4L -> "und")
+  }
+
+  "stopwordRatio counts per-occurrence hits over the token count" in {
+    import spark.implicits._
+    val df = Seq((1L, "the the cat"), (2L, "")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text"), TextAnalysis.Stopwords("en")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got(1L) shouldBe (2.0 / 3.0) +- 1e-12
+    got(2L) shouldBe 0.0 // "" tokenizes to [""], 0 hits
+  }
+
+  "lshCandidatePairs band hashes are chain-identical to the slice form" in {
+    import spark.implicits._
+    // same recall contract as before the element_at rewrite: the xxhash64
+    // fold over (band, sig[b*r+1..b*r+r]) must equal hashing the slice
+    val sigs = Seq((1L, Seq(11L, 22L, 33L, 44L)), (2L, Seq(11L, 22L, 99L, 44L)))
+      .toDF("id", "sig")
+    val viaSlice = sigs.select(col("id"),
+      xxhash64(lit(0), slice(col("sig"), 1, 2)).as("b0"),
+      xxhash64(lit(1), slice(col("sig"), 3, 2)).as("b1"))
+    val viaElems = sigs.select(col("id"),
+      xxhash64(lit(0), element_at(col("sig"), 1), element_at(col("sig"), 2)).as("b0"),
+      xxhash64(lit(1), element_at(col("sig"), 3), element_at(col("sig"), 4)).as("b1"))
+    viaSlice.collect().toSeq should contain theSameElementsAs viaElems.collect().toSeq
+    // and the pairs come out the same
+    val pairs = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 2, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L)) // collide on band 0, differ on band 1
+  }
+}

@@ -163,6 +163,78 @@ class IndexingSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  // 8 items sorted by a: pages of 3 must chain a-order through the index
+  private def pagedFixture: IndexManager = {
+      val ops = ('a' to 'h').zipWithIndex.map { case (c, i) =>
+        WriteOp(i + 1, "PUT", s"paged~/item$i",
+          s"""{"a":"${('h' - i).toChar}$c","b":${i * 10}}""")
+      }
+      val im = new IndexManager(
+        HyperStorage(spark, HyperStorage(spark, Content.empty(spark)).applySeq(ops).log))
+      im.createIndex("paged~", "byA",
+        Seq(IndexSortItem("a", Some("text"), Some("asc"))), None)
+      im
+  }
+
+  "index-path cursor pagination (O6 through the chosen index)" - {
+
+    "page chain through the index equals the full sorted scan" in {
+      val im = pagedFixture
+      val sort = Seq(SortBy("a"))
+      val (p1, q1) = QueryPlanner.query(im, "paged~", None, sort, 3)
+      p1.source shouldBe "byA"
+      val page1 = q1.rows.collect()
+      val (p2, q2) = QueryPlanner.queryAfter(im, "paged~", page1.last, None, sort, 3)
+      p2.source shouldBe "byA"
+      val page2 = q2.rows.collect()
+      val (_, q3) = QueryPlanner.queryAfter(im, "paged~", page2.last, None, sort, 3)
+      val page3 = q3.rows.collect()
+      val chained = (page1 ++ page2 ++ page3).map(_.getAs[String]("item_id")).toSeq
+      val (_, full) = QueryPlanner.query(im, "paged~", None, sort, 50)
+      chained shouldBe ids(full)
+      page2.length shouldBe 3
+    }
+
+    "page 2 scans the INDEX table, not the content log" in {
+      val im = pagedFixture
+      val sort = Seq(SortBy("a"))
+      val (_, q1) = QueryPlanner.query(im, "paged~", None, sort, 3)
+      val (p2, q2) = QueryPlanner.queryAfter(im, "paged~",
+        q1.rows.collect().last, None, sort, 3)
+      p2.source shouldBe "byA"
+      // physical check: the resume filters land on the typed index sort
+      // column (t0) — a primary-path overfetch would have no t0 anywhere
+      val physical = q2.rows.queryExecution.executedPlan.toString
+      physical should include("t0")
+    }
+
+    "a range filter ends the page chain (no rows past the range end)" in {
+      val im = pagedFixture
+      val sort = Seq(SortBy("a"))
+      // a-values ascending: ah bg cf de ed fc gb ha; a <= "ef" keeps 5
+      val (_, q1) = QueryPlanner.query(im, "paged~", Some("a <= \"ef\""), sort, 5)
+      val page1 = q1.rows.collect()
+      page1.map(_.getAs[String]("item_id")).toSeq shouldBe
+        Seq("item7", "item6", "item5", "item4", "item3")
+      val (_, q2) = QueryPlanner.queryAfter(im, "paged~",
+        page1.last, Some("a <= \"ef\""), sort, 5)
+      q2.rows.collect() shouldBe empty
+    }
+
+    "descending sort pages backward through the index" in {
+      val im = pagedFixture
+      val sort = Seq(SortBy("a", descending = true))
+      val (p1, q1) = QueryPlanner.query(im, "paged~", None, sort, 3)
+      val page1 = q1.rows.collect()
+      val (_, q2) = QueryPlanner.queryAfter(im, "paged~", page1.last, None, sort, 3)
+      val page2 = q2.rows.collect().map(_.getAs[String]("item_id")).toSeq
+      val (_, full) = QueryPlanner.query(im, "paged~", None, sort, 50)
+      (page1.map(_.getAs[String]("item_id")).toSeq ++ page2) shouldBe
+        ids(full).take(6)
+      p1.source shouldBe "byA"
+    }
+  }
+
   "incremental maintenance (M8)" - {
     "PUT adding a member inserts its index row" in {
       val im = fixture
