@@ -987,6 +987,34 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred")).orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition gates, shuffle-free: one codegen'd kernel
+      // pass per row computes [total, distinct, top]; the oracle replays
+      // the same numbers with the explode→two-groupBy SQL formulation this
+      // per-row shape deliberately avoids at corpus scale
+      val st = TextAnalysis.tokenStats(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          element_at(st, 1).as("n_tokens"),
+          element_at(st, 2).as("distinct_tokens"),
+          (element_at(st, 3).cast("double") / element_at(st, 1))
+            .as("top_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "text_redact_pii" -> ((s, dir) => {
+      // PII scrubbing gate: the corpus has no PII, so both sides inject a
+      // deterministic email+phone per doc, then redact — the oracle proves
+      // pattern-for-pattern replacement parity (Java regex vs RE2)
+      val injected = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact "), col("source"), lit("_"),
+        col("doc_id").cast("string"), lit("@mail.example.com or +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.redactPii(injected).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: sampling & corpus statistics ---------------------
     "sample_hash" -> ((s, dir) => {
       // shuffle-free deterministic sample: a pure filter on the md5-derived
@@ -1533,6 +1561,31 @@ object SparkEntry {
     "text_langid" ->
       s"""SELECT doc_id, $LangPredSql AS lang_pred
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH counts AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |       COUNT(*) AS distinct_tokens,
+        |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_ratio
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         substring(text, 1, 40) || ' contact ' || source || '_' ||
+        |         CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
 
     // deterministic md5-keyed sampling — the threshold literal is
     // Sampling.hashThreshold(0.25) inlined

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Imperative per-row text kernels called from generated code.
@@ -45,6 +45,29 @@ object TextKernels {
       }
       new GenericArrayData(set.toArray())
     } else new GenericArrayData(Array[Any](text))
+  }
+
+  /** Single-pass per-document token statistics over single-space tokens:
+    * `[total, distinct, topCount]` (top = the most frequent token's
+    * count; single-space split, like DuckDB's `string_split(text, ' ')` —
+    * empty text yields one empty token in both). The Gopher/C4-style
+    * repetition metrics
+    * (unique-token ratio, top-token dominance) derive from these three
+    * numbers — computed HERE per row, shuffle-free, instead of the
+    * explode→groupBy(doc,token)→re-groupBy(doc) formulation that moves
+    * the whole tokenized corpus through two shuffles. */
+  def tokenStats(text: UTF8String): ArrayData = {
+    val toks = text.split(Space, -1)
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, (a: Integer, b: Integer) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      toks.length.toLong, counts.size.toLong, top.toLong))
   }
 
   /** Per-set token hit counts over whitespace tokens of
@@ -122,6 +145,26 @@ case class TokenSetHits(child: Expression, sets: Seq[Seq[String]]) extends Unary
   override protected def withNewChildInternal(c: Expression): TokenSetHits = copy(child = c)
 }
 
+/** Codegen'd single-pass token statistics `[total, distinct, top]` (see
+  * [[TextKernels.tokenStats]]). NULL text ⇒ NULL. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_stats expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.tokenStats(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.tokenStats($t)")
+
+  override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles of a text column — codegen'd. */
   def word_shingles(text: Column, n: Int): Column =
@@ -131,4 +174,9 @@ object TextFunctions {
     * word set — codegen'd; returns array<int> aligned with `sets`. */
   def token_set_hits(text: Column, sets: Seq[Seq[String]]): Column =
     Bridge.column(TokenSetHits(Bridge.expression(text), sets))
+
+  /** Single-pass token statistics `array<long>[total, distinct, top]` —
+    * codegen'd, shuffle-free. */
+  def token_stats(text: Column): Column =
+    Bridge.column(TokenStats(Bridge.expression(text)))
 }

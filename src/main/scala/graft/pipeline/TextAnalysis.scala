@@ -91,4 +91,34 @@ object TextAnalysis {
       .withColumn("quality_score",
         least(lit(1.0), col("n_tokens") / lit(100.0)) * col("alpha_ratio"))
   }
+
+  /** Single-pass per-document token statistics
+    * `array<long>[total, distinct, topCount]` (codegen'd
+    * [[graft.functions.TokenStats]] kernel, single-space tokens). The
+    * Gopher/C4-style repetition gates — unique-token ratio
+    * (distinct/total), top-token dominance (top/total) — derive from
+    * these per ROW, shuffle-free; the equivalent
+    * explode→groupBy(doc,token)→groupBy(doc) moves the whole tokenized
+    * corpus through two shuffles for a per-document number. */
+  def tokenStats(text: Column): Column =
+    graft.functions.TextFunctions.token_stats(text)
+
+  /** Default PII redaction patterns, applied in order (email first: an
+    * address's digits must not be half-eaten by the phone pattern).
+    * Conservative RE2-compatible syntax — the same pattern strings replay
+    * in engines whose regex is RE2 (DuckDB, Go) as well as Java's. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}" -> "<PHONE>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>")
+
+  /** PII scrubbing: every pattern occurrence replaced with its tag —
+    * chained `regexp_replace` (codegen'd, shuffle-free). A training-data
+    * pipeline runs this gate over every document; anything fancier
+    * (NER-based) plugs in the same per-row shape. */
+  def redactPii(
+      text: Column, patterns: Seq[(String, String)] = PiiPatterns): Column =
+    patterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
 }

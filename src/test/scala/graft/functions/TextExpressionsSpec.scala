@@ -101,6 +101,44 @@ class TextExpressionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     got(2L) shouldBe 0.0 // "" tokenizes to [""], 0 hits
   }
 
+  "TokenStats matches the explode+groupBy formulation (corpus + edges)" in {
+    Seq(docs, edge).foreach { df =>
+      val viaShuffle = df
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id").agg(
+          sum("count").as("total"), count(lit(1)).as("distinct"),
+          max("count").as("top"))
+      val viaKernel = df.select(col("doc_id"),
+        element_at(TextAnalysis.tokenStats(col("text")), 1).as("total"),
+        element_at(TextAnalysis.tokenStats(col("text")), 2).as("distinct"),
+        element_at(TextAnalysis.tokenStats(col("text")), 3).as("top"))
+      viaKernel.collect().toSeq should contain theSameElementsAs
+        viaShuffle.collect().toSeq
+    }
+    // NULL text => NULL stats
+    import spark.implicits._
+    val n = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextAnalysis.tokenStats(col("text"))).collect()
+    Option(n.head.get(0)) shouldBe None
+  }
+
+  "redactPii replaces every email/phone/ip occurrence and nothing else" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@sub.example.org twice a.b@c.de end"),
+      (2L, "call +1-555-0199 or 44-123-4567 now"),
+      (3L, "host 10.0.255.7 clean text stays"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got(1L) shouldBe "mail <EMAIL> twice <EMAIL> end"
+    got(2L) shouldBe "call <PHONE> or <PHONE> now"
+    got(3L) shouldBe "host <IP> clean text stays"
+    got(4L) shouldBe "no pii here at all"
+  }
+
   "lshCandidatePairs band hashes are chain-identical to the slice form" in {
     import spark.implicits._
     // same recall contract as before the element_at rewrite: the xxhash64
