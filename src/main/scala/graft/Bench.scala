@@ -18,6 +18,7 @@ object Bench {
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_quality", "text_fingerprint", "text_langid", "text_corpus_filter",
     "text_repetition", "text_redact_pii",
+    "text_decontaminate", "pack_sequences", "dedup_semantic",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
     "e4_interval_join", "sample_stratified", "stat_quantiles",
     "stat_heavy_hitters")

@@ -33,7 +33,9 @@ object Probe {
       spark.stop(); return
     }
     if (what == "plans") {
-      for (q <- Seq("q3_shipping", "q1_agg", "w1_window_rank", "s4_index_scan")) {
+      val qs = if (args.length > 2) args(2).split(",").toSeq
+        else Seq("q3_shipping", "q1_agg", "w1_window_rank", "s4_index_scan")
+      for (q <- qs) {
         println(s"\n===== $q =====")
         val df = SparkEntry.queries(q)(spark, dir)
         val plan = df.queryExecution.executedPlan.toString

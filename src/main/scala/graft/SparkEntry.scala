@@ -926,6 +926,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_semantic" -> ((s, dir) => {
+      // cluster-then-compare (the SemDeDup recipe): near-dup search scoped
+      // to deterministic coarse-centroid cells — pairwise cost ∝ cell
+      // occupancy, never corpus²; the oracle replays the exact centroid
+      // structure, so the approximate path is hash-checked
+      Similarity.semanticDedupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.4, nlist = 16)
+        .select(col("cid"), col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: similarity search -------------------------------
     "ann_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -1012,6 +1022,30 @@ object SparkEntry {
         lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
       t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.redactPii(injected).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: flag training docs sharing a 3-shingle
+      // with the held-out slice (doc_id % 97 == 0 plays the eval set). The
+      // eval n-gram set is broadcast — the corpus never shuffles for
+      // candidates; the hit-count shuffle carries contaminated grams only
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Decontaminate.overlapHits(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      // deterministic concat-and-chunk packing for training batches:
+      // md5-hash order, 8 shards, 512-token budget; a doc belongs to the
+      // pack where its first token lands, start_tok gives the loader the
+      // exact slice offset. One shuffle (shard), per-shard window sort
+      graft.pipeline.Packing.packSequences(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 512, shards = 8)
+        .select(col("doc_id"), col("shard"), col("pack_no"), col("start_tok"))
         .orderBy("doc_id")
     }),
 
@@ -1504,6 +1538,57 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,
+
+    "dedup_semantic" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+        |scored AS (
+        |  SELECT e.vec_id, e.v, c.cid,
+        |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |            ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS crn
+        |  FROM e CROSS JOIN c),
+        |assign AS (SELECT vec_id, v, cid FROM scored WHERE crn = 1)
+        |SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM assign a JOIN assign b
+        |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT g FROM sh, UNNEST(sh.s) AS u(g)
+        |       WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id, COUNT(DISTINCT g) AS ngram_hits
+        |FROM sh, UNNEST(sh.s) AS u(g)
+        |WHERE sh.doc_id % 97 != 0 AND g IN (SELECT g FROM ev)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE $WsTokensSql END AS BIGINT) AS tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, h % 8 AS shard, tok,
+        |    CAST(COALESCE(SUM(tok) OVER (
+        |      PARTITION BY h % 8 ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM base)
+        |SELECT doc_id, shard,
+        |       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS pack_no, start_tok
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH e AS (

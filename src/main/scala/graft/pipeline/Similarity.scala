@@ -150,6 +150,45 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Semantic dedup (cluster-then-compare, the SemDeDup recipe): assign
+    * every embedding to its nearest coarse centroid, then search for
+    * near-duplicate pairs ONLY within each cluster — pairwise cost is
+    * bounded by cluster occupancy (≈ n/nlist per cell), never corpus².
+    * Approximate by design: cross-cluster near-dups are unseen (the
+    * recall/cost trade the technique is named for); complements the
+    * random-projection candidates of [[cosineNearDupPairsLsh]].
+    *
+    * Centroids are the deterministic first-`nlist` rows in id order —
+    * the same reproducible coarse quantizer as [[annIvfTopK]], so an
+    * external oracle can replay the full structure; production plugs
+    * k-means centroids into the identical shape. Scale: centroids are
+    * broadcast for assignment (corpus never shuffles there); the
+    * within-cluster self-join shuffles on `cid` once. */
+  def semanticDedupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val centroids = corpus.orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = corpus.join(broadcast(centroids))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    // persist: both self-join sides reuse the assignment — without the
+    // barrier the scan + centroid scoring + top-1 window run twice.
+    // merge hints: both sides are corpus-sized; never let a stale static
+    // estimate broadcast one (same rationale as Dedup.lshCandidatePairs)
+    val assigned = scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("id"), col("v"), col("nrm"))
+      .persist()
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nrmb")).hint("merge")
+    assigned.hint("merge").join(b, Seq("cid")).filter(col("id") < col("id_b"))
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+      .filter(col("sim") >= threshold)
+      .select(col("cid"), col("id").as("id_a"), col("id_b"), col("sim"))
+  }
+
   /** LSH-bucketed ANN: corpus hashed once into sign buckets; each query
     * probes its own bucket plus all Hamming-1 neighbor buckets (multiprobe)
     * and exact-reranks the candidates. Approximate (recall < 1 by design);

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Benchmark decontamination, sequence packing, semantic dedup. */
+class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  "Decontaminate" - {
+    "flags exactly the docs sharing an n-gram with the eval set" in {
+      import spark.implicits._
+      val corpus = Seq(
+        (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma"
+        (2L, "delta epsilon zeta eta"),     // no 3-gram overlap
+        (3L, "x alpha beta gamma y")        // shares the same 3-gram
+      ).toDF("doc_id", "text")
+      val eval = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+      val hits = Decontaminate.overlapHits(corpus, eval, "doc_id", "text", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hits shouldBe Map(1L -> 1L, 3L -> 1L)
+      Decontaminate.decontaminated(corpus, eval, "doc_id", "text", 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
+    }
+
+    "counts distinct shared n-grams, not occurrences" in {
+      import spark.implicits._
+      // doc 1 shares two DISTINCT eval 2-grams; the repeat of "a b" in the
+      // doc must not inflate the count (shingle sets are distinct)
+      val corpus = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+      val eval = Seq((9L, "a b"), (10L, "b c")).toDF("doc_id", "text")
+      val hits = Decontaminate.overlapHits(corpus, eval, "doc_id", "text", 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      hits shouldBe Map(1L -> 2L)
+    }
+
+    "clean corpus passes through untouched" in {
+      val eval = docs.filter(col("doc_id") % 101 === 0)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+      val out = Decontaminate.decontaminated(corpus, eval, "doc_id", "text", 3)
+      // decontaminated ⊆ corpus and (corpus − flagged) = decontaminated
+      val flagged =
+        Decontaminate.overlapHits(corpus, eval, "doc_id", "text", 3).count()
+      out.count() shouldBe corpus.count() - flagged
+    }
+  }
+
+  "Packing.packSequences" - {
+    lazy val packed = Packing.packSequences(
+      docs, "doc_id", TextAnalysis.tokenCount(col("text")),
+      budget = 256, shards = 4).cache()
+
+    "keeps every row and assigns non-negative shard/pack/offset" in {
+      packed.count() shouldBe docs.count()
+      packed.filter(col("shard") < 0 || col("shard") >= 4 ||
+        col("pack_no") < 0 || col("start_tok") < 0).count() shouldBe 0L
+    }
+
+    "start_tok is the running token count in hash order within a shard" in {
+      // reconstruct the cumsum independently: sort each shard by the md5
+      // hash and fold token counts
+      val rows = packed
+        .withColumn("__h", Sampling.md5Hash60(col("doc_id")))
+        .withColumn("tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select("shard", "__h", "doc_id", "start_tok", "tok")
+        .collect()
+        .groupBy(_.getLong(0))
+      rows.values.foreach { shardRows =>
+        var acc = 0L
+        shardRows.sortBy(r => (r.getLong(1), r.getLong(2))).foreach { r =>
+          r.getLong(3) shouldBe acc
+          acc += r.getLong(4)
+        }
+      }
+    }
+
+    "pack_no = floor(start_tok / budget); packs are contiguous per shard" in {
+      packed.filter(col("pack_no") =!=
+        floor(col("start_tok") / 256)).count() shouldBe 0L
+      // every pack index from 0 to max is populated (contiguous layout)
+      packed.groupBy("shard").agg(
+          countDistinct("pack_no").as("n"), max("pack_no").as("mx"))
+        .filter(col("n") =!= col("mx") + 1).count() shouldBe 0L
+    }
+
+    "is deterministic across runs" in {
+      val again = Packing.packSequences(
+        docs, "doc_id", TextAnalysis.tokenCount(col("text")),
+        budget = 256, shards = 4)
+      packed.select("doc_id", "shard", "pack_no", "start_tok")
+        .exceptAll(again.select("doc_id", "shard", "pack_no", "start_tok"))
+        .count() shouldBe 0L
+    }
+  }
+
+  "Similarity.semanticDedupPairs" - {
+    "finds within-cluster pairs only, as a subset of the exact pair set" in {
+      val exact = Similarity
+        .cosineNearDupPairs(embeddings, "vec_id", "embedding", 0.4)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sem = Similarity
+        .semanticDedupPairs(embeddings, "vec_id", "embedding", 0.4, nlist = 8)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      sem.subsetOf(exact) shouldBe true
+    }
+
+    "identical vectors always land in the same cluster and are flagged" in {
+      import spark.implicits._
+      // a planted exact duplicate must be found regardless of clustering
+      val dup = embeddings.limit(1)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      val sem = Similarity.semanticDedupPairs(
+          embeddings.unionByName(dup), "vec_id", "embedding",
+          threshold = 0.999, nlist = 8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val origId = embeddings.limit(1)
+        .select("vec_id").collect().head.getLong(0)
+      sem should contain((origId, origId + 1000000L))
+    }
+
+    "pair cost is bounded by cluster occupancy (no cross-cluster pairs)" in {
+      val sem = Similarity.semanticDedupPairs(
+        embeddings, "vec_id", "embedding", -1.0, nlist = 8) // keep all pairs
+      // with threshold -1 every within-cluster pair is emitted; the count
+      // must equal sum over clusters of n_c·(n_c−1)/2 — proves the search
+      // space is exactly the cluster-scoped one
+      val perCell = sem.groupBy("cid").count()
+      val byAssign = sem.select(explode(array(col("id_a"), col("id_b")))
+          .as("id"), col("cid"))
+        .distinct().groupBy("cid").agg(countDistinct("id").as("n"))
+        .withColumn("expect", col("n") * (col("n") - 1) / 2)
+      perCell.join(byAssign, "cid")
+        .filter(col("count") =!= col("expect")).count() shouldBe 0L
+    }
+  }
+}
