@@ -1065,6 +1065,26 @@ object SparkEntry {
         .select(col("doc_id"), col("lang")).orderBy("doc_id")
     }),
 
+    "sample_mix" -> ((s, dir) => {
+      // domain mixing: re-weight sources to a target composition — exact
+      // ceil(fᵢ·n) per source, deterministic hash order, one shuffle;
+      // unlisted sources keep the default fraction
+      graft.pipeline.Sampling.mixExact(t(s, dir, "documents"),
+          "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0), default = 0.1)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+
+    "embed_kmedians" -> ((s, dir) => {
+      // deterministic Lloyd-style clustering: shuffle-free literal-centroid
+      // assignment + exact component-wise MEDIAN update (order-independent
+      // selection — a distributed double mean would depend on summation
+      // order and could never hash-match an external replay)
+      graft.pipeline.Clustering.kmediansAssign(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, iters = 2)
+        .select(col("id").as("vec_id"), col("cluster")).orderBy("vec_id")
+    }),
+
     "stat_quantiles" -> ((s, dir) => {
       // exact per-language token-count quantiles via distinct-value
       // compression (never sorts raw rows inside a stratum)
@@ -1691,6 +1711,23 @@ object SparkEntry {
         |SELECT doc_id, lang FROM ranked
         |WHERE rn <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
 
+    "sample_mix" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source FROM ranked
+        |WHERE rn <= ceil(n * CASE source WHEN 'src0' THEN 0.5
+        |                                 WHEN 'src1' THEN 0.25
+        |                                 WHEN 'src2' THEN 1.0
+        |                                 ELSE 0.1 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "embed_kmedians" -> kmediansOracle(8, 2),
+
     "stat_quantiles" ->
       s"""WITH counts AS (
         |  SELECT lang,
@@ -1871,6 +1908,51 @@ object SparkEntry {
        |  FROM cand)
        |SELECT query_id, neighbor_id, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Full k-medians replay: `iters` chained (assign → exact component
+    * medians → COALESCE empty cells) rounds, then the final assignment.
+    * Mirrors [[graft.pipeline.Clustering.kmediansAssign]] CTE-for-stage;
+    * the median recipe is the same compressed cum-count quantile as the
+    * stat_quantiles oracle. */
+  private def kmediansOracle(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+         |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
+         |""".stripMargin)
+    for (i <- 1 to iters) {
+      val prev = s"c${i - 1}"
+      sb.append(
+        s"""s$i AS (SELECT e.vec_id, e.v, $prev.cid,
+           |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${cosSql("e.v", s"$prev.cv")} DESC, $prev.cid) AS rn
+           |  FROM e CROSS JOIN $prev),
+           |a$i AS (SELECT vec_id, v, cid FROM s$i WHERE rn = 1),
+           |comp$i AS (SELECT cid, i AS pos, v[i] AS comp
+           |  FROM a$i, UNNEST(generate_series(1, len(v))) AS t(i)),
+           |cnt$i AS (SELECT cid, pos, comp, COUNT(*) AS c
+           |  FROM comp$i GROUP BY 1, 2, 3),
+           |cum$i AS (SELECT cid, pos, comp,
+           |    SUM(c) OVER (PARTITION BY cid, pos ORDER BY comp) AS cum,
+           |    SUM(c) OVER (PARTITION BY cid, pos) AS n
+           |  FROM cnt$i),
+           |med$i AS (SELECT cid, pos, MIN(comp) AS m FROM cum$i
+           |  WHERE cum >= greatest(1, ceil(n * 0.5)) GROUP BY 1, 2),
+           |cm$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM med$i GROUP BY cid),
+           |c$i AS (SELECT $prev.cid, COALESCE(cm$i.cv, $prev.cv) AS cv
+           |  FROM $prev LEFT JOIN cm$i ON $prev.cid = cm$i.cid),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""sf AS (SELECT e.vec_id, c$iters.cid,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.v", s"c$iters.cv")} DESC, c$iters.cid) AS rn
+         |  FROM e CROSS JOIN c$iters)
+         |SELECT vec_id, cid AS cluster FROM sf WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin)
+    sb.toString
+  }
 
   // -- shared DuckDB fragments for the text-analysis oracles: the
   // composed corpus filter must gate on EXACTLY the formulas the

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic embedding clustering (Lloyd-style k-medians) — the
+  * clustering stage behind corpus curation: semantic-dedup cells, data-mix
+  * balancing, topic bucketing.
+  *
+  * Design choices are driven by exact reproducibility at scale:
+  *
+  *   - **Assignment is a shuffle-free codegen'd projection**: k dot
+  *     products per row against LITERAL centroid vectors (argmax cosine,
+  *     ties → lowest centroid index). No join, no window — the corpus is
+  *     scanned, never shuffled, once per iteration.
+  *   - **The update step is a component-wise exact MEDIAN** (k-medians),
+  *     not a mean: a median is an order-independent selection from
+  *     observed values, so it replays bit-exactly in any engine, while a
+  *     distributed double mean depends on summation order (the one thing
+  *     no engine promises). Medians reuse [[Stats.groupQuantiles]]'s
+  *     distinct-value-compressed quantile plan over (cluster, position)
+  *     groups. A production run that prefers classic k-means swaps the
+  *     median aggregate for `avg` without changing any other shape.
+  *   - **Init is the first k vectors in id order** — the same
+  *     reproducible seeding as [[Similarity.annIvfTopK]]'s coarse
+  *     quantizer (k-means++ plugs in where determinism isn't required).
+  *   - Driver state is k×dim doubles per iteration — trivially bounded;
+  *     an empty cluster keeps its previous centroid.
+  */
+object Clustering {
+
+  /** Cluster index (LongType) of the nearest centroid by cosine over a
+    * column `v` with precomputed norm `nrm` — first index wins ties. */
+  private def assignTo(cents: IndexedSeq[Array[Double]]): Column = {
+    val sims = cents.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      graft.functions.VectorFunctions.dot_product(col("v"), typedlit(c.toSeq)) /
+        (col("nrm") * lit(cn))
+    }
+    val g = greatest(sims: _*)
+    (1 until cents.size).foldLeft(when(sims(0) === g, lit(0L))) {
+      case (acc, i) => acc.when(sims(i) === g, lit(i.toLong))
+    }.otherwise(lit((cents.size - 1).toLong))
+  }
+
+  /** (id, cluster) after `iters` k-medians update rounds. Per round: one
+    * corpus scan for assignment (projection only) + the compressed
+    * quantile aggregation; k×dim medians come back to the driver and are
+    * inlined into the next round's assignment expression. */
+  def kmediansAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 2, "need at least 2 clusters")
+    require(iters >= 1, "need at least 1 update round")
+    // persist: every round re-reads (id, v, nrm) — same load-bearing
+    // barrier as Dedup.minhashDedupPairs' shingle set
+    val corpus = df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
+      .persist()
+    val dim = corpus.select(size(col("v"))).first().getInt(0)
+    var cents: IndexedSeq[Array[Double]] = corpus.orderBy("id").limit(k)
+      .select("v").collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
+    for (_ <- 1 to iters) {
+      val comps = corpus.withColumn("cluster", assignTo(cents))
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "comp")))
+        .withColumn("g", col("cluster") * dim + col("pos"))
+      val med = Stats.groupQuantiles(comps, "g", col("comp"), Seq(0.5))
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      cents = cents.indices.map { c =>
+        val arr = cents(c).clone()
+        (0 until dim).foreach { p =>
+          med.get(c.toLong * dim + p).foreach(m => arr(p) = m)
+        }
+        arr
+      }
+    }
+    corpus.withColumn("cluster", assignTo(cents)).select(col("id"), col("cluster"))
+  }
+}

@@ -47,4 +47,25 @@ object Sampling {
       .filter(col("__rn") <= ceil(col("__n") * fraction))
       .drop("__rn", "__n")
   }
+
+  /** Domain mixing: [[stratifiedExact]] with a PER-STRATUM fraction — the
+    * "data mix" step that re-weights sources/domains/languages to a target
+    * composition before training. Strata absent from `mix` keep `default`
+    * (0.0 default = drop unlisted domains). Same determinism and
+    * single-shuffle cost as stratifiedExact; the fraction lookup is a
+    * literal CASE expression, not a join. */
+  def mixExact(
+      df: DataFrame, strataCol: String, keyCol: String,
+      mix: Map[String, Double], default: Double = 0.0): DataFrame = {
+    val frac = mix.foldLeft(lit(default)) { case (acc, (k, f)) =>
+      when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    val byHash = Window.partitionBy(col(strataCol))
+      .orderBy(md5Hash60(col(keyCol)), col(keyCol))
+    val whole = Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(byHash))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__rn", "__n")
+  }
 }

@@ -98,6 +98,70 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Sampling.mixExact" - {
+    "takes exactly ceil(fraction_i * n_i) rows per stratum" in {
+      val mix = Map("src0" -> 0.5, "src1" -> 0.25)
+      val per = Sampling.mixExact(docs, "source", "doc_id", mix, default = 0.1)
+        .groupBy("source").count()
+      val want = docs.groupBy("source").count()
+        .withColumn("frac",
+          when(col("source") === "src0", 0.5)
+            .when(col("source") === "src1", 0.25).otherwise(0.1))
+        .withColumn("want", ceil(col("count") * col("frac"))).drop("count")
+      per.join(want, "source")
+        .filter(col("count") =!= col("want")).count() shouldBe 0L
+    }
+
+    "default 0.0 drops unlisted strata entirely" in {
+      val only = Sampling.mixExact(docs, "source", "doc_id",
+        Map("src0" -> 1.0))
+      only.filter(col("source") =!= "src0").count() shouldBe 0L
+      only.count() shouldBe docs.filter(col("source") === "src0").count()
+    }
+
+    "agrees with stratifiedExact when every fraction is equal" in {
+      val strata = docs.select("source").distinct()
+        .collect().map(_.getString(0))
+      val viaMix = Sampling.mixExact(docs, "source", "doc_id",
+        strata.map(_ -> 0.2).toMap)
+      val viaStrat = Sampling.stratifiedExact(docs, "source", "doc_id", 0.2)
+      viaMix.select("doc_id").exceptAll(viaStrat.select("doc_id"))
+        .count() shouldBe 0L
+      viaMix.count() shouldBe viaStrat.count()
+    }
+  }
+
+  "Clustering.kmediansAssign" - {
+    "assigns every row to a cluster in [0, k)" in {
+      val out = Clustering.kmediansAssign(
+        embeddings, "vec_id", "embedding", k = 4, iters = 1)
+      out.count() shouldBe embeddings.count()
+      out.filter(col("cluster") < 0 || col("cluster") >= 4)
+        .count() shouldBe 0L
+      // no degenerate single-cluster collapse on real data
+      out.select("cluster").distinct().count() should be > 1L
+    }
+
+    "is deterministic across runs" in {
+      def run() = Clustering.kmediansAssign(
+          embeddings, "vec_id", "embedding", k = 4, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      run() shouldBe run()
+    }
+
+    "identical vectors always share a cluster" in {
+      val base = embeddings.limit(10)
+      val dups = base.withColumn("vec_id", col("vec_id") + 1000000L)
+      val out = Clustering.kmediansAssign(
+          base.unionByName(dups), "vec_id", "embedding", k = 3, iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until 10).foreach { i =>
+        val id = base.collect()(i).getLong(0)
+        out(id + 1000000L) shouldBe out(id)
+      }
+    }
+  }
+
   "Similarity.semanticDedupPairs" - {
     "finds within-cluster pairs only, as a subset of the exact pair set" in {
       val exact = Similarity
