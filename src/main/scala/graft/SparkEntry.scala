@@ -810,6 +810,37 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    "st9_stream_dedup" -> ((s, dir) => {
+      // streaming dedup-on-arrival under a REAL micro-batch executor
+      // (file source, maxFilesPerTrigger=1, 2 triggers): originals arrive
+      // in batch 1; exact copies + intra-batch duplicate synthetics in
+      // batch 2. First-arrival state must drop every cross-batch copy and
+      // keep the min-id synthetic within its batch.
+      import s.implicits._
+      val base = scratchDir(s, "st9", dir)
+      val docs = t(s, dir, "documents")
+      val originals = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val copies = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), md5(col("text")).as("h"))
+      val synth = s.range(10).select((col("id") + 200000L).as("doc_id"),
+        md5(concat(lit("synthetic "),
+          pmod(col("id"), lit(5)).cast("string"))).as("h"))
+      originals.coalesce(1).write.mode("append").parquet(s"$base/in")
+      copies.unionByName(synth).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .select(col("doc_id").as("_1"), col("h").as("_2"))
+        .as[(Long, String)]
+      val q = graft.streaming.Streams.dedupFirstArrival(stream)
+        .toDF("doc_id", "h")
+        .writeStream.format("memory").queryName("st9_dedup")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st9_dedup").orderBy("doc_id")
+    }),
+
     "e3_asof_attribution" -> ((s, dir) => {
       // backward as-of join (purchase ← latest prior click per user):
       // union-tagged single-shuffle window plan, no range-join explosion
@@ -1036,6 +1067,16 @@ object SparkEntry {
           docs.filter(col("doc_id") % 97 === 0),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    }),
+
+    "text_top_terms" -> ((s, dir) => {
+      // per-doc distinctive terms: TF-IDF ordering realized with INTEGER
+      // keys (tf DESC, df ASC, token) — same order as any monotone idf,
+      // but exact and engine-replayable (no ln() rounding divergence)
+      TextAnalysis.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("doc_id", "rank")
     }),
 
     "pack_sequences" -> ((s, dir) => {
@@ -1727,6 +1768,34 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "embed_kmedians" -> kmediansOracle(8, 2),
+
+    "text_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        |       WHERE token != '' GROUP BY 1, 2),
+        |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |r AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+        |        ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, dfq.df ASC, tf.token ASC) AS rank
+        |      FROM tf JOIN dfq USING (token))
+        |SELECT doc_id, token, tf, df, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "st9_stream_dedup" ->
+      """WITH ev AS (
+        |  SELECT doc_id, md5(text) AS h, 0 AS b FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, md5(text), 1 FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT 200000 + i, md5('synthetic ' || CAST(i % 5 AS VARCHAR)), 1
+        |  FROM range(10) t(i)),
+        |r AS (SELECT doc_id, h,
+        |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
+        |      FROM ev)
+        |SELECT doc_id, h FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "stat_quantiles" ->
       s"""WITH counts AS (

@@ -121,4 +121,32 @@ object TextAnalysis {
     patterns.foldLeft(text) { case (c, (pat, tag)) =>
       regexp_replace(c, pat, tag)
     }
+
+  /** Per-document distinctive terms: top `k` tokens ranked by
+    * (term frequency DESC, document frequency ASC, token ASC) — the
+    * TF-IDF ordering realized with INTEGER keys only, so the ranking is
+    * exact and engine-replayable (a float tf·idf score depends on each
+    * engine's `ln` rounding; the lexicographic (tf, df) rank is the same
+    * order for any monotone idf).
+    *
+    * Plan: one shuffle for per-(doc, token) counts (map-side combine),
+    * one shuffle for document frequencies (vocabulary-sized — joins back
+    * on the token key), one window per document. Output
+    * (id, token, tf, df, rank), rank 1..k. */
+  def topTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfreq, "token")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time windowed aggregation — the Structured Streaming shape for
   * continuous analytics over the event stream (readStream → window agg →
@@ -40,4 +41,34 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol),
         col("w.start").as("session_start"), col("n_events"))
+
+  /** Dedup-on-arrival: emit only the FIRST document carrying each content
+    * hash, across micro-batches — the streaming-ingest twin of
+    * [[graft.pipeline.Dedup.exactSurvivors]]. State per key is one
+    * boolean ("seen"); within a batch the smallest id wins, across
+    * batches the earlier batch wins (later arrivals of a seen hash emit
+    * nothing). Runs unchanged in batch mode (one batch ⇒ min-id per
+    * hash).
+    *
+    * Scale: state is |distinct hashes| booleans sharded by the state
+    * store; per-key single-task execution is Spark's
+    * flatMapGroupsWithState contract, so no CAS is needed. A production
+    * deployment bounds state with a timeout (accepting re-admittance of
+    * hashes idle longer than the horizon); the contract here keeps
+    * NoTimeout for exact first-arrival semantics. */
+  def dedupFirstArrival(
+      events: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(Long, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.map(_._1).min, hash))
+          }
+      }
+  }
 }

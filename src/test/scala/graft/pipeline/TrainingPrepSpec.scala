@@ -98,6 +98,35 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.topTerms" - {
+    "ranks by tf desc, then rarity (df asc), then token asc" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "apple apple banana cherry"),
+        (2L, "banana cherry cherry")).toDF("doc_id", "text")
+      // doc 1: apple tf=2 (rank 1); banana/cherry tf=1 df=2 → token order
+      // doc 2: cherry tf=2 (rank 1); banana tf=1
+      val got = TextAnalysis.topTerms(df, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getInt(4), r.getString(1))).toSet
+      got shouldBe Set(
+        (1L, 1, "apple"), (1L, 2, "banana"), (1L, 3, "cherry"),
+        (2L, 1, "cherry"), (2L, 2, "banana"))
+    }
+
+    "rarity breaks tf ties: rarer token ranks higher" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "common rare"),
+        (2L, "common filler"),
+        (3L, "common other")).toDF("doc_id", "text")
+      // doc 1: tf(common)=tf(rare)=1, df(common)=3 > df(rare)=1 → rare first
+      val doc1 = TextAnalysis.topTerms(df, "doc_id", "text", 2)
+        .filter(col("doc_id") === 1).orderBy("rank")
+        .collect().map(_.getString(1)).toSeq
+      doc1 shouldBe Seq("rare", "common")
+    }
+  }
+
   "Sampling.mixExact" - {
     "takes exactly ceil(fraction_i * n_i) rows per stratum" in {
       val mix = Map("src0" -> 0.5, "src1" -> 0.25)

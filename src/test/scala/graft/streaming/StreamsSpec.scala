@@ -86,4 +86,36 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Seq((0L, 3L), (60000L, 1L)) // batch sees everything
     }
   }
+
+  "Streams.dedupFirstArrival" - {
+    "keeps the first arrival per hash across batches, min id within one" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(Long, String)]
+      val q = Streams.dedupFirstArrival(src.toDS())
+        .toDF("id", "h")
+        .writeStream.format("memory").queryName("sd")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-sd").toString)
+        .outputMode("append").start()
+      try {
+        src.addData((1L, "a"), (2L, "a"), (3L, "b"))
+        q.processAllAvailable()
+        // batch 2: "a"/"b" already seen — dropped even with SMALLER ids;
+        // "c" is new within the batch → its min id survives
+        src.addData((0L, "a"), (5L, "c"), (4L, "c"), (9L, "b"))
+        q.processAllAvailable()
+        val got = spark.table("sd").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toSet
+        got shouldBe Set(1L -> "a", 3L -> "b", 4L -> "c")
+      } finally q.stop()
+    }
+
+    "batch mode degenerates to exact min-id dedup" in {
+      import spark.implicits._
+      val ds = Seq((5L, "x"), (2L, "x"), (7L, "y")).toDS()
+      Streams.dedupFirstArrival(ds).collect().toSet shouldBe
+        Set((2L, "x"), (7L, "y"))
+    }
+  }
 }
