@@ -98,6 +98,45 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "plan shapes hold the 100 TB contracts" - {
+    "decontaminate: eval side broadcasts; the corpus never shuffles below the join" in {
+      val eval = docs.filter(col("doc_id") % 101 === 0)
+      val corpus = docs.filter(col("doc_id") % 101 =!= 0)
+      val plan = Decontaminate.overlapHits(corpus, eval, "doc_id", "text", 3)
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+      // the only Exchanges are the eval-side distinct and the post-join
+      // hit count — the corpus branch (Generate..FileScan) has none
+      val corpusBranch = plan.linesIterator
+        .dropWhile(!_.contains("BroadcastHashJoin")).takeWhile(l =>
+          !l.contains("BroadcastExchange")).mkString("\n")
+      corpusBranch should not include "Exchange hashpartitioning"
+    }
+
+    "packSequences: exactly one Exchange (the shard partitioning)" in {
+      // params differ from the cached `packed` above: a cache hit would
+      // splice the already-executed AQE plan (Initial+Final) into the
+      // string and double-count the Exchange
+      val plan = Packing.packSequences(docs, "doc_id",
+          TextAnalysis.tokenCount(col("text")), 128, 2)
+        .queryExecution.executedPlan.toString
+      withClue(plan) {
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+        plan should not include "Exchange rangepartitioning" // no global sort
+      }
+    }
+
+    "semanticDedupPairs: the cell join is sort-merge, never a corpus broadcast" in {
+      val plan = Similarity
+        .semanticDedupPairs(embeddings, "vec_id", "embedding", 0.4, nlist = 8)
+        .queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      // the only broadcast is the tiny centroid set (nested-loop cross
+      // join for assignment) — never a corpus-sized hash side
+      plan should not include "BroadcastHashJoin"
+    }
+  }
+
   "TextAnalysis.topTerms" - {
     "ranks by tf desc, then rarity (df asc), then token asc" in {
       import spark.implicits._
