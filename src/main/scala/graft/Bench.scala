@@ -19,7 +19,7 @@ object Bench {
     "text_quality", "text_fingerprint", "text_langid", "text_corpus_filter",
     "text_repetition", "text_redact_pii",
     "text_decontaminate", "pack_sequences", "dedup_semantic",
-    "sample_mix", "embed_kmedians", "text_top_terms",
+    "sample_mix", "embed_kmedians", "text_top_terms", "dedup_substring",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
     "e4_interval_join", "sample_stratified", "stat_quantiles",
     "stat_heavy_hitters")

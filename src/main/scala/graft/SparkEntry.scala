@@ -957,6 +957,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_substring" -> ((s, dir) => {
+      // exact-substring (memorized-span) dedup: docs sharing a 40-char
+      // window sampled every 10 chars; ubiquitous windows (>50 docs)
+      // pruned as boilerplate before the self-join
+      graft.pipeline.Dedup.substringDupPairs(t(s, dir, "documents"),
+          "text", "doc_id", width = 40, stride = 10,
+          maxDocsPerWindow = Some(50))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_semantic" -> ((s, dir) => {
       // cluster-then-compare (the SemDeDup recipe): near-dup search scoped
       // to deterministic coarse-centroid cells — pairwise cost ∝ cell
@@ -1599,6 +1609,17 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,
+
+    "dedup_substring" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substr(text, p, 40) FOR p IN range(1, len(text) - 40 + 2, 10)])) AS w
+        |  FROM documents WHERE len(text) >= 40),
+        |f AS (SELECT w FROM w0 GROUP BY w HAVING COUNT(*) <= 50),
+        |ww AS (SELECT doc_id, w0.w FROM w0 JOIN f USING (w))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        |FROM ww a JOIN ww b ON a.w = b.w AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH e AS (

@@ -70,6 +70,27 @@ object TextKernels {
       toks.length.toLong, counts.size.toLong, top.toLong))
   }
 
+  /** Distinct fixed-width character windows sampled every `stride`
+    * characters, first-occurrence order — the unit of exact-substring
+    * (memorized-span) duplicate detection. Exact value parity with
+    * DuckDB's
+    * `list_distinct([substr(text, p, width) FOR p IN range(1, len - width + 2, stride)])`
+    * (SQL SUBSTRING semantics: codepoint positions, 1-based). Texts
+    * shorter than `width` yield an empty set. */
+  def charWindows(text: UTF8String, width: Int, stride: Int): ArrayData = {
+    val n = text.numChars()
+    if (n < width) new GenericArrayData(Array.empty[Any])
+    else {
+      val set = new JLinkedHashSet[UTF8String]()
+      var p = 0
+      while (p + width <= n) {
+        set.add(text.substringSQL(p + 1, width))
+        p += stride
+      }
+      new GenericArrayData(set.toArray())
+    }
+  }
+
   /** Per-set token hit counts over whitespace tokens of
     * `lower(trim(text))` — exact value parity with the per-language
     * `aggregate(split(lower(trim(text)), "\\s+"), …)` fold (tokens hitting
@@ -165,10 +186,39 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
 }
 
+/** Codegen'd stride-sampled character windows (see
+  * [[TextKernels.charWindows]]). NULL text ⇒ NULL window set. */
+case class CharWindows(child: Expression, width: Int, stride: Int)
+    extends UnaryExpression {
+  require(width >= 1, s"window width must be >= 1, got $width")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"char_windows expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.charWindows(text.asInstanceOf[UTF8String], width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextKernels.charWindows($t, $width, $stride)")
+
+  override protected def withNewChildInternal(c: Expression): CharWindows =
+    copy(child = c)
+}
+
 object TextFunctions {
   /** Distinct word n-gram shingles of a text column — codegen'd. */
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Distinct stride-sampled fixed-width character windows — codegen'd. */
+  def char_windows(text: Column, width: Int, stride: Int): Column =
+    Bridge.column(CharWindows(Bridge.expression(text), width, stride))
 
   /** Hit counts of whitespace tokens (of lower(trim(text))) against each
     * word set — codegen'd; returns array<int> aligned with `sets`. */

@@ -360,4 +360,46 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Exact-substring duplicate pairs: documents sharing at least one
+    * fixed-`width` CHARACTER window sampled every `stride` positions —
+    * the memorized-span detection that catches verbatim copied runs
+    * word-level shingles dilute (boilerplate headers, license blocks,
+    * quoted passages). `shared` counts the distinct sampled windows a
+    * pair has in common.
+    *
+    * Stride sampling detects spans whose copies are position-ALIGNED
+    * modulo stride within the window (any copy of a run ≥ width+stride−1
+    * chars is guaranteed caught: some sampled window fits inside it on
+    * both sides only if alignments match — set `stride = 1` for full
+    * positional sensitivity at ~width× the row volume; the default
+    * trades recall on shifted copies for a `width/stride`-factor cost
+    * cut, the standard large-corpus setting).
+    *
+    * Plan shape mirrors the other dedup self-joins: codegen'd
+    * [[graft.functions.CharWindows]] kernel → explode → optional
+    * ubiquitous-window pruning (windows in more than `maxDocsPerWindow`
+    * docs are boilerplate by definition and would square the join) →
+    * merge-hinted self-join on the window. Texts shorter than `width`
+    * emit no windows and drop out. */
+  def substringDupPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      width: Int, stride: Int,
+      maxDocsPerWindow: Option[Int] = None): DataFrame = {
+    val wins = rebalance(df).select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.char_windows(
+          col(textCol), width, stride)).as("w"))
+      .hint("merge")
+    val pruned = maxDocsPerWindow match {
+      case Some(m) =>
+        // kernel windows are distinct per doc ⇒ count == #docs carrying w
+        val freq = wins.groupBy("w").count().filter(col("count") <= m).hint("merge")
+        wins.join(freq.select("w"), Seq("w"), "left_semi")
+      case None => wins
+    }
+    pruned.alias("a").join(pruned.alias("b"),
+        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+  }
 }

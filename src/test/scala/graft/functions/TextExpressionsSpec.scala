@@ -157,4 +157,35 @@ class TextExpressionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((1L, 2L)) // collide on band 0, differ on band 1
   }
+
+  "CharWindows matches the substr-comprehension formulation (corpus + edges)" in {
+    // the HOF equivalent of the kernel (and of the DuckDB oracle):
+    // distinct substr windows at 1-based positions 1, 1+stride, ...
+    def hof(width: Int, stride: Int) = {
+      val n = org.apache.spark.sql.functions.length(col("text"))
+      when(n >= width,
+        array_distinct(transform(
+          sequence(lit(1), n - width + 1, lit(stride)),
+          p => substr(col("text"), p, lit(width)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for ((w, s) <- Seq((40, 10), (3, 2), (5, 5))) {
+      val mismatches = docs.select("doc_id", "text").unionByName(edge).select(
+          TextFunctions.char_windows(col("text"), w, s).as("k"),
+          hof(w, s).as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      withClue(s"width=$w stride=$s") { mismatches shouldBe 0L }
+    }
+  }
+
+  "CharWindows samples 1-based positions by stride and is NULL on NULL" in {
+    import spark.implicits._
+    val got = Seq("abcdef").toDF("text")
+      .select(TextFunctions.char_windows(col("text"), 3, 2))
+      .collect().head.getSeq[String](0)
+    got shouldBe Seq("abc", "cde") // p=5 would overrun: 5+3-1 > 6
+    Seq(Option.empty[String]).toDF("text")
+      .select(TextFunctions.char_windows(col("text"), 3, 2))
+      .collect().head.isNullAt(0) shouldBe true
+  }
 }

@@ -98,6 +98,40 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Dedup.substringDupPairs" - {
+    "finds docs sharing an aligned width-char run; counts distinct windows" in {
+      import spark.implicits._
+      val run = ('a' to 'z').mkString * 2 // 52 chars, shared verbatim
+      val corpus = Seq(
+        (1L, run + " tail one"),
+        (2L, run + " other ending"),
+        (3L, "completely unrelated text that is long enough to window")
+      ).toDF("doc_id", "text")
+      val pairs = Dedup.substringDupPairs(corpus, "text", "doc_id", 40, 10)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      pairs.keySet shouldBe Set((1L, 2L))
+      pairs((1L, 2L)) shouldBe 2L // positions 1 and 11 fit inside the run
+    }
+
+    "ubiquitous-window pruning drops boilerplate matches" in {
+      import spark.implicits._
+      val boiler = "this header appears everywhere in the corpus!!"
+      val corpus = (1L to 5L).map(i => (i, boiler + s" unique tail $i"))
+        .toDF("doc_id", "text")
+      Dedup.substringDupPairs(corpus, "text", "doc_id", 40, 10)
+        .count() should be > 0L // without pruning: all pairs match
+      Dedup.substringDupPairs(corpus, "text", "doc_id", 40, 10,
+        maxDocsPerWindow = Some(3)).count() shouldBe 0L
+    }
+
+    "texts shorter than the window emit nothing" in {
+      import spark.implicits._
+      val corpus = Seq((1L, "short"), (2L, "short")).toDF("doc_id", "text")
+      Dedup.substringDupPairs(corpus, "text", "doc_id", 40, 10)
+        .count() shouldBe 0L
+    }
+  }
+
   "plan shapes hold the 100 TB contracts" - {
     "decontaminate: eval side broadcasts; the corpus never shuffles below the join" in {
       val eval = docs.filter(col("doc_id") % 101 === 0)
