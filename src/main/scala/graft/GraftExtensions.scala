@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.DotProduct
+import graft.functions.{CharWindows, DotProduct, TokenStats, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -19,6 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT json_null_strip(body)            -- recursive null removal
   *   SELECT hql(body, 'a > 5 and b = "x"')   -- the reference's filter
   *                                           -- language as a SQL predicate
+  *   SELECT word_shingles(text, 3)           -- distinct word n-grams
+  *   SELECT char_windows(text, 40, 10)       -- stride-sampled char windows
+  *   SELECT token_stats(text)                -- [total, distinct, top]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -57,7 +60,27 @@ object GraftFunctions {
         info("json_null_strip", classOf[JsonNullStrip]),
         arity("json_null_strip", 1)(args => JsonNullStrip(args(0)))),
       (FunctionIdentifier("hql"), info("hql", Translator.getClass),
-        arity("hql", 2)(hqlBuilder)))
+        arity("hql", 2)(hqlBuilder)),
+      (FunctionIdentifier("word_shingles"),
+        info("word_shingles", classOf[WordShingles]),
+        arity("word_shingles", 2)(args =>
+          WordShingles(args(0), intLit(args(1), "word_shingles(text, n)")))),
+      (FunctionIdentifier("char_windows"),
+        info("char_windows", classOf[CharWindows]),
+        arity("char_windows", 3)(args =>
+          CharWindows(args(0), intLit(args(1), "char_windows width"),
+            intLit(args(2), "char_windows stride")))),
+      (FunctionIdentifier("token_stats"),
+        info("token_stats", classOf[TokenStats]),
+        arity("token_stats", 1)(args => TokenStats(args(0)))))
+
+  /** Kernel size parameters fix the generated code, so they must be
+    * plan-time literals. */
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
+    case _ => throw new IllegalArgumentException(
+      s"$what expects a literal integer, got $e")
+  }
 
   /** Register on an already-running session. */
   def register(spark: SparkSession): Unit =

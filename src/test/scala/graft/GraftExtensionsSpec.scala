@@ -24,6 +24,22 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       kept shouldBe Seq(true, false)
     }
 
+    "register exposes the text kernels to spark.sql" in {
+      GraftFunctions.register(spark)
+      spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+        .collect()(0).getSeq[String](0) shouldBe Seq("a b c", "b c d")
+      spark.sql("SELECT char_windows('abcdef', 3, 2) AS w")
+        .collect()(0).getSeq[String](0) shouldBe Seq("abc", "cde")
+      spark.sql("SELECT token_stats('x y x') AS t")
+        .collect()(0).getSeq[Long](0) shouldBe Seq(3L, 2L, 2L)
+    }
+
+    "kernel size parameters must be plan-time literals" in {
+      GraftFunctions.register(spark)
+      an[Exception] should be thrownBy
+        spark.sql("SELECT char_windows('abc', 1 + 2, 1)").collect()
+    }
+
     "hql rejects a non-literal filter argument" in {
       GraftFunctions.register(spark)
       an[Exception] should be thrownBy
