@@ -22,7 +22,7 @@ object Bench {
     "sample_mix", "embed_kmedians", "text_top_terms", "dedup_substring",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
     "e4_interval_join", "sample_stratified", "stat_quantiles",
-    "stat_heavy_hitters")
+    "stat_heavy_hitters", "stat_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1146,6 +1146,19 @@ object SparkEntry {
         .orderBy("lang", "p")
     }),
 
+    "stat_rollup" -> ((s, dir) => {
+      // hierarchical corpus report in ONE pass: per (lang, source), per
+      // lang, and grand total via ROLLUP — integer aggregates only, so
+      // every level replays exactly; Spark plans this as a single
+      // expand+aggregate, not three scans
+      t(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("tokens"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+    }),
+
     "stat_heavy_hitters" -> ((s, dir) => {
       // exact top-25 tokens: two-phase count absorbs token skew map-side,
       // TakeOrdered picks the head without a global sort
@@ -1835,6 +1848,14 @@ object SparkEntry {
         |  (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p) ps
         |WHERE cum >= greatest(1, ceil(n * p))
         |GROUP BY lang, p ORDER BY lang, p""".stripMargin,
+
+    "stat_rollup" ->
+      s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                     ELSE $WsTokensSql END AS BIGINT)) AS BIGINT) AS tokens,
+        |  MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
 
     "stat_heavy_hitters" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

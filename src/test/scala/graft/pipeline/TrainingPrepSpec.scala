@@ -160,6 +160,16 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
+    "rollup report: one Expand over one scan, not a union of scans" in {
+      val plan = docs.rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("docs"))
+        .queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should include("Expand")
+        "FileScan".r.findAllIn(plan).size shouldBe 1
+      }
+    }
+
     "semanticDedupPairs: the cell join is sort-merge, never a corpus broadcast" in {
       val plan = Similarity
         .semanticDedupPairs(embeddings, "vec_id", "embedding", 0.4, nlist = 8)
