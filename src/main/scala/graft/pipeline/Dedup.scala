@@ -163,7 +163,10 @@ object Dedup {
         exploded.join(freq.select("s"), Seq("s"), "left_semi")
       case None => exploded
     }
-    pruned.alias("a").join(pruned.alias("b"),
+    // hint the join sides too: the optional left-semi prune node between
+    // the hinted `exploded` and this join does not carry the hint through
+    // (same trap substringDupPairs hit — a corpus-sized BuildRight)
+    pruned.hint("merge").alias("a").join(pruned.hint("merge").alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -397,7 +400,12 @@ object Dedup {
         wins.join(freq.select("w"), Seq("w"), "left_semi")
       case None => wins
     }
-    pruned.alias("a").join(pruned.alias("b"),
+    // hint the join SIDES, not just the pre-prune input: the left-semi
+    // prune node between the hinted `wins` and this join does not carry
+    // the strategy hint through, and the un-hinted side then planned as a
+    // corpus-sized broadcast (observed BuildRight over the full pruned
+    // window table — the collect-for-broadcast trap at scale)
+    pruned.hint("merge").alias("a").join(pruned.hint("merge").alias("b"),
         col("a.w") === col("b.w") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))

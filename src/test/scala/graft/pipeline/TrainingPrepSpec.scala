@@ -160,6 +160,16 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
+    "substringDupPairs: every join is sort-merge — no corpus broadcast" in {
+      val plan = Dedup.substringDupPairs(docs, "text", "doc_id", 40, 10,
+          maxDocsPerWindow = Some(50))
+        .queryExecution.executedPlan.toString
+      withClue(plan) {
+        plan should not include "BroadcastHashJoin"
+        plan should include("SortMergeJoin")
+      }
+    }
+
     "rollup report: one Expand over one scan, not a union of scans" in {
       val plan = docs.rollup(col("lang"), col("source"))
         .agg(count(lit(1)).as("docs"))
