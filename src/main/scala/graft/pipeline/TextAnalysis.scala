@@ -144,7 +144,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf").desc, col("df").asc, col("token").asc)
-    tf.join(dfreq, "token")
+    // merge hints: the document-frequency table is VOCABULARY-sized — a
+    // heavy-tail token set (typos, numbers, ids) grows with the corpus
+    // and must never be a forced broadcast side; both sides are already
+    // token-keyed, so the join reuses the tf aggregation's shuffle
+    tf.hint("merge").join(dfreq.hint("merge"), "token")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
