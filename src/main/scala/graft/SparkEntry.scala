@@ -928,6 +928,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // continuous ingestion: even doc_ids play the accumulated corpus,
+      // odd the incoming batch — flag batch docs that near-duplicate
+      // something already stored (batch-internal dups are minhash_lsh's job)
+      val docs = t(s, dir, "documents")
+      Dedup.minhashDedupAgainst(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id", n = 3, k = 32, bands = 16, threshold = 0.5)
+        .select(col("batch_id"), col("corpus_id"))
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // md5-derived 60-bit token hash so the fingerprints (and thus the
       // exact-Hamming pair set) are reproducible in the DuckDB oracle;
@@ -1617,6 +1630,28 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    // cross-parity ground truth: same shingle semantics as jaccardOracle,
+    // odd (batch) rows joined against even (corpus) rows
+    "dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+        |         len(list_intersect(a.s, b.s)) AS inter,
+        |         len(a.s) AS la, len(b.s) AS lb
+        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+        |SELECT batch_id, corpus_id FROM pairs
+        |WHERE inter > 0
+        |  AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "dedup_clusters" -> clustersOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,

@@ -110,15 +110,22 @@ object Dedup {
       .select(col("id"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
 
-  /** LSH candidate pairs: split the k-wide signature into `bands` bands of
-    * k/bands rows; docs colliding on any full band are candidates. The
-    * band join is a shuffle on (band_index, band_hash) — bucket-local,
-    * never all-pairs. `k` (the signature width) is required statically so
-    * the band hashes compile to a codegen'd `xxhash64(band, elem…)` over
-    * `element_at` extractions — the `transform`+`slice` lambda alternative
-    * runs interpreted (hash-chain-identical values: XxHash64 folds array
-    * elements and scalar children through the same seed chain). */
-  def lshCandidatePairs(
+  /** (id, band, bh) LSH band-bucket rows for a signature table: the k-wide
+    * signature splits into `bands` bands of k/bands values, each hashed to
+    * one bucket id. `k` is required statically so the band hashes compile
+    * to a codegen'd `xxhash64(band, elem…)` over `element_at` extractions —
+    * the `transform`+`slice` lambda alternative runs interpreted
+    * (hash-chain-identical values: XxHash64 folds array elements and scalar
+    * children through the same seed chain).
+    *
+    * Carries a MERGE hint: a banded table is corpus-sized (ids × bands
+    * rows), and Catalyst's static estimate of a projected text scan
+    * under-counts the array blow-up by ~1000× (measured 254 KB estimated vs
+    * 100s of MB actual at sf0.1) — without the hint the planner broadcasts
+    * a whole corpus side whenever the shared cache isn't materialized yet,
+    * a collect+serialize storm that measured 6-40× the query's true cost
+    * (and at 1000 executors would OOM the driver outright). */
+  def bandedSignatures(
       df: DataFrame, idCol: String, sigCol: String, bands: Int, k: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
     val r = k / bands
@@ -127,17 +134,17 @@ object Dedup {
         xxhash64(lit(b) +: (0 until r).map(j =>
           element_at(col(sigCol), b * r + j + 1)): _*).as("bh"))
     }
-    // MERGE hint: both sides are corpus-sized (ids × bands rows). Catalyst's
-    // static estimate of a projected text scan under-counts the array
-    // blow-up by ~1000× (measured 254 KB estimated vs 100s of MB actual at
-    // sf0.1), so without the hint the planner broadcasts a whole corpus
-    // side whenever the shared cache isn't materialized yet — a
-    // collect+serialize storm that measured 6-40× the query's true cost
-    // (and at 1000 executors would OOM the driver outright).
-    val banded = df
-      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("b"))
+    df.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("b"))
       .select(col("id"), col("b.band"), col("b.bh"))
       .hint("merge")
+  }
+
+  /** LSH candidate pairs: docs colliding on any full band are candidates.
+    * The band join is a shuffle on (band_index, band_hash) — bucket-local,
+    * never all-pairs. */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, sigCol: String, bands: Int, k: Int): DataFrame = {
+    val banded = bandedSignatures(df, idCol, sigCol, bands, k)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -176,15 +183,23 @@ object Dedup {
     * shingle set back in (only for candidates — linear in candidate
     * count), compute |∩| / |∪|. */
   def verifyJaccard(
-      candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
+      candidates: DataFrame, shingled: DataFrame, threshold: Double): DataFrame =
+    verifyJaccardBetween(candidates, shingled, shingled, threshold)
+
+  /** [[verifyJaccard]] generalized to candidates whose two sides come from
+    * DIFFERENT shingle tables (`id_a` resolved in `shingledA`, `id_b` in
+    * `shingledB`) — the cross-corpus case. */
+  def verifyJaccardBetween(
+      candidates: DataFrame, shingledA: DataFrame, shingledB: DataFrame,
+      threshold: Double): DataFrame = {
     // MERGE hint on each corpus side: without it, the under-estimated
-    // shingle side (see lshCandidatePairs) gets chosen for broadcast —
+    // shingle side (see bandedSignatures) gets chosen for broadcast —
     // the corpus must never be a build/broadcast side. The hint must sit
     // on BOTH shingle branches: a strategy hint on `candidates` only
     // reaches the first join, and the second (candidates⋈a)⋈b join then
     // happily broadcasts `b` (observed: BuildRight on the sh_b side).
-    val a = shingled.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
-    val b = shingled.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
+    val a = shingledA.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
+    val b = shingledB.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
     candidates.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
@@ -221,6 +236,40 @@ object Dedup {
     val sig = minhashSignatures(sh, k).persist()
     val cand = lshCandidatePairs(sig, "id", "sig", bands, k)
     verifyJaccard(cand, sh, threshold)
+  }
+
+  /** Incremental (cross-corpus) MinHash-LSH dedup: flag documents of an
+    * incoming `batch` that are near-duplicates of something already in
+    * `corpus` — the continuous-ingestion pattern (each new crawl is
+    * deduplicated AGAINST the accumulated dataset before being appended;
+    * batch-internal duplicates are [[minhashDedupPairs]]' job). The
+    * candidate join probes the batch's LSH band buckets against the
+    * corpus's: cost ∝ actual collisions, and the corpus NEVER self-joins —
+    * at 100 TB the corpus side of the bucket join shuffles once on
+    * (band, bh) and each verify touches only colliding pairs. In
+    * production the corpus's banded-signature and shingle tables are
+    * computed once, stored alongside the corpus and extended append-only
+    * per admitted batch (signatures of old rows never change); deriving
+    * them inline here keeps the operator self-contained.
+    *
+    * Output: (batch_id, corpus_id, jaccard), one row per verified
+    * near-dup pair with jaccard >= threshold. */
+  def minhashDedupAgainst(
+      corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val shC = shingled(corpus, textCol, idCol, n).persist() // see minhashDedupPairs
+    val shB = shingled(batch, textCol, idCol, n).persist()
+    val bandedC = bandedSignatures(minhashSignatures(shC, k), "id", "sig", bands, k)
+    val bandedB = bandedSignatures(minhashSignatures(shB, k), "id", "sig", bands, k)
+    val cand = bandedB.alias("a")
+      .join(bandedC.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccardBetween(cand, shB, shC, threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+        col("jaccard"))
   }
 
   /** Connected components over a near-duplicate pair graph: every node

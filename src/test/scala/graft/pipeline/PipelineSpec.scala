@@ -90,6 +90,34 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       lsh shouldBe exact
     }
 
+    "incremental dedup = cross-corpus subset of the exact pair set, oriented batch→corpus" in {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      // ground truth: exact pairs over the union, restricted to one odd
+      // and one even endpoint, oriented (odd, even)
+      val crossExact = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => a % 2 != b % 2 }
+        .map { case (a, b) => if (a % 2 == 1) (a, b) else (b, a) }.toSet
+      val got = Dedup.minhashDedupAgainst(corpus, batch, "text", "doc_id")
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      crossExact should not be empty
+      got shouldBe crossExact
+      all(got.map(_._1 % 2)) shouldBe 1 // no corpus-corpus or batch-batch pair
+      all(got.map(_._2 % 2)) shouldBe 0
+    }
+
+    "incremental dedup of a clean batch flags nothing" in {
+      import spark.implicits._
+      val corpus = Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val clean = Seq((1L, "totally unrelated fresh content here"))
+        .toDF("doc_id", "text")
+      Dedup.minhashDedupAgainst(corpus, clean, "text", "doc_id")
+        .count() shouldBe 0L
+    }
+
     "simhash of identical text collides; hamming of near-identical is small" in {
       import spark.implicits._
       val df = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
