@@ -1179,6 +1179,16 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    "layout_zorder" -> ((s, dir) => {
+      // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
+      // range filter on EITHER column prunes files via footer stats; the
+      // entry runs the real write-side operator (range partition + sort
+      // within partitions) and emits the addresses for the oracle to replay
+      graft.sources.Layout.zorder(t(s, dir, "documents"),
+          "doc_id", "n_chars", bits = 16, numFiles = 8)
+        .select(col("doc_id"), col("z")).orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: multimodal binary columns ------------------------
     "mm_blob_stats" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
@@ -1897,6 +1907,13 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token != ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    // identical unrolled Morton formula, generated from the same source
+    "layout_zorder" ->
+      s"""SELECT doc_id,
+        |  CAST(${graft.sources.Layout.zAddressSql("doc_id", "n_chars", 16)}
+        |       AS BIGINT) AS z
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "mm_blob_stats" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,

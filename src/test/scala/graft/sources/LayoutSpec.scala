@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Z-order layout: address correctness, the dominance (pruning) contract,
+  * and disjoint per-file z-ranges from the range-partitioned write. */
+class LayoutSpec extends AnyFreeSpec with Matchers with SparkFixture {
+
+  /** Reference Morton interleave, independent of the Column formulation. */
+  private def zRef(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).map { i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+
+  "zAddress matches the reference interleave over a coordinate grid" in {
+    import spark.implicits._
+    val grid = for (x <- 0L until 33L; y <- 0L until 33L) yield (x, y)
+    val got = grid.toDF("x", "y")
+      .withColumn("z", Layout.zAddress(col("x"), col("y"), 16))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    for ((x, y) <- grid)
+      withClue(s"($x,$y): ") { got((x, y)) shouldBe zRef(x, y, 16) }
+  }
+
+  "dominance is order-preserving: a box query maps to one z-interval" in {
+    // the pruning contract: x in [xa,xb], y in [ya,yb] implies
+    // z in [z(xa,ya), z(xb,yb)] — so a rectangle scan is a z-range scan
+    // plus residual filter, and files outside the range are skipped
+    val (xa, xb, ya, yb) = (5L, 19L, 7L, 23L)
+    val lo = zRef(xa, ya, 16)
+    val hi = zRef(xb, yb, 16)
+    for (x <- xa to xb; y <- ya to yb) {
+      val z = zRef(x, y, 16)
+      z should be >= lo
+      z should be <= hi
+    }
+  }
+
+  "zorder writes files with pairwise-disjoint z-ranges" in {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val df = (0L until 4096L).map(i => (i, (i * 2654435761L) % 1024))
+      .toDF("id", "len")
+    Layout.zorder(df, "id", "len", bits = 16, numFiles = 8)
+      .write.mode("overwrite").parquet(dir)
+    val ranges = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.length should be > 1
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      lo2 should be > hi1 // strictly after: no overlap between files
+    }
+  }
+
+  "zAddressSql renders the formula Spark computes" in {
+    import spark.implicits._
+    val df = Seq((37L, 1019L), (0L, 0L), (65535L, 65535L)).toDF("x", "y")
+    val viaSql = df.selectExpr(s"${Layout.zAddressSql("x", "y", 16)} AS z")
+      .collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(Layout.zAddress(col("x"), col("y"), 16))
+      .collect().map(_.getLong(0)).toSeq
+    viaSql shouldBe viaCol
+  }
+}
