@@ -1179,6 +1179,21 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    "corpus_diff" -> ((s, dir) => {
+      // snapshot delta after a simulated refresh: docs ≡3 (mod 10)
+      // dropped, ≡7 rewritten, a shifted-id block of new docs appended;
+      // only the delta leaves the join (rows collapse to id+hash first)
+      val old = t(s, dir, "documents")
+      val cur = old.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        .unionByName(old.filter(col("doc_id") % 10 === 4)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+        .select(old.columns.map(col): _*)
+      graft.pipeline.Snapshot.diff(old, cur, "doc_id", "text").orderBy("id")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
       // range filter on EITHER column prunes files via footer stats; the
@@ -1907,6 +1922,23 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token != ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    "corpus_diff" ->
+      """WITH cur AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 7 THEN text || ' v2' ELSE text END
+        |           AS text
+        |  FROM documents WHERE doc_id % 10 != 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 4)
+        |SELECT COALESCE(o.doc_id, c.doc_id) AS id,
+        |       CASE WHEN o.doc_id IS NULL THEN 'added'
+        |            WHEN c.doc_id IS NULL THEN 'removed'
+        |            WHEN o.text != c.text THEN 'changed' END AS change
+        |FROM documents o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
+        |WHERE o.doc_id IS NULL OR c.doc_id IS NULL OR o.text != c.text
+        |ORDER BY id""".stripMargin,
 
     // identical unrolled Morton formula, generated from the same source
     "layout_zorder" ->

@@ -324,4 +324,34 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .filter(col("count") =!= col("expect")).count() shouldBe 0L
     }
   }
+
+  "Snapshot.diff" - {
+    "classifies added/removed/changed and omits unchanged" in {
+      import spark.implicits._
+      val old = Seq((1L, "same"), (2L, "gone"), (3L, "before"))
+        .toDF("doc_id", "text")
+      val cur = Seq((1L, "same"), (3L, "after"), (4L, "fresh"))
+        .toDF("doc_id", "text")
+      val got = Snapshot.diff(old, cur, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got shouldBe Map(2L -> "removed", 3L -> "changed", 4L -> "added")
+    }
+
+    "identical snapshots produce an empty delta" in {
+      Snapshot.diff(docs, docs, "doc_id", "text").count() shouldBe 0L
+    }
+
+    "shuffles fingerprints, not document bodies" in {
+      // the exchange must sit above the (id, md5) projection: text never
+      // crosses the network
+      val plan = Snapshot.diff(docs, docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val exchangeIdx = plan.indexOf("Exchange")
+      exchangeIdx should be >= 0
+      // no Exchange row carries the raw text column (projections below
+      // the shuffle reduce to id + fingerprint)
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .foreach(l => l should not include "text")
+    }
+  }
 }
