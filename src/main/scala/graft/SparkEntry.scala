@@ -1102,6 +1102,23 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    "text_line_dedup" -> ((s, dir) => {
+      // cross-document boilerplate removal: an 8-word header is injected
+      // on every fifth doc (the synthetic corpus carries no real
+      // boilerplate) so the removal path is actually exercised — the
+      // header lines vanish, near-dup-shared chunks go with them, and the
+      // rest reassembles in order; 8-word pseudo-paragraphs stand in for
+      // real lines
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit("standard header boilerplate notice applies here today ok "),
+            col("text"))).otherwise(col("text")))
+      TextAnalysis.boilerplateLineDedup(docs, "doc_id",
+          graft.functions.TextFunctions.word_chunks(col("text"), 8),
+          maxDocFreq = 1)
+        .orderBy("id")
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // deterministic concat-and-chunk packing for training batches:
       // md5-hash order, 8 shards, 512-token budget; a doc belongs to the
@@ -1922,6 +1939,33 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token != ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    // same injected header, same 8-word chunking, 1-based subscripts used
+    // only for ordering
+    "text_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN 'standard header boilerplate notice applies here today ok '
+        |                   || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+        |l AS (
+        |  SELECT doc_id,
+        |         [array_to_string(t[8*i+1 : 8*i+8], ' ')
+        |          FOR i IN range(0, CAST(ceil(len(t) / 8.0) AS INT))] AS lines
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         generate_subscripts(lines, 1) AS pos
+        |  FROM l),
+        |b AS (SELECT line FROM e GROUP BY line
+        |      HAVING COUNT(DISTINCT doc_id) > 1),
+        |k AS (SELECT e.* FROM e ANTI JOIN b USING (line))
+        |SELECT doc_id AS id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        |       COUNT(*) AS kept_lines
+        |FROM k GROUP BY doc_id ORDER BY id""".stripMargin,
 
     "corpus_diff" ->
       """WITH cur AS (

@@ -91,6 +91,27 @@ object TextKernels {
     }
   }
 
+  /** Consecutive non-overlapping `w`-word chunks of single-space tokens,
+    * in document order and NOT deduplicated (a chunk repeated within a
+    * document is a distinct line occurrence; the trailing partial chunk is
+    * kept). The pseudo-paragraph segmentation for corpora without real
+    * line structure — exact value parity with DuckDB's
+    * `[array_to_string(t[w*i+1 : w*i+w], ' ') FOR i IN range(0, CAST(ceil(len(t)/w) AS INT))]`
+    * over `t = string_split(text, ' ')`. */
+  def wordChunks(text: UTF8String, w: Int): ArrayData = {
+    val toks = text.split(Space, -1)
+    val nChunks = (toks.length + w - 1) / w
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val from = i * w
+      val until = math.min(from + w, toks.length)
+      out(i) = UTF8String.concatWs(Space, JArrays.copyOfRange(toks, from, until): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-set token hit counts over whitespace tokens of
     * `lower(trim(text))` — exact value parity with the per-language
     * `aggregate(split(lower(trim(text)), "\\s+"), …)` fold (tokens hitting
@@ -186,6 +207,28 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
 }
 
+/** Codegen'd non-overlapping word chunks (see [[TextKernels.wordChunks]]).
+  * NULL text ⇒ NULL chunk list. */
+case class WordChunks(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, s"chunk width must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_chunks expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.wordChunks(text.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.wordChunks($t, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WordChunks =
+    copy(child = c)
+}
+
 /** Codegen'd stride-sampled character windows (see
   * [[TextKernels.charWindows]]). NULL text ⇒ NULL window set. */
 case class CharWindows(child: Expression, width: Int, stride: Int)
@@ -219,6 +262,10 @@ object TextFunctions {
   /** Distinct stride-sampled fixed-width character windows — codegen'd. */
   def char_windows(text: Column, width: Int, stride: Int): Column =
     Bridge.column(CharWindows(Bridge.expression(text), width, stride))
+
+  /** Non-overlapping `w`-word chunks in document order — codegen'd. */
+  def word_chunks(text: Column, w: Int): Column =
+    Bridge.column(WordChunks(Bridge.expression(text), w))
 
   /** Hit counts of whitespace tokens (of lower(trim(text))) against each
     * word set — codegen'd; returns array<int> aligned with `sets`. */

@@ -59,6 +59,26 @@ class TextExpressionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     Dedup.minhashSignatures(sh, 4).select("id").collect().map(_.getLong(0)).toSet shouldBe Set(2L)
   }
 
+  "WordChunks matches the transform+slice formulation (w=2..9)" in {
+    // HOF reference: non-overlapping w-word groups, trailing partial kept
+    def hofChunks(text: org.apache.spark.sql.Column, w: Int) = {
+      val F = org.apache.spark.sql.functions
+      val toks = split(text, " ")
+      transform(sequence(lit(0),
+          F.ceil(F.size(toks).cast("double") / w).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * lit(w) + 1, lit(w))))
+    }
+    for (w <- Seq(2, 3, 8, 9)) {
+      Seq(docs.limit(500), edge).foreach { df =>
+        val bad = df.select(col("text"),
+            TextFunctions.word_chunks(col("text"), w).as("k"),
+            hofChunks(col("text"), w).as("h"))
+          .filter(!(col("k") <=> col("h"))).collect()
+        withClue(s"w=$w: ${bad.mkString(", ")}") { bad shouldBe empty }
+      }
+    }
+  }
+
   "TokenSetHits matches the aggregate-HOF hit counts" in {
     val langs = TextAnalysis.Stopwords.toSeq.sortBy(_._1)
     // the retired formulation, reconstructed inline as the executable spec

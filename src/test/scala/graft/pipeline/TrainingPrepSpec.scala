@@ -325,6 +325,37 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.boilerplateLineDedup" - {
+    "drops lines above the doc-frequency bar, keeps order, drops empty docs" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq("COOKIE BANNER", "real content one", "more text")),
+        (2L, Seq("COOKIE BANNER", "other words here")),
+        (3L, Seq("COOKIE BANNER", "COOKIE BANNER")), // all boilerplate
+        (4L, Seq("unique only"))
+      ).toDF("doc_id", "lines")
+      val got = TextAnalysis.boilerplateLineDedup(
+          df, "doc_id", col("lines"), maxDocFreq = 1, sep = " | ")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      got shouldBe Map(
+        1L -> ("real content one | more text", 2L),
+        2L -> ("other words here", 1L),
+        4L -> ("unique only", 1L)) // doc 3 vanished entirely
+    }
+
+    "repeats within one document do not make a line boilerplate" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq("chorus", "verse", "chorus")), // 2 occurrences, 1 doc
+        (2L, Seq("bridge"))
+      ).toDF("doc_id", "lines")
+      val got = TextAnalysis.boilerplateLineDedup(
+          df, "doc_id", col("lines"), maxDocFreq = 1)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got(1L) shouldBe "chorus verse chorus" // countDistinct(doc) = 1, kept
+    }
+  }
+
   "Snapshot.diff" - {
     "classifies added/removed/changed and omits unchanged" in {
       import spark.implicits._
