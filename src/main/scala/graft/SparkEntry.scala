@@ -1102,6 +1102,17 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    "text_classifier" -> ((s, dir) => {
+      // model-based quality gate: linear scorer over integer features with
+      // dyadic weights — every product/sum exact in doubles, so the logit
+      // replays bit-identically in the oracle; threshold splits the corpus
+      // near its median
+      val score = TextAnalysis.classifierScore(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), score.as("score"), (score >= 5.5).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "text_line_dedup" -> ((s, dir) => {
       // cross-document boilerplate removal: an 8-word header is injected
       // on every fifth doc (the synthetic corpus carries no real
@@ -1939,6 +1950,35 @@ object SparkEntry {
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE token != ''
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+
+    // integer features via the text_repetition counts CTE + per-occurrence
+    // stopword hits; weights CAST to DOUBLE (a bare literal is DECIMAL in
+    // DuckDB and the product would land in the hasher's decimal divergence)
+    "text_classifier" ->
+      """WITH counts AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY doc_id, tok),
+        |st AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist, MAX(c) AS top
+        |       FROM counts GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.doc_id, st.total, st.dist, st.top,
+        |    len(list_filter(regexp_split_to_array(lower(trim(d.text)), '\s+'),
+        |        x -> x IN ('the','and','of','to','in','is','that','with',
+        |                   'for','was'))) AS stop_hits,
+        |    length(d.text) AS chars
+        |  FROM documents d JOIN st USING (doc_id)),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(total AS BIGINT) * CAST(-0.03125 AS DOUBLE)
+        |      + dist * CAST(0.125 AS DOUBLE)
+        |      + top * CAST(-0.25 AS DOUBLE)
+        |      + stop_hits * CAST(0.5 AS DOUBLE)
+        |      + chars * CAST(0.015625 AS DOUBLE) AS score
+        |  FROM f)
+        |SELECT doc_id, score, score >= 5.5 AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     // same injected header, same 8-word chunking, 1-based subscripts used
     // only for ordering

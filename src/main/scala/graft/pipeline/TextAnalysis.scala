@@ -103,6 +103,42 @@ object TextAnalysis {
   def tokenStats(text: Column): Column =
     graft.functions.TextFunctions.token_stats(text)
 
+  /** Demo weights for [[classifierScore]] — dyadic rationals over the
+    * feature vector [bias, totalTokens, distinctTokens, topTokenCount,
+    * stopwordHits(en), chars]: reward vocabulary breadth and natural-
+    * language stopword density, penalize repetition dominance and raw
+    * bulk. A real deployment replaces these with trained values (keeping
+    * them dyadic keeps the score engine-exact). */
+  val DefaultClassifierWeights: Seq[Double] =
+    Seq(0.0, -0.03125, 0.125, -0.25, 0.5, 0.015625)
+
+  /** Linear quality-classifier score — the model-based filtering stage
+    * (fastText-style) that follows the heuristic gates. The features are
+    * per-document INTEGERS ([[tokenStats]]: total/distinct/top-token
+    * counts; en-stopword occurrence hits; char count) computed in one
+    * shuffle-free codegen'd projection pass, and the `weights` are
+    * plan-time constants — a trained model deploys as a literal vector,
+    * so scoring is a projection: no join, no shuffle, no model lookup.
+    *
+    * `weights` must be dyadic rationals (k/2⁻ᵐ, m ≤ ~40): each
+    * weight×integer product and every partial sum is then EXACT in IEEE
+    * doubles, so the score replays bit-identically in any engine
+    * regardless of evaluation order. No sigmoid — it is monotone, so
+    * admission thresholds act on the raw logit. */
+  def classifierScore(text: Column,
+      weights: Seq[Double] = DefaultClassifierWeights): Column = {
+    require(weights.length == 6, s"expected 6 weights, got ${weights.length}")
+    val st = tokenStats(text)
+    val stopHits = element_at(
+      graft.functions.TextFunctions.token_set_hits(text, Seq(Stopwords("en"))), 1)
+    lit(weights(0)) +
+      element_at(st, 1) * lit(weights(1)) +
+      element_at(st, 2) * lit(weights(2)) +
+      element_at(st, 3) * lit(weights(3)) +
+      stopHits.cast("long") * lit(weights(4)) +
+      length(text).cast("long") * lit(weights(5))
+  }
+
   /** Default PII redaction patterns, applied in order (email first: an
     * address's digits must not be half-eaten by the phone pattern).
     * Conservative RE2-compatible syntax — the same pattern strings replay

@@ -325,6 +325,40 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.classifierScore" - {
+    "matches a driver-side computation of the same features" in {
+      import spark.implicits._
+      val rows = Seq(
+        (1L, "the cat and the dog"),         // stopwords, one repeat
+        (2L, "x x x x x x"),                 // pure repetition
+        (3L, ""),                            // empty: one empty token
+        (4L, "rich varied vocabulary with the many different words here"))
+        .toDF("doc_id", "text")
+      val w = TextAnalysis.DefaultClassifierWeights
+      val stop = TextAnalysis.Stopwords("en").toSet
+      def ref(text: String): Double = {
+        val toks = text.split(" ", -1)
+        val counts = toks.groupBy(identity).view.mapValues(_.length)
+        val stopHits = text.trim.toLowerCase.split("\\s+", -1).count(stop)
+        w(0) + toks.length * w(1) + counts.size * w(2) +
+          counts.values.max * w(3) + stopHits * w(4) + text.length * w(5)
+      }
+      val got = rows.select(col("doc_id"),
+          TextAnalysis.classifierScore(col("text")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((id, text) <- Seq((1L, "the cat and the dog"), (2L, "x x x x x x"),
+          (3L, ""), (4L, "rich varied vocabulary with the many different words here")))
+        withClue(s"doc $id: ") { got(id) shouldBe ref(text) } // EXACT, no +-
+    }
+
+    "scores are dyadic-exact: score × 2^6 is an integer" in {
+      val nonIntegral = docs
+        .select((TextAnalysis.classifierScore(col("text")) * 64).as("s64"))
+        .filter(col("s64") =!= floor(col("s64"))).count()
+      nonIntegral shouldBe 0L
+    }
+  }
+
   "TextAnalysis.boilerplateLineDedup" - {
     "drops lines above the doc-frequency bar, keeps order, drops empty docs" in {
       import spark.implicits._
