@@ -1222,6 +1222,15 @@ object SparkEntry {
       graft.pipeline.Snapshot.diff(old, cur, "doc_id", "text").orderBy("id")
     }),
 
+    "stat_corpus_overlap" -> ((s, dir) => {
+      // pairwise source containment/jaccard from exact distinct-shingle
+      // counts — "is crawl B already covered by A" before paying for a
+      // cross-corpus dedup; divisions are single IEEE ops (engine-exact)
+      graft.pipeline.Stats.corpusOverlap(
+          t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
       // range filter on EITHER column prunes files via footer stats; the
@@ -2006,6 +2015,31 @@ object SparkEntry {
         |SELECT doc_id AS id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
         |       COUNT(*) AS kept_lines
         |FROM k GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // same shingle semantics as jaccardOracle, collapsed to distinct
+    // (source, shingle) rows
+    "stat_corpus_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT source,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |sh AS (SELECT DISTINCT source, unnest(s) AS sh FROM sh0),
+        |tot AS (SELECT source, COUNT(*) AS total FROM sh GROUP BY source),
+        |i AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, ta.total AS total_a, tb.total AS total_b,
+        |       inter / CAST(ta.total AS DOUBLE) AS containment_a,
+        |       inter / CAST(ta.total + tb.total - inter AS DOUBLE) AS jaccard
+        |FROM i JOIN tot ta ON ta.source = i.src_a
+        |       JOIN tot tb ON tb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "corpus_diff" ->
       """WITH cur AS (

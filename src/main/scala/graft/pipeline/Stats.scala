@@ -61,4 +61,43 @@ object Stats {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+
+  /** Pairwise corpus overlap by distinct n-gram shingle sets: for every
+    * unordered pair of `groupCol` partitions (sources, snapshots, crawls),
+    * the EXACT count of distinct shingles they share plus each side's
+    * distinct total — containment(A⊆B) = inter/|A| answers "how much of
+    * source A is already covered by source B" before paying for a full
+    * cross-corpus dedup. Pairs with zero shared shingles are not emitted.
+    *
+    * Plan at scale: the corpus collapses to DISTINCT (group, shingle)
+    * rows in one two-phase aggregate (map-side combine absorbs per-doc
+    * repetition), per-group totals are a second tiny aggregate, and the
+    * pair counts come from a self-join on the shingle key — merge-hinted,
+    * since both sides are vocabulary-sized and the static estimate
+    * under-counts exploded shingle tables ~1000× (see
+    * Dedup.bandedSignatures). Work ∝ shared-shingle collisions, never
+    * |A|×|B|; group count is assumed small (sources), so the output and
+    * the totals join are trivial. Integer counts; the containment divide
+    * is a single correctly-rounded IEEE op — engine-exact. */
+  def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = df.select(col(groupCol).as("g"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .distinct()
+      .persist() // shared by totals + both join sides; the 100 TB spill point
+    val totals = sh.groupBy("g").agg(count(lit(1)).as("total"))
+    val inter = sh.hint("merge").alias("a")
+      .join(sh.hint("merge").alias("b"),
+        col("a.s") === col("b.s") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(totals.select(col("g").as("src_a"), col("total").as("total_a")), "src_a")
+      .join(totals.select(col("g").as("src_b"), col("total").as("total_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        col("total_a"), col("total_b"),
+        (col("inter").cast("double") / col("total_a")).as("containment_a"),
+        (col("inter").cast("double") /
+          (col("total_a") + col("total_b") - col("inter"))).as("jaccard"))
+  }
 }

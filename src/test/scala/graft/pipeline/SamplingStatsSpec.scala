@@ -83,6 +83,34 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.corpusOverlap" - {
+    "exact shared-shingle counts and containment per source pair" in {
+      import spark.implicits._
+      // n=2 shingles: A = {a b, b c} ∪ {c d}, B = {a b}∪{x y}, C = {q r}
+      val df = Seq(
+        ("A", "a b c"), ("A", "c d"),
+        ("B", "a b"), ("B", "x y"),
+        ("C", "q r")).toDF("source", "text")
+      val got = Stats.corpusOverlap(df, "source", "text", n = 2)
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+      // only A∩B is non-empty: shared = {a b}; |A| = 3, |B| = 2
+      got.keySet shouldBe Set(("A", "B"))
+      got(("A", "B")) shouldBe ((1L, 3L, 2L, 1.0 / 3.0))
+    }
+
+    "pairs are oriented src_a < src_b and jaccard uses the true union" in {
+      val got = Stats.corpusOverlap(docs, "source", "text", n = 3)
+        .collect()
+      got should not be empty
+      got.foreach { r =>
+        r.getString(0) should be < r.getString(1)
+        val (i, ta, tb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        r.getDouble(6) shouldBe i.toDouble / (ta + tb - i)
+      }
+    }
+  }
+
   "IntervalJoin.followWithin" - {
     "counts strictly-after rows within span, per equi key, zero-filled" in {
       import spark.implicits._
