@@ -259,15 +259,34 @@ object Dedup {
       n: Int = 3, k: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val shC = shingled(corpus, textCol, idCol, n).persist() // see minhashDedupPairs
-    val shB = shingled(batch, textCol, idCol, n).persist()
     val bandedC = bandedSignatures(minhashSignatures(shC, k), "id", "sig", bands, k)
+    minhashDedupAgainstTables(shC, bandedC, batch, textCol, idCol,
+      n, k, bands, threshold)
+  }
+
+  /** The persisted-corpus form of [[minhashDedupAgainst]]: takes the
+    * corpus's shingle table (id, sh) and banded-signature table
+    * (id, band, bh) PRECOMPUTED — in production both live as parquet
+    * alongside the corpus and are extended append-only as batches are
+    * admitted (old rows' signatures never change), so per-batch dedup
+    * cost is the batch's own shingling plus the bucket probe, independent
+    * of re-deriving anything corpus-sized. */
+  def minhashDedupAgainstTables(
+      corpusShingled: DataFrame, corpusBanded: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, k: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val shB = shingled(batch, textCol, idCol, n).persist()
     val bandedB = bandedSignatures(minhashSignatures(shB, k), "id", "sig", bands, k)
+    // hint the corpus side again here: a stored table arrives without the
+    // merge hint bandedSignatures attaches, and its banded row count is
+    // exactly the under-estimated exploded shape that must never broadcast
     val cand = bandedB.alias("a")
-      .join(bandedC.alias("b"),
+      .join(corpusBanded.hint("merge").alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccardBetween(cand, shB, shC, threshold)
+    verifyJaccardBetween(cand, shB, corpusShingled, threshold)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
         col("jaccard"))
   }

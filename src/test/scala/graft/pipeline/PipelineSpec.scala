@@ -109,6 +109,28 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       all(got.map(_._2 % 2)) shouldBe 0
     }
 
+    "incremental dedup from PERSISTED corpus tables equals the inline form" in {
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      // write the corpus's shingle + banded-signature tables to parquet
+      // (the production layout) and dedup the batch against the FILES
+      val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      val shC = Dedup.shingled(corpus, "text", "doc_id", 3)
+      shC.write.mode("overwrite").parquet(s"$dir/shingles")
+      Dedup.bandedSignatures(Dedup.minhashSignatures(shC, 32), "id", "sig", 16, 32)
+        .write.mode("overwrite").parquet(s"$dir/banded")
+      val fromTables = Dedup.minhashDedupAgainstTables(
+          spark.read.parquet(s"$dir/shingles"), spark.read.parquet(s"$dir/banded"),
+          batch, "text", "doc_id")
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val inline = Dedup.minhashDedupAgainst(corpus, batch, "text", "doc_id")
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      inline should not be empty
+      fromTables shouldBe inline
+    }
+
     "incremental dedup of a clean batch flags nothing" in {
       import spark.implicits._
       val corpus = Seq((2L, "alpha beta gamma delta")).toDF("doc_id", "text")
