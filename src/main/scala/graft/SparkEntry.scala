@@ -1012,6 +1012,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_pq_topk" -> ((s, dir) => {
+      // product-quantization ANN: corpus stored as 8 byte-sized codes per
+      // vector (vectors never leave the encode scan), queries score by
+      // asymmetric distance — the memory-compression scale path that makes
+      // a billion-vector index fit executor RAM; oracle replays codebook
+      // derivation, L2 encoding and ADC scoring exactly
+      Similarity.annPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, m = 8, ncodes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LLM-pipeline: text analysis -----------------------------------
     "text_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -1718,6 +1730,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
+    "ann_pq_topk" -> annPqOracle(m = 8, ncodes = 8, sub = 8, k = 5),
     "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,
 
     "dedup_substring" ->
@@ -2221,6 +2234,51 @@ object SparkEntry {
        |  FROM cand)
        |SELECT query_id, neighbor_id, rank FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Replay of the product-quantization search: codebooks are subvector
+    * slices of the first `ncodes` vectors in id order; per subspace the
+    * code is the L2-argmin codeword (the (s·s − 2·s·w) + w·w expansion in
+    * the same association as the Spark expression, ties → lowest code);
+    * ADC score is the left-associated sum of per-subspace query-slice ×
+    * codeword dot products. */
+  private def annPqOracle(m: Int, ncodes: Int, sub: Int, k: Int): String = {
+    def sl(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+    val encCtes = (0 until m).map { j =>
+      val s = sl("e.v", j)
+      val w = sl("cb.v", j)
+      s"""enc$j AS (SELECT vec_id, c AS k$j FROM (
+         |  SELECT e.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY (list_dot_product($s, $s)
+         |              - 2 * list_dot_product($s, $w))
+         |             + list_dot_product($w, $w) ASC, cb.c) AS rn
+         |  FROM e CROSS JOIN cb) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val encJoin = (1 until m)
+      .map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
+    val cbJoins = (0 until m)
+      .map(j => s"JOIN cb c$j ON c$j.c = enc.k$j").mkString(" ")
+    val score = (0 until m)
+      .map(j => s"list_dot_product(${sl("q.qv", j)}, ${sl(s"c$j.v", j)})")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cb AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, v
+       |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ncodes)),
+       |$encCtes,
+       |enc AS (SELECT * FROM enc0 $encJoin),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, enc.vec_id AS id, $score AS score
+       |  FROM q CROSS JOIN enc $cbJoins
+       |  WHERE enc.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Full k-medians replay: `iters` chained (assign → exact component
     * medians → COALESCE empty cells) rounds, then the final assignment.

@@ -189,6 +189,81 @@ object Similarity {
       .select(col("cid"), col("id").as("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Product-quantization ANN (inner-product / ADC flavor): the corpus is
+    * stored as `m` small code indexes per vector — `m · log2(ncodes)` bits
+    * instead of `dim` floats (64-dim float32 → 8 bytes at m=8, a 32×
+    * memory cut) — and queries score candidates WITHOUT decompressing:
+    * the asymmetric-distance trick, score ≈ Σⱼ ⟨query-subvector-j,
+    * codeword(code_j)⟩, each term one small dot product against the
+    * query's own sub-lookup. At 100 TB this is what makes a
+    * billion-vector index fit executor memory; IVF ([[annIvfTopK]])
+    * prunes WHICH vectors are scored, PQ shrinks WHAT is stored — a
+    * production deployment composes both (IVF-PQ) by feeding this
+    * encoding to the probed lists.
+    *
+    * Deterministic by construction, like the IVF coarse quantizer: the
+    * per-subspace codebook is the subvectors of the first `ncodes` corpus
+    * vectors in id order (k-means codebooks plug into the same shape).
+    * Encoding minimizes exact L2 (expanded as (s·s − 2·s·w) + w·w, fixed
+    * association so an external oracle replays the double sequence
+    * bit-identically); ties take the lowest code. Scoring sums the m
+    * sub-dot-products left-associated, ranks by ADC score desc then id.
+    *
+    * Scale shape: codebooks are driver-collected literals (m × ncodes ×
+    * dim/m doubles — bounded, tiny); encoding is a shuffle-free codegen'd
+    * projection; the scored join carries only (id, m codes) per corpus
+    * row — the full vectors never leave the encode scan. Approximate by
+    * design: quantization error can reorder near-ties vs exact search. */
+  def annPqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, ncodes: Int = 8): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val dim = corpus.select(size(col("v"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m subspaces $m")
+    val sub = dim / m
+    // codebook: subvector slices of the first ncodes corpus vectors
+    // (id order) — parquet values, so the oracle re-derives them exactly
+    val seeds = corpus.orderBy("id").limit(ncodes)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ncodes, s"corpus smaller than ncodes=$ncodes")
+    def codeword(j: Int, c: Int): Seq[Double] =
+      seeds(c).slice(j * sub, (j + 1) * sub).toSeq
+    // encode subspace j: argmin over codewords of exact L2 (expanded via
+    // dot products, fixed association), ties -> lowest code index
+    def encodeCol(j: Int): Column = {
+      val s = slice(col("v"), j * sub + 1, sub)
+      val d2s = (0 until ncodes).map { c =>
+        val w = typedlit(codeword(j, c))
+        (dot(s, s) - lit(2.0) * dot(s, w)) + dot(w, w)
+      }
+      val g = least(d2s: _*)
+      (1 until ncodes).foldLeft(when(d2s(0) === g, lit(0))) {
+        case (acc, c) => acc.when(d2s(c) === g, lit(c))
+      }.otherwise(lit(ncodes - 1))
+    }
+    // the stored index: id + m byte-sized codes, vectors dropped
+    val encoded = corpus.select(
+      col("id") +: (0 until m).map(j => encodeCol(j).as(s"k$j")): _*)
+    val queries = prep(df.filter(queryPred), idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    // ADC score: per subspace, decode the code to its literal codeword and
+    // dot it with the query's OWN subvector; left-associated sum
+    def adcTerm(j: Int): Column = {
+      val qs = slice(col("qv"), j * sub + 1, sub)
+      val decoded = (1 until ncodes).foldLeft(
+        when(col(s"k$j") === 0, typedlit(codeword(j, 0)))) {
+          case (acc, c) => acc.when(col(s"k$j") === c, typedlit(codeword(j, c)))
+        }
+      dot(qs, decoded)
+    }
+    val scored = encoded.join(broadcast(queries), col("id") =!= col("query_id"))
+      .withColumn("score", (0 until m).map(adcTerm).reduce(_ + _))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** LSH-bucketed ANN: corpus hashed once into sign buckets; each query
     * probes its own bucket plus all Hamming-1 neighbor buckets (multiprobe)
     * and exact-reranks the candidates. Approximate (recall < 1 by design);

@@ -191,6 +191,52 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       recall should be >= 0.3 // approximate by design; exact re-rank of candidates
     }
 
+    "PQ ANN matches a driver-side ADC replay and compresses the scored side" in {
+      val rows = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .sortBy(_._1)
+      val (m, ncodes, sub) = (8, 8, 8)
+      val seeds = rows.take(ncodes).map(_._2)
+      def d2(s: Array[Double], w: Array[Double]): Double = {
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+        (dot(s, s) - 2.0 * dot(s, w)) + dot(w, w)
+      }
+      def encode(v: Array[Double]): IndexedSeq[Int] =
+        (0 until m).map { j =>
+          val s = v.slice(j * sub, (j + 1) * sub)
+          val ds = (0 until ncodes)
+            .map(c => d2(s, seeds(c).slice(j * sub, (j + 1) * sub)))
+          ds.indexOf(ds.min)
+        }
+      def adc(qv: Array[Double], codes: IndexedSeq[Int]): Double =
+        (0 until m).foldLeft(0.0) { (acc, j) =>
+          val qs = qv.slice(j * sub, (j + 1) * sub)
+          val w = seeds(codes(j)).slice(j * sub, (j + 1) * sub)
+          acc + qs.indices.foldLeft(0.0)((a, i) => a + qs(i) * w(i))
+        }
+      val codes = rows.map { case (id, v) => id -> encode(v) }.toMap
+      val expect = rows.filter(_._1 < 5).map { case (qid, qv) =>
+        qid -> rows.filter(_._1 != qid)
+          .map { case (id, _) => (id, adc(qv, codes(id))) }
+          .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSeq
+      }.toMap
+      val got = Similarity.annPqTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 4, m = m, ncodes = ncodes)
+        .orderBy("query_id", "rank").collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
+        .toMap
+      got shouldBe expect
+      // scale shape: the query side broadcasts (corpus never shuffles to
+      // score) and the streamed corpus side carries only (id, m codes) —
+      // the full-precision vector column stays inside the encode scan
+      val plan = Similarity.annPqTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, k = 4, m = m, ncodes = ncodes)
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastNestedLoopJoin BuildRight")
+    }
+
     "IVF ANN achieves usable recall vs exact top-k and is deterministic" in {
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
         .select("query_id", "neighbor_id").collect()
