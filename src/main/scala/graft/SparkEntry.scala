@@ -1125,6 +1125,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_ngram_novelty" -> ((s, dir) => {
+      // integer-exact redundancy ranking: share of each doc's distinct
+      // trigrams that exist nowhere else — one explode, one two-phase df
+      // aggregation, one merge-hinted join back; the division is the only
+      // float op
+      TextAnalysis.ngramNovelty(t(s, dir, "documents"), "doc_id",
+          col("text"), n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("unique_shingles"), col("novelty"))
+        .orderBy("doc_id")
+    }),
+
     "text_line_dedup" -> ((s, dir) => {
       // cross-document boilerplate removal: an 8-word header is injected
       // on every fifth doc (the synthetic corpus carries no real
@@ -2028,6 +2040,27 @@ object SparkEntry {
         |SELECT doc_id AS id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
         |       COUNT(*) AS kept_lines
         |FROM k GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // same shingle semantics as jaccardOracle; per-shingle row count IS
+    // document frequency because shingle sets are distinct per doc
+    "text_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh0 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |sh AS (SELECT doc_id, unnest(s) AS sh FROM sh0),
+        |f AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+        |SELECT sh.doc_id, COUNT(*) AS n_shingles,
+        |       SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS unique_shingles,
+        |       SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
+        |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+        |FROM sh JOIN f USING (sh)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     // same shingle semantics as jaccardOracle, collapsed to distinct
     // (source, shingle) rows

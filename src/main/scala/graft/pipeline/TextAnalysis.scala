@@ -211,6 +211,35 @@ object TextAnalysis {
     *
     * Output: (id, clean_text, kept_lines); documents whose every line was
     * boilerplate drop out (callers left-join and coalesce to empty). */
+  /** Cross-document n-gram novelty: per document, how much of its content
+    * appears NOWHERE else in the corpus. The cheap integer-exact cousin of
+    * near-dup scoring — rank documents by redundancy before paying for
+    * MinHash verification, or gate highly-derivative pages out of a crawl.
+    *
+    * novelty = |distinct n-grams unique to this doc| / |distinct n-grams|,
+    * computed in one explode + one two-phase document-frequency
+    * aggregation + one shuffle join back. Both join sides are hinted off
+    * the broadcast path: the exploded side is corpus-sized and the df
+    * table is vocabulary-sized — each far beyond any static estimate
+    * (the topTerms lesson). Counts are integers; the single division is
+    * the only float op, so the score replays exactly.
+    *
+    * The shingle kernel emits DISTINCT n-grams per document, so the
+    * per-shingle row count IS the document frequency (no countDistinct
+    * shuffle needed). NULL text ⇒ excluded (no shingles). */
+  def ngramNovelty(
+      df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(graft.functions.TextFunctions.word_shingles(textCol, n)).as("sh"))
+    val docFreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.hint("merge").join(docFreq.hint("merge"), Seq("sh"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("unique_shingles"))
+      .withColumn("novelty",
+        col("unique_shingles") / col("n_shingles").cast("double"))
+  }
+
   def boilerplateLineDedup(df: DataFrame, idCol: String, linesCol: Column,
       maxDocFreq: Int, sep: String = " "): DataFrame = {
     val lines = df

@@ -359,6 +359,43 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.ngramNovelty" - {
+    "scores crafted docs by their share of corpus-unique n-grams" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "a b c d"),   // bigrams {a b, b c, c d}; "a b" shared with 2
+        (2L, "a b x y"),   // {a b, b x, x y}
+        (3L, "p q r s")    // fully unique
+      ).toDF("doc_id", "text")
+      val got = TextAnalysis.ngramNovelty(df, "doc_id", col("text"), 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      got shouldBe Map(
+        1L -> ((3L, 2L, 2.0 / 3.0)),
+        2L -> ((3L, 2L, 2.0 / 3.0)),
+        3L -> ((3L, 3L, 1.0)))
+    }
+
+    "within-doc repeats do not dilute document frequency" in {
+      import spark.implicits._
+      // "a b" appears twice inside doc 1 but nowhere else: it must still
+      // count as unique-to-doc-1 (shingle sets are distinct per doc)
+      val df = Seq((1L, "a b c a b"), (2L, "z z z")).toDF("doc_id", "text")
+      val got = TextAnalysis.ngramNovelty(df, "doc_id", col("text"), 2)
+        .filter(col("id") === 1L).collect().head
+      got.getLong(2) shouldBe got.getLong(1) // every shingle unique
+      got.getDouble(3) shouldBe 1.0
+    }
+
+    "every doc duplicated means zero novelty everywhere" in {
+      val twice = docs.select(col("doc_id"), col("text"))
+        .union(docs.select(col("doc_id") + 100000, col("text")))
+      val out = TextAnalysis.ngramNovelty(twice, "doc_id", col("text"), 3)
+      out.filter(col("novelty") =!= 0.0).count() shouldBe 0L
+    }
+  }
+
   "TextAnalysis.boilerplateLineDedup" - {
     "drops lines above the doc-frequency bar, keeps order, drops empty docs" in {
       import spark.implicits._
