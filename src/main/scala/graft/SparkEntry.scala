@@ -1255,6 +1255,18 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    "stat_source_drift" -> ((s, dir) => {
+      // per-source composition drift vs the rest of the corpus: exact
+      // total-variation distance of token distributions via an
+      // integer-scaled numerator (order-independent sum); the final
+      // division is the only float op
+      graft.pipeline.Stats.tokenDrift(t(s, dir, "documents"), "source",
+          col("text"))
+        .select(col("g").as("source"), col("n_tokens"), col("drift_num"),
+          col("tvd"))
+        .orderBy("source")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
       // range filter on EITHER column prunes files via footer stats; the
@@ -2061,6 +2073,31 @@ object SparkEntry {
         |         / CAST(COUNT(*) AS DOUBLE) AS novelty
         |FROM sh JOIN f USING (sh)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // integer-scaled TVD: the numerator is a sum of |c_g·N_rest − c_r·N_g|
+    // over tokens present in the group plus the folded absent-token term
+    // N_g·(N_rest − Σ c_r) — same algebra, same single division
+    "stat_source_drift" ->
+      """WITH tok AS (
+        |  SELECT source AS g, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |cs AS (SELECT g, t, COUNT(*) AS c FROM tok WHERE t != ''
+        |       GROUP BY g, t),
+        |tot AS (SELECT t, SUM(c) AS ct FROM cs GROUP BY t),
+        |ns AS (SELECT g, SUM(c) AS n FROM cs GROUP BY g),
+        |nall AS (SELECT SUM(n) AS na FROM ns),
+        |j AS (
+        |  SELECT cs.g, ns.n, nall.na - ns.n AS nrest,
+        |         ABS(cs.c * (nall.na - ns.n) - (tot.ct - cs.c) * ns.n) AS term,
+        |         tot.ct - cs.c AS r
+        |  FROM cs JOIN tot USING (t) JOIN ns USING (g) CROSS JOIN nall),
+        |a AS (SELECT g, n, nrest, SUM(term) AS insum, SUM(r) AS rs
+        |      FROM j GROUP BY g, n, nrest)
+        |SELECT g AS source, n AS n_tokens,
+        |       insum + n * (nrest - rs) AS drift_num,
+        |       CAST(insum + n * (nrest - rs) AS DOUBLE)
+        |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
+        |FROM a ORDER BY source""".stripMargin,
 
     // same shingle semantics as jaccardOracle, collapsed to distinct
     // (source, shingle) rows

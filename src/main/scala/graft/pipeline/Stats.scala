@@ -100,4 +100,46 @@ object Stats {
         (col("inter").cast("double") /
           (col("total_a") + col("total_b") - col("inter"))).as("jaccard"))
   }
+
+  /** Composition drift per corpus slice: the total-variation distance
+    * between each group's token distribution and the REST of the corpus —
+    * the monitoring stat behind "did this crawl/source/snapshot shift the
+    * mix" alarms, and the vs-rest form that doesn't dampen small sources
+    * by including them in their own baseline.
+    *
+    * Numerically exact by integer algebra: TVD = ½ Σₜ |p_g(t) − p_rest(t)|
+    * is computed as the INTEGER numerator
+    * Σₜ |c_g(t)·N_rest − c_rest(t)·N_g| over one scaled common
+    * denominator, so the sum is order-independent (integer adds) and the
+    * single final division is the only float op. Tokens absent from the
+    * group need no rows: their contribution folds to
+    * N_g·(N_rest − Σ_{t∈g} c_rest(t)) — the plan never materializes the
+    * group × vocabulary cross product.
+    *
+    * Shapes: one explode → (group, token) two-phase counts → vocabulary
+    * totals (merge-hinted join: both sides beyond any static estimate) →
+    * per-group aggregation. Products stay within Long while
+    * tokens² < 2⁶³ (~3·10⁹ tokens); past that, cast the count columns to
+    * decimal in the same algebra. */
+  def tokenDrift(df: DataFrame, groupCol: String, textCol: Column): DataFrame = {
+    val tok = df.select(col(groupCol).as("g"),
+        explode(split(textCol, " ")).as("t"))
+      .filter(col("t") =!= "")
+    val cs = tok.groupBy("g", "t").agg(count(lit(1)).as("c"))
+    val tot = cs.groupBy("t").agg(sum("c").as("ct"))
+    val ns = cs.groupBy("g").agg(sum("c").as("n"))
+    val withAll = ns.crossJoin(ns.agg(sum("n").as("na")))
+      .select(col("g"), col("n"), (col("na") - col("n")).as("nrest"))
+    val terms = cs.hint("merge").join(tot.hint("merge"), Seq("t"))
+      .join(broadcast(withAll), Seq("g"))
+      .select(col("g"), col("n"), col("nrest"),
+        abs(col("c") * col("nrest") - (col("ct") - col("c")) * col("n")).as("term"),
+        (col("ct") - col("c")).as("r"))
+    terms.groupBy("g", "n", "nrest")
+      .agg(sum("term").as("insum"), sum("r").as("rs"))
+      .select(col("g"), col("n").as("n_tokens"),
+        (col("insum") + col("n") * (col("nrest") - col("rs"))).as("drift_num"),
+        ((col("insum") + col("n") * (col("nrest") - col("rs"))).cast("double") /
+          (lit(2L) * col("n") * col("nrest")).cast("double")).as("tvd"))
+  }
 }

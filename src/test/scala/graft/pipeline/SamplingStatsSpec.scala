@@ -111,6 +111,35 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.tokenDrift" - {
+    "matches a hand-computed total-variation distance" in {
+      import spark.implicits._
+      // A: {x:2, y:1} N=3; B(rest of A): {x:1, z:1} N=2
+      // TVD = ½(|2/3−1/2| + |1/3−0| + |0−1/2|) = ½ — numerator per A:
+      // x |2·2−1·3|=1, y |1·2−0·3|=2, absent-token fold 3·(2−1)=3 → 6;
+      // 6 / (2·3·2) = 0.5
+      val df = Seq(("A", "x x y"), ("B", "x z")).toDF("source", "text")
+      val got = Stats.tokenDrift(df, "source", col("text"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+      got shouldBe Map("A" -> ((3L, 6L, 0.5)), "B" -> ((2L, 6L, 0.5)))
+    }
+
+    "identical slices drift zero; with two groups tvd is symmetric" in {
+      import spark.implicits._
+      val same = Seq(("A", "a b c"), ("B", "a b c")).toDF("source", "text")
+      Stats.tokenDrift(same, "source", col("text"))
+        .collect().foreach(_.getDouble(3) shouldBe 0.0)
+      val two = docs.withColumn("half",
+        when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+      val tv = Stats.tokenDrift(two, "half", col("text"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      tv("even") shouldBe tv("odd") // both compare against the other half
+      tv("even") should (be > 0.0 and be < 1.0)
+    }
+  }
+
   "IntervalJoin.followWithin" - {
     "counts strictly-after rows within span, per equi key, zero-filled" in {
       import spark.implicits._
