@@ -22,6 +22,7 @@ object Bench {
     "sample_mix", "embed_kmedians", "text_top_terms", "dedup_substring",
     "dedup_incremental", "corpus_diff", "layout_zorder", "text_line_dedup",
     "text_classifier", "stat_corpus_overlap", "text_ngram_novelty",
+    "text_c4_clean",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
     "e4_interval_join", "sample_stratified", "stat_quantiles",
     "stat_source_drift",

@@ -1125,6 +1125,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_c4_clean" -> ((s, dir) => {
+      // rule-based segment cleanup: a blocklisted phrase is injected on
+      // every fourth doc (the synthetic corpus carries none) so the
+      // blocklist rule actually fires; the short-segment rule prunes each
+      // doc's ragged final chunk; terminal-punctuation rule is spec-pinned
+      // (no punctuation exists in this corpus). One shuffle-free filter
+      // pass, then per-doc reassembly
+      val docs = t(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" javascript cookie banner click here accept all terms")))
+          .otherwise(col("text")))
+      TextAnalysis.ruleClean(docs, "doc_id",
+          graft.functions.TextFunctions.word_chunks(col("text"), 8),
+          minWords = 4, banned = Seq("javascript", "lorem ipsum", "{"),
+          requireTerminal = false, minKeptLines = 2)
+        .select(col("id").as("doc_id"), col("clean_text"), col("kept_lines"))
+        .orderBy("doc_id")
+    }),
+
     "text_ngram_novelty" -> ((s, dir) => {
       // integer-exact redundancy ranking: share of each doc's distinct
       // trigrams that exist nowhere else — one explode, one two-phase df
@@ -2052,6 +2072,38 @@ object SparkEntry {
         |SELECT doc_id AS id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
         |       COUNT(*) AS kept_lines
         |FROM k GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // same injected phrase, same 8-word chunking as the entry; word count
+    // uses the quality-features whitespace formula, 1-based subscripts
+    // only for ordering
+    "text_c4_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 4 = 0
+        |              THEN text ||
+        |                   ' javascript cookie banner click here accept all terms'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM d),
+        |l AS (
+        |  SELECT doc_id,
+        |         [array_to_string(t[8*i+1 : 8*i+8], ' ')
+        |          FOR i IN range(0, CAST(ceil(len(t) / 8.0) AS INT))] AS lines
+        |  FROM toks),
+        |e AS (
+        |  SELECT doc_id, unnest(lines) AS line,
+        |         generate_subscripts(lines, 1) AS pos
+        |  FROM l),
+        |k AS (
+        |  SELECT * FROM e
+        |  WHERE len(regexp_split_to_array(trim(line), '\s+')) >= 4
+        |    AND NOT contains(lower(line), 'javascript')
+        |    AND NOT contains(lower(line), 'lorem ipsum')
+        |    AND NOT contains(lower(line), '{'))
+        |SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS clean_text,
+        |       COUNT(*) AS kept_lines
+        |FROM k GROUP BY doc_id HAVING COUNT(*) >= 2
+        |ORDER BY doc_id""".stripMargin,
 
     // same shingle semantics as jaccardOracle; per-shingle row count IS
     // document frequency because shingle sets are distinct per doc

@@ -211,6 +211,44 @@ object TextAnalysis {
     *
     * Output: (id, clean_text, kept_lines); documents whose every line was
     * boilerplate drop out (callers left-join and coalesce to empty). */
+  /** C4-style rule-based segment cleanup — the per-document counterpart of
+    * [[boilerplateLineDedup]] (which needs cross-document frequencies):
+    * drop segments that are too short, contain a blocklisted phrase, or
+    * (optionally) lack terminal punctuation, then reassemble survivors in
+    * order and drop documents left with fewer than `minKeptLines`
+    * segments. Every rule is a per-row predicate, so the whole cleanup is
+    * one shuffle-free filter pass before the per-document reassembly
+    * aggregation — at 100 TB the filter runs inside the scan and only
+    * survivors reach the single shuffle.
+    *
+    * Rules replay exactly in SQL: word count via the same
+    * whitespace-split formula as the quality features, blocklist via
+    * lowercase substring containment, terminal punctuation via a
+    * one-character-class regex anchored at end. Reassembly mirrors
+    * boilerplateLineDedup (sort_array over (pos, line) structs, field
+    * extracted via GetArrayStructFields — no interpreted lambda). */
+  def ruleClean(df: DataFrame, idCol: String, linesCol: Column,
+      minWords: Int, banned: Seq[String],
+      requireTerminal: Boolean = false, minKeptLines: Int = 1,
+      sep: String = " "): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(linesCol).as(Seq("pos", "line")))
+    val lw = lower(col("line"))
+    val bannedHit = banned.map(b => lw.contains(lit(b.toLowerCase)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val words = size(split(trim(col("line")), "\\s+"))
+    val keepLine = words >= minWords && !bannedHit &&
+      (if (requireTerminal) col("line").rlike("[.!?\"]$") else lit(true))
+    lines.filter(keepLine)
+      .groupBy("id")
+      .agg(
+        array_join(
+          sort_array(collect_list(struct(col("pos"), col("line"))))
+            .getField("line"), sep).as("clean_text"),
+        count(lit(1)).as("kept_lines"))
+      .filter(col("kept_lines") >= minKeptLines)
+  }
+
   /** Cross-document n-gram novelty: per document, how much of its content
     * appears NOWHERE else in the corpus. The cheap integer-exact cousin of
     * near-dup scoring — rank documents by redundancy before paying for

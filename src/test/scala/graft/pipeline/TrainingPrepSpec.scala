@@ -359,6 +359,41 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.ruleClean" - {
+    "applies word-count, blocklist and terminal-punctuation rules in order" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq("This sentence has enough words today.",
+                 "too short.",                       // < 4 words
+                 "enable javascript to view content.", // blocklisted
+                 "Another good long sentence stands here.")),
+        (2L, Seq("no terminal punctuation on this line",  // dropped: terminal
+                 "A proper ending appears right here!")),
+        (3L, Seq("every single line", "gets dropped"))    // all < 4 w/ punct
+      ).toDF("doc_id", "lines")
+      val got = TextAnalysis.ruleClean(df, "doc_id", col("lines"),
+          minWords = 4, banned = Seq("javascript", "lorem ipsum"),
+          requireTerminal = true, minKeptLines = 1, sep = " | ")
+        .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      got shouldBe Map(
+        1L -> ("This sentence has enough words today. | Another good long sentence stands here.", 2L),
+        2L -> ("A proper ending appears right here!", 1L)) // doc 3 vanished
+    }
+
+    "minKeptLines drops sparse documents and blocklist is case-insensitive" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq("Only one surviving line here.", "LOREM IPSUM dolor sit amet.")),
+        (2L, Seq("First keeper line stands here.", "Second keeper line stands here."))
+      ).toDF("doc_id", "lines")
+      val got = TextAnalysis.ruleClean(df, "doc_id", col("lines"),
+          minWords = 4, banned = Seq("lorem ipsum"),
+          requireTerminal = true, minKeptLines = 2)
+        .collect().map(_.getLong(0)).toSet
+      got shouldBe Set(2L) // doc 1 kept only 1 line after the blocklist hit
+    }
+  }
+
   "TextAnalysis.ngramNovelty" - {
     "scores crafted docs by their share of corpus-unique n-grams" in {
       import spark.implicits._
