@@ -16,6 +16,7 @@ object Bench {
     "m1_put_get", "m4_delete_items",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_ivfpq_topk",
     "text_quality", "text_fingerprint", "text_langid", "text_corpus_filter",
     "text_repetition", "text_redact_pii",
     "text_decontaminate", "pack_sequences", "dedup_semantic",

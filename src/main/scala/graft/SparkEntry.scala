@@ -1024,6 +1024,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      // the composed billion-vector index: IVF prunes WHICH vectors are
+      // scored (nprobe of nlist inverted lists), PQ shrinks WHAT is
+      // stored (m codes per entry); candidates join on the probed list id
+      // — an equi join with the query side broadcast — and are scored by
+      // ADC without decompression
+      Similarity.annIvfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4, m = 8, ncodes = 8)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ---- LLM-pipeline: text analysis -----------------------------------
     "text_tokens" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
@@ -1775,6 +1787,8 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
     "ann_pq_topk" -> annPqOracle(m = 8, ncodes = 8, sub = 8, k = 5),
+    "ann_ivfpq_topk" ->
+      annIvfPqOracle(nlist = 16, nprobe = 4, m = 8, ncodes = 8, sub = 8, k = 5),
     "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,
 
     "dedup_substring" ->
@@ -2363,11 +2377,16 @@ object SparkEntry {
     * the same association as the Spark expression, ties → lowest code);
     * ADC score is the left-associated sum of per-subspace query-slice ×
     * codeword dot products. */
-  private def annPqOracle(m: Int, ncodes: Int, sub: Int, k: Int): String = {
-    def sl(v: String, j: Int) = s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+  private def pqSl(v: String, j: Int, sub: Int) =
+    s"$v[${j * sub + 1}:${(j + 1) * sub}]"
+
+  /** Shared PQ oracle fragments: the per-subspace L2-argmin encode CTEs
+    * (enc0..enc{m-1} + the joined `enc`), the per-subspace codebook joins,
+    * and the left-associated ADC score expression. */
+  private def pqEncSql(m: Int, ncodes: Int, sub: Int): String = {
     val encCtes = (0 until m).map { j =>
-      val s = sl("e.v", j)
-      val w = sl("cb.v", j)
+      val s = pqSl("e.v", j, sub)
+      val w = pqSl("cb.v", j, sub)
       s"""enc$j AS (SELECT vec_id, c AS k$j FROM (
          |  SELECT e.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
          |    ORDER BY (list_dot_product($s, $s)
@@ -2377,21 +2396,29 @@ object SparkEntry {
     }.mkString(",\n")
     val encJoin = (1 until m)
       .map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
-    val cbJoins = (0 until m)
-      .map(j => s"JOIN cb c$j ON c$j.c = enc.k$j").mkString(" ")
-    val score = (0 until m)
-      .map(j => s"list_dot_product(${sl("q.qv", j)}, ${sl(s"c$j.v", j)})")
-      .mkString(" + ")
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |cb AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, v
+    s"""cb AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, v
        |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ncodes)),
        |$encCtes,
-       |enc AS (SELECT * FROM enc0 $encJoin),
+       |enc AS (SELECT * FROM enc0 $encJoin)""".stripMargin
+  }
+
+  private def pqCbJoins(m: Int): String =
+    (0 until m).map(j => s"JOIN cb c$j ON c$j.c = enc.k$j").mkString(" ")
+
+  private def pqScoreSql(m: Int, sub: Int, qv: String): String =
+    (0 until m)
+      .map(j => s"list_dot_product(${pqSl(qv, j, sub)}, ${pqSl(s"c$j.v", j, sub)})")
+      .mkString(" + ")
+
+  private def annPqOracle(m: Int, ncodes: Int, sub: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${pqEncSql(m, ncodes, sub)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
        |scored AS (
-       |  SELECT q.query_id, enc.vec_id AS id, $score AS score
-       |  FROM q CROSS JOIN enc $cbJoins
+       |  SELECT q.query_id, enc.vec_id AS id,
+       |         ${pqScoreSql(m, sub, "q.qv")} AS score
+       |  FROM q CROSS JOIN enc ${pqCbJoins(m)}
        |  WHERE enc.vec_id != q.query_id),
        |ranked AS (
        |  SELECT query_id, id AS neighbor_id,
@@ -2400,7 +2427,37 @@ object SparkEntry {
        |  FROM scored)
        |SELECT query_id, neighbor_id, rank FROM ranked
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** IVF-PQ replay: the IVF assign/probe CTEs composed with the PQ encode
+    * CTEs; candidates come from the probed inverted lists and are scored
+    * by the same ADC expression. */
+  private def annIvfPqOracle(nlist: Int, nprobe: Int, m: Int, ncodes: Int,
+      sub: Int, k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nlist),
+       |cscored AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS crn
+       |  FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, cid FROM cscored WHERE crn = 1),
+       |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid FROM cscored
+       |           WHERE vec_id < 10 AND crn <= $nprobe),
+       |${pqEncSql(m, ncodes, sub)},
+       |scored AS (
+       |  SELECT qp.query_id, a.vec_id AS id,
+       |         ${pqScoreSql(m, sub, "qp.qv")} AS score
+       |  FROM qprobe qp JOIN assign a
+       |    ON a.cid = qp.cid AND a.vec_id != qp.query_id
+       |  JOIN enc ON enc.vec_id = a.vec_id ${pqCbJoins(m)}),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Full k-medians replay: `iters` chained (assign → exact component
     * medians → COALESCE empty cells) rounds, then the final assignment.

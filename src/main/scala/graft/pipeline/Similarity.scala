@@ -218,46 +218,110 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 8, ncodes: Int = 8): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
+    val book = pqTrain(corpus, m, ncodes)
+    // the stored index: id + m byte-sized codes, vectors dropped
+    val encoded = corpus.select(
+      col("id") +: (0 until m).map(j => pqEncode(book, j).as(s"k$j")): _*)
+    val queries = prep(df.filter(queryPred), idCol, vecCol)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    val scored = encoded.join(broadcast(queries), col("id") =!= col("query_id"))
+      .withColumn("score", pqAdcScore(book))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** PQ codebooks: per subspace `j`, the `ncodes` subvector slices of the
+    * first `ncodes` corpus vectors in id order — driver-collected literals
+    * (m × ncodes × dim/m doubles, bounded and tiny). */
+  private case class PqBook(m: Int, ncodes: Int, sub: Int,
+      words: IndexedSeq[IndexedSeq[Seq[Double]]]) // words(j)(c)
+
+  private def pqTrain(corpus: DataFrame, m: Int, ncodes: Int): PqBook = {
     val dim = corpus.select(size(col("v"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m subspaces $m")
     val sub = dim / m
-    // codebook: subvector slices of the first ncodes corpus vectors
-    // (id order) — parquet values, so the oracle re-derives them exactly
     val seeds = corpus.orderBy("id").limit(ncodes)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == ncodes, s"corpus smaller than ncodes=$ncodes")
-    def codeword(j: Int, c: Int): Seq[Double] =
-      seeds(c).slice(j * sub, (j + 1) * sub).toSeq
-    // encode subspace j: argmin over codewords of exact L2 (expanded via
-    // dot products, fixed association), ties -> lowest code index
-    def encodeCol(j: Int): Column = {
-      val s = slice(col("v"), j * sub + 1, sub)
-      val d2s = (0 until ncodes).map { c =>
-        val w = typedlit(codeword(j, c))
-        (dot(s, s) - lit(2.0) * dot(s, w)) + dot(w, w)
-      }
-      val g = least(d2s: _*)
-      (1 until ncodes).foldLeft(when(d2s(0) === g, lit(0))) {
-        case (acc, c) => acc.when(d2s(c) === g, lit(c))
-      }.otherwise(lit(ncodes - 1))
+    PqBook(m, ncodes, sub, (0 until m).map(j =>
+      (0 until ncodes).map(c => seeds(c).slice(j * sub, (j + 1) * sub).toSeq)))
+  }
+
+  /** Code of subspace `j` for the vector in `v`: argmin over codewords of
+    * exact L2 (expanded as (s·s − 2·s·w) + w·w — fixed association so an
+    * external oracle replays the double sequence), ties → lowest code. */
+  private def pqEncode(book: PqBook, j: Int): Column = {
+    val s = slice(col("v"), j * book.sub + 1, book.sub)
+    val d2s = (0 until book.ncodes).map { c =>
+      val w = typedlit(book.words(j)(c))
+      (dot(s, s) - lit(2.0) * dot(s, w)) + dot(w, w)
     }
-    // the stored index: id + m byte-sized codes, vectors dropped
-    val encoded = corpus.select(
-      col("id") +: (0 until m).map(j => encodeCol(j).as(s"k$j")): _*)
-    val queries = prep(df.filter(queryPred), idCol, vecCol)
-      .select(col("id").as("query_id"), col("v").as("qv"))
-    // ADC score: per subspace, decode the code to its literal codeword and
-    // dot it with the query's OWN subvector; left-associated sum
-    def adcTerm(j: Int): Column = {
-      val qs = slice(col("qv"), j * sub + 1, sub)
-      val decoded = (1 until ncodes).foldLeft(
-        when(col(s"k$j") === 0, typedlit(codeword(j, 0)))) {
-          case (acc, c) => acc.when(col(s"k$j") === c, typedlit(codeword(j, c)))
+    val g = least(d2s: _*)
+    (1 until book.ncodes).foldLeft(when(d2s(0) === g, lit(0))) {
+      case (acc, c) => acc.when(d2s(c) === g, lit(c))
+    }.otherwise(lit(book.ncodes - 1))
+  }
+
+  /** ADC score from the query vector in `qv` against codes `k0..k{m-1}`:
+    * per subspace, decode the code to its literal codeword and dot it with
+    * the query's OWN subvector; left-associated sum. */
+  private def pqAdcScore(book: PqBook): Column =
+    (0 until book.m).map { j =>
+      val qs = slice(col("qv"), j * book.sub + 1, book.sub)
+      val decoded = (1 until book.ncodes).foldLeft(
+        when(col(s"k$j") === 0, typedlit(book.words(j)(0)))) {
+          case (acc, c) => acc.when(col(s"k$j") === c, typedlit(book.words(j)(c)))
         }
       dot(qs, decoded)
+    }.reduce(_ + _)
+
+  /** IVF-PQ: the composed billion-vector index — IVF prunes WHICH vectors
+    * are scored (each query probes `nprobe` of `nlist` inverted lists),
+    * PQ shrinks WHAT is stored (each list entry is m byte-sized codes, not
+    * dim floats). The stored structure per corpus vector is (id, cid,
+    * m codes) — at 100 TB this is what turns a petabyte of float32 into a
+    * few terabytes of scannable index. Candidates join on the probed list
+    * id (an EQUI join — queries broadcast, corpus never shuffles), are
+    * scored by ADC without decompression, and the top-k comes off a
+    * per-query window.
+    *
+    * Deterministic like its parents: coarse centroids are the first
+    * `nlist` vectors, codebooks the subvector slices of the first
+    * `ncodes`, both in id order. Codes quantize RAW vectors (classic
+    * IVF-PQ encodes residuals v − centroid; that refinement plugs into
+    * the same shape at the cost of per-list codebooks in the oracle).
+    * Approximate on two axes: list pruning loses cross-list neighbors,
+    * quantization can reorder near-ties. */
+  def annIvfPqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ncodes: Int = 8): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val book = pqTrain(corpus, m, ncodes)
+    val centroids = corpus.orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    def nearest(side: DataFrame, keep: Int): DataFrame = {
+      val scored = side.join(broadcast(centroids))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("cv", "cnrm", "csim", "crn")
     }
-    val scored = encoded.join(broadcast(queries), col("id") =!= col("query_id"))
-      .withColumn("score", (0 until m).map(adcTerm).reduce(_ + _))
+    // the stored index: inverted-list id + m codes per vector
+    val encoded = nearest(corpus, 1).select(
+      col("cid") +: col("id") +:
+        (0 until m).map(j => pqEncode(book, j).as(s"k$j")): _*)
+    val probes = nearest(prep(df.filter(queryPred), idCol, vecCol), nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
+    // equi join on the probed list; each corpus vector lives in exactly
+    // one list and probes carry distinct cids, so no dedup is needed
+    // (same argument as annIvfTopK)
+    val scored = encoded.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", pqAdcScore(book))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -237,6 +237,30 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       plan should include("BroadcastNestedLoopJoin BuildRight")
     }
 
+    "IVF-PQ composes list pruning with code scoring, deterministically" in {
+      // neighbor sets must be a subset of the probed IVF lists: every
+      // (query, neighbor) the composed index returns also appears in the
+      // plain IVF candidate universe (same nlist/nprobe, k = corpus)
+      val ivfAll = Similarity.annIvfTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 1000, nlist = 8, nprobe = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def run() = Similarity.annIvfPqTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 4, nlist = 8, nprobe = 2, m = 8, ncodes = 8)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a1 = run(); val a2 = run()
+      a1 shouldBe a2 // deterministic centroids AND codebooks
+      a1.size shouldBe 20 // 5 queries × k=4
+      (a1 -- ivfAll) shouldBe empty
+      // the scored join is equi on the probed list id with the query side
+      // broadcast — never a nested-loop over the whole corpus
+      val plan = Similarity.annIvfPqTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 5, k = 4, nlist = 8, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin [cid")
+    }
+
     "IVF ANN achieves usable recall vs exact top-k and is deterministic" in {
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
         .select("query_id", "neighbor_id").collect()
