@@ -841,6 +841,48 @@ object SparkEntry {
       s.table("st9_dedup").orderBy("doc_id")
     }),
 
+    "st10_stream_corpus_dedup" -> ((s, dir) => {
+      // the continuous-ingestion dedup loop under a REAL micro-batch
+      // executor: the accumulated corpus's shingle + banded-signature
+      // tables live as parquet (the production layout,
+      // minhashDedupAgainstTables), each arriving micro-batch probes
+      // those FILES via foreachBatch, and flagged pairs append to the
+      // store. Two arrival files -> two triggers; the final table is
+      // independent of the trigger split because every batch row probes
+      // the static corpus alone — so the batch entry's exact oracle
+      // applies unchanged
+      val base = scratchDir(s, "st10", dir)
+      val docs = t(s, dir, "documents")
+      val shC = Dedup.shingled(docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", 3)
+      shC.write.mode("overwrite").parquet(s"$base/corpus_shingles")
+      Dedup.bandedSignatures(Dedup.minhashSignatures(shC, 32),
+          "id", "sig", 16, 32)
+        .write.mode("overwrite").parquet(s"$base/corpus_banded")
+      val arrivals = docs.filter(col("doc_id") % 2 === 1)
+      arrivals.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      arrivals.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          Dedup.minhashDedupAgainstTables(
+              s.read.parquet(s"$base/corpus_shingles"),
+              s.read.parquet(s"$base/corpus_banded"),
+              b, "text", "doc_id", n = 3, k = 32, bands = 16, threshold = 0.5)
+            .select("batch_id", "corpus_id", "jaccard")
+            .write.mode("append").parquet(s"$base/out")
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select("batch_id", "corpus_id").orderBy("batch_id", "corpus_id")
+    }),
+
     "e3_asof_attribution" -> ((s, dir) => {
       // backward as-of join (purchase ← latest prior click per user):
       // union-tagged single-shuffle window plan, no range-join explosion
@@ -1763,25 +1805,11 @@ object SparkEntry {
 
     // cross-parity ground truth: same shingle semantics as jaccardOracle,
     // odd (batch) rows joined against even (corpus) rows
-    "dedup_incremental" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(t) >= 3
-        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
-        |                             FOR i IN range(1, len(t) - 1)])
-        |         ELSE [array_to_string(t, ' ')] END AS s
-        |  FROM toks),
-        |pairs AS (
-        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
-        |         len(list_intersect(a.s, b.s)) AS inter,
-        |         len(a.s) AS la, len(b.s) AS lb
-        |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
-        |SELECT batch_id, corpus_id FROM pairs
-        |WHERE inter > 0
-        |  AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
-        |ORDER BY batch_id, corpus_id""".stripMargin,
+    "dedup_incremental" -> incrementalPairsOracle,
+    // the streaming loop produces the identical pair set: each micro-batch
+    // row probes the static corpus independently, so the trigger split is
+    // invisible in the final table
+    "st10_stream_corpus_dedup" -> incrementalPairsOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,
@@ -2377,6 +2405,30 @@ object SparkEntry {
     * the same association as the Spark expression, ties → lowest code);
     * ADC score is the left-associated sum of per-subspace query-slice ×
     * codeword dot products. */
+  /** Cross-parity exact-Jaccard ground truth shared by the batch
+    * (`dedup_incremental`) and streaming (`st10_stream_corpus_dedup`)
+    * bindings of the corpus-probe dedup: every (odd batch doc, even corpus
+    * doc) pair with trigram Jaccard ≥ 0.5. */
+  private val incrementalPairsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+      |                             FOR i IN range(1, len(t) - 1)])
+      |         ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |pairs AS (
+      |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+      |         len(list_intersect(a.s, b.s)) AS inter,
+      |         len(a.s) AS la, len(b.s) AS lb
+      |  FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+      |SELECT batch_id, corpus_id FROM pairs
+      |WHERE inter > 0
+      |  AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+      |ORDER BY batch_id, corpus_id""".stripMargin
+
   private def pqSl(v: String, j: Int, sub: Int) =
     s"$v[${j * sub + 1}:${(j + 1) * sub}]"
 
