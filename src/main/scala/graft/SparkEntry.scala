@@ -18,12 +18,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark reads only as a
-    * nanosecond Long (legacy conf); expose an exact millisecond column via
-    * integer division (double division would lose precision at 1e18 ns). */
+  /** events.parquet has carried `ts` as either TIMESTAMP(NANOS) — which
+    * Spark reads only as a nanosecond Long under the legacy conf — or
+    * TIMESTAMP(MICROS), which it reads as TIMESTAMP_NTZ. Normalize both to
+    * the nanosecond-Long form every downstream query assumes (the session
+    * timezone is pinned to UTC, so the NTZ→TZ cast is value-preserving),
+    * plus an exact millisecond column via integer division (double division
+    * would lose precision at 1e18 ns). */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_ms", expr("ts div 1000000"))
+    val raw = t(s, dir, "events")
+    val nanos = raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn(
+        "ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+    }
+    nanos.withColumn("ts_ms", expr("ts div 1000000"))
   }
 
   private def j(body: String, field: String) =
