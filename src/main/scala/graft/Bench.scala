@@ -26,7 +26,7 @@ object Bench {
     "text_c4_clean",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
     "e4_interval_join", "sample_stratified", "stat_quantiles",
-    "stat_source_drift",
+    "stat_source_drift", "stat_kmv_distinct",
     "stat_heavy_hitters", "stat_rollup")
 
   def main(args: Array[String]): Unit = {

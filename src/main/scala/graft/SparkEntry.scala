@@ -1351,6 +1351,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_kmv_distinct" -> ((s, dir) => {
+      // per-source vocabulary-size estimate via the KMV bottom-k sketch:
+      // aggregate state is at most k longs per group (native
+      // BottomKDistinct with map-side partials) — never the distinct set;
+      // the md5-hash basis makes the whole sketch replay exactly in SQL
+      graft.pipeline.Stats.kmvDistinct(
+          t(s, dir, "documents")
+            .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+            .filter(col("tok") =!= ""),
+          "source", col("tok"), k = 64)
+        .orderBy("source")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
       // range filter on EITHER column prunes files via footer stats; the
@@ -2202,6 +2215,31 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // the KMV sketch replayed from scratch: same 60-bit md5 hash, same
+    // bottom-64 distinct set (row_number over the distinct hashes), same
+    // (k−1)·2⁶⁰/h_k estimator — every factor an exactly-representable
+    // double, one division
+    "stat_kmv_distinct" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok WHERE tok != ''),
+        |r AS (
+        |  SELECT source, h,
+        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT source, COUNT(*) AS sketch_size, MAX(h) AS h_k
+        |  FROM r WHERE rn <= 64 GROUP BY source)
+        |SELECT source, sketch_size, h_k,
+        |       CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |                   / CAST(h_k AS DOUBLE) END AS est_distinct
+        |FROM s ORDER BY source""".stripMargin,
 
     // same shingle semantics as jaccardOracle, collapsed to distinct
     // (source, shingle) rows

@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Bottom-k distinct values of a Long column — the KMV (k-minimum-values)
+  * cardinality sketch's state, as a native aggregate.
+  *
+  * Why an aggregate and not `distinct + window row_number <= k`: the sketch
+  * exists to AVOID materializing the distinct set. This aggregate carries at
+  * most k longs per group per task (a bounded TreeSet), participates in
+  * map-side partial aggregation (each task folds its own duplicates into a
+  * k-capped buffer before anything shuffles), and merges buffers by set
+  * union + re-cap — the shuffle moves k longs per (task, group), independent
+  * of input cardinality. At 100 TB the distinct+window formulation shuffles
+  * billions of rows; this shuffles kilobytes.
+  *
+  * Deterministic (no RNG; the input hash decides membership), so the DuckDB
+  * oracle replays it with `row_number() OVER (ORDER BY h) <= k` over the
+  * distinct hash set — same bottom-k set by construction.
+  *
+  * Result: the sorted (ascending) array of the at-most-k smallest distinct
+  * non-NULL inputs. NULL inputs are ignored (SQL aggregate convention).
+  */
+case class BottomKDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"bottom_k_distinct: k must be positive, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def add(
+      buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    // skip values already past the cap: no allocation for the common case
+    if (buf.size() < k) { buf.add(v); () }
+    else if (v < buf.last()) { buf.add(v); if (buf.size() > k) buf.pollLast() }
+  }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) add(buf, it.next())
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size())
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKDistinct =
+    copy(child = newChild)
+}
+
+object SketchFunctions {
+  /** bottom_k_distinct(c, k): sorted array of the k smallest distinct
+    * non-NULL longs — the KMV sketch state. */
+  def bottom_k_distinct(c: Column, k: Int): Column =
+    Bridge.column(BottomKDistinct(Bridge.expression(c), k).toAggregateExpression())
+}

@@ -101,6 +101,46 @@ object Stats {
           (col("total_a") + col("total_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Per-group distinct-cardinality estimate via the KMV (k-minimum-values)
+    * sketch — "how many distinct tokens/urls/ids does each source have"
+    * without ever materializing the distinct set.
+    *
+    * Basis: the uniform 60-bit md5 hash shared with [[Sampling.md5Hash60]],
+    * so the whole sketch — bottom-k set, k-th minimum, estimator — replays
+    * EXACTLY in any SQL engine (no RNG, no engine-private hash). State is
+    * a k-capped ordered set per group carried by the native
+    * [[graft.functions.BottomKDistinct]] aggregate: map-side partial
+    * aggregation folds each task's duplicates into k longs before the
+    * shuffle, so bytes-on-wire per task·group is 8k + ε, independent of
+    * input cardinality — the 100 TB shape the distinct+window formulation
+    * (shuffle ∝ |distinct|) can't reach.
+    *
+    * Estimator (standard KMV): with fewer than k distinct hashes the count
+    * is exact; otherwise est = (k−1)·2⁶⁰ / h_k where h_k is the k-th
+    * smallest distinct hash. Both factors are exactly representable
+    * doubles and the division is one correctly-rounded IEEE op —
+    * engine-exact. Expected relative error ~ 1/√(k−2).
+    *
+    * Output: (group, sketch_size, h_k, est_distinct), one row per group.
+    */
+  def kmvDistinct(
+      df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame = {
+    val sk = df
+      .select(col(groupCol), Sampling.md5Hash60(valueCol).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchFunctions
+        .bottom_k_distinct(col("__h"), k).as("__sk"))
+    sk.select(col(groupCol),
+        size(col("__sk")).cast("long").as("sketch_size"),
+        element_at(col("__sk"), size(col("__sk"))).as("h_k"),
+        when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
+            element_at(col("__sk"), lit(k)).cast("double"))
+          .as("est_distinct"))
+  }
+
   /** Composition drift per corpus slice: the total-variation distance
     * between each group's token distribution and the REST of the corpus —
     * the monitoring stat behind "did this crawl/source/snapshot shift the

@@ -140,6 +140,44 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.kmvDistinct" - {
+    "is exact below the cap (sketch_size = true distinct count)" in {
+      import spark.implicits._
+      // 7 distinct values across 20 rows, k=64 » 7 ⇒ exact
+      val df = (1 to 20).map(i => ("g", s"v${i % 7}")).toDF("grp", "v")
+      val row = Stats.kmvDistinct(df, "grp", col("v"), k = 64).collect()(0)
+      row.getLong(1) shouldBe 7L
+      row.getDouble(3) shouldBe 7.0
+    }
+
+    "ignores NULL values" in {
+      import spark.implicits._
+      val df = Seq(("g", "a"), ("g", null), ("g", "b")).toDF("grp", "v")
+      Stats.kmvDistinct(df, "grp", col("v"), k = 8)
+        .collect()(0).getLong(1) shouldBe 2L
+    }
+
+    "is partitioning-invariant (pins the buffer merge path)" in {
+      val tok = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val a = Stats.kmvDistinct(tok, "source", col("tok"), k = 32)
+        .orderBy("source").collect().toSeq
+      val b = Stats.kmvDistinct(tok.repartition(17), "source", col("tok"), k = 32)
+        .orderBy("source").collect().toSeq
+      a shouldBe b
+    }
+
+    "estimates true cardinality within KMV error bounds" in {
+      import spark.implicits._
+      // 5000 distinct ids, k=256 ⇒ relative error ~1/√254 ≈ 6%; allow 5σ
+      val df = (1 to 5000).map(i => ("g", i.toString)).toDF("grp", "v")
+      val est = Stats.kmvDistinct(df, "grp", col("v"), k = 256)
+        .collect()(0).getDouble(3)
+      est should be(5000.0 +- 1600.0)
+    }
+  }
+
   "IntervalJoin.followWithin" - {
     "counts strictly-after rows within span, per equi key, zero-filled" in {
       import spark.implicits._
