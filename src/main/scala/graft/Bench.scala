@@ -21,7 +21,8 @@ object Bench {
     "text_repetition", "text_redact_pii",
     "text_decontaminate", "pack_sequences", "dedup_semantic",
     "sample_mix", "embed_kmedians", "text_top_terms", "dedup_substring",
-    "dedup_incremental", "corpus_diff", "layout_zorder", "text_line_dedup",
+    "dedup_incremental", "dedup_bloom_prefilter", "corpus_diff",
+    "layout_zorder", "text_line_dedup",
     "text_classifier", "stat_corpus_overlap", "text_ngram_novelty",
     "text_c4_clean",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",

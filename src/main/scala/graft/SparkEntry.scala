@@ -1351,6 +1351,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "dedup_bloom_prefilter" -> ((s, dir) => {
+      // Bloom-gated blocklist membership (the decontamination shape): the
+      // reference set (10% of docs by fingerprint) compresses to an 8192-bit
+      // array; the batch probe is a shuffle-free codegen'd mask test inside
+      // the scan, and only candidates pay the exact verify join. The
+      // deterministic md5 positions make the exact false-positive set
+      // replay in the oracle.
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("k"))
+      val ref = keyed.filter(col("doc_id") % 10 === 0)
+      graft.pipeline.Bloom.prefilterVerify(keyed, ref, "k", m = 8192, j = 3)
+        .select(col("doc_id"), col("confirmed")).orderBy("doc_id")
+    }),
+
     "stat_kmv_distinct" -> ((s, dir) => {
       // per-source vocabulary-size estimate via the KMV bottom-k sketch:
       // aggregate state is at most k longs per group (native
@@ -2215,6 +2229,28 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // the Bloom filter replayed as set membership: bit positions are
+    // pmod(md5Hash60(i||':'||key), m); a probe hits iff ALL its positions
+    // are in the reference side's distinct position set — outcome-identical
+    // to the packed-bitset mask test, false positives included
+    "dedup_bloom_prefilter" ->
+      """WITH keyed AS (SELECT doc_id, md5(text) AS k FROM documents),
+        |ref AS (SELECT DISTINCT k FROM keyed WHERE doc_id % 10 = 0),
+        |pos AS (
+        |  SELECT DISTINCT
+        |         ('0x' || substr(md5(i || ':' || k), 1, 15))::BIGINT % 8192 AS p
+        |  FROM ref CROSS JOIN (SELECT unnest(['0', '1', '2']) AS i) ix),
+        |cand AS (
+        |  SELECT doc_id, k FROM keyed
+        |  WHERE ('0x' || substr(md5('0:' || k), 1, 15))::BIGINT % 8192
+        |          IN (SELECT p FROM pos)
+        |    AND ('0x' || substr(md5('1:' || k), 1, 15))::BIGINT % 8192
+        |          IN (SELECT p FROM pos)
+        |    AND ('0x' || substr(md5('2:' || k), 1, 15))::BIGINT % 8192
+        |          IN (SELECT p FROM pos))
+        |SELECT doc_id, (k IN (SELECT k FROM ref)) AS confirmed
+        |FROM cand ORDER BY doc_id""".stripMargin,
 
     // the KMV sketch replayed from scratch: same 60-bit md5 hash, same
     // bottom-64 distinct set (row_number over the distinct hashes), same

@@ -9,7 +9,10 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.BinaryExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
 
 /** Bottom-k distinct values of a Long column — the KMV (k-minimum-values)
   * cardinality sketch's state, as a native aggregate.
@@ -102,9 +105,56 @@ case class BottomKDistinct(
     copy(child = newChild)
 }
 
+/** O(1) membership probe into a packed bitset: `bits[pos>>3] & (1<<(pos&7))`.
+  *
+  * `bits` is a (typically literal/broadcast) BINARY column holding the
+  * Bloom filter's bit array; `pos` a long in [0, 8·|bits|). Codegen'd to a
+  * two-instruction mask test inside the scan stage — the probe side of a
+  * Bloom prefilter never leaves whole-stage codegen and never shuffles.
+  * Out-of-range positions return false (not an error): callers size `pos`
+  * by construction (pmod by the bit count).
+  */
+case class BitsetContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bitset_contains expects (binary, bigint), got " +
+          s"${l.simpleString} / ${r.simpleString}")
+    }
+
+  override def nullSafeEval(bitsAny: Any, posAny: Any): Any = {
+    val bits = bitsAny.asInstanceOf[Array[Byte]]
+    val pos = posAny.asInstanceOf[Long]
+    val idx = (pos >>> 3).toInt
+    pos >= 0 && idx < bits.length && (bits(idx) & (1 << (pos & 7).toInt)) != 0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (bits, pos) => {
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $idx = (int)($pos >>> 3);
+         |${ev.value} = $pos >= 0 && $idx < $bits.length &&
+         |  ($bits[$idx] & (1 << (int)($pos & 7))) != 0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BitsetContains =
+    copy(l, r)
+}
+
 object SketchFunctions {
   /** bottom_k_distinct(c, k): sorted array of the k smallest distinct
     * non-NULL longs — the KMV sketch state. */
   def bottom_k_distinct(c: Column, k: Int): Column =
     Bridge.column(BottomKDistinct(Bridge.expression(c), k).toAggregateExpression())
+
+  /** bitset_contains(bits, pos): bit `pos` set in the packed binary? */
+  def bitset_contains(bits: Column, pos: Column): Column =
+    Bridge.column(BitsetContains(Bridge.expression(bits), Bridge.expression(pos)))
 }
