@@ -1351,6 +1351,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "text_bigram_lift" -> ((s, dir) => {
+      // collocation discovery: top-100 bigrams by lift (= monotone order of
+      // PMI, no transcendental log — integer counts, one IEEE division);
+      // bigrams from the codegen'd WordPairs kernel in one corpus pass,
+      // vocabulary-sized merge joins, TakeOrdered top-k
+      graft.pipeline.TextAnalysis.collocations(
+        t(s, dir, "documents"), col("text"), minCount = 5L, k = 100)
+    }),
+
     "dedup_bloom_prefilter" -> ((s, dir) => {
       // Bloom-gated blocklist membership (the decontamination shape): the
       // reference set (10% of docs by fingerprint) compresses to an 8192-bit
@@ -2229,6 +2238,33 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // bigram lift replayed from scratch: same non-empty single-space
+    // tokens, same adjacent pairs with multiplicity, same integer-exact
+    // c_xy·N_uni²/(c_x·c_y·N_bi) with a single double division
+    "text_bigram_lift" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |uc AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        |nu AS (SELECT SUM(c) AS n FROM uc),
+        |bc AS (
+        |  SELECT b, COUNT(*) AS cxy FROM (
+        |    SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+        |           AS b
+        |    FROM toks) GROUP BY b),
+        |nb AS (SELECT SUM(cxy) AS n FROM bc)
+        |SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |       cxy, ux.c AS cx, uy.c AS cy,
+        |       CAST(cxy * nu.n * nu.n AS DOUBLE)
+        |         / CAST(ux.c * uy.c * nb.n AS DOUBLE) AS lift
+        |FROM bc CROSS JOIN nu CROSS JOIN nb
+        |JOIN uc ux ON ux.w = split_part(b, ' ', 1)
+        |JOIN uc uy ON uy.w = split_part(b, ' ', 2)
+        |WHERE cxy >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // the Bloom filter replayed as set membership: bit positions are
     // pmod(md5Hash60(i||':'||key), m); a probe hits iff ALL its positions

@@ -47,6 +47,31 @@ object TextKernels {
     } else new GenericArrayData(Array[Any](text))
   }
 
+  /** Adjacent word pairs ("w1 w2" strings) over the NON-EMPTY single-space
+    * tokens, repeats kept (bigram counting needs multiplicity — unlike
+    * [[wordShingles]], which dedupes into a set). Exact value parity with
+    * DuckDB's `[t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]` over
+    * `t = list_filter(string_split(text, ' '), t -> t != '')`; fewer than
+    * two tokens ⇒ empty array (no whole-text fallback). */
+  def wordPairs(text: UTF8String): ArrayData = {
+    val raw = text.split(Space, -1)
+    var n = 0
+    var i = 0
+    while (i < raw.length) { // compact non-empty tokens in place
+      if (raw(i).numBytes() > 0) { raw(n) = raw(i); n += 1 }
+      i += 1
+    }
+    if (n >= 2) {
+      val out = new Array[Any](n - 1)
+      i = 0
+      while (i < n - 1) {
+        out(i) = UTF8String.concatWs(Space, raw(i), raw(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else new GenericArrayData(Array.empty[Any])
+  }
+
   /** Single-pass per-document token statistics over single-space tokens:
     * `[total, distinct, topCount]` (top = the most frequent token's
     * count; single-space split, like DuckDB's `string_split(text, ' ')` —
@@ -157,6 +182,26 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
+/** Adjacent word pairs with multiplicity — codegen'd; see
+  * [[TextKernels.wordPairs]]. */
+case class WordPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_pairs expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.wordPairs(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.wordPairs($t)")
+
+  override protected def withNewChildInternal(c: Expression): WordPairs = copy(child = c)
+}
+
 /** Codegen'd per-set token hit counts (see [[TextKernels.tokenSetHits]]).
   * `sets` is fixed at plan time (stopword lists); the lookup HashSets ride
   * into generated code as a reference object. */
@@ -258,6 +303,10 @@ object TextFunctions {
   /** Distinct word n-gram shingles of a text column — codegen'd. */
   def word_shingles(text: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), n))
+
+  /** Adjacent word pairs (repeats kept) of a text column — codegen'd. */
+  def word_pairs(text: Column): Column =
+    Bridge.column(WordPairs(Bridge.expression(text)))
 
   /** Distinct stride-sampled fixed-width character windows — codegen'd. */
   def char_windows(text: Column, width: Int, stride: Int): Column =

@@ -294,4 +294,49 @@ object TextAnalysis {
             .getField("line"), sep).as("clean_text"),
         count(lit(1)).as("kept_lines"))
   }
+
+  /** Collocation discovery: the top-k bigrams by LIFT — the phrase-mining
+    * step ("new york", "machine learning") that feeds tokenizer merges and
+    * phrase-aware dedup. lift(w1,w2) = p(w1 w2) / (p(w1)·p(w2)) =
+    * c_xy·N_uni² / (c_x·c_y·N_bi): the same ORDER as PMI = log(lift)
+    * (log is monotone) without the transcendental — every factor is an
+    * exact integer and the one division is a single correctly-rounded
+    * IEEE op, so ranks and scores replay exactly in any engine. The
+    * `minCount` floor keeps PMI's rare-pair degeneracy out of the top-k.
+    *
+    * Plan at scale: bigrams come from the codegen'd
+    * [[graft.functions.WordPairs]] kernel (multiplicity kept — unlike the
+    * dedup shingle kernel) in ONE pass over the corpus; unigrams from one
+    * explode. Both collapse through two-phase counts (map-side combine
+    * absorbs Zipf skew), so the joins below run on VOCABULARY-sized
+    * tables: bigram counts join unigram counts on each side — merge-hinted,
+    * because both sides are post-explode aggregates whose static size
+    * estimates undercount ~1000× (see Dedup.bandedSignatures) and a
+    * corpus-vocabulary broadcast would OOM the driver at 100 TB. Top-k via
+    * TakeOrdered (no full sort). Long products stay exact while
+    * c_xy·N_uni² < 2⁶³ (~10⁶ counts × 10⁹-token corpus); past that, cast
+    * the count columns to decimal in the same algebra. */
+  def collocations(
+      df: DataFrame, textCol: Column, minCount: Long, k: Int): DataFrame = {
+    val uni = df.select(explode(split(textCol, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bi = df.select(
+        explode(graft.functions.TextFunctions.word_pairs(textCol)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cxy"))
+    val nUni = uni.agg(sum("c").as("nu"))
+    val nBi = bi.agg(sum("cxy").as("nb"))
+    bi.filter(col("cxy") >= minCount)
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .withColumn("w2", substring_index(col("b"), " ", -1))
+      .hint("merge")
+      .join(uni.hint("merge").select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.hint("merge").select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
+        ((col("cxy") * col("nu") * col("nu")).cast("double") /
+          (col("cx") * col("cy") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -47,6 +47,36 @@ class TextExpressionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "WordPairs matches the filtered-HOF formulation on corpus + edge rows" in {
+    // executable spec: adjacent pairs over the non-empty tokens, repeats kept
+    def hof(text: org.apache.spark.sql.Column) = {
+      val F = org.apache.spark.sql.functions
+      val t = F.filter(split(text, " "), x => x =!= "")
+      when(F.size(t) >= 2,
+        transform(sequence(lit(0), F.size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array())
+    }
+    Seq(docs, edge).foreach { df =>
+      val bad = df.select(col("text"),
+          graft.functions.TextFunctions.word_pairs(col("text")).as("k"),
+          hof(col("text")).as("h"))
+        .filter(!(col("k") <=> col("h"))).collect()
+      withClue(bad.mkString(", ")) { bad shouldBe empty }
+    }
+  }
+
+  "WordPairs keeps multiplicity and skips empty tokens" in {
+    import spark.implicits._
+    val got = Seq("a  b a b", "x", "", " ").toDF("text")
+      .select(graft.functions.TextFunctions.word_pairs(col("text")))
+      .collect().map(_.getSeq[String](0))
+    got(0) shouldBe Seq("a b", "b a", "a b") // double space skipped, repeat kept
+    got(1) shouldBe Nil
+    got(2) shouldBe Nil
+    got(3) shouldBe Nil
+  }
+
   "WordShingles is NULL on NULL text (rows drop out of dedup)" in {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Some("a b c d"))).toDF("doc_id", "text")

@@ -220,6 +220,29 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.collocations" - {
+    "computes hand-checked lift and breaks ties by (w1, w2)" in {
+      import spark.implicits._
+      val df = Seq("new york new york", "old york").toDF("text")
+      // unigrams: new 2, york 3, old 1 (N=6); bigrams: "new york" 2,
+      // "york new" 1, "old york" 1 (N=4)
+      // lift(new york) = 2*36/(2*3*4) = 3.0; lift(old york) = 36/(1*3*4)
+      // = 3.0 (tie → "new" < "old"); lift(york new) = 36/(3*2*4) = 1.5
+      val got = TextAnalysis.collocations(df, col("text"), minCount = 1L, k = 10)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+      got.toSeq shouldBe Seq(
+        ("new", "york", 3.0), ("old", "york", 3.0), ("york", "new", 1.5))
+    }
+
+    "minCount floors rare pairs out of the ranking" in {
+      import spark.implicits._
+      val df = Seq("a b a b", "c d").toDF("text")
+      val got = TextAnalysis.collocations(df, col("text"), minCount = 2L, k = 10)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      got.toSeq shouldBe Seq(("a", "b")) // "b a"/"c d" occur once
+    }
+  }
+
   "Sampling.mixExact" - {
     "takes exactly ceil(fraction_i * n_i) rows per stratum" in {
       val mix = Map("src0" -> 0.5, "src1" -> 0.25)
