@@ -1351,6 +1351,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "url_domain_cap" -> ((s, dir) => {
+      // per-domain frequency cap: documents carry no URL column, so inject
+      // deterministic URLs (23 synthetic hosts) on BOTH sides; host =
+      // split algebra (engine-portable), survivors = 10 per host in
+      // md5-hash order — one shuffle, window-local sort
+      val docs = t(s, dir, "documents").withColumn("url",
+        concat(lit("https://Site"), (col("doc_id") % 23).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+      graft.pipeline.Urls.domainCap(docs, col("url"), col("doc_id"), cap = 10)
+        .select(col("doc_id"), col("host")).orderBy("doc_id")
+    }),
+
     "text_bigram_lift" -> ((s, dir) => {
       // collocation discovery: top-100 bigrams by lift (= monotone order of
       // PMI, no transcendental log — integer counts, one IEEE division);
@@ -2238,6 +2250,27 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // same synthetic URLs, same split-algebra host (lowercased), same
+    // md5-hash-ordered cap at 10 per host
+    "url_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://Site' || (doc_id % 23) || '.example.com/p/' || doc_id
+        |           AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         lower(split_part(split_part(url, '//', 2), '/', 1)) AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, host,
+        |         row_number() OVER (
+        |           PARTITION BY host
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    doc_id) AS rn
+        |  FROM h)
+        |SELECT doc_id, host FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
 
     // bigram lift replayed from scratch: same non-empty single-space
     // tokens, same adjacent pairs with multiplicity, same integer-exact

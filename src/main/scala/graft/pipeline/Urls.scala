@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL-keyed corpus curation: host extraction and per-domain frequency
+  * caps — the crawl-side defense against a handful of giant hosts
+  * dominating the training mix.
+  */
+object Urls {
+
+  /** Lowercased host of a URL — split algebra (everything between the
+    * first "//" and the next "/"), deliberately NOT `parse_url`: the same
+    * two split operations exist in every SQL dialect, so host assignment
+    * replays exactly in the oracle, and both are codegen'd string builtins
+    * (no UDF, no regex engine in the hot path). Port/userinfo, if present,
+    * are kept as part of the host key — for a frequency cap the key only
+    * has to be stable, not RFC-parsed. */
+  def hostOf(url: Column): Column =
+    lower(substring_index(substring_index(url, "//", -1), "/", 1))
+
+  /** Keep at most `cap` rows per key, chosen in deterministic md5-hash
+    * order of `idCol` (= a reproducible uniform shuffle within the key,
+    * same trick as [[Sampling.stratifiedExact]]). ONE shuffle on the key;
+    * the per-key sort is window-local. Heavy hosts are exactly what this
+    * operator exists for — at 100 TB, a single pathological domain is
+    * still bounded by its own partition's sort, and AQE's skew handling
+    * splits the physical work; the output is capped regardless. */
+  def capPerKey(
+      df: DataFrame, keyCol: Column, idCol: Column, cap: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(Sampling.md5Hash60(idCol), idCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** [[capPerKey]] keyed by the URL's host: at most `cap` documents per
+    * domain, deterministically chosen. */
+  def domainCap(
+      df: DataFrame, urlCol: Column, idCol: Column, cap: Int): DataFrame =
+    capPerKey(df.withColumn("host", hostOf(urlCol)), col("host"), idCol, cap)
+}

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+class UrlsSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  import spark.implicits._
+
+  "Urls.hostOf" - {
+    "extracts the lowercased host via split algebra" in {
+      val got = Seq(
+        "https://WWW.Example.COM/p/1",
+        "http://a.b.c/x/y?z=1",
+        "https://host:8080/path",     // port kept (stable key, not RFC)
+        "ftp://files.example.org").toDF("url")
+        .select(Urls.hostOf(col("url"))).collect().map(_.getString(0)).toSeq
+      got shouldBe Seq("www.example.com", "a.b.c", "host:8080",
+        "files.example.org")
+    }
+  }
+
+  "Urls.domainCap" - {
+    "keeps at most cap rows per host, deterministically" in {
+      val docs = (1 to 300).map { i =>
+        (i.toLong, s"https://site${i % 7}.example.com/p/$i")
+      }.toDF("id", "url")
+      val a = Urls.domainCap(docs, col("url"), col("id"), cap = 5)
+      val counts = a.groupBy("host").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      counts.values.foreach(_ shouldBe 5L) // 7 hosts x ~43 docs, all capped
+      val b = Urls.domainCap(docs, col("url"), col("id"), cap = 5)
+      a.select("id").collect().map(_.getLong(0)).toSet shouldBe
+        b.select("id").collect().map(_.getLong(0)).toSet
+    }
+
+    "hosts under the cap pass through whole" in {
+      val docs = Seq(
+        (1L, "https://small.example.com/a"),
+        (2L, "https://small.example.com/b")).toDF("id", "url")
+      Urls.domainCap(docs, col("url"), col("id"), cap = 10)
+        .count() shouldBe 2L
+    }
+  }
+}
