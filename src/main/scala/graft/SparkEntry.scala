@@ -1351,6 +1351,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "text_html_strip" -> ((s, dir) => {
+      // markup extraction: wrap each doc in a deterministic HTML page
+      // (script + style + entities, injected on BOTH sides) and strip it
+      // back to text — one codegen'd projection, no UDF/parser per row
+      val page = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 &amp;&amp; 2;" +
+          "</script><style>p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"), lit("</h1><p>"), col("text"),
+        lit("</p><div class=\"f\">&amp; footer &lt;end&gt;</div></body></html>"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.stripMarkup(page).as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "url_domain_cap" -> ((s, dir) => {
       // per-domain frequency cap: documents carry no URL column, so inject
       // deterministic URLs (23 synthetic hosts) on BOTH sides; host =
@@ -2250,6 +2265,29 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // same injected page, same strip pipeline in RE2 (patterns chosen from
+    // the Java∩RE2 subset; DuckDB regexp_replace needs the explicit 'g')
+    "text_html_strip" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><head><script type="text/javascript">var x = 1 &amp;&amp; 2;'
+        |    || '</script><style>p { color: red; }</style></head><body><h1>Doc '
+        |    || doc_id || '</h1><p>' || text
+        |    || '</p><div class="f">&amp; footer &lt;end&gt;</div></body></html>'
+        |      AS html
+        |  FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean_text
+        |FROM page ORDER BY doc_id""".stripMargin,
 
     // same synthetic URLs, same split-algebra host (lowercased), same
     // md5-hash-ordered cap at 10 per host

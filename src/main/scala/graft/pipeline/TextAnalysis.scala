@@ -295,6 +295,30 @@ object TextAnalysis {
         count(lit(1)).as("kept_lines"))
   }
 
+  /** Markup stripping — the extract-text-from-HTML step that precedes
+    * every other text operator when the corpus arrives as crawled pages.
+    * Rule pipeline (all codegen'd string builtins, applied in one
+    * projection inside the scan — no UDF, no per-row parser allocation):
+    * drop script/style blocks (dotall non-greedy; two separate patterns —
+    * RE2 has no backreferences and the oracle replays in RE2), strip
+    * remaining tags, decode the six common entities (&amp; LAST so
+    * double-encoded text can't re-form entities), collapse whitespace.
+    * Every pattern is in the Java∩RE2 common subset, so the result
+    * replays byte-for-byte in the oracle (same precedent as redactPii).
+    * A real browser-grade extractor needs an HTML5 parser — this is the
+    * deterministic, distributable 95% that handles machine-generated
+    * pages; rows are independent, so the operator scales as a pure map. */
+  def stripMarkup(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Collocation discovery: the top-k bigrams by LIFT — the phrase-mining
     * step ("new york", "machine learning") that feeds tokenizer merges and
     * phrase-aware dedup. lift(w1,w2) = p(w1 w2) / (p(w1)·p(w2)) =

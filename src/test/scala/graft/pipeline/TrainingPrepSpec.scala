@@ -220,6 +220,31 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.stripMarkup" - {
+    "drops script/style bodies, strips tags, decodes entities, collapses space" in {
+      import spark.implicits._
+      val html = "<html><script>var hidden = 1;</script><style>b{}</style>" +
+        "<p>Hello   <b>world</b></p>&amp; more &lt;tag&gt; &nbsp;end</html>"
+      val got = Seq(html).toDF("t")
+        .select(TextAnalysis.stripMarkup(col("t"))).collect()(0).getString(0)
+      got shouldBe "Hello world & more <tag> end"
+    }
+
+    "decodes &amp; last so double-encoded text cannot re-form entities" in {
+      import spark.implicits._
+      val got = Seq("&amp;lt;still-text&amp;gt;").toDF("t")
+        .select(TextAnalysis.stripMarkup(col("t"))).collect()(0).getString(0)
+      got shouldBe "&lt;still-text&gt;"
+    }
+
+    "plain text passes through trimmed" in {
+      import spark.implicits._
+      Seq("  just   words  ").toDF("t")
+        .select(TextAnalysis.stripMarkup(col("t")))
+        .collect()(0).getString(0) shouldBe "just words"
+    }
+  }
+
   "TextAnalysis.collocations" - {
     "computes hand-checked lift and breaks ties by (w1, w2)" in {
       import spark.implicits._
