@@ -20,6 +20,7 @@ object Bench {
     "text_quality", "text_fingerprint", "text_langid", "text_corpus_filter",
     "text_repetition", "text_redact_pii",
     "text_decontaminate", "pack_sequences", "dedup_semantic",
+    "pipeline_train_prep",
     "sample_mix", "embed_kmedians", "text_top_terms", "dedup_substring",
     "dedup_incremental", "dedup_bloom_prefilter", "corpus_diff",
     "layout_zorder", "text_line_dedup",

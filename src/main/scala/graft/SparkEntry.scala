@@ -1351,6 +1351,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "pipeline_train_prep" -> ((s, dir) => {
+      // THE capstone composition: the full training-prep pipeline as ONE
+      // Spark DAG — C4-style gates → exact dedup → domain mix → sequence
+      // packing — every stage the same library operator its own entry
+      // gates, fused by Catalyst into one job (one scan feeds the gate;
+      // dedup/mix/pack each add exactly one shuffle)
+      val q = TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      val gated = q.filter(col("lang_pred") === "en" &&
+          col("quality_score") >= 0.5 && col("n_tokens").between(20, 1000))
+        .select(col("doc_id"), col("source"), col("text"), col("n_tokens"))
+      // windowed first-occurrence dedup (not survivors + join-back: the
+      // survivor list is corpus-sized at scale, so the semi join would
+      // re-shuffle both sides; the window pays its one content-hash
+      // shuffle and keeps every column)
+      val byHash = org.apache.spark.sql.expressions.Window
+        .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val ded = gated
+        .withColumn("__rn", row_number().over(byHash))
+        .filter(col("__rn") === 1).drop("__rn")
+      val mixed = graft.pipeline.Sampling.mixExact(ded, "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.5), default = 0.25)
+      graft.pipeline.Packing.packSequences(mixed, "doc_id",
+          col("n_tokens"), budget = 512, shards = 4)
+        .select(col("doc_id"), col("source"), col("shard"), col("pack_no"),
+          col("start_tok"))
+        .orderBy("doc_id")
+    }),
+
     "text_html_strip" -> ((s, dir) => {
       // markup extraction: wrap each doc in a deterministic HTML page
       // (script + style + entities, injected on BOTH sides) and strip it
@@ -2265,6 +2294,51 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // the whole training-prep pipeline replayed CTE-for-stage from the
+    // SAME fragments the component oracles pin: gates (WsTokens/Quality/
+    // LangPred) → min-id per text → per-source ceil(f·n) in hash order →
+    // shard/cumsum packing
+    "pipeline_train_prep" ->
+      s"""WITH q AS (
+        |  SELECT doc_id, source, text,
+        |    CAST($WsTokensSql AS BIGINT) AS n_tokens,
+        |    $QualityScoreSql AS qs,
+        |    $LangPredSql AS lp
+        |  FROM documents),
+        |gated AS (
+        |  SELECT doc_id, source, text, n_tokens FROM q
+        |  WHERE lp = 'en' AND qs >= 0.5 AND n_tokens BETWEEN 20 AND 1000),
+        |sur AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+        |ded AS (SELECT g.* FROM gated g JOIN sur USING (doc_id)),
+        |mixn AS (SELECT source, COUNT(*) AS n FROM ded GROUP BY source),
+        |r AS (
+        |  SELECT d.*, mixn.n,
+        |         row_number() OVER (
+        |           PARTITION BY d.source
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    doc_id) AS rn
+        |  FROM ded d JOIN mixn USING (source)),
+        |mixed AS (
+        |  SELECT doc_id, source, n_tokens FROM r
+        |  WHERE rn <= ceil(n * CASE source WHEN 'src0' THEN 1.0
+        |                                   WHEN 'src1' THEN 0.5
+        |                                   ELSE 0.25 END)),
+        |base AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    n_tokens AS tok
+        |  FROM mixed),
+        |packed AS (
+        |  SELECT doc_id, source, h % 4 AS shard,
+        |    CAST(COALESCE(SUM(tok) OVER (
+        |      PARTITION BY h % 4 ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM base)
+        |SELECT doc_id, source, shard,
+        |       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS pack_no, start_tok
+        |FROM packed ORDER BY doc_id""".stripMargin,
 
     // same injected page, same strip pipeline in RE2 (patterns chosen from
     // the Java∩RE2 subset; DuckDB regexp_replace needs the explicit 'g')
