@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.{CharWindows, DotProduct, TokenStats, WordShingles}
+import graft.functions.{BitsetContains, CharWindows, DotProduct, TokenStats, WordPairs, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT word_shingles(text, 3)           -- distinct word n-grams
   *   SELECT char_windows(text, 40, 10)       -- stride-sampled char windows
   *   SELECT token_stats(text)                -- [total, distinct, top]
+  *   SELECT word_pairs(text)                 -- adjacent bigrams, repeats kept
+  *   SELECT bitset_contains(bits, pos)       -- O(1) Bloom-bit probe
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -72,7 +74,13 @@ object GraftFunctions {
             intLit(args(2), "char_windows stride")))),
       (FunctionIdentifier("token_stats"),
         info("token_stats", classOf[TokenStats]),
-        arity("token_stats", 1)(args => TokenStats(args(0)))))
+        arity("token_stats", 1)(args => TokenStats(args(0)))),
+      (FunctionIdentifier("word_pairs"),
+        info("word_pairs", classOf[WordPairs]),
+        arity("word_pairs", 1)(args => WordPairs(args(0)))),
+      (FunctionIdentifier("bitset_contains"),
+        info("bitset_contains", classOf[BitsetContains]),
+        arity("bitset_contains", 2)(args => BitsetContains(args(0), args(1)))))
 
   /** Kernel size parameters fix the generated code, so they must be
     * plan-time literals. */

@@ -32,6 +32,13 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect()(0).getSeq[String](0) shouldBe Seq("abc", "cde")
       spark.sql("SELECT token_stats('x y x') AS t")
         .collect()(0).getSeq[Long](0) shouldBe Seq(3L, 2L, 2L)
+      spark.sql("SELECT word_pairs('a b a b') AS p")
+        .collect()(0).getSeq[String](0) shouldBe Seq("a b", "b a", "a b")
+      // bit 9 = second byte, lsb+1: 0x0002
+      spark.sql("SELECT bitset_contains(X'0002', 9L) AS b")
+        .collect()(0).getBoolean(0) shouldBe true
+      spark.sql("SELECT bitset_contains(X'0002', 8L) AS b")
+        .collect()(0).getBoolean(0) shouldBe false
     }
 
     "kernel size parameters must be plan-time literals" in {
