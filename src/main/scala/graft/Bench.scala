@@ -27,7 +27,8 @@ object Bench {
     "text_classifier", "stat_corpus_overlap", "text_ngram_novelty",
     "text_c4_clean", "text_bigram_lift", "url_domain_cap", "text_html_strip",
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
-    "e4_interval_join", "sample_stratified", "stat_quantiles",
+    "e4_interval_join", "sample_stratified", "sample_temperature",
+    "stat_vocab_coverage", "stat_quantiles",
     "stat_source_drift", "stat_kmv_distinct",
     "stat_heavy_hitters", "stat_rollup")
 

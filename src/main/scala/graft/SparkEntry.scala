@@ -1275,6 +1275,30 @@ object SparkEntry {
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
 
+    "sample_temperature" -> ((s, dir) => {
+      // temperature-flattened mixing (τ = ½): per-source quota =
+      // min(n_s, ceil(sqrt(n_min·n_s))) — geometric-mean cut toward the
+      // smallest source, no upsampling; every arithmetic step a single
+      // correctly-rounded IEEE op, rows chosen in md5-hash order
+      // the corpus sources are uniform, so inject a skewed stratum (10%
+      // 'rare' vs 90% 'common') on BOTH sides — the cut is actually
+      // exercised: rare keeps all n_min, common keeps ceil(sqrt(n_min·n))
+      graft.pipeline.Sampling.temperatureHalf(
+          t(s, dir, "documents").withColumn("stratum",
+            when(col("doc_id") % 10 === 0, "rare").otherwise("common")),
+          "stratum", "doc_id")
+        .select(col("doc_id"), col("stratum")).orderBy("doc_id")
+    }),
+
+    "stat_vocab_coverage" -> ((s, dir) => {
+      // tokenizer sizing: smallest count-threshold vocabulary covering
+      // ≥95% of token mass; the cutoff search windows the COMPRESSED
+      // (count value, types, mass) table (groupQuantiles' trick), and the
+      // share test is integer-exact (100·cum ≥ 95·total, no division)
+      graft.pipeline.Stats.vocabCoverage(
+        t(s, dir, "documents"), col("text"), sharePct = 95)
+    }),
+
     "embed_kmedians" -> ((s, dir) => {
       // deterministic Lloyd-style clustering: shuffle-free literal-centroid
       // assignment + exact component-wise MEDIAN update (order-independent
@@ -2294,6 +2318,51 @@ object SparkEntry {
         |       CAST(insum + n * (nrest - rs) AS DOUBLE)
         |         / CAST(2 * n * nrest AS DOUBLE) AS tvd
         |FROM a ORDER BY source""".stripMargin,
+
+    // τ=½ temperature mix replayed: same integer product, one double
+    // cast, sqrt, ceil — all correctly-rounded single ops
+    "sample_temperature" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 10 = 0 THEN 'rare' ELSE 'common' END
+        |           AS stratum
+        |  FROM documents),
+        |n AS (SELECT stratum, COUNT(*) AS n FROM s GROUP BY stratum),
+        |q AS (
+        |  SELECT stratum,
+        |         LEAST(n, CAST(ceil(sqrt(CAST((SELECT MIN(n) FROM n) * n
+        |                                      AS DOUBLE))) AS BIGINT)) AS quota
+        |  FROM n),
+        |r AS (
+        |  SELECT s.doc_id, s.stratum,
+        |         row_number() OVER (
+        |           PARTITION BY s.stratum
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    doc_id) AS rn
+        |  FROM s)
+        |SELECT r.doc_id, r.stratum FROM r JOIN q USING (stratum)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // count-threshold vocabulary coverage over the compressed
+    // (count value, types, mass) table; RANGE≡ROWS here because the
+    // grouped count values are unique
+    "stat_vocab_coverage" ->
+      """WITH uc AS (
+        |  SELECT w, COUNT(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w != '' GROUP BY w),
+        |bv AS (SELECT c, COUNT(*) AS types, SUM(c) AS mass FROM uc GROUP BY c),
+        |cum AS (
+        |  SELECT c,
+        |         SUM(types) OVER (ORDER BY c DESC) AS cum_types,
+        |         SUM(mass) OVER (ORDER BY c DESC) AS cum_mass
+        |  FROM bv),
+        |tot AS (SELECT SUM(mass) AS total FROM bv)
+        |SELECT c AS cutoff_count, cum_types AS vocab_size,
+        |       cum_mass AS covered_tokens, total AS total_tokens
+        |FROM cum CROSS JOIN tot
+        |WHERE cum_mass * 100 >= total * 95
+        |ORDER BY c DESC LIMIT 1""".stripMargin,
 
     // the whole training-prep pipeline replayed CTE-for-stage from the
     // SAME fragments the component oracles pin: gates (WsTokens/Quality/

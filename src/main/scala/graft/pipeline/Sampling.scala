@@ -48,6 +48,36 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Temperature-flattened mixing — the multilingual/multi-source
+    * re-balancing step (p_s ∝ n_s^τ, τ < 1 flattens the size distribution
+    * so giant sources stop drowning small ones). No upsampling: each
+    * stratum keeps quota_s = min(n_s, ceil((n_min·n_s)^τ́)) rows where the
+    * anchor is the SMALLEST stratum — at τ = ½ that is the geometric mean
+    * of (n_min, n_s): equality at the smallest source, progressively
+    * deeper cuts for bigger ones, and τ = ½ keeps every arithmetic step
+    * engine-exact (integer product → one double cast → sqrt → ceil: cast
+    * and sqrt are both correctly-rounded single IEEE ops; no transcendental
+    * pow, no order-dependent Σ n^τ normalizer). Rows are chosen in
+    * deterministic md5-hash order; costs the stratum-count aggregate (tiny)
+    * plus ONE shuffle for the window, same as [[stratifiedExact]].
+    * Long product n_min·n_s is exact below 2⁶³ (~3·10⁹ rows per side). */
+  def temperatureHalf(
+      df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
+      .select(col(strataCol),
+        least(col("__n"),
+          ceil(sqrt((col("__nmin") * col("__n")).cast("double"))))
+          .as("__quota"))
+    val byHash = Window.partitionBy(col(strataCol))
+      .orderBy(md5Hash60(col(keyCol)), col(keyCol))
+    df.join(broadcast(quotas), strataCol)
+      .withColumn("__rn", row_number().over(byHash))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Domain mixing: [[stratifiedExact]] with a PER-STRATUM fraction — the
     * "data mix" step that re-weights sources/domains/languages to a target
     * composition before training. Strata absent from `mix` keep `default`

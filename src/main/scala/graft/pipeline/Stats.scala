@@ -101,6 +101,46 @@ object Stats {
           (col("total_a") + col("total_b") - col("inter"))).as("jaccard"))
   }
 
+  /** Vocabulary size needed to cover a share of the corpus token mass —
+    * the tokenizer-sizing stat ("how many types cover 95% of tokens").
+    *
+    * Definition (count-threshold form, chosen for exactness AND scale):
+    * cutoff = the LARGEST count value c whose ≥-c prefix carries at least
+    * `sharePct` of the total token mass (i.e. the smallest such
+    * vocabulary); the vocabulary is every token with count ≥ c — a
+    * whole-value threshold, so no token-order tie-breaking inside the
+    * boundary count is needed. Thresholding on count
+    * VALUES (not token ranks) means the window that finds c sorts the
+    * COMPRESSED (count value, types, mass) table — same distinct-value
+    * compression as [[groupQuantiles]]; a rank-based cutoff would sort
+    * the full vocabulary in one window partition, a guaranteed straggler
+    * at 100 TB. The share test is integer-exact: 100·cum_mass ≥
+    * share%·total, no division anywhere.
+    *
+    * Output: one row (cutoff_count, vocab_size, covered_tokens,
+    * total_tokens) with covered_tokens ≥ share of total by construction.
+    */
+  def vocabCoverage(
+      df: DataFrame, textCol: Column, sharePct: Int): DataFrame = {
+    require(sharePct > 0 && sharePct <= 100, s"sharePct in (0,100]: $sharePct")
+    val counts = df.select(explode(split(textCol, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val byValue = counts.groupBy("c")
+      .agg(count(lit(1)).as("types"), sum("c").as("mass"))
+    val w = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("cum_mass", sum("mass").over(w))
+      .withColumn("cum_types", sum("types").over(w))
+      .crossJoin(broadcast(byValue.agg(sum("mass").as("total"))))
+      .filter(col("cum_mass") * 100 >= col("total") * sharePct)
+      .orderBy(col("c").desc)
+      .limit(1)
+      .select(col("c").as("cutoff_count"), col("cum_types").as("vocab_size"),
+        col("cum_mass").as("covered_tokens"), col("total").as("total_tokens"))
+  }
+
   /** Per-group distinct-cardinality estimate via the KMV (k-minimum-values)
     * sketch — "how many distinct tokens/urls/ids does each source have"
     * without ever materializing the distinct set.

@@ -140,6 +140,49 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Sampling.temperatureHalf" - {
+    "keeps the smallest stratum whole and cuts larger ones to the geometric mean" in {
+      import spark.implicits._
+      // strata sizes: a=4, b=100 → quotas: a=4, b=ceil(sqrt(400))=20
+      val df = ((1 to 4).map(i => (s"a", i.toLong)) ++
+        (1 to 100).map(i => ("b", 100L + i))).toDF("src", "id")
+      val got = Sampling.temperatureHalf(df, "src", "id")
+        .groupBy("src").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      got shouldBe Map("a" -> 4L, "b" -> 20L)
+    }
+
+    "is deterministic and a subset of the input" in {
+      val a = Sampling.temperatureHalf(docs, "source", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Sampling.temperatureHalf(docs, "source", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      a shouldBe b
+      val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+      a.subsetOf(all) shouldBe true
+    }
+  }
+
+  "Stats.vocabCoverage" - {
+    "picks the smallest count-threshold vocabulary reaching the share" in {
+      import spark.implicits._
+      // counts: a=4, b=2, c=1 (total 7); cum desc: 4 (57%), 6 (86%), 7
+      val df = Seq("a a a a b b c").toDF("text")
+      val r95 = Stats.vocabCoverage(df, col("text"), 95).collect()(0)
+      (r95.getLong(0), r95.getLong(1), r95.getLong(2), r95.getLong(3)) shouldBe
+        ((1L, 3L, 7L, 7L))
+      val r80 = Stats.vocabCoverage(df, col("text"), 80).collect()(0)
+      (r80.getLong(0), r80.getLong(1), r80.getLong(2), r80.getLong(3)) shouldBe
+        ((2L, 2L, 6L, 7L))
+    }
+
+    "covers at least the share on the corpus" in {
+      val r = Stats.vocabCoverage(docs, col("text"), 95).collect()(0)
+      (r.getLong(2) * 100) should be >= (r.getLong(3) * 95)
+      r.getLong(1) should be > 0L
+    }
+  }
+
   "Stats.kmvDistinct" - {
     "is exact below the cap (sketch_size = true distinct count)" in {
       import spark.implicits._
