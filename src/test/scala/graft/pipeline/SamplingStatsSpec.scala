@@ -211,6 +211,18 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       a shouldBe b
     }
 
+    "aggregates with a map-side partial (the sketch's whole point)" in {
+      val tok = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val plan = Stats.kmvDistinct(tok, "source", col("tok"), k = 32)
+        .queryExecution.executedPlan.toString
+      // TypedImperativeAggregate plans as ObjectHashAggregate, once in
+      // partial mode below the exchange and once in final mode above it
+      "ObjectHashAggregate".r.findAllIn(plan).size shouldBe 2
+      plan should include("partial_bottomkdistinct")
+    }
+
     "estimates true cardinality within KMV error bounds" in {
       import spark.implicits._
       // 5000 distinct ids, k=256 ⇒ relative error ~1/√254 ≈ 6%; allow 5σ

@@ -266,6 +266,18 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect().map(r => (r.getString(0), r.getString(1)))
       got.toSeq shouldBe Seq(("a", "b")) // "b a"/"c d" occur once
     }
+
+    "plans top-k via TakeOrdered with no cartesian join" in {
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.001/documents.parquet")
+      val plan = TextAnalysis.collocations(docs, col("text"), 5L, 100)
+        .queryExecution.executedPlan.toString
+      plan should include("TakeOrderedAndProject")
+      // the only nested-loop joins are the broadcast scalar attaches
+      // (1-row N_uni / N_bi totals); a real cartesian would plan as
+      // CartesianProduct (both sides partitioned)
+      plan should not include "CartesianProduct"
+    }
   }
 
   "Sampling.mixExact" - {
