@@ -2424,12 +2424,12 @@ object SparkEntry {
         |  replace(replace(replace(replace(replace(replace(
         |    regexp_replace(
         |      regexp_replace(
-        |        regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        regexp_replace(html, '(?si)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?si)<style[^>]*>.*?</style>', ' ', 'g'),
         |      '<[^>]+>', ' ', 'g'),
         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         |    '&nbsp;', ' '), '&amp;', '&'),
-        |  '\s+', ' ', 'g')) AS clean_text
+        |  '[ \t\n\r\f\x0B]+', ' ', 'g')) AS clean_text
         |FROM page ORDER BY doc_id""".stripMargin,
 
     // same synthetic URLs, same split-algebra host (lowercased), same

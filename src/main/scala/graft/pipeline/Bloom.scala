@@ -43,7 +43,10 @@ object Bloom {
   def build(ref: DataFrame, keyCol: Column, m: Int, j: Int): Array[Byte] = {
     require(m > 0 && (m & 7) == 0, s"bloom: m must be a positive multiple of 8, got $m")
     val bits = new Array[Byte](m / 8)
-    ref.select(explode(positions(keyCol, m, j)).as("p")).distinct()
+    // NULL keys contribute no bits (their position array is NULL — the
+    // collect below would NPE); probes of NULL keys are likewise false
+    ref.filter(keyCol.isNotNull)
+      .select(explode(positions(keyCol, m, j)).as("p")).distinct()
       .collect().foreach { r =>
         val p = r.getLong(0)
         bits((p >>> 3).toInt) = (bits((p >>> 3).toInt) | (1 << (p & 7).toInt)).toByte

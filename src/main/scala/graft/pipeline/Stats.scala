@@ -130,10 +130,14 @@ object Stats {
       .agg(count(lit(1)).as("types"), sum("c").as("mass"))
     val w = Window.orderBy(col("c").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // total via a whole-partition window over the SAME compressed rows
+    // (not a crossJoin of byValue.agg(...) — that re-runs the corpus
+    // explode+count in a second plan branch)
+    val whole = Window.partitionBy(Seq.empty[Column]: _*)
     byValue
       .withColumn("cum_mass", sum("mass").over(w))
       .withColumn("cum_types", sum("types").over(w))
-      .crossJoin(broadcast(byValue.agg(sum("mass").as("total"))))
+      .withColumn("total", sum("mass").over(whole))
       .filter(col("cum_mass") * 100 >= col("total") * sharePct)
       .orderBy(col("c").desc)
       .limit(1)

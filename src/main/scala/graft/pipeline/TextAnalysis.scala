@@ -309,14 +309,18 @@ object TextAnalysis {
     * deterministic, distributable 95% that handles machine-generated
     * pages; rows are independent, so the operator scales as a pure map. */
   def stripMarkup(text: Column): Column = {
-    val noScript = regexp_replace(text, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    // (?i): crawled HTML commonly uses <SCRIPT>/<Style>; without it their
+    // bodies would leak into the text. Whitespace collapses via an
+    // EXPLICIT class, not \s — Java's \s includes \x0B, RE2's does not,
+    // and the oracle replay must be byte-exact on any input.
+    val noScript = regexp_replace(text, "(?si)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?si)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
     val decoded = Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f\\x0B]+", " "))
   }
 
   /** Collocation discovery: the top-k bigrams by LIFT — the phrase-mining
@@ -342,12 +346,19 @@ object TextAnalysis {
     * the count columns to decimal in the same algebra. */
   def collocations(
       df: DataFrame, textCol: Column, minCount: Long, k: Int): DataFrame = {
+    // both count tables are re-read (uni: two joins + the total; bi: the
+    // minCount filter + the total) — persist the vocabulary-sized
+    // aggregates so the corpus explode+count runs ONCE per table (same
+    // rationale as Stats.corpusOverlap's persist; exchange reuse is not
+    // guaranteed across differently-projected branches)
     val uni = df.select(explode(split(textCol, " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .persist()
     val bi = df.select(
         explode(graft.functions.TextFunctions.word_pairs(textCol)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cxy"))
+      .persist()
     val nUni = uni.agg(sum("c").as("nu"))
     val nBi = bi.agg(sum("cxy").as("nb"))
     bi.filter(col("cxy") >= minCount)

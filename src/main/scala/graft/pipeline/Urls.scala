@@ -11,14 +11,21 @@ import org.apache.spark.sql.functions._
 object Urls {
 
   /** Lowercased host of a URL — split algebra (everything between the
-    * first "//" and the next "/"), deliberately NOT `parse_url`: the same
-    * two split operations exist in every SQL dialect, so host assignment
-    * replays exactly in the oracle, and both are codegen'd string builtins
-    * (no UDF, no regex engine in the hot path). Port/userinfo, if present,
-    * are kept as part of the host key — for a frequency cap the key only
-    * has to be stable, not RFC-parsed. */
-  def hostOf(url: Column): Column =
-    lower(substring_index(substring_index(url, "//", -1), "/", 1))
+    * FIRST "//" and the next "/"; a later "//" in a path or redirect
+    * param must not win), deliberately NOT `parse_url`: the same
+    * operations exist in every SQL dialect, so host assignment replays
+    * exactly in the oracle (`split_part(split_part(url,'//',2),'/',1)`),
+    * and all of instr/substr/substring_index are codegen'd builtins (no
+    * UDF, no regex engine in the hot path). No "//" ⇒ empty host, like
+    * split_part's missing-field ''. Port/userinfo, if present, are kept
+    * as part of the host key — for a frequency cap the key only has to
+    * be stable, not RFC-parsed. */
+  def hostOf(url: Column): Column = {
+    val p = instr(url, "//")
+    lower(when(p > 0,
+      substring_index(url.substr(p + 2, length(url)), "/", 1))
+      .otherwise(lit("")))
+  }
 
   /** Keep at most `cap` rows per key, chosen in deterministic md5-hash
     * order of `idCol` (= a reproducible uniform shuffle within the key,

@@ -53,6 +53,18 @@ class BloomSpec extends AnyFreeSpec with Matchers with SparkFixture {
       plan should include("*(1) Filter") // whole-stage-codegen'd stage
     }
 
+    "NULL keys are excluded on both sides (no NPE, no candidate)" in {
+      import org.apache.spark.sql.types._
+      val rows = java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "present"),
+        org.apache.spark.sql.Row(2L, null))
+      val schema = StructType(Seq(StructField("id", LongType, false),
+        StructField("k", StringType, true)))
+      val withNull = spark.createDataFrame(rows, schema)
+      val got = Bloom.prefilterVerify(withNull, withNull, "k", m = 256, j = 3)
+      got.select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    }
+
     "build produces at most min(n*j, m) set bits" in {
       val bits = Bloom.build(ref, col("k"), m = 1 << 16, j = 3)
       val set = bits.map(b => java.lang.Integer.bitCount(b & 0xff)).sum

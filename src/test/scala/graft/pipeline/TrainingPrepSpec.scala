@@ -243,6 +243,14 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .select(TextAnalysis.stripMarkup(col("t")))
         .collect()(0).getString(0) shouldBe "just words"
     }
+
+    "uppercase SCRIPT/Style blocks are dropped too (crawled HTML is sloppy)" in {
+      import spark.implicits._
+      val got = Seq("<SCRIPT>var t = track();</SCRIPT><Style>b{}</Style>ok")
+        .toDF("t").select(TextAnalysis.stripMarkup(col("t")))
+        .collect()(0).getString(0)
+      got shouldBe "ok"
+    }
   }
 
   "TextAnalysis.collocations" - {

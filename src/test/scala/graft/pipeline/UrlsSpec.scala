@@ -19,6 +19,15 @@ class UrlsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Seq("www.example.com", "a.b.c", "host:8080",
         "files.example.org")
     }
+
+    "takes the FIRST '//' — later ones in paths or params don't win" in {
+      val got = Seq(
+        "https://a.com/r?u=https://evil.com/x", // redirect param
+        "https://a.com//double/slash/path",     // path double-slash
+        "no-scheme-at-all/path").toDF("url")    // no '//' => empty host
+        .select(Urls.hostOf(col("url"))).collect().map(_.getString(0)).toSeq
+      got shouldBe Seq("a.com", "a.com", "")
+    }
   }
 
   "Urls.domainCap" - {
