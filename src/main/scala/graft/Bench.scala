@@ -29,7 +29,7 @@ object Bench {
     "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
     "e4_interval_join", "sample_stratified", "sample_temperature",
     "stat_vocab_coverage", "stat_quantiles",
-    "stat_source_drift", "stat_kmv_distinct",
+    "stat_source_drift", "stat_kmv_distinct", "stat_kmv_incremental",
     "stat_heavy_hitters", "stat_rollup")
 
   def main(args: Array[String]): Unit = {

@@ -1454,6 +1454,31 @@ object SparkEntry {
         .select(col("doc_id"), col("confirmed")).orderBy("doc_id")
     }),
 
+    "stat_kmv_incremental" -> ((s, dir) => {
+      // persisted-sketch increment (the production cadence: sketch each
+      // slice once, estimate forever): per-source token sketches of the
+      // even and odd half-corpora are WRITTEN as parquet tables, read
+      // back, and merged WITHOUT touching the corpus again. The sketch
+      // identity bottom-k(bottom-k(A) ∪ bottom-k(B)) = bottom-k(A ∪ B) is
+      // exact, so the oracle replays the DIRECT whole-corpus sketch — the
+      // gate itself verifies the merge identity
+      val base = scratchDir(s, "kmvinc", dir)
+      val docs = t(s, dir, "documents")
+      def toks(part: org.apache.spark.sql.DataFrame) = part
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      graft.pipeline.Stats.kmvSketches(
+          toks(docs.filter(col("doc_id") % 2 === 0)), "source", col("tok"), 64)
+        .write.mode("overwrite").parquet(s"$base/sk_even")
+      graft.pipeline.Stats.kmvSketches(
+          toks(docs.filter(col("doc_id") % 2 =!= 0)), "source", col("tok"), 64)
+        .write.mode("overwrite").parquet(s"$base/sk_odd")
+      val merged = graft.pipeline.Stats.kmvMergeSketches(
+        s.read.parquet(s"$base/sk_even")
+          .unionByName(s.read.parquet(s"$base/sk_odd")), "source", 64)
+      graft.pipeline.Stats.kmvEstimate(merged, "source", 64).orderBy("source")
+    }),
+
     "stat_kmv_distinct" -> ((s, dir) => {
       // per-source vocabulary-size estimate via the KMV bottom-k sketch:
       // aggregate state is at most k longs per group (native
@@ -2506,26 +2531,12 @@ object SparkEntry {
     // bottom-64 distinct set (row_number over the distinct hashes), same
     // (k−1)·2⁶⁰/h_k estimator — every factor an exactly-representable
     // double, one division
-    "stat_kmv_distinct" ->
-      """WITH tok AS (
-        |  SELECT source, unnest(string_split(text, ' ')) AS tok
-        |  FROM documents),
-        |h AS (
-        |  SELECT DISTINCT source,
-        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
-        |  FROM tok WHERE tok != ''),
-        |r AS (
-        |  SELECT source, h,
-        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        |  FROM h),
-        |s AS (
-        |  SELECT source, COUNT(*) AS sketch_size, MAX(h) AS h_k
-        |  FROM r WHERE rn <= 64 GROUP BY source)
-        |SELECT source, sketch_size, h_k,
-        |       CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
-        |            ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
-        |                   / CAST(h_k AS DOUBLE) END AS est_distinct
-        |FROM s ORDER BY source""".stripMargin,
+    "stat_kmv_distinct" -> kmvOracle,
+    // the SAME direct-sketch replay: the entry goes through persisted
+    // half-corpus sketch tables + merge, and bottom-k(bottom-k(A) ∪
+    // bottom-k(B)) = bottom-k(A ∪ B) exactly — the gate verifies the
+    // merge identity
+    "stat_kmv_incremental" -> kmvOracle,
 
     // same shingle semantics as jaccardOracle, collapsed to distinct
     // (source, shingle) rows
@@ -2889,6 +2900,30 @@ object SparkEntry {
          |ORDER BY vec_id""".stripMargin)
     sb.toString
   }
+
+  /** KMV cardinality sketch replayed from the whole corpus — shared by the
+    * direct entry and the persisted-merge entry (whose result is identical
+    * by the sketch-union identity). */
+  private val kmvOracle =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT DISTINCT source,
+      |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM tok WHERE tok != ''),
+      |r AS (
+      |  SELECT source, h,
+      |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM h),
+      |s AS (
+      |  SELECT source, COUNT(*) AS sketch_size, MAX(h) AS h_k
+      |  FROM r WHERE rn <= 64 GROUP BY source)
+      |SELECT source, sketch_size, h_k,
+      |       CASE WHEN sketch_size < 64 THEN CAST(sketch_size AS DOUBLE)
+      |            ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+      |                   / CAST(h_k AS DOUBLE) END AS est_distinct
+      |FROM s ORDER BY source""".stripMargin
 
   // -- shared DuckDB fragments for the text-analysis oracles: the
   // composed corpus filter must gate on EXACTLY the formulas the

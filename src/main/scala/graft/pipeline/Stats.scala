@@ -169,21 +169,44 @@ object Stats {
     */
   def kmvDistinct(
       df: DataFrame, groupCol: String, valueCol: Column,
-      k: Int): DataFrame = {
-    val sk = df
-      .select(col(groupCol), Sampling.md5Hash60(valueCol).as("__h"))
+      k: Int): DataFrame =
+    kmvEstimate(kmvSketches(df, groupCol, valueCol, k), groupCol, k)
+
+  /** The raw per-group KMV sketch: (group, sketch = sorted array of the
+    * ≤ k smallest distinct hashes). This IS the mergeable artifact —
+    * persist it per slice/day/source and union+re-cap later
+    * ([[kmvMergeSketches]]): bottom-k(bottom-k(A) ∪ bottom-k(B)) =
+    * bottom-k(A ∪ B), exactly. */
+  def kmvSketches(
+      df: DataFrame, groupCol: String, valueCol: Column,
+      k: Int): DataFrame =
+    df.select(col(groupCol), Sampling.md5Hash60(valueCol).as("__h"))
       .filter(col("__h").isNotNull)
       .groupBy(col(groupCol))
       .agg(graft.functions.SketchFunctions
-        .bottom_k_distinct(col("__h"), k).as("__sk"))
+        .bottom_k_distinct(col("__h"), k).as("sketch"))
+
+  /** Merge persisted sketches (multiple rows per group allowed — daily
+    * slices, per-source shards) back into one ≤ k sketch per group:
+    * explode + the same capped aggregate. Cost ∝ Σ|sketches|·k rows —
+    * NEVER touches the original corpus; that is the whole point of
+    * keeping sketch tables. */
+  def kmvMergeSketches(
+      sketches: DataFrame, groupCol: String, k: Int): DataFrame =
+    sketches.select(col(groupCol), explode(col("sketch")).as("__h"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchFunctions
+        .bottom_k_distinct(col("__h"), k).as("sketch"))
+
+  /** Estimator tail shared by the direct and merged paths. */
+  def kmvEstimate(sk: DataFrame, groupCol: String, k: Int): DataFrame =
     sk.select(col(groupCol),
-        size(col("__sk")).cast("long").as("sketch_size"),
-        element_at(col("__sk"), size(col("__sk"))).as("h_k"),
-        when(size(col("__sk")) < k, size(col("__sk")).cast("double"))
+        size(col("sketch")).cast("long").as("sketch_size"),
+        element_at(col("sketch"), size(col("sketch"))).as("h_k"),
+        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
           .otherwise(lit((k - 1).toDouble * (1L << 60).toDouble) /
-            element_at(col("__sk"), lit(k)).cast("double"))
+            element_at(col("sketch"), lit(k)).cast("double"))
           .as("est_distinct"))
-  }
 
   /** Composition drift per corpus slice: the total-variation distance
     * between each group's token distribution and the REST of the corpus —

@@ -223,6 +223,22 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       plan should include("partial_bottomkdistinct")
     }
 
+    "merging slice sketches equals the direct whole-input sketch" in {
+      val tok = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val direct = Stats.kmvDistinct(tok, "source", col("tok"), k = 32)
+        .orderBy("source").collect().toSeq
+      // three arbitrary slices, sketched independently then merged
+      val slices = (0 until 3).map(i =>
+        Stats.kmvSketches(tok.filter(pmod(xxhash64(col("tok")), lit(3)) === i),
+          "source", col("tok"), k = 32))
+      val merged = Stats.kmvEstimate(
+        Stats.kmvMergeSketches(slices.reduce(_ unionByName _), "source", 32),
+        "source", 32).orderBy("source").collect().toSeq
+      merged shouldBe direct
+    }
+
     "estimates true cardinality within KMV error bounds" in {
       import spark.implicits._
       // 5000 distinct ids, k=256 ⇒ relative error ~1/√254 ≈ 6%; allow 5σ
