@@ -70,9 +70,13 @@ object Content {
     // rowCount is rarely known statically; fall back to bytes (64B/row ≈
     // a URI string + a long — order-of-magnitude is all the guard needs)
     val stats = tomb.queryExecution.optimizedPlan.stats
-    val estRows = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / 64L)
-    val tombSide = if (estRows <= TombstoneBroadcastMax) broadcast(tomb) else tomb
+    // keep the estimate as BigInt: sizeInBytes can exceed Long range
+    // (join-product estimates), and a .toLong wrap-around to negative
+    // would force exactly the broadcast this guard exists to prevent
+    val estRows: BigInt = stats.rowCount
+      .getOrElse(stats.sizeInBytes / 64)
+    val tombSide =
+      if (estRows <= BigInt(TombstoneBroadcastMax)) broadcast(tomb) else tomb
     latest.filter(!col("is_deleted"))
       .join(tombSide, Seq("document_uri"), "left_outer")
       .filter(col("__tomb_rev").isNull || col("revision") > col("__tomb_rev"))

@@ -30,12 +30,21 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Cluster index (LongType) of the nearest centroid by cosine over a
-    * column `v` with precomputed norm `nrm` — first index wins ties. */
+    * column `v` with precomputed norm `nrm` — first index wins ties. A
+    * zero-norm centroid (possible if a median update collapses, or a
+    * degenerate seed) scores -1 instead of 0/0 = NaN: under Spark's
+    * NaN-is-greatest ordering a single NaN column would otherwise win
+    * `greatest` for EVERY row and swallow the whole corpus into one
+    * cluster (and diverge from the oracle, whose NaN ordering differs).
+    * Zero-norm ROWS are the caller's concern (embeddings are non-zero by
+    * contract). */
   private def assignTo(cents: IndexedSeq[Array[Double]]): Column = {
     val sims = cents.map { c =>
       val cn = math.sqrt(c.map(x => x * x).sum)
-      graft.functions.VectorFunctions.dot_product(col("v"), typedlit(c.toSeq)) /
-        (col("nrm") * lit(cn))
+      if (cn == 0.0) lit(-1.0)
+      else
+        graft.functions.VectorFunctions.dot_product(col("v"), typedlit(c.toSeq)) /
+          (col("nrm") * lit(cn))
     }
     val g = greatest(sims: _*)
     (1 until cents.size).foldLeft(when(sims(0) === g, lit(0L))) {

@@ -36,7 +36,22 @@ object SkewJoin {
       probe: DataFrame, build: DataFrame, keys: Seq[String],
       salts: Int, saltOn: Option[Column] = None): DataFrame = {
     require(salts > 1, s"salts must be > 1, got $salts")
-    val saltSource = saltOn.getOrElse(xxhash64(probe.columns.map(col): _*))
+    // default salt: every HASHABLE probe column — xxhash64 rejects
+    // MapType (at any nesting); such columns are skipped rather than
+    // failing analysis. Join keys are always hashable (maps can't be
+    // join keys), so the source is never empty.
+    val saltSource = saltOn.getOrElse {
+      def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.forall(f => hashable(f.dataType))
+        case _ => true
+      }
+      xxhash64(probe.schema.fields.collect {
+        case f if hashable(f.dataType) => col(f.name)
+      }.toIndexedSeq: _*)
+    }
     val scattered = probe.withColumn("__salt",
       pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
     val replicated = build.withColumn("__salt",

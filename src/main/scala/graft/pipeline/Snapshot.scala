@@ -18,16 +18,23 @@ object Snapshot {
     * (id, 16-byte hash) BEFORE the shuffle, so the exchange never carries
     * document bodies. One hash-shuffle per side on the unique id (no skew
     * by construction); AQE picks the join strategy from the real sizes —
-    * both sides are corpus-scale, so no broadcast hint belongs here. */
+    * both sides are corpus-scale, so no broadcast hint belongs here.
+    *
+    * Presence is tracked with explicit marker columns, NOT hash
+    * nullability: a NULL `textCol` must read as "id present with NULL
+    * content" (text→NULL is 'changed' via the null-safe compare;
+    * NULL→NULL is unchanged), never as "id absent". */
   def diff(old: DataFrame, cur: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = old.select(col(idCol).as("id"), md5(col(textCol)).as("__h_old"))
-    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new"))
+    val o = old.select(col(idCol).as("id"), md5(col(textCol)).as("__h_old"),
+      lit(true).as("__in_old"))
+    val c = cur.select(col(idCol).as("id"), md5(col(textCol)).as("__h_new"),
+      lit(true).as("__in_new"))
     o.join(c, Seq("id"), "full_outer")
       .withColumn("change",
-        when(col("__h_old").isNull, "added")
-          .when(col("__h_new").isNull, "removed")
-          .when(col("__h_old") =!= col("__h_new"), "changed"))
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("__h_old") <=> col("__h_new")), "changed"))
       .filter(col("change").isNotNull)
       .select(col("id"), col("change"))
   }

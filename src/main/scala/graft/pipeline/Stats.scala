@@ -246,7 +246,12 @@ object Stats {
       .agg(sum("term").as("insum"), sum("r").as("rs"))
       .select(col("g"), col("n").as("n_tokens"),
         (col("insum") + col("n") * (col("nrest") - col("rs"))).as("drift_num"),
-        ((col("insum") + col("n") * (col("nrest") - col("rs"))).cast("double") /
-          (lit(2L) * col("n") * col("nrest")).cast("double")).as("tvd"))
+        // a single-group corpus has no "rest" (nrest = 0): TVD is
+        // undefined there — emit NULL, not the silent 0/0 = NaN that
+        // makes every alarm comparison false
+        when(col("nrest") === 0, lit(null).cast("double"))
+          .otherwise(
+            (col("insum") + col("n") * (col("nrest") - col("rs"))).cast("double") /
+              (lit(2L) * col("n") * col("nrest")).cast("double")).as("tvd"))
   }
 }

@@ -190,27 +190,6 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("rank"))
   }
 
-  /** Cross-document boilerplate line removal (the CCNet/C4 cleanup step):
-    * drop every line that occurs verbatim in more than `maxDocFreq`
-    * DISTINCT documents (navigation bars, cookie banners, license
-    * headers), keep the rest in original order. `linesCol` is the
-    * segmentation — `split(col(textCol), "\n")` when the corpus has real
-    * lines, [[graft.functions.TextFunctions.word_chunks]] as the
-    * pseudo-paragraph stand-in when it doesn't.
-    *
-    * Plan at scale: lines explode to (id, pos, line) — corpus-token
-    * volume; the boilerplate set is ONE two-phase count-distinct
-    * aggregate, filtered to lines above the frequency bar, which shrinks
-    * it to (total line occurrences / maxDocFreq) rows at most — small,
-    * but derived at runtime, so the anti-join is left UNHINTED and AQE
-    * picks broadcast-vs-shuffle from its real size (the Content.visible
-    * lesson: a structurally-"small" set can still blow past driver memory
-    * in the tail). Reassembly is per-document (sort_array over the doc's
-    * own kept lines — never a global sort), with the struct field
-    * extracted via GetArrayStructFields, not an interpreted lambda.
-    *
-    * Output: (id, clean_text, kept_lines); documents whose every line was
-    * boilerplate drop out (callers left-join and coalesce to empty). */
   /** C4-style rule-based segment cleanup — the per-document counterpart of
     * [[boilerplateLineDedup]] (which needs cross-document frequencies):
     * drop segments that are too short, contain a blocklisted phrase, or
@@ -278,6 +257,27 @@ object TextAnalysis {
         col("unique_shingles") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-document boilerplate line removal (the CCNet/C4 cleanup step):
+    * drop every line that occurs verbatim in more than `maxDocFreq`
+    * DISTINCT documents (navigation bars, cookie banners, license
+    * headers), keep the rest in original order. `linesCol` is the
+    * segmentation — `split(col(textCol), "\n")` when the corpus has real
+    * lines, [[graft.functions.TextFunctions.word_chunks]] as the
+    * pseudo-paragraph stand-in when it doesn't.
+    *
+    * Plan at scale: lines explode to (id, pos, line) — corpus-token
+    * volume; the boilerplate set is ONE two-phase count-distinct
+    * aggregate, filtered to lines above the frequency bar, which shrinks
+    * it to (total line occurrences / maxDocFreq) rows at most — small,
+    * but derived at runtime, so the anti-join is left UNHINTED and AQE
+    * picks broadcast-vs-shuffle from its real size (the Content.visible
+    * lesson: a structurally-"small" set can still blow past driver memory
+    * in the tail). Reassembly is per-document (sort_array over the doc's
+    * own kept lines — never a global sort), with the struct field
+    * extracted via GetArrayStructFields, not an interpreted lambda.
+    *
+    * Output: (id, clean_text, kept_lines); documents whose every line was
+    * boilerplate drop out (callers left-join and coalesce to empty). */
   def boilerplateLineDedup(df: DataFrame, idCol: String, linesCol: Column,
       maxDocFreq: Int, sep: String = " "): DataFrame = {
     val lines = df

@@ -138,6 +138,13 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       tv("even") shouldBe tv("odd") // both compare against the other half
       tv("even") should (be > 0.0 and be < 1.0)
     }
+
+    "a single-group corpus yields NULL tvd, not NaN" in {
+      import spark.implicits._
+      val one = Seq(("only", "a b c")).toDF("source", "text")
+      val row = Stats.tokenDrift(one, "source", col("text")).collect()(0)
+      row.isNullAt(3) shouldBe true
+    }
   }
 
   "Sampling.temperatureHalf" - {

@@ -24,6 +24,15 @@ class SkewJoinSpec extends AnyFreeSpec with Matchers with SparkFixture {
     got.columns.toSeq shouldBe want.columns.toSeq // no salt column leaks
   }
 
+  "a MapType probe column is skipped by the default salt, not a crash" in {
+    import spark.implicits._
+    val probe = (1 to 50).map(i => (i.toLong % 3, i, Map("a" -> i)))
+      .toDF("k", "v", "attrs")
+    val build = (0L to 2L).map(k => (k, s"b$k")).toDF("k", "name")
+    val got = SkewJoin.saltedJoin(probe, build, Seq("k"), salts = 4)
+    got.count() shouldBe 50L // analysis used to fail: hash() rejects maps
+  }
+
   "the join key carries the salt (hot key spreads across sub-keys)" in {
     import spark.implicits._
     val probe = (1 to 100).map(i => (0L, i)).toDF("k", "v")

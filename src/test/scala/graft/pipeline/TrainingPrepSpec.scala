@@ -546,6 +546,21 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
       Snapshot.diff(docs, docs, "doc_id", "text").count() shouldBe 0L
     }
 
+    "NULL text means present-with-NULL, not absent" in {
+      import org.apache.spark.sql.types._
+      def df(rows: Seq[(Long, String)]) = spark.createDataFrame(
+        java.util.Arrays.asList(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2)): _*),
+        StructType(Seq(StructField("doc_id", LongType, false),
+          StructField("text", StringType, true))))
+      // text → NULL is 'changed'; NULL → NULL is unchanged (no row)
+      val got = Snapshot.diff(
+          df(Seq(1L -> "x", 2L -> null)), df(Seq(1L -> null, 2L -> null)),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got shouldBe Map(1L -> "changed")
+    }
+
     "shuffles fingerprints, not document bodies" in {
       // the exchange must sit above the (id, md5) projection: text never
       // crosses the network

@@ -10,8 +10,17 @@ for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.refl
          java.base/sun.util.calendar; do
   ADDOPENS="$ADDOPENS --add-opens $p=ALL-UNNAMED"
 done
+# RAM-aware default heap (mirrors build.sbt): 40% of physical, capped at
+# 48g, floored at 4g — a hardcoded 48g would swap/OOM a smaller machine.
+if [ -z "$SPARK_DRIVER_MEM" ]; then
+  PHYS_MB=$(awk '/MemTotal/ {print int($2/1024)}' /proc/meminfo 2>/dev/null || echo 16384)
+  HEAP_MB=$(( PHYS_MB * 2 / 5 ))
+  [ "$HEAP_MB" -gt 49152 ] && HEAP_MB=49152
+  [ "$HEAP_MB" -lt 4096 ] && HEAP_MB=4096
+  SPARK_DRIVER_MEM="${HEAP_MB}m"
+fi
 exec java $ADDOPENS \
-  -Xmx${SPARK_DRIVER_MEM:-48g} -XX:ReservedCodeCacheSize=1g \
+  -Xmx${SPARK_DRIVER_MEM} -XX:ReservedCodeCacheSize=1g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"
