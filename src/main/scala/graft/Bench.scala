@@ -26,7 +26,8 @@ object Bench {
     "layout_zorder", "text_line_dedup",
     "text_classifier", "stat_corpus_overlap", "text_ngram_novelty",
     "text_c4_clean", "text_bigram_lift", "url_domain_cap", "text_html_strip",
-    "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "st5_quantize",
+    "w1_window_rank", "e1_sessionize", "e3_asof_attribution", "e5_funnel",
+    "e6_retention", "st5_quantize",
     "e4_interval_join", "sample_stratified", "sample_temperature",
     "stat_vocab_coverage", "stat_quantiles",
     "stat_source_drift", "stat_kmv_distinct", "stat_kmv_incremental",

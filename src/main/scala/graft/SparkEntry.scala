@@ -932,6 +932,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "e5_funnel" -> ((s, dir) => {
+      // strictly-ordered first-completion funnel view → click → purchase:
+      // each stage scans the log filtered to its own type and joins the
+      // user-sized accumulator; strict > keeps simultaneous events out
+      // identically on both engines
+      // full-precision ts (ns long), NOT ts_ms: the oracle compares µs
+      // timestamps, and ms truncation could merge a strictly-later event
+      // into equality
+      graft.pipeline.EventAnalytics.funnel(
+          events(s, dir), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .orderBy("step_no")
+    }),
+
+    "e6_retention" -> ((s, dir) => {
+      // weekly retention triangle: log collapses to distinct (user, week)
+      // in one two-phase aggregate; cohort = first active week; all
+      // integer arithmetic
+      graft.pipeline.EventAnalytics.retentionCohorts(
+          events(s, dir), "user_id", col("ts_ms"), bucket = 604800000L)
+        .orderBy("cohort", "offset")
+    }),
+
     "e4_interval_join" -> ((s, dir) => {
       // banded range join: per event, how many same-type events follow
       // within 10 minutes (+ the first one's timestamp) — an equi join on
@@ -1923,6 +1946,43 @@ object SparkEntry {
         |       LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |         AS prev_event_id
         |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    // same strictly-ordered first-completion chain, stage CTE per step;
+    // counts only, so timestamp representation never reaches the output
+    "e5_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, MIN(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (
+        |  SELECT e.user_id, s0.t0, MIN(e.ts) AS t1
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0
+        |  GROUP BY e.user_id, s0.t0),
+        |s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |  GROUP BY e.user_id, s1.t0, s1.t1)
+        |SELECT * FROM (
+        |  SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_no,
+        |         (SELECT COUNT(*) FROM s0) AS users
+        |  UNION ALL
+        |  SELECT 'click', CAST(2 AS BIGINT), (SELECT COUNT(*) FROM s1)
+        |  UNION ALL
+        |  SELECT 'purchase', CAST(3 AS BIGINT), (SELECT COUNT(*) FROM s2))
+        |ORDER BY step_no""".stripMargin,
+
+    // weekly retention triangle from distinct (user, epoch-ms week);
+    // integer arithmetic only
+    "e6_retention" ->
+      """WITH up AS (
+        |  SELECT DISTINCT user_id AS u, epoch_ms(ts) // 604800000 AS w
+        |  FROM events),
+        |c AS (SELECT u, MIN(w) AS cohort FROM up GROUP BY u)
+        |SELECT c.cohort, up.w - c.cohort AS "offset", COUNT(*) AS users
+        |FROM up JOIN c USING (u)
+        |GROUP BY c.cohort, up.w - c.cohort
+        |ORDER BY cohort, "offset"""".stripMargin,
 
     "e1_sessionize" ->
       """WITH g AS (

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+class EventAnalyticsSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  import spark.implicits._
+
+  "EventAnalytics.funnel" - {
+    "counts strictly-ordered first completions per stage" in {
+      val ev = Seq(
+        // user 1 completes A(10) -> B(20) -> C(30)
+        (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+        // user 2: B before A — stalls at A
+        (2L, "B", 5L), (2L, "A", 10L),
+        // user 3: A then C (no B) — stalls after A
+        (3L, "A", 1L), (3L, "C", 2L),
+        // user 4: never does A
+        (4L, "B", 1L), (4L, "C", 2L)).toDF("user_id", "typ", "ts")
+      val got = EventAnalytics.funnel(ev, "user_id", "typ", "ts",
+          Seq("A", "B", "C"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      got shouldBe Map("A" -> 3L, "B" -> 1L, "C" -> 1L)
+    }
+
+    "simultaneous events do not advance the funnel (strict >)" in {
+      val ev = Seq((1L, "A", 10L), (1L, "B", 10L)).toDF("user_id", "typ", "ts")
+      val got = EventAnalytics.funnel(ev, "user_id", "typ", "ts", Seq("A", "B"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      got shouldBe Map("A" -> 1L, "B" -> 0L)
+    }
+
+    "first-completion anchoring maximizes depth (earliest A counts, not latest)" in {
+      // A at 10 and 100; B at 50: anchoring at A=10 lets B=50 qualify
+      val ev = Seq((1L, "A", 10L), (1L, "A", 100L), (1L, "B", 50L))
+        .toDF("user_id", "typ", "ts")
+      val got = EventAnalytics.funnel(ev, "user_id", "typ", "ts", Seq("A", "B"))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      got shouldBe Map("A" -> 1L, "B" -> 1L)
+    }
+  }
+
+  "EventAnalytics.retentionCohorts" - {
+    "builds the (cohort, offset) triangle from distinct active periods" in {
+      val ev = Seq(
+        // user 1: weeks 0, 1, 3 (cohort 0)
+        (1L, 5L), (1L, 15L), (1L, 35L), (1L, 36L),
+        // user 2: weeks 1, 3 (cohort 1)
+        (2L, 12L), (2L, 33L),
+        // user 3: week 3 only (cohort 3)
+        (3L, 30L)).toDF("user_id", "ts")
+      val got = EventAnalytics.retentionCohorts(ev, "user_id", col("ts"), 10L)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      got shouldBe Map(
+        (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L,
+        (1L, 0L) -> 1L, (1L, 2L) -> 1L,
+        (3L, 0L) -> 1L)
+    }
+
+    "offset zero equals the cohort size" in {
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("user_id"),
+          (unix_micros(col("ts").cast("timestamp")) / 1000).cast("long").as("ts_ms"))
+      val tri = EventAnalytics.retentionCohorts(ev, "user_id", col("ts_ms"),
+        604800000L)
+      val zero = tri.filter(col("offset") === 0)
+        .agg(sum("users")).collect()(0).getLong(0)
+      val users = ev.select("user_id").distinct().count()
+      zero shouldBe users
+    }
+  }
+}
