@@ -22,7 +22,8 @@ object Bench {
     "text_decontaminate", "pack_sequences", "dedup_semantic",
     "pipeline_train_prep",
     "sample_mix", "embed_kmedians", "text_top_terms", "dedup_substring",
-    "dedup_incremental", "dedup_bloom_prefilter", "corpus_diff",
+    "dedup_incremental", "dedup_bloom_prefilter", "src_json_roundtrip",
+    "corpus_diff",
     "layout_zorder", "text_line_dedup",
     "text_classifier", "stat_corpus_overlap", "text_ngram_novelty",
     "text_c4_clean", "text_bigram_lift", "url_domain_cap", "text_html_strip",

@@ -932,6 +932,31 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "src_json_roundtrip" -> ((s, dir) => {
+      // JSON-lines ingestion path (the reference's native document
+      // format): corpus → gzip JSONL → read back under an EXPLICIT schema
+      // (schema inference is a second full pass at 100 TB — never rely on
+      // it) → byte-identical rows. The oracle is the identity SELECT, so
+      // the gate proves the round trip preserves every value (unicode,
+      // quotes, embedded newlines) through the codec
+      val base = scratchDir(s, "srcjson", dir)
+      val docs = t(s, dir, "documents")
+      docs.write.option("compression", "gzip").json(s"$base/docs")
+      s.read.schema(docs.schema).json(s"$base/docs")
+        .select(docs.columns.map(col): _*).orderBy("doc_id")
+    }),
+
+    "src_orc_roundtrip" -> ((s, dir) => {
+      // same contract through the ORC reader/writer (columnar alternative
+      // when the lake standard isn't parquet); explicit schema, identity
+      // oracle
+      val base = scratchDir(s, "srcorc", dir)
+      val docs = t(s, dir, "documents")
+      docs.write.orc(s"$base/docs")
+      s.read.schema(docs.schema).orc(s"$base/docs")
+        .select(docs.columns.map(col): _*).orderBy("doc_id")
+    }),
+
     "e5_funnel" -> ((s, dir) => {
       // strictly-ordered first-completion funnel view → click → purchase:
       // each stage scans the log filtered to its own type and joins the
@@ -1946,6 +1971,15 @@ object SparkEntry {
         |       LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |         AS prev_event_id
         |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    // identity: the entries exist to prove the JSON/ORC round trip
+    // changes nothing
+    "src_json_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // same strictly-ordered first-completion chain, stage CTE per step;
     // counts only, so timestamp representation never reaches the output

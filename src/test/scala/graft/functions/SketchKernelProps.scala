@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Pure-JVM property pins for the newest kernels (no SparkSession):
+  * WordPairs against a directly-written reference, BitsetContains against
+  * set membership. */
+object SketchKernelProps extends Properties("SketchKernels") {
+
+  // texts with empty tokens, repeats and unicode mixed in
+  private val token: Gen[String] = Gen.frequency(
+    5 -> Gen.listOfN(3, Gen.alphaNumChar).map(_.mkString),
+    1 -> Gen.const(""),            // consecutive-space artifact
+    1 -> Gen.const("émö"),         // non-ASCII
+    2 -> Gen.const("dup"))         // force repeated pairs
+  private val text: Gen[String] =
+    Gen.listOf(token).map(_.mkString(" "))
+
+  property("wordPairs = adjacent non-empty pairs, repeats kept") =
+    forAll(text) { s =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty).toSeq
+      val want =
+        if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+        else Seq.empty[String]
+      val got = TextKernels.wordPairs(UTF8String.fromString(s))
+        .toObjectArray(StringType).map(_.toString).toSeq
+      got == want
+    }
+
+  private val posSet: Gen[(Set[Long], Int)] = for {
+    mBytes <- Gen.choose(1, 64)
+    ps <- Gen.listOf(Gen.choose(0L, mBytes * 8L - 1))
+  } yield (ps.toSet, mBytes)
+
+  property("bitsetContains = membership of the set bits") =
+    forAll(posSet) { case (ps, mBytes) =>
+      val bits = new Array[Byte](mBytes)
+      ps.foreach { p =>
+        bits((p >>> 3).toInt) =
+          (bits((p >>> 3).toInt) | (1 << (p & 7).toInt)).toByte
+      }
+      val expr = (p: Long) => BitsetContains(
+        Literal(bits, BinaryType), Literal(p, LongType))
+        .eval(null).asInstanceOf[Boolean]
+      (0L until mBytes * 8L).forall(p => expr(p) == ps.contains(p)) &&
+        !expr(mBytes * 8L) && !expr(-1L) // out-of-range is false, not error
+    }
+}
