@@ -893,6 +893,50 @@ object SparkEntry {
         .select("batch_id", "corpus_id").orderBy("batch_id", "corpus_id")
     }),
 
+    "st11_stream_stream_join" -> ((s, dir) => {
+      // stream-stream time-interval join under a REAL micro-batch
+      // executor: views and clicks arrive as two independent file-source
+      // streams (two chunks each, maxFilesPerTrigger=1), inner-joined on
+      // user within [click-10min, click]. Watermarks bound the join state
+      // in production (state ∝ rate × disorder bound); the replay uses a
+      // full-span bound so NOTHING is ever late and the final table is
+      // exactly the batch join — which is what the oracle replays.
+      // Event time = µs timestamps derived from the normalized ns longs
+      val base = scratchDir(s, "st11", dir)
+      val ev = events(s, dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ets").as("vts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("cts"))
+      views.filter(col("view_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/v")
+      views.filter(col("view_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/v")
+      clicks.filter(col("click_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/c")
+      clicks.filter(col("click_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/c")
+      val vs = s.readStream.schema(s.read.parquet(s"$base/v").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/v")
+        .withWatermark("vts", "40 days")
+      val cs = s.readStream.schema(s.read.parquet(s"$base/c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/c")
+        .withWatermark("cts", "40 days")
+      val q = cs.join(vs,
+          expr("c_user = v_user AND vts <= cts AND " +
+            "vts >= cts - INTERVAL 10 MINUTES"))
+        .select("click_id", "view_id")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("click_id", "view_id")
+    }),
+
     "e3_asof_attribution" -> ((s, dir) => {
       // backward as-of join (purchase ← latest prior click per user):
       // union-tagged single-shuffle window plan, no range-join explosion
@@ -1971,6 +2015,20 @@ object SparkEntry {
         |       LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |         AS prev_event_id
         |FROM events WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    // the stream-stream join's final table is exactly the batch
+    // time-interval join (full-span watermark: nothing late in replay)
+    "st11_stream_stream_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS vts FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.click_id, v.view_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 10 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
 
     // identity: the entries exist to prove the JSON/ORC round trip
     // changes nothing
