@@ -104,6 +104,16 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pass1":${passJson(pass1)},"pass2":${passJson(pass2)},""" +
       s""""failed":$failed,"sf":"$sfDir"}""")
+    // the detail line above is ~6 KB and the driver keeps only the last
+    // ~2 KB of stdout — a SECOND, compact summary line printed LAST is
+    // guaranteed to sit whole inside that tail, so the headline numbers
+    // survive truncation (r5's did not)
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${names.size},"failed":$failed,""" +
+      s""""slowest":$slowest,"sf":"$sfDir","note":"summary; per-query detail on the previous line"}""")
     spark.stop()
   }
 }

@@ -130,17 +130,17 @@ case class BitsetContains(left: Expression, right: Expression)
   override def nullSafeEval(bitsAny: Any, posAny: Any): Any = {
     val bits = bitsAny.asInstanceOf[Array[Byte]]
     val pos = posAny.asInstanceOf[Long]
-    val idx = (pos >>> 3).toInt
-    pos >= 0 && idx < bits.length && (bits(idx) & (1 << (pos & 7).toInt)) != 0
+    // range-check in LONG before narrowing: pos ≥ 2³⁴ would wrap the Int
+    // index (negative ⇒ AIOOBE; larger ⇒ aliased bit read = spurious true)
+    pos >= 0 && pos < (bits.length.toLong << 3) &&
+      (bits((pos >>> 3).toInt) & (1 << (pos & 7).toInt)) != 0
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (bits, pos) => {
-      val idx = ctx.freshName("idx")
       s"""
-         |int $idx = (int)($pos >>> 3);
-         |${ev.value} = $pos >= 0 && $idx < $bits.length &&
-         |  ($bits[$idx] & (1 << (int)($pos & 7))) != 0;
+         |${ev.value} = $pos >= 0L && $pos < ((long)$bits.length << 3) &&
+         |  ($bits[(int)($pos >>> 3)] & (1 << (int)($pos & 7))) != 0;
        """.stripMargin
     })
 

@@ -68,9 +68,12 @@ object Clustering {
       .withColumn("nrm",
         sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
       .persist()
-    val dim = corpus.select(size(col("v"))).first().getInt(0)
+    // one init job, not two: dim comes from the seed vectors themselves
+    // (embeddings are fixed-width by contract) instead of a separate first()
     var cents: IndexedSeq[Array[Double]] = corpus.orderBy("id").limit(k)
       .select("v").collect().map(_.getSeq[Double](0).toArray).toIndexedSeq
+    require(cents.nonEmpty, "empty corpus")
+    val dim = cents.head.length
     for (_ <- 1 to iters) {
       val comps = corpus.withColumn("cluster", assignTo(cents))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "comp")))

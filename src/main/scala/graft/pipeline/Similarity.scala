@@ -201,24 +201,32 @@ object Similarity {
     * production deployment composes both (IVF-PQ) by feeding this
     * encoding to the probed lists.
     *
-    * Deterministic by construction, like the IVF coarse quantizer: the
-    * per-subspace codebook is the subvectors of the first `ncodes` corpus
-    * vectors in id order (k-means codebooks plug into the same shape).
-    * Encoding minimizes exact L2 (expanded as (s·s − 2·s·w) + w·w, fixed
-    * association so an external oracle replays the double sequence
-    * bit-identically); ties take the lowest code. Scoring sums the m
-    * sub-dot-products left-associated, ranks by ADC score desc then id.
+    * Deterministic by construction, like the IVF coarse quantizer:
+    * codebooks SEED as the subvectors of the first `ncodes` corpus vectors
+    * in id order, then train with `trainIters` Lloyd rounds — L2-argmin
+    * assignment and an exact component-wise MEDIAN update (the
+    * [[Clustering.kmediansAssign]] recipe: a median is an order-independent
+    * selection, so the trained book replays bit-identically in an external
+    * engine, which a distributed double mean never could). An empty cell
+    * keeps its previous codeword. Encoding minimizes exact L2 (expanded as
+    * (s·s − 2·s·w) + w·w, fixed association so an external oracle replays
+    * the double sequence bit-identically); ties take the lowest code.
+    * Scoring sums the m sub-dot-products left-associated, ranks by ADC
+    * score desc then id.
     *
     * Scale shape: codebooks are driver-collected literals (m × ncodes ×
-    * dim/m doubles — bounded, tiny); encoding is a shuffle-free codegen'd
+    * dim/m doubles — bounded, tiny); training adds `trainIters` jobs, each
+    * one corpus scan + a codebook-sized quantile aggregate (driver state
+    * never exceeds the book); encoding is a shuffle-free codegen'd
     * projection; the scored join carries only (id, m codes) per corpus
     * row — the full vectors never leave the encode scan. Approximate by
     * design: quantization error can reorder near-ties vs exact search. */
   def annPqTopK(
       df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, m: Int = 8, ncodes: Int = 8): DataFrame = {
+      queryPred: Column, k: Int, m: Int = 8, ncodes: Int = 8,
+      trainIters: Int = 2): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val book = pqTrain(corpus, m, ncodes)
+    val book = pqTrain(corpus, m, ncodes, trainIters)
     // the stored index: id + m byte-sized codes, vectors dropped
     val encoded = corpus.select(
       col("id") +: (0 until m).map(j => pqEncode(book, j).as(s"k$j")): _*)
@@ -232,37 +240,80 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("score"))
   }
 
-  /** PQ codebooks: per subspace `j`, the `ncodes` subvector slices of the
-    * first `ncodes` corpus vectors in id order — driver-collected literals
-    * (m × ncodes × dim/m doubles, bounded and tiny). */
+  /** PQ codebooks: per subspace `j`, `ncodes` codewords of dim/m doubles —
+    * driver-collected literals (m × ncodes × dim/m doubles, bounded and
+    * tiny). */
   private case class PqBook(m: Int, ncodes: Int, sub: Int,
       words: IndexedSeq[IndexedSeq[Seq[Double]]]) // words(j)(c)
 
-  private def pqTrain(corpus: DataFrame, m: Int, ncodes: Int): PqBook = {
-    val dim = corpus.select(size(col("v"))).first().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m subspaces $m")
-    val sub = dim / m
+  /** Seed = subvector slices of the first `ncodes` vectors in id order,
+    * then `iters` joint Lloyd rounds over ALL m subspaces at once: ONE
+    * corpus-scan job per round assigns every (vector, subspace) pair to
+    * its L2-argmin codeword and medians per (subspace, code, position)
+    * come back through the compressed-quantile aggregate — the same
+    * engine-replayable update as [[Clustering.kmediansAssign]]. An empty
+    * (j, c) cell keeps its previous codeword. */
+  private def pqTrain(
+      corpus: DataFrame, m: Int, ncodes: Int, iters: Int): PqBook = {
     val seeds = corpus.orderBy("id").limit(ncodes)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     require(seeds.length == ncodes, s"corpus smaller than ncodes=$ncodes")
-    PqBook(m, ncodes, sub, (0 until m).map(j =>
-      (0 until ncodes).map(c => seeds(c).slice(j * sub, (j + 1) * sub).toSeq)))
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m subspaces $m")
+    val sub = dim / m
+    var words: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map(j =>
+      (0 until ncodes).map(c => seeds(c).slice(j * sub, (j + 1) * sub).toSeq))
+    if (iters > 0) {
+      // (j, s): every subvector of every corpus vector, one explode —
+      // persisted because each round re-scans it (same barrier rationale
+      // as kmediansAssign's corpus persist)
+      val subs = corpus.select(explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("v"), j * sub + 1, sub).as("s"))): _*)).as("e"))
+        .select(col("e.j").as("j"), col("e.s").as("s"))
+        .persist()
+      for (_ <- 1 to iters) {
+        val assign = (1 until m).foldLeft(
+          when(col("j") === 0, pqArgmin(words(0), col("s")))) {
+            case (acc, j) => acc.when(col("j") === j, pqArgmin(words(j), col("s")))
+          }.otherwise(lit(ncodes - 1)) // unreachable: j ∈ [0, m)
+        val comps = subs.withColumn("c", assign)
+          .select(col("j"), col("c"), posexplode(col("s")).as(Seq("pos", "comp")))
+          .withColumn("g",
+            ((col("j") * ncodes + col("c")) * sub + col("pos")).cast("long"))
+        val med = Stats.groupQuantiles(comps, "g", col("comp"), Seq(0.5))
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        words = (0 until m).map { j =>
+          (0 until ncodes).map { c =>
+            val old = words(j)(c)
+            (0 until sub).map { p =>
+              med.getOrElse(((j * ncodes + c) * sub + p).toLong, old(p))
+            }
+          }
+        }
+      }
+      subs.unpersist()
+    }
+    PqBook(m, ncodes, sub, words)
   }
 
-  /** Code of subspace `j` for the vector in `v`: argmin over codewords of
-    * exact L2 (expanded as (s·s − 2·s·w) + w·w — fixed association so an
-    * external oracle replays the double sequence), ties → lowest code. */
-  private def pqEncode(book: PqBook, j: Int): Column = {
-    val s = slice(col("v"), j * book.sub + 1, book.sub)
-    val d2s = (0 until book.ncodes).map { c =>
-      val w = typedlit(book.words(j)(c))
+  /** Argmin over `wordsJ` of exact L2 to the subvector in `s` (expanded as
+    * (s·s − 2·s·w) + w·w — fixed association so an external oracle replays
+    * the double sequence), ties → lowest code. */
+  private def pqArgmin(wordsJ: IndexedSeq[Seq[Double]], s: Column): Column = {
+    val d2s = wordsJ.map { wd =>
+      val w = typedlit(wd)
       (dot(s, s) - lit(2.0) * dot(s, w)) + dot(w, w)
     }
     val g = least(d2s: _*)
-    (1 until book.ncodes).foldLeft(when(d2s(0) === g, lit(0))) {
+    (1 until wordsJ.size).foldLeft(when(d2s(0) === g, lit(0))) {
       case (acc, c) => acc.when(d2s(c) === g, lit(c))
-    }.otherwise(lit(book.ncodes - 1))
+    }.otherwise(lit(wordsJ.size - 1))
   }
+
+  /** Code of subspace `j` for the vector in `v`. */
+  private def pqEncode(book: PqBook, j: Int): Column =
+    pqArgmin(book.words(j), slice(col("v"), j * book.sub + 1, book.sub))
 
   /** ADC score from the query vector in `qv` against codes `k0..k{m-1}`:
     * per subspace, decode the code to its literal codeword and dot it with
@@ -288,8 +339,9 @@ object Similarity {
     * per-query window.
     *
     * Deterministic like its parents: coarse centroids are the first
-    * `nlist` vectors, codebooks the subvector slices of the first
-    * `ncodes`, both in id order. Codes quantize RAW vectors (classic
+    * `nlist` vectors in id order; codebooks seed from the first `ncodes`
+    * and train with `trainIters` median-update Lloyd rounds (see
+    * [[annPqTopK]]). Codes quantize RAW vectors (classic
     * IVF-PQ encodes residuals v − centroid; that refinement plugs into
     * the same shape at the cost of per-list codebooks in the oracle).
     * Approximate on two axes: list pruning loses cross-list neighbors,
@@ -297,9 +349,9 @@ object Similarity {
   def annIvfPqTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ncodes: Int = 8): DataFrame = {
+      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val book = pqTrain(corpus, m, ncodes)
+    val book = pqTrain(corpus, m, ncodes, trainIters)
     val centroids = corpus.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     def nearest(side: DataFrame, keep: Int): DataFrame = {

@@ -341,9 +341,11 @@ object TextAnalysis {
     * because both sides are post-explode aggregates whose static size
     * estimates undercount ~1000× (see Dedup.bandedSignatures) and a
     * corpus-vocabulary broadcast would OOM the driver at 100 TB. Top-k via
-    * TakeOrdered (no full sort). Long products stay exact while
-    * c_xy·N_uni² < 2⁶³ (~10⁶ counts × 10⁹-token corpus); past that, cast
-    * the count columns to decimal in the same algebra. */
+    * TakeOrdered (no full sort). Each count is cast to double BEFORE the
+    * multiplies (N_uni² alone overflows Long past a ~3·10⁹-token corpus):
+    * both sides of the division are left-associated products of exactly-
+    * represented integers (counts < 2⁵³), so every engine doing the same
+    * IEEE ops reproduces scores and ranks bit-identically. */
   def collocations(
       df: DataFrame, textCol: Column, minCount: Long, k: Int): DataFrame = {
     // both count tables are re-read (uni: two joins + the total; bi: the
@@ -369,8 +371,10 @@ object TextAnalysis {
       .join(uni.hint("merge").select(col("w").as("w2"), col("c").as("cy")), "w2")
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
       .select(col("w1"), col("w2"), col("cxy"), col("cx"), col("cy"),
-        ((col("cxy") * col("nu") * col("nu")).cast("double") /
-          (col("cx") * col("cy") * col("nb")).cast("double")).as("lift"))
+        ((col("cxy").cast("double") * col("nu").cast("double") *
+            col("nu").cast("double")) /
+          (col("cx").cast("double") * col("cy").cast("double") *
+            col("nb").cast("double"))).as("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
   }

@@ -39,6 +39,12 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect()(0).getBoolean(0) shouldBe true
       spark.sql("SELECT bitset_contains(X'0002', 8L) AS b")
         .collect()(0).getBoolean(0) shouldBe false
+      // positions past 2³⁴ would wrap the Int byte index without the
+      // long-range guard: must be false on the SQL (codegen) path too
+      spark.sql("SELECT bitset_contains(b, p) AS r FROM VALUES " +
+          "(X'0002', 17179869193L), (X'0002', 34359738375L), " +
+          "(X'0002', -9223372036854775808L) AS t(b, p)")
+        .collect().map(_.getBoolean(0)).toSeq shouldBe Seq(false, false, false)
     }
 
     "kernel size parameters must be plan-time literals" in {

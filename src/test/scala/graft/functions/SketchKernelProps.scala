@@ -46,7 +46,12 @@ object SketchKernelProps extends Properties("SketchKernels") {
       val expr = (p: Long) => BitsetContains(
         Literal(bits, BinaryType), Literal(p, LongType))
         .eval(null).asInstanceOf[Boolean]
+      // out-of-range is false, not error — including positions whose
+      // byte index overflows Int (would alias a live bit or throw if the
+      // range check ran after the narrowing)
+      val outOfRange = Seq(mBytes * 8L, -1L, Long.MinValue, Long.MaxValue,
+        1L << 34, (1L << 34) + ps.headOption.getOrElse(0L), (1L << 35) + 7L)
       (0L until mBytes * 8L).forall(p => expr(p) == ps.contains(p)) &&
-        !expr(mBytes * 8L) && !expr(-1L) // out-of-range is false, not error
+        outOfRange.forall(p => !expr(p))
     }
 }

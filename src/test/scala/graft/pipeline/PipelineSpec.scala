@@ -191,28 +191,55 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       recall should be >= 0.3 // approximate by design; exact re-rank of candidates
     }
 
-    "PQ ANN matches a driver-side ADC replay and compresses the scored side" in {
+    "PQ ANN matches a driver-side replay incl. codebook training, and compresses the scored side" in {
       val rows = emb.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
         .sortBy(_._1)
-      val (m, ncodes, sub) = (8, 8, 8)
+      val (m, ncodes, sub, iters) = (8, 8, 8, 2)
       val seeds = rows.take(ncodes).map(_._2)
       def d2(s: Array[Double], w: Array[Double]): Double = {
         def dot(a: Array[Double], b: Array[Double]) =
           a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
         (dot(s, s) - 2.0 * dot(s, w)) + dot(w, w)
       }
+      // the lower-median rule groupQuantiles pins (smallest value whose
+      // cumulative count reaches ceil(n/2)) — what DuckDB replays too
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        s(math.max(1, math.ceil(s.size * 0.5).toInt) - 1)
+      }
+      // Lloyd training replay: L2-argmin assignment (ties → lowest code),
+      // exact component-wise median update, empty cells keep their word
+      var words: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map(j =>
+        (0 until ncodes).map(c => seeds(c).slice(j * sub, (j + 1) * sub)))
+      for (_ <- 1 to iters) {
+        val byCell = rows.flatMap { case (_, v) =>
+          (0 until m).map { j =>
+            val s = v.slice(j * sub, (j + 1) * sub)
+            val ds = (0 until ncodes).map(c => d2(s, words(j)(c)))
+            (j, ds.indexOf(ds.min)) -> s
+          }
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        words = (0 until m).map { j =>
+          (0 until ncodes).map { c =>
+            byCell.get((j, c)) match {
+              case Some(ss) =>
+                Array.tabulate(sub)(p => median(ss.map(_(p)).toSeq))
+              case None => words(j)(c)
+            }
+          }
+        }
+      }
       def encode(v: Array[Double]): IndexedSeq[Int] =
         (0 until m).map { j =>
           val s = v.slice(j * sub, (j + 1) * sub)
-          val ds = (0 until ncodes)
-            .map(c => d2(s, seeds(c).slice(j * sub, (j + 1) * sub)))
+          val ds = (0 until ncodes).map(c => d2(s, words(j)(c)))
           ds.indexOf(ds.min)
         }
       def adc(qv: Array[Double], codes: IndexedSeq[Int]): Double =
         (0 until m).foldLeft(0.0) { (acc, j) =>
           val qs = qv.slice(j * sub, (j + 1) * sub)
-          val w = seeds(codes(j)).slice(j * sub, (j + 1) * sub)
+          val w = words(j)(codes(j))
           acc + qs.indices.foldLeft(0.0)((a, i) => a + qs(i) * w(i))
         }
       val codes = rows.map { case (id, v) => id -> encode(v) }.toMap
@@ -222,12 +249,47 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
           .sortBy { case (id, s) => (-s, id) }.take(4).map(_._1).toSeq
       }.toMap
       val got = Similarity.annPqTopK(emb, "vec_id", "embedding",
-          col("vec_id") < 5, k = 4, m = m, ncodes = ncodes)
+          col("vec_id") < 5, k = 4, m = m, ncodes = ncodes, trainIters = iters)
         .orderBy("query_id", "rank").collect()
         .groupBy(_.getAs[Long]("query_id"))
         .view.mapValues(_.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq)
         .toMap
       got shouldBe expect
+      // recall vs the EXACT dot-product top-k (PQ's ADC approximates the
+      // dot product), measured wide enough to be stable (50 queries,
+      // k=10, driver-side — the replay equality above ties driver math to
+      // the Spark plan): trained books must clear an absolute floor AND
+      // must not be worse than the untrained seed books
+      def dotd(a: Array[Double], b: Array[Double]) =
+        a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+      val seedBook: IndexedSeq[IndexedSeq[Array[Double]]] = (0 until m).map(
+        j => (0 until ncodes).map(c => seeds(c).slice(j * sub, (j + 1) * sub)))
+      def recallOf(book: IndexedSeq[IndexedSeq[Array[Double]]]): Double = {
+        def enc(v: Array[Double]) = (0 until m).map { j =>
+          val s = v.slice(j * sub, (j + 1) * sub)
+          val ds = (0 until ncodes).map(c => d2(s, book(j)(c)))
+          ds.indexOf(ds.min)
+        }
+        val cs = rows.map { case (id, v) => id -> enc(v) }.toMap
+        def adcB(qv: Array[Double], codes: IndexedSeq[Int]) =
+          (0 until m).foldLeft(0.0) { (acc, j) =>
+            acc + dotd(qv.slice(j * sub, (j + 1) * sub), book(j)(codes(j)))
+          }
+        val qs = rows.filter(_._1 < 50)
+        val hits = qs.map { case (qid, qv) =>
+          val others = rows.filter(_._1 != qid)
+          val ex = others.map { case (id, v) => (id, dotd(qv, v)) }
+            .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+          val ap = others.map { case (id, _) => (id, adcB(qv, cs(id))) }
+            .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+          (ex & ap).size
+        }.sum
+        hits.toDouble / (qs.length * 10)
+      }
+      val rTrained = recallOf(words)
+      val rSeed = recallOf(seedBook)
+      rTrained should be >= 0.15
+      rTrained should be >= (rSeed - 0.03)
       // scale shape: the query side broadcasts (corpus never shuffles to
       // score) and the streamed corpus side carries only (id, m codes) —
       // the full-precision vector column stays inside the encode scan

@@ -30,11 +30,30 @@ def main(sf_dir, out_dir):
             exp_rel = con.sql(oracle[name])
             exp = exp_rel.fetchall()
             exp_cols = [c for c in exp_rel.columns]
+            exp_types = dict(zip(exp_cols, [str(t) for t in exp_rel.types]))
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
             continue
         if sorted(got_cols) != sorted(exp_cols):
             results[name] = f"SCHEMA-MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
+            continue
+        # the driver's hasher is TYPE-sensitive (r3 DECIMAL, r5 HUGEINT):
+        # (a) HUGEINT oracle outputs are banned outright — parquet has no
+        #     int128, so the Spark side can never carry the same type (an
+        #     un-cast SUM over BIGINT is the usual source; cast it);
+        # (b) everything else (incl. DECIMAL, which q5/q6 carry green on
+        #     both sides) must match the Spark parquet type exactly.
+        banned = [c for c, t in exp_types.items()
+                  if t.startswith(("HUGEINT", "UHUGEINT"))]
+        if banned:
+            results[name] = f"ORACLE-TYPE-BANNED {sorted(banned)} (cast to BIGINT/DOUBLE in the oracle SQL)"
+            continue
+        got_types = {x[0]: x[1] for x in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
+        drift = {c: (got_types[c], exp_types[c]) for c in exp_cols
+                 if got_types.get(c) != exp_types[c]}
+        if drift:
+            results[name] = f"TYPE-MISMATCH {drift}"
             continue
         # align columns by sorted name
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
