@@ -370,6 +370,34 @@ object QueryPlanner {
     }
   }
 
+  /** Null-aware comparisons for RESUME filters only. The index scan places
+    * nulls (missing sort fields) LAST on an effectively-ascending column
+    * (asc_nulls_last) and FIRST on a descending one, and the resume ops
+    * already encode the walk direction (FilterGt ⟺ ascending walk). Plain
+    * SQL comparisons are null-hostile both ways — a null column never
+    * matches `> v`, and a null BOUNDARY (the cursor row missing the field)
+    * kills the whole chain — so a cursor walk would silently lose the
+    * null region (caught by CursorWalkSpec). Mapping:
+    *   - EQ: null boundary pins the null region (`IS NULL`), else `===`
+    *   - GT (toward nulls-last): null col comes after every value
+    *     (`> v OR IS NULL`); after a null boundary nothing follows by this
+    *     field (false — the EQ+tiebreak set walks inside the region)
+    *   - LT (toward nulls-first): nulls precede every value, so after a
+    *     null boundary comes everything non-null (`IS NOT NULL`); after a
+    *     non-null boundary plain `< v` (nulls already emitted). */
+  private def resumeFilterColumn(ff: FieldFilter): Column = {
+    val c = col(ff.name)
+    val vNull = ff.value == HNull
+    ff.op match {
+      case FilterEq => if (vNull) c.isNull else c === Translator.constColumn(ff.value)
+      case FilterGt =>
+        if (vNull) lit(false) else c > Translator.constColumn(ff.value) || c.isNull
+      case FilterLt =>
+        if (vNull) c.isNotNull else c < Translator.constColumn(ff.value)
+      case _ => filterColumn(ff) // merged query pushdowns keep plain semantics
+    }
+  }
+
   /** Execute a collection query through the chosen source: pushdown
     * FieldFilters land on typed index columns (native Catalyst filters,
     * parquet-pushable — F3 wired); the FULL residual filter is always
@@ -478,7 +506,7 @@ object QueryPlanner {
       } else {
         val afterPred = resumeSets.map { s =>
           IndexLogic.mergeLeastQueryFilterFields(p.pushdown, s)
-            .map(filterColumn).reduce(_ && _)
+            .map(resumeFilterColumn).reduce(_ && _)
         }.reduce(_ || _)
         val resolver = FieldResolver.json(col("body"))
         val pushed = table.filter(afterPred)
