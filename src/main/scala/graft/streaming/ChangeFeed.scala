@@ -76,10 +76,19 @@ object ChangeFeed {
     * the reference's per-document ordered Kafka publish. An exception
     * fails the caller's batch (at-least-once on replay). */
   def publish(batch: Dataset[FeedEvent])(send: FeedEvent => Unit): Unit =
+    publishTo(batch, FeedSink.Callback(send))
+
+  /** [[publish]] through a pluggable [[FeedSinkFactory]] (S11): each
+    * partition opens its own sink executor-side, sends its ordered run,
+    * and closes — the shape a real Kafka producer needs. */
+  def publishTo(batch: Dataset[FeedEvent], factory: FeedSinkFactory): Unit =
     batch
       .repartition(col("document_uri"))
       .sortWithinPartitions(col("document_uri"), col("revision"))
-      .foreachPartition { (it: Iterator[FeedEvent]) => it.foreach(send) }
+      .foreachPartition { (it: Iterator[FeedEvent]) =>
+        val sink = factory.open()
+        try it.foreach(sink.send) finally sink.close()
+      }
 
   /** ST2: deliver a feed stream to a sink with per-key ordering. The sink
     * runs inside foreachBatch — exceptions fail the batch; restarting from

@@ -114,10 +114,13 @@ object FeedPipeline {
       // re-merging the identical batch rewrites the same result
       indexes.foreach(_.applyFeed(feed))
       // 3. ordered publish — an exception here fails the batch AFTER the
-      // intent landed: recovery sees the incomplete transactions
+      // intent landed: recovery sees the incomplete transactions. The sink
+      // resolves from Spark conf (spark.graft.feed.sink, see [[FeedSink]]):
+      // a Kafka-providing deployment plugs its producer factory in with
+      // zero code change here; unset keeps the caller's callback
       implicit val enc: org.apache.spark.sql.Encoder[FeedEvent] =
         Encoders.product[FeedEvent]
-      ChangeFeed.publish(feed.as[FeedEvent])(send)
+      ChangeFeed.publishTo(feed.as[FeedEvent], FeedSink.resolve(s, send))
       // 4. completion markers, APPENDED only after the publish succeeded
       // (append keeps intent rows intact; Ledger.current folds the pair)
       Ledger.fromFeed(feed, tsMillis).withColumn("completed", lit(true))
