@@ -1556,6 +1556,26 @@ object SparkEntry {
         t(s, dir, "documents"), col("text"), minCount = 5L, k = 100)
     }),
 
+    "text_chunk" -> ((s, dir) => {
+      // RAG/context-window chunking: 32-token windows every 24 tokens
+      // (8-token overlap). Pure narrow transform — zero shuffles, runs
+      // inside the scan stage; the ORDER BY is gate-only
+      graft.pipeline.TextAnalysis.chunkByTokens(
+          t(s, dir, "documents"), "doc_id", col("text"),
+          chunkTokens = 32, stride = 24)
+        .orderBy("id", "chunk_idx")
+    }),
+
+    "text_lm_score" -> ((s, dir) => {
+      // corpus-frequency LM quality proxy: mean floor(log2(token corpus
+      // count)) per document — the CCNet perplexity-filter shape with the
+      // LM swapped for an exact-replayable statistic (bit-length bucket,
+      // no float log); vocabulary-sized merge joins, one doc aggregate
+      graft.pipeline.TextAnalysis.lmBucketScore(
+          t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy("id")
+    }),
+
     "dedup_bloom_prefilter" -> ((s, dir) => {
       // Bloom-gated blocklist membership (the decontamination shape): the
       // reference set (10% of docs by fingerprint) compresses to an 8192-bit
@@ -1614,6 +1634,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_hll" -> ((s, dir) => {
+      // per-source distinct-shingle estimate via HyperLogLog: fixed
+      // 2^6-byte register state per group (vs KMV's 8k bytes), elementwise
+      // max merge; registers and the scaled-integer harmonic sum replay
+      // exactly in SQL, the estimate is one correctly-rounded division
+      graft.pipeline.Stats.hllDistinct(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("sh")),
+          "source", col("sh"), p = 6)
+        .orderBy("source")
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
       // range filter on EITHER column prunes files via footer stats; the
@@ -1648,6 +1681,17 @@ object SparkEntry {
       Multimodal.frameSample(media, chunkBytes = 64)
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy("media_id", "frame_idx")
+    }),
+
+    "mm_frame_dedup" -> ((s, dir) => {
+      // near-dup media by sampled-frame checksum sets: Jaccard ≥ 0.5 over
+      // DISTINCT md5(64-byte frame) sets, frames shared by > 20 assets
+      // dropped as boilerplate (black frames / shared intros); candidate
+      // pairs ∝ Σ df² with df capped — never |A|×|B|, blobs never shuffle
+      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.frameDedup(media, chunkBytes = 64, maxDf = 20,
+          minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
     }),
 
     "st3_recovery_worklist" -> ((s, dir) => {
@@ -2693,6 +2737,36 @@ object SparkEntry {
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
 
     // the Bloom filter replayed as set membership: bit positions are
+    // token-window chunking: same single-space split, 1-based inclusive
+    // list slice = Spark's slice(toks, start+1, 32), tail chunk short
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |      FROM t WHERE len(toks) > 0)
+        |SELECT doc_id AS id, CAST(start // 24 AS INTEGER) AS chunk_idx,
+        |       CAST(least(32, len(toks) - start) AS INTEGER) AS n_tokens,
+        |       array_to_string(toks[start+1 : start+32], ' ') AS chunk_text
+        |FROM s ORDER BY id, chunk_idx""".stripMargin,
+
+    // LM-proxy quality score: bucket = exact floor(log2(corpus count)) via
+    // binary-digit-count (length(bin(c))-1 = Spark's length(conv(c,10,2))-1
+    // — string ops, engine-exact); SUM cast to BIGINT (HUGEINT ban), the
+    // mean is one division of exact integers
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE token != ''),
+        |c AS (SELECT token, length(bin(count(*))) - 1 AS bucket
+        |      FROM t2 GROUP BY token)
+        |SELECT doc_id AS id, COUNT(*) AS n_tokens,
+        |       CAST(SUM(bucket) AS BIGINT) AS sum_bucket,
+        |       CAST(CAST(SUM(bucket) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_freq_bucket
+        |FROM t2 JOIN c USING (token)
+        |GROUP BY doc_id ORDER BY id""".stripMargin,
+
     // pmod(md5Hash60(i||':'||key), m); a probe hits iff ALL its positions
     // are in the reference side's distinct position set — outcome-identical
     // to the packed-bitset mask test, false positives included
@@ -2768,6 +2842,47 @@ object SparkEntry {
         |ORDER BY id""".stripMargin,
 
     // identical unrolled Morton formula, generated from the same source
+    // HLL replay: bucket = top-6 bits of the shared 60-bit md5 hash, rho =
+    // leading zeros within the remaining 54 bits + 1 computed EXACTLY as
+    // 54 - binary-digit-count + 1 (bin() string length — no float log);
+    // empty buckets materialize via the range(64) grid with rho 0; the
+    // harmonic sum is the scaled integer Σ 2^(55-rho) (cast: SUM ⇒ HUGEINT
+    // ban) and the estimate multiplies exact powers of two into alpha then
+    // divides once — bit-identical to the Spark side
+    "stat_hll" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh0 AS (
+        |  SELECT source,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(s) AS sh FROM sh0)),
+        |r AS (SELECT source, h // (1::BIGINT << 54) AS bucket,
+        |             h % (1::BIGINT << 54) AS rest FROM h),
+        |regs0 AS (
+        |  SELECT source, bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |             ELSE 54 - length(bin(rest)) + 1 END) AS rho
+        |  FROM r GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT source, unnest(range(64)) AS bucket FROM h),
+        |regs AS (
+        |  SELECT g.source, COALESCE(r0.rho, 0) AS rho
+        |  FROM grid g LEFT JOIN regs0 r0
+        |    ON g.source = r0.source AND g.bucket = r0.bucket)
+        |SELECT source,
+        |  CAST(count(*) FILTER (rho > 0) AS BIGINT) AS nonempty,
+        |  CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS harmonic_scaled,
+        |  0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+        |    / CAST(CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS DOUBLE)
+        |    AS est_distinct
+        |FROM regs GROUP BY source ORDER BY source""".stripMargin,
+
     "layout_zorder" ->
       s"""SELECT doc_id,
         |  CAST(${graft.sources.Layout.zAddressSql("doc_id", "n_chars", 16)}
@@ -2791,6 +2906,37 @@ object SparkEntry {
         |           AS frame_idx
         |  FROM documents)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // frame dedup replay: frames are 64-char slices of the ASCII text
+    // (byte == char here), checksummed with md5 like the Spark side; the
+    // df cap drops boilerplate frames from intersection AND set sizes;
+    // counts are BIGINT (count(*), no SUM ⇒ no HUGEINT), the Jaccard is
+    // one division of exact integers
+    "mm_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT DISTINCT doc_id AS media_id,
+        |         md5(substr(text, CAST(start*64+1 AS BIGINT), 64)) AS fh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)))
+        |            AS start
+        |        FROM documents)),
+        |keep AS (
+        |  SELECT media_id, fh FROM fr
+        |  QUALIFY count(*) OVER (PARTITION BY fh) <= 20),
+        |tot AS (SELECT media_id, count(*) AS nf FROM keep GROUP BY 1),
+        |inter AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS matched
+        |  FROM keep a JOIN keep b
+        |    ON a.fh = b.fh AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, matched, ta.nf AS nf_a, tb.nf AS nf_b,
+        |       CAST(matched AS DOUBLE)
+        |         / CAST(ta.nf + tb.nf - matched AS DOUBLE) AS jaccard
+        |FROM inter JOIN tot ta ON id_a = ta.media_id
+        |           JOIN tot tb ON id_b = tb.media_id
+        |WHERE CAST(matched AS DOUBLE)
+        |        / CAST(ta.nf + tb.nf - matched AS DOUBLE) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_cosine_exact" ->
       """WITH e AS (

@@ -12,7 +12,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.BinaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, IntegerType, LongType}
 
 /** Bottom-k distinct values of a Long column — the KMV (k-minimum-values)
   * cardinality sketch's state, as a native aggregate.
@@ -105,6 +105,89 @@ case class BottomKDistinct(
     copy(child = newChild)
 }
 
+/** HyperLogLog register array over a pre-hashed Long column — the
+  * fixed-size mergeable cardinality sketch, as a native aggregate.
+  *
+  * The input is a 60-bit non-negative hash (the shared cross-engine
+  * convention: `conv(substr(md5(x),1,15),16,10)` — 15 hex chars = 60 bits,
+  * always positive). The top `p` bits pick a register, the remaining
+  * w = 60-p bits contribute rho = (leading zeros within w bits) + 1, and
+  * each register keeps the max rho it has seen. State is exactly
+  * m = 2^p bytes per group per task — unlike KMV's k values it never
+  * grows with k, and merge is an elementwise max, so the shuffle moves
+  * m bytes per (task, group) regardless of input size. At 100 TB this is
+  * THE practical distinct-count sketch; KMV ([[BottomKDistinct]]) stays
+  * the exact-bottom-k alternative when the sketch itself must be
+  * inspectable.
+  *
+  * Deterministic (register contents are a pure function of the input
+  * hash set), so a SQL oracle replays it exactly:
+  * `max(w - length(bin(h % 2^w)) + 1)` per `h // 2^w` bucket — integer
+  * and string ops only, no floats anywhere in the state.
+  *
+  * Result: the m register values as ints (index = bucket). NULL inputs
+  * ignored. Estimation (alpha·m²/Σ2^-rho) happens OUTSIDE the aggregate
+  * so callers can keep it integer-exact (see Stats.hllDistinct's scaled
+  * integer harmonic sum).
+  */
+case class HllRegisters(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"hll_registers: p must be in [4,16], got $p")
+
+  private val m = 1 << p
+  private val w = 60 - p // bits left after the bucket prefix
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h >>> w).toInt // h is 60-bit, so bucket < 2^p
+      val rest = h & ((1L << w) - 1)
+      // rho = leading zeros within the w-bit window, + 1; rest == 0 ⇒ w+1
+      val rho =
+        if (rest == 0L) w + 1
+        else w - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllRegisters =
+    copy(child = newChild)
+}
+
 /** O(1) membership probe into a packed bitset: `bits[pos>>3] & (1<<(pos&7))`.
   *
   * `bits` is a (typically literal/broadcast) BINARY column holding the
@@ -153,6 +236,11 @@ object SketchFunctions {
     * non-NULL longs — the KMV sketch state. */
   def bottom_k_distinct(c: Column, k: Int): Column =
     Bridge.column(BottomKDistinct(Bridge.expression(c), k).toAggregateExpression())
+
+  /** hll_registers(h60, p): the 2^p HyperLogLog register values for a
+    * column of 60-bit hashes. */
+  def hll_registers(c: Column, p: Int): Column =
+    Bridge.column(HllRegisters(Bridge.expression(c), p).toAggregateExpression())
 
   /** bitset_contains(bits, pos): bit `pos` set in the packed binary? */
   def bitset_contains(bits: Column, pos: Column): Column =

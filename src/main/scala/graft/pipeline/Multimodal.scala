@@ -72,6 +72,58 @@ object Multimodal {
         col("meta.sample_rate")))
   }
 
+  /** Near-duplicate media pairs by sampled-frame signatures — the
+    * multimodal counterpart of shingle dedup: two assets are near-dups
+    * when the Jaccard similarity of their DISTINCT frame-checksum sets
+    * reaches `minJaccard`. Position-free (a clip shifted in time still
+    * matches on content), and the frame checksum is the only thing that
+    * ever shuffles — blobs stay in the scan stage.
+    *
+    * Boilerplate guard: frame hashes appearing in more than `maxDf`
+    * assets (black frames, silence, shared intros) are dropped from BOTH
+    * the intersection and the set sizes before pairing — the same move as
+    * boilerplate line dedup, and the reason the self-join is bounded:
+    * candidate pairs ∝ Σ_kept df², with df ≤ maxDf, never |A|×|B|.
+    *
+    * Plan at 100 TB: frame explode + checksum inside the scan → one
+    * two-phase distinct → df filter via a count window PARTITIONED by the
+    * checksum (one shuffle, groups bounded by frame multiplicity — never
+    * a global sort) → self-join on the checksum key
+    * (merge-hinted: both sides are exploded-frame-sized, far beyond any
+    * static broadcast estimate) → per-pair count + per-asset totals.
+    * Integer counts; the Jaccard division is the single float op.
+    *
+    * Frame checksums use md5 (not crc32) so the whole operator replays
+    * exactly in any SQL engine — crc32 exists in Spark but not DuckDB.
+    *
+    * Output: (id_a, id_b, matched, nf_a, nf_b, jaccard), id_a < id_b. */
+  def frameDedup(df: DataFrame, chunkBytes: Int, maxDf: Int,
+      minJaccard: Double): DataFrame = {
+    val frames = frameSample(df, chunkBytes)
+      .select(col("media_id"), md5(col("frame")).as("fh"))
+      .distinct()
+    val kept = frames
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
+      .filter(col("__df") <= maxDf)
+      .select(col("media_id"), col("fh"))
+      .persist() // totals + both join sides; the 100 TB spill point
+    val totals = kept.groupBy("media_id").agg(count(lit(1)).as("nf"))
+    val inter = kept.hint("merge").alias("a")
+      .join(kept.hint("merge").alias("b"),
+        col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("matched"))
+    inter
+      .join(totals.select(col("media_id").as("id_a"), col("nf").as("nf_a")), "id_a")
+      .join(totals.select(col("media_id").as("id_b"), col("nf").as("nf_b")), "id_b")
+      .withColumn("jaccard", col("matched").cast("double") /
+        (col("nf_a") + col("nf_b") - col("matched")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("matched"),
+        col("nf_a"), col("nf_b"), col("jaccard"))
+  }
+
   /** Batch-shaped decode: mapPartitions so a real codec could amortize
     * per-batch setup (model load, decoder context) across rows — the shape
     * a vectorized decode needs. STUB kernel: deterministic byte-histogram

@@ -378,4 +378,68 @@ object TextAnalysis {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Token-window chunking with overlap — the RAG/context-window prep
+    * stage: split each document into chunks of `chunkTokens` whitespace
+    * tokens, starting a new chunk every `stride` tokens (stride <
+    * chunkTokens ⇒ overlapping windows). Output one row per chunk:
+    * (id, chunk_idx, n_tokens, chunk_text), chunk_idx dense from 0 in
+    * document order; the tail chunk is short, never padded.
+    *
+    * Pure narrow transform — split / sequence / slice / array_join are
+    * all codegen'd builtins, zero shuffles, so at 100 TB it runs entirely
+    * inside the scan stage and parallelism is the file-split count.
+    * NULL or empty text ⇒ no chunks (the explode of an empty start list
+    * drops the row). Replays exactly in SQL: list slicing over the same
+    * single-space split. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkByTokens: chunkTokens/stride must be positive, got $chunkTokens/$stride")
+    val toks = split(textCol, " ")
+    val n = size(toks)
+    val starts = when(textCol.isNotNull && n > 0,
+        sequence(lit(0), n - 1, lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol).as("id"), toks.as("__toks"), n.as("__n"),
+        explode(starts).as("start"))
+      .select(col("id"), (col("start") / stride).cast("int").as("chunk_idx"),
+        least(lit(chunkTokens), col("__n") - col("start")).as("n_tokens"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Corpus-frequency LM quality proxy (the CCNet idea with the LM
+    * replaced by an exact-replayable statistic): score each document by
+    * the mean LOG2-BUCKET of its tokens' corpus frequencies — documents
+    * full of rare/garbled tokens score low, templated boilerplate scores
+    * high; rank-filter the tails before paying for dedup. The bucket is
+    * floor(log2(count)) computed EXACTLY as binary-digit-count − 1
+    * (length(conv(c,10,2)) — string ops, no float log), so unlike a real
+    * LM perplexity the score replays bit-identically in any engine;
+    * a production pipeline would swap the count table for a KenLM-style
+    * model and keep the same join/aggregate shape.
+    *
+    * Shapes at 100 TB: one explode → two-phase token counts (map-side
+    * combine absorbs Zipf skew), then the exploded corpus re-joins the
+    * vocabulary-sized count table on the token key — merge-hinted on
+    * both sides (the topTerms lesson: both are beyond any static
+    * broadcast estimate) — and collapses back to one row per document.
+    * mean = sum/count is the single float op (division of exact ints).
+    *
+    * Output: (id, n_tokens, sum_bucket, mean_freq_bucket). */
+  def lmBucketScore(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(textCol, " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .select(col("token"), (length(conv(col("c"), 10, 2)) - 1).as("bucket"))
+    toks.hint("merge").join(counts.hint("merge"), "token")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("bucket").cast("long")).as("sum_bucket"))
+      .select(col("id"), col("n_tokens"), col("sum_bucket"),
+        (col("sum_bucket").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_freq_bucket"))
+  }
 }

@@ -449,5 +449,109 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       feats(0) shouldBe 3.0
       feats(1) shouldBe (('a' + 'b' + 'c') / 3.0)
     }
+
+    "frameDedup pairs identical blobs, position-free, boilerplate-capped" in {
+      import spark.implicits._
+      val a = "A" * 64 + "B" * 64 + "C" * 64     // frames {A,B,C}
+      val b = "B" * 64 + "C" * 64 + "A" * 64     // same SET, shifted order
+      val c = "D" * 64 + "E" * 64 + "F" * 64     // disjoint
+      val df = Multimodal.fromText(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t"), "id", "t")
+      val got = Multimodal.frameDedup(df, 64, maxDf = 20, minJaccard = 0.5)
+        .collect()
+      got.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
+      got(0).getAs[Double]("jaccard") shouldBe 1.0 // identical frame sets
+    }
+
+    "frameDedup drops frames above the df cap from both sides" in {
+      import spark.implicits._
+      // frame X is in EVERY asset (boilerplate); with maxDf=2 it is
+      // dropped, so assets sharing only X never pair
+      val x = "X" * 64
+      val df = Multimodal.fromText(
+        Seq((1L, x + "A" * 64), (2L, x + "B" * 64), (3L, x + "C" * 64))
+          .toDF("id", "t"), "id", "t")
+      Multimodal.frameDedup(df, 64, maxDf = 2, minJaccard = 0.01)
+        .count() shouldBe 0
+    }
+  }
+
+  "Chunking" - {
+    "chunkByTokens windows with overlap, short tail, dense chunk_idx" in {
+      import spark.implicits._
+      val text = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+      val df = Seq((7L, text)).toDF("doc_id", "text")
+      val got = TextAnalysis.chunkByTokens(df, "doc_id", col("text"), 4, 3)
+        .orderBy("chunk_idx").collect()
+      got.map(_.getInt(1)).toSeq shouldBe Seq(0, 1, 2, 3)
+      got.map(_.getInt(2)).toSeq shouldBe Seq(4, 4, 4, 1) // tail short
+      got(0).getString(3) shouldBe "w1 w2 w3 w4"
+      got(1).getString(3) shouldBe "w4 w5 w6 w7" // 1-token overlap
+      got(3).getString(3) shouldBe "w10"
+    }
+
+    "chunkByTokens emits nothing for null text and plans zero shuffles" in {
+      import spark.implicits._
+      val df = Seq((1L, Option.empty[String]), (2L, Some("a b")))
+        .toDF("doc_id", "text")
+      val out = TextAnalysis.chunkByTokens(df, "doc_id", col("text"), 2, 2)
+      out.collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+      out.queryExecution.executedPlan.toString should not include "Exchange"
+    }
+  }
+
+  "LM bucket score" - {
+    "mean_freq_bucket is the exact mean of floor(log2(corpus count))" in {
+      import spark.implicits._
+      // corpus counts: a=4 (bucket 2), b=2 (bucket 1), c=1 (bucket 0)
+      val df = Seq((1L, "a a b"), (2L, "a a b c")).toDF("doc_id", "text")
+      val got = TextAnalysis.lmBucketScore(df, "doc_id", col("text"))
+        .orderBy("id").collect()
+      got(0).getLong(1) shouldBe 3L               // n_tokens
+      got(0).getLong(2) shouldBe (2L + 2L + 1L)   // sum_bucket
+      got(1).getLong(2) shouldBe (2L + 2L + 1L + 0L)
+      got(1).getDouble(3) shouldBe (5.0 / 4.0)
+    }
+  }
+
+  "HLL distinct" - {
+    "register state matches a by-hand replay and the estimate is sane" in {
+      import spark.implicits._
+      val df = (1 to 2000).map(i => ("g", s"v$i")).toDF("g", "v")
+      val got = Stats.hllDistinct(df, "g", col("v"), p = 6).collect()(0)
+      val nonempty = got.getLong(1)
+      nonempty should be <= 64L
+      nonempty should be >= 60L // 2000 distinct ⇒ nearly all buckets hit
+      val est = got.getDouble(3)
+      est should (be >= 1200.0 and be <= 3200.0) // ~13% SE at m=64
+      // harmonic_scaled is the exact integer Σ 2^(55-rho): recompute from
+      // the aggregate's own registers via a second, independent query path
+      val regs = df.select(graft.pipeline.Sampling.md5Hash60(col("v")).as("h"))
+        .collect().map(_.getLong(0))
+        .groupBy(h => (h >>> 54).toInt)
+        .map { case (_, hs) => hs.map { h =>
+          val rest = h & ((1L << 54) - 1)
+          if (rest == 0L) 55
+          else 54 - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+        }.max }
+      val expectedScaled = regs.map(r => 1L << (55 - r)).sum +
+        (64 - regs.size).toLong * (1L << 55)
+      got.getLong(2) shouldBe expectedScaled
+    }
+
+    "HLL sketches merge by max: union estimate equals one-shot estimate" in {
+      import spark.implicits._
+      val all = (1 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
+      val even = all.filter(expr("CAST(substring(v, 2, 10) AS INT) % 2 = 0"))
+      val odd = all.filter(expr("CAST(substring(v, 2, 10) AS INT) % 2 = 1"))
+      def regsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select(graft.pipeline.Sampling.md5Hash60(col("v")).as("h"))
+          .groupBy(lit(1))
+          .agg(graft.functions.SketchFunctions.hll_registers(col("h"), 6)
+            .as("regs"))
+          .select("regs").collect()(0).getSeq[Int](0)
+      val merged = regsOf(even).zip(regsOf(odd)).map { case (x, y) => math.max(x, y) }
+      merged shouldBe regsOf(all)
+    }
   }
 }
