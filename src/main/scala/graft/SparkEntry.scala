@@ -1365,6 +1365,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_token_budget" -> ((s, dir) => {
+      // fixed-token-budget corpus slice: systematic selection in md5-hash
+      // order until each of 8 shards fills its share of a 16k-token
+      // budget (overshoot ≤ one doc tail per shard); integer-exact,
+      // nested (a bigger budget only adds docs), one shuffle
+      graft.pipeline.Sampling.tokenBudgetSample(t(s, dir, "documents"),
+          "doc_id", TextAnalysis.tokenCount(col("text")),
+          budget = 16000L, shards = 8)
+        .select(col("doc_id"), col("shard"), col("start_tok"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: sampling & corpus statistics ---------------------
     "sample_hash" -> ((s, dir) => {
       // shuffle-free deterministic sample: a pure filter on the md5-derived
@@ -2258,6 +2270,25 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS pack_no, start_tok
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // same cumsum replay as pack_sequences; quota = 16000/8 = 2000 per
+    // shard (no remainder), kept iff start_tok < quota
+    "sample_token_budget" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE $WsTokensSql END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |laid AS (
+        |  SELECT doc_id, h % 8 AS shard, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (
+        |      PARTITION BY h % 8 ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_tok
+        |  FROM base)
+        |SELECT doc_id, shard, start_tok, n_tok
+        |FROM laid WHERE start_tok < 2000 ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH e AS (

@@ -78,6 +78,48 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Token-budget sampling: keep a deterministic pseudo-random subset of
+    * documents whose combined token mass fills (to within one document
+    * tail) a fixed budget — "give me a 1B-token slice of this corpus",
+    * the step between corpus curation and a training run. Selection is
+    * systematic in md5-hash order, so the subset is stable across runs
+    * and engines, and growing the budget only ADDS documents (nested
+    * samples: the 1B slice is a prefix of the 2B slice per shard).
+    *
+    * Mechanics mirror [[Packing.packSequences]]: rows shard by
+    * `pmod(hash, shards)`, each shard lays its documents out contiguously
+    * in hash order, and a document is kept iff its start offset is below
+    * the shard's quota (budget/shards, the first budget%shards shards
+    * taking one extra token). Entirely integer arithmetic on exact token
+    * counts — replays exactly in SQL. Per shard the kept mass overshoots
+    * its quota by at most one document, so the total is within `shards`
+    * document tails of the budget.
+    *
+    * Shape for 100 TB: ONE shuffle (hash-partition on the shard key) +
+    * per-shard window sort, identical to packSequences — shards bound the
+    * sort and spread the corpus; no global sort, no driver state.
+    *
+    * Output: the kept rows with (shard, start_tok, n_tok) attached. */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, tokenCount: Column,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val h = md5Hash60(col(idCol))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perShard = budget / shards
+    val extra = budget % shards
+    df.select(col("*"), h.as("__h"),
+        pmod(h, lit(shards.toLong)).as("shard"),
+        tokenCount.cast("long").as("n_tok"))
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .filter(col("start_tok") <
+        lit(perShard) + when(col("shard") < extra, 1L).otherwise(0L))
+      .drop("__h")
+  }
+
   /** Domain mixing: [[stratifiedExact]] with a PER-STRATUM fraction — the
     * "data mix" step that re-weights sources/domains/languages to a target
     * composition before training. Strata absent from `mix` keep `default`

@@ -170,6 +170,48 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Sampling.tokenBudgetSample" - {
+    "fills each shard's quota with overshoot of at most one doc tail" in {
+      import spark.implicits._
+      val df = (1 to 200).map(i => (i.toLong, "w " * 10 + "w")).toDF("doc_id", "text")
+      val out = Sampling.tokenBudgetSample(df, "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 160L, shards = 4)
+      // quota 40 tokens/shard, docs are 11 tokens: last kept doc STARTS
+      // below 40, so per-shard mass is in [40, 50]
+      val byShard = out.groupBy("shard").agg(sum("n_tok").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      byShard.keySet shouldBe Set(0L, 1L, 2L, 3L)
+      byShard.values.foreach { m =>
+        m should (be >= 40L and be <= 50L)
+      }
+      // every kept doc's start offset is below its shard quota
+      out.filter(col("start_tok") >= 40).count() shouldBe 0
+    }
+
+    "is nested: a bigger budget strictly extends the smaller sample" in {
+      import spark.implicits._
+      val df = (1 to 100).map(i => (i.toLong, "a b c")).toDF("doc_id", "text")
+      def ids(b: Long) = Sampling.tokenBudgetSample(df, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = b, shards = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val small = ids(30L)
+      val big = ids(90L)
+      small.subsetOf(big) shouldBe true
+      big.size should be > small.size
+    }
+
+    "distributes the budget remainder to the first shards" in {
+      import spark.implicits._
+      // 1-token docs, budget 5 over 2 shards → quotas 3 and 2
+      val df = (1 to 50).map(i => (i.toLong, "x")).toDF("doc_id", "text")
+      val got = Sampling.tokenBudgetSample(df, "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 5L, shards = 2)
+        .groupBy("shard").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe Map(0L -> 3L, 1L -> 2L)
+    }
+  }
+
   "Stats.vocabCoverage" - {
     "picks the smallest count-threshold vocabulary reaching the share" in {
       import spark.implicits._
