@@ -54,4 +54,34 @@ object SketchKernelProps extends Properties("SketchKernels") {
       (0L until mBytes * 8L).forall(p => expr(p) == ps.contains(p)) &&
         outOfRange.forall(p => !expr(p))
     }
+
+  private val hashes60: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
+
+  property("hllRegisters = per-bucket max rho, merge = elementwise max") =
+    forAll(hashes60, hashes60) { (xs, ys) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      val agg = HllRegisters(BoundReference(0, LongType, nullable = true), 6)
+      def run(vs: List[Long]): Array[Byte] =
+        vs.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+          agg.update(b, InternalRow(v))
+        }
+      def ref(vs: List[Long]): Array[Byte] = {
+        val regs = new Array[Byte](64)
+        vs.foreach { h =>
+          val b = (h >>> 54).toInt
+          val rest = h & ((1L << 54) - 1)
+          val rho = if (rest == 0L) 55
+            else 54 - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+          if (rho > regs(b)) regs(b) = rho.toByte
+        }
+        regs
+      }
+      val mergeOk = {
+        val m = agg.merge(run(xs), run(ys))
+        m.sameElements(ref(xs ::: ys))
+      }
+      run(xs).sameElements(ref(xs)) && mergeOk
+    }
 }
