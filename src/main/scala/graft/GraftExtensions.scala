@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.{BitsetContains, CharWindows, DotProduct, TokenStats, WordPairs, WordShingles}
+import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, DotProduct, HllRegisters, TokenStats, WordPairs, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -80,7 +80,18 @@ object GraftFunctions {
         arity("word_pairs", 1)(args => WordPairs(args(0)))),
       (FunctionIdentifier("bitset_contains"),
         info("bitset_contains", classOf[BitsetContains]),
-        arity("bitset_contains", 2)(args => BitsetContains(args(0), args(1)))))
+        arity("bitset_contains", 2)(args => BitsetContains(args(0), args(1)))),
+      // sketch AGGREGATES: the registry takes the bare AggregateFunction —
+      // the analyzer wraps it in an AggregateExpression, exactly as for
+      // the built-in sum/avg entries
+      (FunctionIdentifier("bottom_k_distinct"),
+        info("bottom_k_distinct", classOf[BottomKDistinct]),
+        arity("bottom_k_distinct", 2)(args =>
+          BottomKDistinct(args(0), intLit(args(1), "bottom_k_distinct k")))),
+      (FunctionIdentifier("hll_registers"),
+        info("hll_registers", classOf[HllRegisters]),
+        arity("hll_registers", 2)(args =>
+          HllRegisters(args(0), intLit(args(1), "hll_registers p")))))
 
   /** Kernel size parameters fix the generated code, so they must be
     * plan-time literals. */

@@ -47,6 +47,26 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect().map(_.getBoolean(0)).toSeq shouldBe Seq(false, false, false)
     }
 
+    "register exposes the sketch aggregates to spark.sql" in {
+      GraftFunctions.register(spark)
+      // bottom_k_distinct: k smallest distinct longs, duplicates folded
+      spark.sql(
+        """SELECT bottom_k_distinct(v, 3) AS sk FROM (
+          |  SELECT CAST(x AS BIGINT) AS v
+          |  FROM VALUES (9),(1),(5),(1),(7),(3) AS t(x)) q""".stripMargin)
+        .collect()(0).getSeq[Long](0) shouldBe Seq(1L, 3L, 5L)
+      // hll_registers: grouped aggregate; m = 2^4 registers, all >= 0
+      val regs = spark.sql(
+        """SELECT g, hll_registers(h, 4) AS regs FROM (
+          |  SELECT x % 2 AS g,
+          |         CAST(conv(substring(md5(CAST(x AS STRING)), 1, 15),
+          |                   16, 10) AS BIGINT) AS h
+          |  FROM VALUES (1),(2),(3),(4),(5),(6) AS t(x)) q
+          |GROUP BY g""".stripMargin).collect()
+      regs.length shouldBe 2
+      regs.foreach(_.getSeq[Int](1).length shouldBe 16)
+    }
+
     "kernel size parameters must be plan-time literals" in {
       GraftFunctions.register(spark)
       an[Exception] should be thrownBy
