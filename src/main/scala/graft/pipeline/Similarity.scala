@@ -224,9 +224,9 @@ object Similarity {
   def annPqTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 8, ncodes: Int = 8,
-      trainIters: Int = 2): DataFrame = {
+      trainIters: Int = 2, trained: Option[PqBook] = None): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val book = pqTrain(corpus, m, ncodes, trainIters)
+    val book = trained.getOrElse(pqTrain(corpus, m, ncodes, trainIters))
     // the stored index: id + m byte-sized codes, vectors dropped
     val encoded = corpus.select(
       col("id") +: (0 until m).map(j => pqEncode(book, j).as(s"k$j")): _*)
@@ -243,8 +243,18 @@ object Similarity {
   /** PQ codebooks: per subspace `j`, `ncodes` codewords of dim/m doubles —
     * driver-collected literals (m × ncodes × dim/m doubles, bounded and
     * tiny). */
-  private case class PqBook(m: Int, ncodes: Int, sub: Int,
+  case class PqBook(m: Int, ncodes: Int, sub: Int,
       words: IndexedSeq[IndexedSeq[Seq[Double]]]) // words(j)(c)
+
+  /** Train the PQ codebooks once and reuse them across queries — at
+    * scale, training runs at index-build time and the book (m × ncodes ×
+    * dim/m doubles, driver-bounded) is a stored artifact; the ANN entry
+    * points accept it so repeated query batches (and the IVF-PQ composed
+    * index, which shares the same book) never pay the Lloyd rounds
+    * again. */
+  def trainPq(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2): PqBook =
+    pqTrain(prep(df, idCol, vecCol), m, ncodes, trainIters)
 
   /** Seed = subvector slices of the first `ncodes` vectors in id order,
     * then `iters` joint Lloyd rounds over ALL m subspaces at once: ONE
@@ -349,9 +359,10 @@ object Similarity {
   def annIvfPqTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2): DataFrame = {
+      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2,
+      trained: Option[PqBook] = None): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val book = pqTrain(corpus, m, ncodes, trainIters)
+    val book = trained.getOrElse(pqTrain(corpus, m, ncodes, trainIters))
     val centroids = corpus.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     def nearest(side: DataFrame, keep: Int): DataFrame = {
