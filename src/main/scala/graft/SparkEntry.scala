@@ -960,6 +960,40 @@ object SparkEntry {
       s.read.parquet(s"$base/out").orderBy("click_id", "view_id")
     }),
 
+    "st12_stream_hll" -> ((s, dir) => {
+      // always-on distinct counting: per-source HLL registers maintained
+      // across micro-batches (flatMapGroupsWithState state = 2^6 bytes +
+      // a counter per group, bounded FOREVER — the sketch never grows).
+      // Two triggers split the corpus by doc parity; because the merge is
+      // an elementwise max, the registers after each group's last update
+      // equal the one-shot batch sketch, so the stat_hll oracle applies
+      // unchanged — the gate itself verifies the streaming-merge identity
+      import s.implicits._
+      val base = scratchDir(s, "st12", dir)
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("sh"))
+        .select(col("doc_id"), col("source"),
+          graft.pipeline.Sampling.md5Hash60(col("sh")).as("h"))
+      rows.filter(col("doc_id") % 2 === 0).select("source", "h")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      rows.filter(col("doc_id") % 2 === 1).select("source", "h")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .select(col("source").as("_1"), col("h").as("_2")).as[(String, Long)]
+      val q = graft.streaming.Streams.hllMaintain(stream, p = 6)
+        .toDF("source", "upd", "regs")
+        .writeStream.format("memory").queryName("st12_hll")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val finalRegs = s.table("st12_hll")
+        .groupBy("source").agg(max_by(col("regs"), col("upd")).as("regs"))
+      graft.pipeline.Stats.hllEstimate(finalRegs, "source", p = 6)
+        .orderBy("source")
+    }),
+
     "e3_asof_attribution" -> ((s, dir) => {
       // backward as-of join (purchase ← latest prior click per user):
       // union-tagged single-shuffle window plan, no range-join explosion
@@ -2883,48 +2917,13 @@ object SparkEntry {
         |WHERE o.doc_id IS NULL OR c.doc_id IS NULL OR o.text != c.text
         |ORDER BY id""".stripMargin,
 
-    // identical unrolled Morton formula, generated from the same source
-    // HLL replay: bucket = top-6 bits of the shared 60-bit md5 hash, rho =
-    // leading zeros within the remaining 54 bits + 1 computed EXACTLY as
-    // 54 - binary-digit-count + 1 (bin() string length — no float log);
-    // empty buckets materialize via the range(64) grid with rho 0; the
-    // harmonic sum is the scaled integer Σ 2^(55-rho) (cast: SUM ⇒ HUGEINT
-    // ban) and the estimate multiplies exact powers of two into alpha then
-    // divides once — bit-identical to the Spark side
-    "stat_hll" ->
-      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
-        |              FROM documents),
-        |sh0 AS (
-        |  SELECT source,
-        |    CASE WHEN len(t) >= 3
-        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
-        |                             FOR i IN range(1, len(t) - 1)])
-        |         ELSE [array_to_string(t, ' ')] END AS s
-        |  FROM toks),
-        |h AS (
-        |  SELECT DISTINCT source,
-        |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
-        |  FROM (SELECT source, unnest(s) AS sh FROM sh0)),
-        |r AS (SELECT source, h // (1::BIGINT << 54) AS bucket,
-        |             h % (1::BIGINT << 54) AS rest FROM h),
-        |regs0 AS (
-        |  SELECT source, bucket,
-        |         max(CASE WHEN rest = 0 THEN 55
-        |             ELSE 54 - length(bin(rest)) + 1 END) AS rho
-        |  FROM r GROUP BY 1, 2),
-        |grid AS (SELECT DISTINCT source, unnest(range(64)) AS bucket FROM h),
-        |regs AS (
-        |  SELECT g.source, COALESCE(r0.rho, 0) AS rho
-        |  FROM grid g LEFT JOIN regs0 r0
-        |    ON g.source = r0.source AND g.bucket = r0.bucket)
-        |SELECT source,
-        |  CAST(count(*) FILTER (rho > 0) AS BIGINT) AS nonempty,
-        |  CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS harmonic_scaled,
-        |  0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
-        |    / CAST(CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS DOUBLE)
-        |    AS est_distinct
-        |FROM regs GROUP BY source ORDER BY source""".stripMargin,
+    "stat_hll" -> hllOracle,
 
+    // the streaming register maintenance converges to the identical batch
+    // sketch (elementwise-max merge), so the same replay applies
+    "st12_stream_hll" -> hllOracle,
+
+    // identical unrolled Morton formula, generated from the same source
     "layout_zorder" ->
       s"""SELECT doc_id,
         |  CAST(${graft.sources.Layout.zAddressSql("doc_id", "n_chars", 16)}
@@ -3334,6 +3333,48 @@ object SparkEntry {
   /** KMV cardinality sketch replayed from the whole corpus — shared by the
     * direct entry and the persisted-merge entry (whose result is identical
     * by the sketch-union identity). */
+  /** HLL replay: bucket = top-6 bits of the shared 60-bit md5 hash, rho =
+    * leading zeros within the remaining 54 bits + 1 computed EXACTLY as
+    * 54 - binary-digit-count + 1 (bin() string length — no float log);
+    * empty buckets materialize via the range(64) grid with rho 0; the
+    * harmonic sum is the scaled integer Σ 2^(55-rho) (cast: SUM ⇒ HUGEINT
+    * ban) and the estimate multiplies exact powers of two into alpha then
+    * divides once — bit-identical to the Spark side. Shared by the batch
+    * entry and the streaming maintenance (max-merge convergence). */
+  private val hllOracle =
+    """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh0 AS (
+      |  SELECT source,
+      |    CASE WHEN len(t) >= 3
+      |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+      |                             FOR i IN range(1, len(t) - 1)])
+      |         ELSE [array_to_string(t, ' ')] END AS s
+      |  FROM toks),
+      |h AS (
+      |  SELECT DISTINCT source,
+      |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+      |  FROM (SELECT source, unnest(s) AS sh FROM sh0)),
+      |r AS (SELECT source, h // (1::BIGINT << 54) AS bucket,
+      |             h % (1::BIGINT << 54) AS rest FROM h),
+      |regs0 AS (
+      |  SELECT source, bucket,
+      |         max(CASE WHEN rest = 0 THEN 55
+      |             ELSE 54 - length(bin(rest)) + 1 END) AS rho
+      |  FROM r GROUP BY 1, 2),
+      |grid AS (SELECT DISTINCT source, unnest(range(64)) AS bucket FROM h),
+      |regs AS (
+      |  SELECT g.source, COALESCE(r0.rho, 0) AS rho
+      |  FROM grid g LEFT JOIN regs0 r0
+      |    ON g.source = r0.source AND g.bucket = r0.bucket)
+      |SELECT source,
+      |  CAST(count(*) FILTER (rho > 0) AS BIGINT) AS nonempty,
+      |  CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS harmonic_scaled,
+      |  0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+      |    / CAST(CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS DOUBLE)
+      |    AS est_distinct
+      |FROM regs GROUP BY source ORDER BY source""".stripMargin
+
   private val kmvOracle =
     """WITH tok AS (
       |  SELECT source, unnest(string_split(text, ' ')) AS tok

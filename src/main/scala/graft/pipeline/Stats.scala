@@ -233,6 +233,21 @@ object Stats {
     * Output: (group, nonempty, harmonic_scaled, est_distinct). */
   def hllDistinct(
       df: DataFrame, groupCol: String, valueCol: Column, p: Int): DataFrame = {
+    hllEstimate(
+      df.select(col(groupCol), Sampling.md5Hash60(valueCol).as("__h"))
+        .filter(col("__h").isNotNull)
+        .groupBy(col(groupCol))
+        .agg(graft.functions.SketchFunctions.hll_registers(col("__h"), p)
+          .as("regs")),
+      groupCol, p)
+  }
+
+  /** Estimator tail over a (group, regs: array<int>) register table — the
+    * shared back half of [[hllDistinct]] and the streaming register
+    * maintenance ([[graft.streaming.Streams.hllMaintain]]): registers in,
+    * (nonempty, harmonic_scaled, est_distinct) out, with the same
+    * integer-exact scaled harmonic sum and single-division estimate. */
+  def hllEstimate(sk: DataFrame, groupCol: String, p: Int): DataFrame = {
     val m = 1 << p
     val s = 61 - p
     val alpha = m match {
@@ -241,11 +256,7 @@ object Stats {
       case 64 => 0.709
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
-    df.select(col(groupCol), Sampling.md5Hash60(valueCol).as("__h"))
-      .filter(col("__h").isNotNull)
-      .groupBy(col(groupCol))
-      .agg(graft.functions.SketchFunctions.hll_registers(col("__h"), p).as("regs"))
-      .select(col(groupCol), posexplode(col("regs")).as(Seq("bucket", "rho")))
+    sk.select(col(groupCol), posexplode(col("regs")).as(Seq("bucket", "rho")))
       .groupBy(col(groupCol))
       .agg(
         sum(when(col("rho") > 0, 1L).otherwise(0L)).as("nonempty"),

@@ -71,4 +71,43 @@ object Streams {
           }
       }
   }
+
+  /** Streaming HyperLogLog maintenance: per group, fold each
+    * micro-batch's 60-bit hashes into the 2^p-byte register state
+    * (same bucket/rho arithmetic as
+    * [[graft.functions.HllRegisters]]) and emit the group's
+    * post-update registers with a per-group update counter. Because the
+    * merge is an elementwise max, the registers after the LAST update
+    * for a group equal the one-shot batch sketch over everything the
+    * group has seen — regardless of how triggers split the input; the
+    * oracle entry checks exactly that identity. State per group is
+    * 2^p bytes + one long, bounded forever (the sketch never grows —
+    * this is THE always-on distinct-count shape: no timeout needed,
+    * unlike first-arrival dedup whose state tracks the key set).
+    *
+    * Output rows: (group, upd, registers). Downstream takes max_by(upd)
+    * per group and feeds [[graft.pipeline.Stats.hllEstimate]]. */
+  def hllMaintain(
+      hashes: Dataset[(String, Long)], p: Int): Dataset[(String, Long, Seq[Int])] = {
+    import hashes.sparkSession.implicits._
+    val m = 1 << p
+    val w = 60 - p
+    hashes.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Byte]), (String, Long, Seq[Int])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Byte])]) =>
+          val (upd, regs) = state.getOption.getOrElse((0L, new Array[Byte](m)))
+          rows.foreach { case (_, h) =>
+            val b = (h >>> w).toInt
+            val rest = h & ((1L << w) - 1)
+            val rho =
+              if (rest == 0L) w + 1
+              else w - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+            if (rho > regs(b)) regs(b) = rho.toByte
+          }
+          state.update((upd + 1, regs))
+          Iterator.single((g, upd + 1, regs.map(_.toInt).toSeq))
+      }
+  }
 }

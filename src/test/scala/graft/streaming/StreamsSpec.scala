@@ -118,4 +118,40 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         Set((2L, "x"), (7L, "y"))
     }
   }
+
+  "Streams.hllMaintain" - {
+    "streamed registers converge to the one-shot batch sketch" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val hs = (1 to 300).map(i =>
+        graft.pipeline.Sampling.hashThreshold(0.0) + // 0L, keeps it obvious
+          (i * 2654435761L) % (1L << 60))
+      val src = MemoryStream[(String, Long)]
+      val q = Streams.hllMaintain(src.toDS(), p = 6)
+        .toDF("g", "upd", "regs")
+        .writeStream.format("memory").queryName("hm")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-hm").toString)
+        .outputMode("update").start()
+      try {
+        src.addData(hs.take(150).map(("g1", _)): _*)
+        q.processAllAvailable()
+        src.addData(hs.drop(150).map(("g1", _)): _*)
+        q.processAllAvailable()
+        val last = spark.table("hm").orderBy(col("upd").desc)
+          .collect()(0)
+        last.getLong(1) shouldBe 2L // two updates for the group
+        // reference: one-shot fold of ALL hashes
+        val ref = new Array[Int](64)
+        hs.foreach { h =>
+          val b = (h >>> 54).toInt
+          val rest = h & ((1L << 54) - 1)
+          val rho = if (rest == 0L) 55
+            else 54 - (64 - java.lang.Long.numberOfLeadingZeros(rest)) + 1
+          if (rho > ref(b)) ref(b) = rho
+        }
+        last.getSeq[Int](2) shouldBe ref.toSeq
+      } finally q.stop()
+    }
+  }
 }
