@@ -1422,6 +1422,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_epochs" -> ((s, dir) => {
+      // epoch-aware upsampling: src0 repeated to 60 rows (whole epochs +
+      // a hash-truncated partial), src1 cut to 10 — the "small source × N
+      // epochs" mixing recipe; unlisted sources drop. Rows duplicate in a
+      // narrow post-window explode, never through a shuffle
+      graft.pipeline.Sampling.upsampleEpochs(t(s, dir, "documents"),
+          "source", "doc_id", Map("src0" -> 60L, "src1" -> 10L))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     // ---- LLM-pipeline: sampling & corpus statistics ---------------------
     "sample_hash" -> ((s, dir) => {
       // shuffle-free deterministic sample: a pure filter on the md5-derived
@@ -2315,6 +2326,29 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS pack_no, start_tok
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // epoch upsample replay: r = integer-ceil(quota/n) whole epochs, the
+    // last truncated to the quota − (r−1)·n smallest-hash rows
+    "sample_epochs" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |q AS (SELECT source, n,
+        |        CASE source WHEN 'src0' THEN 60 WHEN 'src1' THEN 10
+        |             ELSE 0 END AS q
+        |      FROM c),
+        |r AS (SELECT source, n, q, (q + n - 1) // n AS r
+        |      FROM q WHERE q > 0),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source, r.n, r.q, r.r,
+        |    row_number() OVER (PARTITION BY d.source
+        |      ORDER BY ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+        |                               1, 15))::BIGINT, d.doc_id) AS rn
+        |  FROM documents d JOIN r USING (source)),
+        |e AS (SELECT doc_id, source, n, q, r, rn,
+        |             unnest(range(r)) AS epoch FROM ranked)
+        |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+        |FROM e
+        |WHERE epoch < r - 1 OR rn <= q - (r - 1) * n
+        |ORDER BY doc_id, epoch""".stripMargin,
 
     // same cumsum replay as pack_sequences; quota = 16000/8 = 2000 per
     // shard (no remainder), kept iff start_tok < quota

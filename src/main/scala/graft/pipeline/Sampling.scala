@@ -120,6 +120,46 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Epoch-aware upsampling to per-stratum row quotas — the other half of
+    * the mixing story ([[mixExact]]/[[temperatureHalf]] only cut): small
+    * high-quality sources are REPEATED whole epochs until the quota is
+    * reached (the "Wikipedia × 5" training-mix recipe), with the final
+    * partial epoch truncated in deterministic md5-hash order. Every
+    * output row carries its `epoch` (0-based) so a loader can shuffle
+    * epochs apart; quota ≤ n degenerates to an exact cut (epoch 0 only).
+    *
+    * Exact and engine-replayable: repeats = ceil(quota/n) via integer
+    * arithmetic, the partial epoch keeps the quota − (repeats−1)·n
+    * smallest-hash rows. Shapes at 100 TB: stratum counts are a tiny
+    * aggregate (broadcast), the rank window is the same single shuffle
+    * as [[stratifiedExact]], and the epoch explode is a narrow transform
+    * AFTER the window — rows duplicate inside the scan stage, never
+    * through a shuffle. */
+  def upsampleEpochs(
+      df: DataFrame, strataCol: String, keyCol: String,
+      quotas: Map[String, Long], default: Long = 0L): DataFrame = {
+    val quota = quotas.foldLeft(lit(default)) { case (acc, (k, q)) =>
+      when(col(strataCol) === k, lit(q)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val byHash = Window.partitionBy(col(strataCol))
+      .orderBy(md5Hash60(col(keyCol)), col(keyCol))
+    df.join(broadcast(counts), strataCol)
+      .withColumn("__q", quota)
+      .filter(col("__q") > 0)
+      // integer ceil — (q + n − 1) div n — not a double round-trip, which
+      // can misround for quotas near 2^53
+      .withColumn("__r", expr("(__q + __n - 1) div __n"))
+      .withColumn("__rn", row_number().over(byHash))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__r") - 1, lit(1L))))
+      // full epochs keep everything; the LAST epoch keeps the smallest-
+      // hash prefix that lands the stratum exactly on its quota
+      .filter(col("epoch") < col("__r") - 1 ||
+        col("__rn") <= col("__q") - (col("__r") - 1) * col("__n"))
+      .drop("__n", "__q", "__r", "__rn")
+  }
+
   /** Domain mixing: [[stratifiedExact]] with a PER-STRATUM fraction — the
     * "data mix" step that re-weights sources/domains/languages to a target
     * composition before training. Strata absent from `mix` keep `default`

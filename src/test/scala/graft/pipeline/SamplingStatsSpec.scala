@@ -170,6 +170,39 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Sampling.upsampleEpochs" - {
+    "repeats whole epochs and truncates the last to the exact quota" in {
+      import spark.implicits._
+      // stratum a: 4 rows, quota 10 → 2 full epochs + 2 rows of epoch 2;
+      // stratum b: 3 rows, quota 2 → cut to 2 (epoch 0); c unlisted → drop
+      val df = ((1 to 4).map(i => ("a", i.toLong)) ++
+        (1 to 3).map(i => ("b", 10L + i)) ++
+        Seq(("c", 99L))).toDF("src", "id")
+      val got = Sampling.upsampleEpochs(df, "src", "id",
+        Map("a" -> 10L, "b" -> 2L))
+      got.filter(col("src") === "c").count() shouldBe 0
+      val aByEpoch = got.filter(col("src") === "a")
+        .groupBy("epoch").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      aByEpoch shouldBe Map(0L -> 4L, 1L -> 4L, 2L -> 2L)
+      got.filter(col("src") === "b").count() shouldBe 2
+      // the partial epoch is a PREFIX of the full one (hash order)
+      val partial = got.filter(col("src") === "a" && col("epoch") === 2)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val full = got.filter(col("src") === "a" && col("epoch") === 0)
+        .select("id").collect().map(_.getLong(0)).toSet
+      partial.subsetOf(full) shouldBe true
+    }
+
+    "quota at or below n degenerates to an exact cut, epoch 0 only" in {
+      import spark.implicits._
+      val df = (1 to 8).map(i => ("a", i.toLong)).toDF("src", "id")
+      val got = Sampling.upsampleEpochs(df, "src", "id", Map("a" -> 8L))
+      got.count() shouldBe 8
+      got.select("epoch").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    }
+  }
+
   "Sampling.tokenBudgetSample" - {
     "fills each shard's quota with overshoot of at most one doc tail" in {
       import spark.implicits._
