@@ -114,9 +114,13 @@ object Multimodal {
         col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
       .agg(count(lit(1)).as("matched"))
-    inter
-      .join(totals.select(col("media_id").as("id_a"), col("nf").as("nf_a")), "id_a")
-      .join(totals.select(col("media_id").as("id_b"), col("nf").as("nf_b")), "id_b")
+    // totals is PER-ASSET (corpus-sized at scale) — merge-hint both joins
+    // off the broadcast path the tiny local fixture would otherwise pick
+    inter.hint("merge")
+      .join(totals.select(col("media_id").as("id_a"), col("nf").as("nf_a"))
+        .hint("merge"), "id_a")
+      .join(totals.select(col("media_id").as("id_b"), col("nf").as("nf_b"))
+        .hint("merge"), "id_b")
       .withColumn("jaccard", col("matched").cast("double") /
         (col("nf_a") + col("nf_b") - col("matched")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
