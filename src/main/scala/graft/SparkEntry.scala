@@ -1058,6 +1058,21 @@ object SparkEntry {
         .select(docs.columns.map(col): _*).orderBy("doc_id")
     }),
 
+    "src_csv_roundtrip" -> ((s, dir) => {
+      // CSV ingestion path (the interchange format curation pipelines
+      // still receive): RFC-style quoting (quote doubled as escape) so
+      // commas/quotes in text survive; explicit schema on read (inference
+      // is a second full pass at 100 TB), identity oracle proves the
+      // round trip byte-exact
+      val base = scratchDir(s, "srccsv", dir)
+      val docs = t(s, dir, "documents")
+      docs.write.option("header", "true").option("escape", "\"")
+        .csv(s"$base/docs")
+      s.read.schema(docs.schema).option("header", "true")
+        .option("escape", "\"").csv(s"$base/docs")
+        .select(docs.columns.map(col): _*).orderBy("doc_id")
+    }),
+
     "e5_funnel" -> ((s, dir) => {
       // strictly-ordered first-completion funnel view → click → purchase:
       // each stage scans the log filtered to its own type and joins the
@@ -1613,6 +1628,27 @@ object SparkEntry {
           lit(".example.com/p/"), col("doc_id").cast("string")))
       graft.pipeline.Urls.domainCap(docs, col("url"), col("doc_id"), cap = 10)
         .select(col("doc_id"), col("host")).orderBy("doc_id")
+    }),
+
+    "url_normalize" -> ((s, dir) => {
+      // canonical URL form before url-keyed dedup: fragments stripped,
+      // utm_*/fbclid/gclid tracking params dropped (other params kept in
+      // order), scheme+host lowercased, empty '?' removed — a pure
+      // per-row projection (zero shuffles); deterministic URLs injected
+      // on BOTH sides exercise every rule
+      val u = concat(
+        lit("https://Site"), (col("doc_id") % 23).cast("string"),
+        lit(".Example.com/P/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?keep="), col("doc_id").cast("string"),
+            lit("&utm_medium=email&gclid=zz")))
+          .when(col("doc_id") % 2 === 0, lit("?utm_source=feed&fbclid=abc"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("#section")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), u.as("url"),
+          graft.pipeline.Urls.normalizeUrl(u).as("url_norm"))
+        .orderBy("doc_id")
     }),
 
     "text_bigram_lift" -> ((s, dir) => {
@@ -2178,6 +2214,9 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "src_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -2816,6 +2855,48 @@ object SparkEntry {
         |                    doc_id) AS rn
         |  FROM h)
         |SELECT doc_id, host FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+
+    // same split algebra + RE2-safe tracking-param regex; DuckDB's
+    // regexp_replace needs the explicit 'g' flag (Spark's is global)
+    "url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://Site' || (doc_id % 23) || '.Example.com/P/' || doc_id ||
+        |    CASE WHEN doc_id % 4 = 0
+        |           THEN '?keep=' || doc_id || '&utm_medium=email&gclid=zz'
+        |         WHEN doc_id % 2 = 0 THEN '?utm_source=feed&fbclid=abc'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END AS url
+        |  FROM documents),
+        |pq AS (
+        |  SELECT doc_id, url,
+        |    split_part(split_part(url, '#', 1), '?', 1) AS base,
+        |    CASE WHEN strpos(split_part(url, '#', 1), '?') > 0
+        |         THEN substr(split_part(url, '#', 1),
+        |                     strpos(split_part(url, '#', 1), '?') + 1)
+        |         ELSE '' END AS q
+        |  FROM u),
+        |cl AS (
+        |  SELECT doc_id, url, base,
+        |    regexp_replace(
+        |      regexp_replace(q,
+        |        '(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*', '', 'g'),
+        |      '^&', '') AS cq
+        |  FROM pq),
+        |nb AS (
+        |  SELECT doc_id, url, cq,
+        |    CASE WHEN strpos(base, '//') > 0 THEN
+        |      lower(substr(base, 1, strpos(base, '//') + 1) ||
+        |            split_part(substr(base, strpos(base, '//') + 2), '/', 1))
+        |      || substr(substr(base, strpos(base, '//') + 2),
+        |           length(split_part(substr(base, strpos(base, '//') + 2),
+        |                             '/', 1)) + 1)
+        |    ELSE base END AS normbase
+        |  FROM cl)
+        |SELECT doc_id, url,
+        |       CASE WHEN cq = '' THEN normbase
+        |            ELSE normbase || '?' || cq END AS url_norm
+        |FROM nb ORDER BY doc_id""".stripMargin,
 
     // bigram lift replayed from scratch: same non-empty single-space
     // tokens, same adjacent pairs with multiplicity, same integer-exact

@@ -48,4 +48,38 @@ object Urls {
   def domainCap(
       df: DataFrame, urlCol: Column, idCol: Column, cap: Int): DataFrame =
     capPerKey(df.withColumn("host", hostOf(urlCol)), col("host"), idCol, cap)
+
+  /** Canonical URL form for crawl dedup: strip the fragment, drop
+    * tracking query parameters (utm_*, fbclid, gclid), lowercase the
+    * scheme+host prefix (paths stay case-sensitive), and drop a now-empty
+    * `?`. Two URLs differing only in those never count as distinct pages,
+    * so normalization BEFORE url-keyed dedup/caps collapses the
+    * re-crawl noise a tracking-param explosion creates.
+    *
+    * Entirely codegen'd string builtins plus two regexp_replace in the
+    * Java∩RE2 pattern subset (the redactPii precedent), so the
+    * normalization replays byte-exactly in the oracle — and it is a pure
+    * per-row projection: zero shuffles, runs inside the scan at 100 TB.
+    * No "//" ⇒ returned unchanged apart from fragment/query handling
+    * (same degenerate-input stance as [[hostOf]]). */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    // query: everything AFTER the first '?' (empty when none); substr by
+    // computed offset, not split_part — the query may itself contain '?'
+    val q = when(instr(noFrag, "?") > 0,
+      noFrag.substr(instr(noFrag, "?") + 1, length(noFrag))).otherwise(lit(""))
+    val cleaned = regexp_replace(
+      regexp_replace(q, "(^|&)(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&]*", ""),
+      "^&", "")
+    val p = instr(base, "//")
+    val after = base.substr(p + 2, length(base))
+    val host = substring_index(after, "/", 1)
+    val path = after.substr(length(host) + 1, length(after))
+    val normBase = when(p > 0,
+      concat(lower(concat(base.substr(lit(1), p + 1), host)), path))
+      .otherwise(base)
+    when(cleaned === "", normBase)
+      .otherwise(concat(normBase, lit("?"), cleaned))
+  }
 }

@@ -52,4 +52,35 @@ class UrlsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .count() shouldBe 2L
     }
   }
+
+  "Urls.normalizeUrl" - {
+    def norm(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(Urls.normalizeUrl(col("u"))).collect()(0).getString(0)
+
+    "strips fragments and tracking params, keeps real params in order" in {
+      norm("https://a.com/p?keep=1&utm_source=x&id=2#frag") shouldBe
+        "https://a.com/p?keep=1&id=2"
+      norm("https://a.com/p?utm_a=1&fbclid=z&gclid=q") shouldBe
+        "https://a.com/p" // query emptied — '?' dropped too
+      norm("https://a.com/p?utm_a=1&keep=2") shouldBe
+        "https://a.com/p?keep=2" // leading '&' cleaned after the strip
+    }
+
+    "lowercases scheme+host only; path stays case-sensitive" in {
+      norm("HTTPS://WWW.Example.COM/Path/File?X=1") shouldBe
+        "https://www.example.com/Path/File?X=1"
+    }
+
+    "degenerate inputs pass through predictably" in {
+      norm("no-scheme/Path#f") shouldBe "no-scheme/Path"
+      norm("https://h.com") shouldBe "https://h.com"
+    }
+
+    "plans zero shuffles (pure projection)" in {
+      val df = Seq((1L, "https://A.com/p?utm_a=1")).toDF("id", "url")
+        .select(Urls.normalizeUrl(col("url")).as("n"))
+      df.queryExecution.executedPlan.toString should not include "Exchange"
+    }
+  }
 }
