@@ -1738,6 +1738,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_quantile_sketch" -> ((s, dir) => {
+      // continuous-domain quantiles (event values are doubles — the exact
+      // distinct-value-compressed path would sort nearly every row):
+      // q(p) estimated from a deterministic 256-row uniform sample per
+      // event_type, carried by the mergeable bottom-k-pairs aggregate
+      // (state ≤ k pairs per group per task, KMV-style re-cap merge)
+      graft.pipeline.Stats.sampleQuantiles(events(s, dir),
+          "event_type", col("event_id"), col("value"),
+          k = 256, ps = Seq(0.5, 0.9, 0.99))
+        .orderBy("event_type", "p")
+    }),
+
     "stat_hll" -> ((s, dir) => {
       // per-source distinct-shingle estimate via HyperLogLog: fixed
       // 2^6-byte register state per group (vs KMV's 8k bytes), elementwise
@@ -3031,6 +3043,34 @@ object SparkEntry {
         |FROM documents o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
         |WHERE o.doc_id IS NULL OR c.doc_id IS NULL OR o.text != c.text
         |ORDER BY id""".stripMargin,
+
+    // sample-quantile replay: the bottom-256 (hash, value) sample per
+    // group via row_number over the shared md5 hash, then the discrete
+    // ceil(p·n)-th smallest sampled value; p cast to DOUBLE up front
+    // (bare DuckDB decimals would make ceil() decimal arithmetic)
+    "stat_quantile_sketch" ->
+      """WITH base AS (
+        |  SELECT event_type AS g,
+        |         ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+        |                         1, 15))::BIGINT AS h,
+        |         CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_id IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT g, h, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY h, v) AS rn
+        |      FROM base),
+        |s AS (SELECT g, v FROM r WHERE rn <= 256),
+        |n AS (SELECT g, CAST(count(*) AS BIGINT) AS sample_n
+        |      FROM s GROUP BY 1),
+        |sv AS (SELECT g, v,
+        |         row_number() OVER (PARTITION BY g ORDER BY v) AS vr
+        |       FROM s),
+        |px AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p)
+        |SELECT n.g AS event_type, px.p, sv.v AS q_est, n.sample_n
+        |FROM n JOIN px ON TRUE
+        |  JOIN sv ON sv.g = n.g
+        |         AND sv.vr = CAST(greatest(1, ceil(n.sample_n * px.p))
+        |                          AS BIGINT)
+        |ORDER BY event_type, p""".stripMargin,
 
     "stat_hll" -> hllOracle,
 

@@ -12,7 +12,7 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.BinaryExpression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /** Bottom-k distinct values of a Long column — the KMV (k-minimum-values)
   * cardinality sketch's state, as a native aggregate.
@@ -103,6 +103,108 @@ case class BottomKDistinct(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): BottomKDistinct =
     copy(child = newChild)
+}
+
+/** Bottom-k (hash, value) pairs — the deterministic uniform-sample
+  * sketch behind continuous-domain quantile estimation.
+  *
+  * [[BottomKDistinct]] keeps the k smallest HASHES (cardinality);
+  * this keeps the k pairs smallest by (hash, value), i.e. a uniform
+  * k-sample of rows chosen by the engine-replayable 60-bit md5 hash of a
+  * row key. Exact grouped quantiles via distinct-value compression
+  * (Stats.groupQuantiles) degrade when the value domain is continuous —
+  * the compressed table IS the row count; this sketch caps state at k
+  * pairs per group per task with map-side partials, and the bottom-k
+  * identity (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)))
+  * makes persisted sketch tables mergeable, like KMV.
+  *
+  * Result: the sampled VALUES ordered by (hash, value) — the caller
+  * re-sorts by value for quantile selection. NULL hash or value ⇒ pair
+  * ignored. Duplicate (hash, value) pairs collapse (set semantics);
+  * with a unique row key duplicates never occur.
+  */
+case class BottomKPairs(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeMap[(Long, Double), Unit]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, s"bottom_k_pairs: k must be positive, got $k")
+
+  private implicit val ord: Ordering[(Long, Double)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeMap[(Long, Double), Unit] =
+    new java.util.TreeMap[(Long, Double), Unit](ord)
+
+  private def add(
+      buf: java.util.TreeMap[(Long, Double), Unit], h: Long, v: Double): Unit = {
+    val key = (h, v)
+    if (buf.size() < k) { buf.put(key, ()); () }
+    else if (ord.lt(key, buf.lastKey())) {
+      buf.put(key, ())
+      if (buf.size() > k) buf.pollLastEntry()
+    }
+  }
+
+  override def update(
+      buf: java.util.TreeMap[(Long, Double), Unit],
+      input: InternalRow): java.util.TreeMap[(Long, Double), Unit] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null)
+      add(buf, h.asInstanceOf[Long], v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeMap[(Long, Double), Unit],
+      other: java.util.TreeMap[(Long, Double), Unit]): java.util.TreeMap[(Long, Double), Unit] = {
+    val it = other.keySet().iterator()
+    while (it.hasNext) { val (h, v) = it.next(); add(buf, h, v) }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeMap[(Long, Double), Unit]): Any = {
+    val out = new Array[Double](buf.size())
+    var i = 0
+    val it = buf.keySet().iterator()
+    while (it.hasNext) { out(i) = it.next()._2; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[(Long, Double), Unit]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size())
+    bb.putInt(buf.size())
+    val it = buf.keySet().iterator()
+    while (it.hasNext) {
+      val (h, v) = it.next(); bb.putLong(h); bb.putDouble(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[(Long, Double), Unit] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put((bb.getLong, bb.getDouble), ()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKPairs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKPairs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKPairs =
+    copy(left = newLeft, right = newRight)
 }
 
 /** HyperLogLog register array over a pre-hashed Long column — the
@@ -241,6 +343,12 @@ object SketchFunctions {
     * column of 60-bit hashes. */
   def hll_registers(c: Column, p: Int): Column =
     Bridge.column(HllRegisters(Bridge.expression(c), p).toAggregateExpression())
+
+  /** bottom_k_pairs(h, v, k): values of the k (hash, value) pairs
+    * smallest by (hash, value) — a deterministic uniform k-sample. */
+  def bottom_k_pairs(h: Column, v: Column, k: Int): Column =
+    Bridge.column(BottomKPairs(
+      Bridge.expression(h), Bridge.expression(v), k).toAggregateExpression())
 
   /** bitset_contains(bits, pos): bit `pos` set in the packed binary? */
   def bitset_contains(bits: Column, pos: Column): Column =

@@ -208,6 +208,43 @@ object Stats {
             element_at(col("sketch"), lit(k)).cast("double"))
           .as("est_distinct"))
 
+  /** Approximate grouped quantiles over CONTINUOUS value domains — the
+    * fixed-state companion to [[groupQuantiles]]: exact quantiles via
+    * distinct-value compression degrade to a full sort when the value
+    * domain is continuous (doubles — the compressed table IS the row
+    * count); this estimates q(p) from a deterministic uniform k-sample
+    * instead. The sample is the k rows smallest by the engine-replayable
+    * (md5-hash-of-key, value) order, carried by the native
+    * [[graft.functions.BottomKPairs]] aggregate: state ≤ k pairs per
+    * group per task, map-side partials, merge = bottom-k re-cap — the
+    * same mergeable-sketch contract as KMV, so per-slice sample tables
+    * union and re-cap without touching the corpus.
+    *
+    * Estimator: discrete sample quantile — q̂(p) = the ceil(p·n)-th
+    * smallest sampled value (an observed value, no interpolation), which
+    * replays exactly in SQL. Sampling error ~ O(1/√k) in rank.
+    *
+    * Output: (group, p, q_est, sample_n), one row per group × p. */
+  def sampleQuantiles(
+      df: DataFrame, groupCol: String, keyCol: Column, valueCol: Column,
+      k: Int, ps: Seq[Double]): DataFrame = {
+    df.select(col(groupCol), Sampling.md5Hash60(keyCol).as("__h"),
+        valueCol.cast("double").as("__v"))
+      .filter(col("__h").isNotNull && col("__v").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchFunctions
+        .bottom_k_pairs(col("__h"), col("__v"), k).as("sample"))
+      .select(col(groupCol),
+        size(col("sample")).cast("long").as("sample_n"),
+        array_sort(col("sample")).as("__sv"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .select(col(groupCol), col("p"),
+        element_at(col("__sv"),
+          greatest(lit(1L), ceil(col("sample_n") * col("p"))).cast("int"))
+          .as("q_est"),
+        col("sample_n"))
+  }
+
   /** HyperLogLog distinct-count estimate per group — the FIXED-SIZE
     * companion to [[kmvDistinct]]: state is exactly 2^p bytes per group
     * per task (vs KMV's 8k bytes), merge is elementwise max, and the

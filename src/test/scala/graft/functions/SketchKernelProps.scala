@@ -58,6 +58,31 @@ object SketchKernelProps extends Properties("SketchKernels") {
   private val hashes60: Gen[List[Long]] =
     Gen.listOf(Gen.choose(0L, (1L << 60) - 1))
 
+  private val pairs: Gen[List[(Long, Double)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0L, 1000L), Gen.choose(-50.0, 50.0)))
+
+  property("bottomKPairs = sort-take-k reference; merge = re-cap") =
+    forAll(pairs, pairs, Gen.choose(1, 8)) { (xs, ys, k) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.DoubleType
+      val agg = BottomKPairs(
+        BoundReference(0, LongType, nullable = true),
+        BoundReference(1, DoubleType, nullable = true), k)
+      def run(vs: List[(Long, Double)]) =
+        vs.foldLeft(agg.createAggregationBuffer()) { (b, p) =>
+          agg.update(b, InternalRow(p._1, p._2))
+        }
+      def values(buf: java.util.TreeMap[(Long, Double), Unit]) =
+        agg.eval(buf).asInstanceOf[
+          org.apache.spark.sql.catalyst.util.GenericArrayData]
+          .toDoubleArray().toSeq
+      def ref(vs: List[(Long, Double)]) =
+        vs.distinct.sorted.take(k).map(_._2)
+      values(run(xs)) == ref(xs) &&
+        values(agg.merge(run(xs), run(ys))) == ref(xs ::: ys)
+    }
+
   property("hllRegisters = per-bucket max rho, merge = elementwise max") =
     forAll(hashes60, hashes60) { (xs, ys) =>
       import org.apache.spark.sql.catalyst.InternalRow

@@ -170,6 +170,46 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.sampleQuantiles" - {
+    "matches a driver-side replay of the hash-sample estimator" in {
+      import spark.implicits._
+      val rows = (1 to 500).map(i => ("g", i.toLong, math.sin(i) * 100))
+      val df = rows.toDF("g", "id", "v")
+      val got = Stats.sampleQuantiles(df, "g", col("id"), col("v"),
+          k = 64, ps = Seq(0.5, 0.9))
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      // reference: same hash order, driver-side
+      val hashed = df.select(col("id"),
+          graft.pipeline.Sampling.md5Hash60(col("id")).as("h"), col("v"))
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val sample = hashed.sortBy(identity).take(64).map(_._2).sorted
+      def q(p: Double) = sample(math.max(1, math.ceil(64 * p).toInt) - 1)
+      got shouldBe Map(0.5 -> q(0.5), 0.9 -> q(0.9))
+    }
+
+    "is partitioning-invariant (pins the sketch merge path)" in {
+      import spark.implicits._
+      val df = (1 to 1000).map(i => (s"g${i % 3}", i.toLong, i * 0.7))
+        .toDF("g", "id", "v")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Stats.sampleQuantiles(d, "g", col("id"), col("v"),
+            k = 32, ps = Seq(0.25, 0.75))
+          .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+          .toSet
+      run(df.repartition(13)) shouldBe run(df.coalesce(1))
+    }
+
+    "below-k groups give exact discrete quantiles" in {
+      import spark.implicits._
+      val df = Seq(("g", 1L, 10.0), ("g", 2L, 20.0), ("g", 3L, 30.0),
+        ("g", 4L, 40.0)).toDF("g", "id", "v")
+      val got = Stats.sampleQuantiles(df, "g", col("id"), col("v"),
+          k = 256, ps = Seq(0.5, 1.0))
+        .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+      got shouldBe Map(0.5 -> 20.0, 1.0 -> 40.0) // every row sampled
+    }
+  }
+
   "Sampling.upsampleEpochs" - {
     "repeats whole epochs and truncates the last to the exact quota" in {
       import spark.implicits._
