@@ -1058,6 +1058,23 @@ object SparkEntry {
         .select(docs.columns.map(col): _*).orderBy("doc_id")
     }),
 
+    "src_schema_evolution" -> ((s, dir) => {
+      // lake reality: a writer adds a column mid-corpus. Batch 1 lacks
+      // `quality`, batch 2 carries it; a mergeSchema read presents ONE
+      // unified schema with nulls for the old files — the contract that
+      // lets a 100 TB corpus evolve without rewriting history
+      val base = scratchDir(s, "srcevo", dir)
+      val docs = t(s, dir, "documents")
+      docs.select("doc_id", "text", "lang")
+        .filter(col("doc_id") % 2 === 0).write.parquet(s"$base/b1")
+      docs.select(col("doc_id"), col("text"), col("lang"),
+          (col("n_chars").cast("double") / 100).as("quality"))
+        .filter(col("doc_id") % 2 === 1).write.parquet(s"$base/b2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/b1", s"$base/b2")
+        .select("doc_id", "lang", "quality").orderBy("doc_id")
+    }),
+
     "src_csv_roundtrip" -> ((s, dir) => {
       // CSV ingestion path (the interchange format curation pipelines
       // still receive): RFC-style quoting (quote doubled as escape) so
@@ -1738,6 +1755,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_pivot" -> ((s, dir) => {
+      // wide composition report: docs per (lang × source) as one row per
+      // lang with a column per source. The pivot values are EXPLICIT —
+      // pivot without a value list runs a driver-side distinct scan
+      // first, a second full pass at 100 TB; with the list it is ONE
+      // Expand-free conditional aggregation pass. Empty cells filled 0
+      // (Spark pivot yields null; the oracle's COUNT FILTER yields 0)
+      val sources = (0 until 20).map(i => s"src$i")
+      t(s, dir, "documents")
+        .groupBy("lang").pivot("source", sources).count()
+        .na.fill(0L, sources)
+        .orderBy("lang")
+    }),
+
     "stat_quantile_sketch" -> ((s, dir) => {
       // continuous-domain quantiles (event values are doubles — the exact
       // distinct-value-compressed path would sort nearly every row):
@@ -2231,6 +2262,13 @@ object SparkEntry {
     "src_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_schema_evolution" ->
+      """SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, CAST(n_chars AS DOUBLE) / 100 AS quality
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // same strictly-ordered first-completion chain, stage CTE per step;
     // counts only, so timestamp representation never reaches the output
@@ -3043,6 +3081,14 @@ object SparkEntry {
         |FROM documents o FULL OUTER JOIN cur c ON o.doc_id = c.doc_id
         |WHERE o.doc_id IS NULL OR c.doc_id IS NULL OR o.text != c.text
         |ORDER BY id""".stripMargin,
+
+    // conditional-aggregation replay of the explicit-values pivot
+    "stat_pivot" ->
+      ("""SELECT lang, """ +
+        (0 until 20).map(i =>
+          s"CAST(COUNT(*) FILTER (source = 'src$i') AS BIGINT) AS src$i")
+          .mkString(", ") +
+        """ FROM documents GROUP BY lang ORDER BY lang"""),
 
     // sample-quantile replay: the bottom-256 (hash, value) sample per
     // group via row_number over the shared md5 hash, then the discrete
