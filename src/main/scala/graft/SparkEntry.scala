@@ -1465,6 +1465,54 @@ object SparkEntry {
         .orderBy("doc_id", "epoch")
     }),
 
+    "sample_importance" -> ((s, dir) => {
+      // DSIR-style importance weighting: target = the English slice, raw =
+      // whole corpus; token mass bucketed into 256 hashed buckets (two
+      // 256-row BROADCAST tables — the "model" never scales with the
+      // vocabulary), per-doc INTEGER mass sums, one final division;
+      // kept = more target-like than the raw average
+      val docs = t(s, dir, "documents")
+      graft.pipeline.Sampling.importanceWeights(
+          docs, "doc_id", col("text"),
+          docs.filter(col("lang") === "en"), col("text"), buckets = 256)
+        .orderBy("doc_id")
+    }),
+
+    "sample_shuffle" -> ((s, dir) => {
+      // deterministic per-epoch corpus shuffle as a PERMUTATION COLUMN:
+      // sharded md5-hash order (one shuffle + per-shard window sort),
+      // exact global positions via shard-offset cumsum over the 8-row
+      // count table
+      graft.pipeline.Sampling.shuffleOrder(t(s, dir, "documents"),
+          "doc_id", shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"), col("global_pos"))
+        .orderBy("doc_id")
+    }),
+
+    "text_bm25" -> ((s, dir) => {
+      // ranked retrieval: BM25 with the rational (un-logged) RSJ idf —
+      // every step an exact-input IEEE op, term sum in fixed query order,
+      // so the score hash-replays; candidate shuffle carries only the
+      // query terms' postings, corpus stats are one broadcast row
+      graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+          col("text"), terms = Seq("spark", "customer", "window"), topK = 10)
+        .orderBy("rank")
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      // canonical pre-tokenization normalization; the corpus is ASCII and
+      // single-spaced, so typographic punctuation and ragged whitespace
+      // are injected on BOTH sides — curly-quoted lead token, em-dash,
+      // NBSP, a tab run and a curly apostrophe on every third doc
+      val injected = concat(
+        lit("\u201C"), col("source"), lit("\u201D\u2014\u00A0"), col("text"),
+        when(col("doc_id") % 3 === 0, lit("  \tEnd\u2019s "))
+          .otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.normalizeText(injected).as("norm_text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- LLM-pipeline: sampling & corpus statistics ---------------------
     "sample_hash" -> ((s, dir) => {
       // shuffle-free deterministic sample: a pure filter on the md5-derived
@@ -2538,6 +2586,76 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // DSIR importance weighting: both bucket tables rebuilt in SQL from
+    // the same md5-derived hash; HUGEINT sums cast to BIGINT (the r5
+    // hasher lesson)
+    "sample_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, tok FROM (
+        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok != ''),
+        |bk AS (
+        |  SELECT doc_id, lang,
+        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+        |  FROM toks),
+        |tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tm FROM bk
+        |       WHERE lang = 'en' GROUP BY b),
+        |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rm FROM bk GROUP BY b),
+        |tot AS (
+        |  SELECT (SELECT CAST(SUM(tm) AS BIGINT) FROM tb) AS tt,
+        |         (SELECT CAST(SUM(rm) AS BIGINT) FROM rb) AS rt),
+        |d AS (
+        |  SELECT bk.doc_id,
+        |         CAST(SUM(COALESCE(tb.tm, 0)) AS BIGINT) AS t_mass,
+        |         CAST(SUM(COALESCE(rb.rm, 0)) AS BIGINT) AS r_mass
+        |  FROM bk LEFT JOIN tb ON bk.b = tb.b LEFT JOIN rb ON bk.b = rb.b
+        |  GROUP BY bk.doc_id)
+        |SELECT doc_id, t_mass, r_mass,
+        |       (CAST(t_mass AS DOUBLE) + 1.0) / (CAST(r_mass AS DOUBLE) + 1.0)
+        |         * (CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE)) AS weight,
+        |       (CAST(t_mass AS DOUBLE) + 1.0) / (CAST(r_mass AS DOUBLE) + 1.0)
+        |         * (CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE)) > 1.0 AS kept
+        |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+
+    "sample_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           AS hv
+        |  FROM documents),
+        |s AS (SELECT doc_id, hv, hv % 8 AS shard FROM h)
+        |SELECT doc_id, shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |              ORDER BY hv, doc_id) AS BIGINT) AS pos,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY shard, hv, doc_id) AS BIGINT)
+        |         - 1 AS global_pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" -> graft.pipeline.Retrieval.bm25OracleSql(
+      "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
+
+    // same typographic injection as the entry (chr codes: 8220/8221 curly
+    // double quotes, 8216/8217 curly singles, 8211/8212 dashes, 160 NBSP,
+    // 9 tab); regexp_replace needs the 'g' flag — DuckDB defaults to
+    // first-match-only where Java replaces all
+    "text_normalize" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |         chr(8220) || source || chr(8221) || chr(8212) || chr(160)
+        |           || text ||
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN '  ' || chr(9) || 'End' || chr(8217) || 's '
+        |              ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       lower(trim(regexp_replace(
+        |         translate(raw,
+        |           chr(8220)||chr(8221)||chr(8216)||chr(8217)
+        |             ||chr(8211)||chr(8212)||chr(160),
+        |           '""''''-- '),
+        |         '[ \t\n\r]+', ' ', 'g'))) AS norm_text
         |FROM inj ORDER BY doc_id""".stripMargin,
 
     // deterministic md5-keyed sampling — the threshold literal is

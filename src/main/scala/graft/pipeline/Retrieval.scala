@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ranked full-text retrieval over a document corpus — the "find the
+  * training examples most relevant to this probe" step (eval-set curation,
+  * targeted decontamination audits, nearest-neighbour text search when no
+  * embedding exists).
+  *
+  * Scoring is BM25 with one deliberate substitution: the classical
+  * `ln((N − df + ½)/(df + ½))` idf is replaced by its ARGUMENT, the
+  * Robertson–Spärck-Jones odds `(N − df + ½)/(df + ½)`. The odds are a
+  * strictly monotone transform of the classical idf, so single-term
+  * rankings are identical, and rational arithmetic keeps every step an
+  * exact-input, correctly-rounded IEEE op — no transcendental whose last
+  * ulp differs between a JVM `Math.log` intrinsic and a libm `log`. That
+  * makes the whole score hash-replayable in any engine, which a ln-based
+  * score is not.
+  *
+  * Determinism of the multi-term sum: per-term partial scores are summed
+  * in FIXED query order as one left-folded expression (a column per term,
+  * no aggregation over terms), so the floating-point addition order is
+  * identical on every engine and every run.
+  *
+  * Shape at 100 TB: candidate generation explodes tokens but FILTERS to
+  * the query terms before the aggregation — the shuffle carries only the
+  * query terms' postings (∝ occurrences of the handful of query terms,
+  * not the corpus). Corpus stats (N, Σdl) are one column-scan aggregate
+  * and per-term dfs one k-column aggregate over the candidates; both are
+  * single rows broadcast to the scoring join. The final top-k is a
+  * TakeOrdered (no global sort shuffle).
+  */
+object Retrieval {
+
+  /** BM25 (rational-idf) top-k. `terms` is the query; a document is a
+    * candidate iff it contains at least one term. Output:
+    * (idCol, score DOUBLE, rank LONG), rank 1..topK by
+    * (score DESC, id ASC). */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "query must have at least one term")
+
+    // one column-scan aggregate: corpus size and total token mass; the
+    // double division below is the only place avgdl exists, so both
+    // engines derive it from the same two integers
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
+      split(textCol, " ").as("__toks"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+
+    // postings of the query terms only: the explode is corpus-wide but the
+    // filter runs inside the generated stage, so the aggregation shuffle
+    // carries just the matching (doc, term) occurrences
+    val hits = base
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
+    }
+    val aggCols = max(col("__dl")).as("__dl") +: tfCols
+    val perDoc = hits.groupBy(col("__id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+
+    // per-term document frequencies: a single k-column row over the
+    // candidates (df counts docs with tf > 0), broadcast like the stats
+    val dfCols = terms.indices.map { i =>
+      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")
+    }
+    val dfs = perDoc.agg(dfCols.head, dfCols.tail: _*)
+
+    val scored = perDoc
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(dfs))
+    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = ((col("n") - col(s"__df$i")).cast("double") + lit(0.5)) /
+        (col(s"__df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+    }.reduceLeft(_ + _)
+
+    import org.apache.spark.sql.expressions.Window
+    val ranked = scored.select(col("__id").as(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+    // rank re-derived on the k collected rows — a window over topK rows,
+    // not the corpus
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol)))
+        .cast("long"))
+  }
+
+  /** DuckDB replay of [[bm25TopK]] — same integers, and the double
+    * expression mirrored OPERATION FOR OPERATION in the same association
+    * order (avgdl is divided out exactly as the Spark side does, never
+    * algebraically rearranged — `(x/ (s/n))` and `(x*(n/s))` differ in the
+    * last ulp). Non-dyadic constants are inlined via the JVM's shortest
+    * round-trip rendering and parsed back with a VARCHAR→DOUBLE cast: the
+    * string parse is correctly rounded, whereas a bare SQL literal would
+    * land in DECIMAL and risk a double-rounded conversion. */
+  def bm25OracleSql(
+      table: String, idCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+    def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+    val tf = terms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(",\n         ")
+    val dfAgg = terms.indices.map { i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    // per term: ((idf * num) / den), summed left-to-right in query order —
+    // identical association to the Spark reduceLeft
+    val score = terms.indices.map { i =>
+      s"""(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         |     * (CAST(tf$i AS DOUBLE) * ${dlit(k1 + 1.0)})
+         |     / (CAST(tf$i AS DOUBLE)
+         |        + ${dlit(k1)} * (${dlit(1.0 - b)}
+         |            + ${dlit(b)} * CAST(dl AS DOUBLE)
+         |              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+        .stripMargin
+    }.mkString("\n  + ")
+    s"""WITH base AS (
+       |  SELECT $idCol AS id,
+       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |              END AS BIGINT) AS dl
+       |  FROM $table),
+       |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM base),
+       |toks AS (
+       |  SELECT $idCol AS id, unnest(string_split(text, ' ')) AS tok
+       |  FROM $table),
+       |perdoc AS (
+       |  SELECT id, $tf
+       |  FROM toks WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY id),
+       |dfs AS (SELECT $dfAgg FROM perdoc),
+       |final AS (
+       |  SELECT id,
+       |  $score AS score
+       |  FROM perdoc JOIN base USING (id) CROSS JOIN stats CROSS JOIN dfs)
+       |SELECT id AS $idCol, score,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+       |         AS rank
+       |FROM final
+       |ORDER BY score DESC, id LIMIT $topK""".stripMargin
+  }
+}

@@ -160,6 +160,101 @@ object Sampling {
       .drop("__n", "__q", "__r", "__rn")
   }
 
+  /** Hashed-n-gram importance weighting — the DSIR recipe (Xie et al.
+    * 2023) reduced to its engine-exact core: score every raw document by
+    * how much its token distribution looks like a TARGET corpus, using
+    * token counts bucketed into a fixed hash space so the "model" is two
+    * `buckets`-row tables, never a vocabulary.
+    *
+    * Weight = ((Σ_tok target_mass[bucket(tok)] + 1) /
+    *           (Σ_tok raw_mass[bucket(tok)] + 1)) · (R_total / T_total) —
+    * the document's average RELATIVE bucket frequency under the target vs
+    * the raw corpus (the totals factor normalizes counts to frequencies;
+    * without it a target that is a subset of the raw corpus could never
+    * score above 1). Masses are INTEGER sums (order-independent, exact);
+    * the two divisions and one product are fixed-order IEEE ops, so the
+    * weight is bit-replayable in any engine. The classical DSIR
+    * log-likelihood ratio Σ log(p_t/p_r) needs per-token transcendentals
+    * and an order-dependent float sum; this rational form ranks the same
+    * direction (documents heavy in target-typical buckets score > 1) and
+    * hash-matches.
+    *
+    * Shape at 100 TB: the two bucket tables are O(buckets) rows built by
+    * one aggregation each and BROADCAST to the scoring join; the corpus
+    * pays one explode + one broadcast join + one per-doc aggregation.
+    * `kept` (weight > 1) is a shuffle-free gate — resample the kept set
+    * with [[hashSample]] downstream.
+    *
+    * Output: (idCol, t_mass, r_mass, weight, kept). */
+  def importanceWeights(
+      df: DataFrame, idCol: String, textCol: Column, target: DataFrame,
+      targetTextCol: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketed(d: DataFrame, t: Column): DataFrame =
+      d.select(explode(split(t, " ")).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .select(pmod(md5Hash60(col("__tok")), lit(buckets.toLong)).as("__b"))
+    val targetMass = bucketed(target, targetTextCol)
+      .groupBy("__b").agg(count(lit(1)).as("__tm"))
+    val rawMass = bucketed(df, textCol)
+      .groupBy("__b").agg(count(lit(1)).as("__rm"))
+    // corpus token totals: two rows derived from the (tiny) mass tables
+    val totals = targetMass.agg(sum("__tm").as("__tt"))
+      .crossJoin(rawMass.agg(sum("__rm").as("__rt")))
+    df.select(col(idCol),
+        explode(split(textCol, " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .withColumn("__b", pmod(md5Hash60(col("__tok")), lit(buckets.toLong)))
+      .join(broadcast(targetMass), Seq("__b"), "left")
+      .join(broadcast(rawMass), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("__tm"), lit(0L))).as("t_mass"),
+        sum(coalesce(col("__rm"), lit(0L))).as("r_mass"))
+      .crossJoin(broadcast(totals))
+      .withColumn("weight",
+        (col("t_mass").cast("double") + lit(1.0)) /
+          (col("r_mass").cast("double") + lit(1.0)) *
+          (col("__rt").cast("double") / col("__tt").cast("double")))
+      .withColumn("kept", col("weight") > lit(1.0))
+      .drop("__tt", "__rt")
+  }
+
+  /** Deterministic global shuffle order — the "shuffle the corpus once
+    * per epoch" step a training loader needs, as a PERMUTATION COLUMN
+    * rather than a materialized reordering. Every row gets its position
+    * in md5-hash order; the order is stable across runs and engines, and
+    * changing `shards` changes only the grouping, not the determinism.
+    *
+    * Scale shape: rows shard by pmod(hash, shards) (ONE shuffle), each
+    * shard ranks its rows in hash order (per-shard window sort — the
+    * sort is bounded by the shard, never global), and the global position
+    * is shard_offset + local rank where the offsets are an exclusive
+    * cumulative sum over the `shards`-row count table (a tiny broadcast).
+    * Global order = ascending (shard, hash, id) — a fixed interleave of
+    * the shards, which is exactly as "shuffled" as any hash order.
+    *
+    * Output: input columns + (shard, pos, global_pos), pos 1-based within
+    * the shard, global_pos 0-based over the corpus. */
+  def shuffleOrder(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = md5Hash60(col(idCol))
+    val withShard = df.withColumn("__h", h)
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    val offsets = withShard.groupBy("shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("__n")
+    val byHash = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    withShard
+      .withColumn("pos", row_number().over(byHash).cast("long"))
+      .join(broadcast(offsets), "shard")
+      .withColumn("global_pos", col("__off") + col("pos") - 1)
+      .drop("__h", "__off")
+  }
+
   /** Domain mixing: [[stratifiedExact]] with a PER-STRATUM fraction — the
     * "data mix" step that re-weights sources/domains/languages to a target
     * composition before training. Strata absent from `mix` keep `default`

@@ -26,6 +26,25 @@ object TextAnalysis {
     * differ only in case/punctuation/whitespace collide). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Canonical text normalization — the pre-tokenization cleanup pass a
+    * crawled corpus needs before any dedup/count is comparable across
+    * sources: typographic ("curly") quotes and en/em-dashes fold to their
+    * ASCII forms, NBSP becomes a regular space, whitespace runs collapse
+    * to one space, the result is trimmed and lowercased. Unlike
+    * [[normalized]] (a destructive fingerprint key), this KEEPS
+    * punctuation — it is a display/training form, not a hash key.
+    *
+    * One codegen'd projection, shuffle-free. The whitespace class is the
+    * EXPLICIT `[ \t\n\r]` (not `\s`): Java regex counts U+000B in `\s`,
+    * RE2-based engines do not, so the explicit class is the portable
+    * subset — and after the translate step all exotic blanks this pass
+    * handles are already plain spaces. */
+  def normalizeText(text: Column): Column =
+    lower(trim(regexp_replace(
+      // from: curly quotes, en/em dash, NBSP -> ASCII quotes/dash/space
+      translate(text, "\u201C\u201D\u2018\u2019\u2013\u2014\u00A0",
+        "\"\"''-- "), "[ \t\n\r]+", " ")))
+
   /** Tiny per-language stopword lists (public knowledge) for the heuristic
     * language scorer. */
   val Stopwords: Map[String, Seq[String]] = Map(

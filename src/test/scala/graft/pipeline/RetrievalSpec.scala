@@ -1,0 +1,183 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** BM25 retrieval, DSIR importance weighting, shuffle order, and text
+  * normalization — the round-6 retrieval/curation cohort. */
+class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  "Retrieval.bm25TopK" - {
+    "ranks a hand-built corpus by term frequency and length" in {
+      // same dl everywhere → single-term BM25 order = tf order
+      val df = Seq(
+        (1L, "spark spark spark pad pad"),
+        (2L, "spark spark other pad pad"),
+        (3L, "spark other other pad pad"),
+        (4L, "other other other pad pad")
+      ).toDF("doc_id", "text")
+      val got = Retrieval.bm25TopK(df, "doc_id", col("text"), Seq("spark"))
+        .select("doc_id", "rank").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got shouldBe Map(1L -> 1L, 2L -> 2L, 3L -> 3L)
+      // doc 4 has no query term — not a candidate at all
+    }
+
+    "prefers the shorter document at equal tf" in {
+      val df = Seq(
+        (1L, "spark pad"),
+        (2L, "spark pad pad pad pad pad pad pad")
+      ).toDF("doc_id", "text")
+      val top = Retrieval.bm25TopK(df, "doc_id", col("text"), Seq("spark"))
+        .orderBy("rank").select("doc_id").as[Long].collect()
+      top shouldBe Array(1L, 2L)
+    }
+
+    "weighs rare terms above common ones" in {
+      // 'rare' df=1, 'common' df=4: one hit of each, same dl
+      val df = Seq(
+        (1L, "rare pad pad"),
+        (2L, "common pad pad"),
+        (3L, "common x pad"), (4L, "common y pad"), (5L, "common z pad")
+      ).toDF("doc_id", "text")
+      val got = Retrieval.bm25TopK(df, "doc_id", col("text"),
+        Seq("rare", "common")).orderBy("rank")
+        .select("doc_id").as[Long].collect()
+      got.head shouldBe 1L
+    }
+
+    "is deterministic and caps at topK with contiguous ranks" in {
+      val a = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("spark", "customer", "window"), topK = 10).collect()
+      val b = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("spark", "customer", "window"), topK = 10).collect()
+      a.map(_.toString) shouldBe b.map(_.toString)
+      a.length shouldBe 10
+      a.map(_.getAs[Long]("rank")).sorted shouldBe (1L to 10L).toArray
+      // scores descend with rank
+      val byRank = a.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      byRank.zip(byRank.tail).foreach { case (hi, lo) => hi should be >= lo }
+    }
+  }
+
+  "Sampling.importanceWeights" - {
+    "scores target-only vocabulary above raw-typical vocabulary" in {
+      val raw = Seq(
+        (1L, "alpha alpha alpha alpha"), // raw-heavy tokens
+        (2L, "beta beta beta beta"),     // target-typical tokens
+        (3L, "alpha alpha beta beta")
+      ).toDF("doc_id", "text")
+      val target = Seq((10L, "beta beta beta beta")).toDF("doc_id", "text")
+      val w = Sampling.importanceWeights(raw, "doc_id", col("text"),
+          target, col("text"), buckets = 64)
+        .collect().map(r =>
+          r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+      w(2L) should be > w(3L)
+      w(3L) should be > w(1L)
+      // doc 2: each of its 4 'beta' tokens sees target mass 4 and raw mass
+      // 6 (4 from doc 2 + 2 from doc 3) → (16+1)/(24+1), normalized by
+      // R_total/T_total = 12/4; 'alpha'/'beta' land in distinct buckets
+      // (59 vs 43 of 64 — checked)
+      w(2L) shouldBe ((17.0 / 25.0) * (12.0 / 4.0))
+      // beta-heavy docs clear the kept gate, the alpha-only doc does not
+      val kept = Sampling.importanceWeights(raw, "doc_id", col("text"),
+          target, col("text"), buckets = 64)
+        .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+      kept shouldBe Set(2L, 3L)
+    }
+
+    "masses are exact integer sums and kept is weight > 1" in {
+      val rows = Sampling.importanceWeights(docs, "doc_id", col("text"),
+        docs.filter(col("lang") === "en"), col("text"), buckets = 256)
+        .collect()
+      rows.length shouldBe docs.count()
+      val tok = (d: org.apache.spark.sql.DataFrame) =>
+        d.select(explode(split(col("text"), " ")).as("t"))
+          .filter(col("t") =!= "").count()
+      val rt = tok(docs)
+      val tt = tok(docs.filter(col("lang") === "en"))
+      rows.foreach { r =>
+        val w = r.getAs[Double]("weight")
+        w shouldBe ((r.getAs[Long]("t_mass") + 1.0) /
+          (r.getAs[Long]("r_mass") + 1.0) * (rt.toDouble / tt.toDouble))
+        r.getAs[Boolean]("kept") shouldBe (w > 1.0)
+      }
+      // the English slice itself must skew target-like: its mean weight
+      // exceeds the non-English mean
+      val en = docs.filter(col("lang") === "en").select("doc_id").as[Long]
+        .collect().toSet
+      val (e, o) = rows.partition(r => en(r.getAs[Long]("doc_id")))
+      val mean = (xs: Array[org.apache.spark.sql.Row]) =>
+        xs.map(_.getAs[Double]("weight")).sum / xs.length
+      mean(e) should be > mean(o)
+    }
+  }
+
+  "Sampling.shuffleOrder" - {
+    "is a permutation: global positions are exactly 0..n-1" in {
+      val out = Sampling.shuffleOrder(docs, "doc_id", shards = 8)
+      val n = docs.count()
+      out.count() shouldBe n
+      out.select("global_pos").as[Long].collect().sorted shouldBe
+        (0L until n).toArray
+    }
+
+    "global order is (shard, hash, id) and pos is contiguous per shard" in {
+      val rows = Sampling.shuffleOrder(docs, "doc_id", shards = 8)
+        .select("shard", "pos", "global_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // within a shard, global_pos ordered like pos and contiguous
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.map(_._2) shouldBe (1L to rs.length).toArray
+        sorted.map(_._3).zip(sorted.map(_._3).tail)
+          .foreach { case (a, b) => b shouldBe a + 1 }
+      }
+      // shards occupy disjoint contiguous global ranges in shard order
+      val ranges = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (s, rs) => (s, rs.map(_._3).min, rs.map(_._3).max) }
+      ranges.zip(ranges.tail).foreach { case ((_, _, hi), (_, lo, _)) =>
+        lo shouldBe hi + 1
+      }
+    }
+
+    "positions are stable across runs (a real permutation, not RNG)" in {
+      val a = Sampling.shuffleOrder(docs, "doc_id", 8)
+        .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+      val b = Sampling.shuffleOrder(docs, "doc_id", 8)
+        .select("doc_id", "global_pos").as[(Long, Long)].collect().toMap
+      a shouldBe b
+    }
+  }
+
+  "TextAnalysis.normalizeText" - {
+    "folds typographic punctuation and collapses whitespace" in {
+      val df = Seq(
+        (1L, "“Hello”—world"),
+        (2L, "  A \t\t B C  "),
+        (3L, "It’s – fine")
+      ).toDF("id", "text")
+      val got = df.select(col("id"),
+          TextAnalysis.normalizeText(col("text")).as("t"))
+        .as[(Long, String)].collect().toMap
+      got(1L) shouldBe "\"hello\"-world"
+      got(2L) shouldBe "a b c"
+      got(3L) shouldBe "it's - fine"
+    }
+
+    "keeps punctuation (unlike the fingerprint key) and is idempotent" in {
+      val df = Seq((1L, "Keep, punct! “quoted”  x")).toDF("id", "text")
+      val once = df.select(TextAnalysis.normalizeText(col("text")).as("t"))
+      val t1 = once.as[String].head()
+      t1 shouldBe "keep, punct! \"quoted\" x"
+      once.select(TextAnalysis.normalizeText(col("t")).as("t"))
+        .as[String].head() shouldBe t1
+    }
+  }
+}
