@@ -60,8 +60,13 @@ object Retrieval {
       sum(when(col("__tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
     }
     val aggCols = max(col("__dl")).as("__dl") +: tfCols
+    // persist barrier: the candidate table feeds BOTH the df aggregate
+    // and the scoring join — without it the postings explode+aggregate
+    // runs twice (plan-verified). Candidates are bounded by the query
+    // terms' postings, not the corpus, so caching them is cheap at scale.
     val perDoc = hits.groupBy(col("__id"))
       .agg(aggCols.head, aggCols.tail: _*)
+      .persist()
 
     // per-term document frequencies: a single k-column row over the
     // candidates (df counts docs with tf > 0), broadcast like the stats

@@ -194,10 +194,13 @@ object Sampling {
       d.select(explode(split(t, " ")).as("__tok"))
         .filter(col("__tok") =!= "")
         .select(pmod(md5Hash60(col("__tok")), lit(buckets.toLong)).as("__b"))
+    // persist barriers: each mass table feeds its broadcast join AND the
+    // totals row — unpersisted, the corpus-wide bucket count would run
+    // twice. The tables are O(buckets) rows, trivially cacheable.
     val targetMass = bucketed(target, targetTextCol)
-      .groupBy("__b").agg(count(lit(1)).as("__tm"))
+      .groupBy("__b").agg(count(lit(1)).as("__tm")).persist()
     val rawMass = bucketed(df, textCol)
-      .groupBy("__b").agg(count(lit(1)).as("__rm"))
+      .groupBy("__b").agg(count(lit(1)).as("__rm")).persist()
     // corpus token totals: two rows derived from the (tiny) mass tables
     val totals = targetMass.agg(sum("__tm").as("__tt"))
       .crossJoin(rawMass.agg(sum("__rm").as("__rt")))
