@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, DotProduct, HllRegisters, TokenStats, WordPairs, WordShingles}
+import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, CmsCounters, DotProduct, HllRegisters, TokenStats, WordPairs, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -91,7 +91,12 @@ object GraftFunctions {
       (FunctionIdentifier("hll_registers"),
         info("hll_registers", classOf[HllRegisters]),
         arity("hll_registers", 2)(args =>
-          HllRegisters(args(0), intLit(args(1), "hll_registers p")))))
+          HllRegisters(args(0), intLit(args(1), "hll_registers p")))),
+      (FunctionIdentifier("cms_counters"),
+        info("cms_counters", classOf[CmsCounters]),
+        arity("cms_counters", 3)(args =>
+          CmsCounters(args(0), intLit(args(1), "cms_counters d"),
+            intLit(args(2), "cms_counters wlog")))))
 
   /** Kernel size parameters fix the generated code, so they must be
     * plan-time literals. */

@@ -1842,6 +1842,23 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_cms" -> ((s, dir) => {
+      // Count-Min frequency sketch: one pass folds every token occurrence
+      // into 4×512 counters (vector-add merge, map-side partials); the
+      // exact top-25 tokens then probe the BROADCAST sketch in a
+      // codegen'd projection — est ≥ cnt, equality when no row collides
+      val docs = t(s, dir, "documents")
+      val top = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(25)
+      graft.pipeline.Stats.cmsTokenEstimates(docs, col("text"), top,
+          "token", d = 4, wlog = 9)
+        .select(col("token"), col("cnt"), col("est"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     "layout_zorder" -> ((s, dir) => {
       // z-order layout: cluster documents by Morton(doc_id, n_chars) so a
       // range filter on EITHER column prunes files via footer stats; the
@@ -3237,6 +3254,34 @@ object SparkEntry {
         |ORDER BY event_type, p""".stripMargin,
 
     "stat_hll" -> hllOracle,
+
+    // Count-Min replay: counter (i, slot) = count of token OCCURRENCES
+    // whose hash's i-th 9-bit slice is slot; est = min over the d=4 rows.
+    // Pure integer shifts/masks over the shared 60-bit md5 hash
+    "stat_cms" ->
+      """WITH tk AS (
+        |  SELECT tok FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok != ''),
+        |h AS (
+        |  SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+        |  FROM tk),
+        |b AS (
+        |  SELECT i, (hv >> (i * 9)) & 511 AS slot,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ii
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk GROUP BY tok ORDER BY cnt DESC, tok LIMIT 25),
+        |probe AS (
+        |  SELECT token, cnt,
+        |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM top)
+        |SELECT p.token, p.cnt, MIN(b.c) AS est
+        |FROM probe p JOIN b ON b.slot = ((p.hv >> (b.i * 9)) & 511)
+        |GROUP BY p.token, p.cnt
+        |ORDER BY p.cnt DESC, p.token""".stripMargin,
 
     // the streaming register maintenance converges to the identical batch
     // sketch (elementwise-max merge), so the same replay applies

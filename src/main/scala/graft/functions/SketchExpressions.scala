@@ -290,6 +290,94 @@ case class HllRegisters(
     copy(child = newChild)
 }
 
+/** Count-Min sketch counters over a pre-hashed Long column — the bounded-
+  * memory FREQUENCY sketch, as a native aggregate (the family's missing
+  * member: KMV/HLL answer "how many distinct", Bloom answers "seen?",
+  * CMS answers "how often" with a one-sided overestimate).
+  *
+  * The input is the shared 60-bit md5 hash ([[BottomKDistinct]]'s
+  * convention). Row i of the sketch (i < d) takes its counter index from
+  * BIT SLICE i of that hash: `(h >>> (i·wlog)) & (2^wlog − 1)` — d·wlog
+  * must fit in the 60 hash bits. Slices of one strong hash stand in for
+  * the classical d independent hash functions; the payoff is that a SQL
+  * oracle replays every counter with integer shifts/masks alone, no
+  * second hash family. State is exactly d·2^wlog longs per group per
+  * task, participates in map-side partial aggregation, and merge is
+  * elementwise ADDITION — so persisted per-slice sketch tables re-merge
+  * by the same aggregate, like the KMV/HLL tables, and the shuffle moves
+  * d·2^wlog longs per (task, group) regardless of input size.
+  *
+  * Result: the flattened counters, row-major (index = i·2^wlog + slot).
+  * A point estimate is min over i of counter[i·w + slice_i(h)], taken
+  * OUTSIDE the aggregate (element_at over the array — see
+  * Stats.cmsEstimates) so probes stay codegen'd projections. NULL inputs
+  * are ignored.
+  */
+case class CmsCounters(
+    child: Expression,
+    d: Int,
+    wlog: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(d > 0, s"cms_counters: d must be positive, got $d")
+  require(wlog > 0 && d * wlog <= 60,
+    s"cms_counters: need 0 < d*wlog <= 60 hash bits, got d=$d wlog=$wlog")
+
+  private val w = 1 << wlog
+  private val mask = (w - 1).toLong
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < d) {
+        buf(i * w + ((h >>> (i * wlog)) & mask).toInt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsCounters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsCounters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsCounters =
+    copy(child = newChild)
+}
+
 /** O(1) membership probe into a packed bitset: `bits[pos>>3] & (1<<(pos&7))`.
   *
   * `bits` is a (typically literal/broadcast) BINARY column holding the
@@ -349,6 +437,11 @@ object SketchFunctions {
   def bottom_k_pairs(h: Column, v: Column, k: Int): Column =
     Bridge.column(BottomKPairs(
       Bridge.expression(h), Bridge.expression(v), k).toAggregateExpression())
+
+  /** cms_counters(h60, d, wlog): row-major d×2^wlog Count-Min counters
+    * for a column of 60-bit hashes. */
+  def cms_counters(c: Column, d: Int, wlog: Int): Column =
+    Bridge.column(CmsCounters(Bridge.expression(c), d, wlog).toAggregateExpression())
 
   /** bitset_contains(bits, pos): bit `pos` set in the packed binary? */
   def bitset_contains(bits: Column, pos: Column): Column =

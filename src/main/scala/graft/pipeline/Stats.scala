@@ -306,6 +306,47 @@ object Stats {
           col("harmonic_scaled").cast("double")).as("est_distinct"))
   }
 
+  /** Count-Min frequency estimates for a set of probe tokens — the
+    * bounded-memory "how often does X occur" companion to
+    * [[hllDistinct]]/[[kmvDistinct]]: ONE aggregation pass over the
+    * corpus folds every token occurrence into a d×2^wlog counter array
+    * ([[graft.functions.CmsCounters]] — map-side partials, merge =
+    * vector add), and each probe then reads its d counters from the
+    * BROADCAST sketch row inside a codegen'd projection (element_at +
+    * least — no join against the corpus, no second scan). The estimate
+    * is the classical one-sided overestimate: est ≥ true count, with the
+    * excess bounded by collisions in the narrowest row.
+    *
+    * Exact-integer throughout (counters are counts; min of longs), so the
+    * whole sketch replays in SQL via the shared 60-bit md5 hash and
+    * integer shift/mask slicing — see the `stat_cms` oracle.
+    *
+    * At 100 TB: the sketch is d·2^wlog longs regardless of corpus size
+    * (the state that would make exact heavy-hitter counting a
+    * billions-of-groups shuffle), per-slice sketch tables persist and
+    * re-merge by the same aggregate, and probing is corpus-free.
+    *
+    * Output: `probes` columns + `est` (BIGINT). */
+  def cmsTokenEstimates(
+      df: DataFrame, textCol: Column, probes: DataFrame, probeCol: String,
+      d: Int, wlog: Int): DataFrame = {
+    val w = 1 << wlog
+    val sketch = df
+      .select(explode(split(textCol, " ")).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .agg(graft.functions.SketchFunctions.cms_counters(
+        Sampling.md5Hash60(col("__tok")), d, wlog).as("__cms"))
+    val h = Sampling.md5Hash60(col(probeCol))
+    val est = (0 until d).map { i =>
+      element_at(col("__cms"),
+        (lit(i * w) + shiftright(h, i * wlog).bitwiseAND(lit((w - 1).toLong)))
+          .cast("int") + 1)
+    }.reduceLeft(least(_, _))
+    probes.crossJoin(broadcast(sketch))
+      .withColumn("est", est)
+      .drop("__cms")
+  }
+
   /** Composition drift per corpus slice: the total-variation distance
     * between each group's token distribution and the REST of the corpus —
     * the monitoring stat behind "did this crawl/source/snapshot shift the

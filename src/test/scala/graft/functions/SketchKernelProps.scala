@@ -83,6 +83,41 @@ object SketchKernelProps extends Properties("SketchKernels") {
         values(agg.merge(run(xs), run(ys))) == ref(xs ::: ys)
     }
 
+  property("cmsCounters = per-slice occurrence counts, merge = vector add") =
+    forAll(hashes60, hashes60, Gen.choose(1, 4), Gen.choose(3, 9)) {
+      (xs, ys, d, wlog) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        import org.apache.spark.sql.catalyst.expressions.BoundReference
+        val w = 1 << wlog
+        val agg = CmsCounters(BoundReference(0, LongType, nullable = true), d, wlog)
+        def run(vs: List[Long]): Array[Long] =
+          vs.foldLeft(agg.createAggregationBuffer()) { (b, v) =>
+            agg.update(b, InternalRow(v))
+          }
+        def ref(vs: List[Long]): Array[Long] = {
+          val c = new Array[Long](d * w)
+          vs.foreach { h =>
+            (0 until d).foreach { i =>
+              c(i * w + ((h >>> (i * wlog)) & (w - 1)).toInt) += 1L
+            }
+          }
+          c
+        }
+        // every row's counters sum to the input size; point estimates
+        // (min over rows at a hash's slots) never undercount
+        val got = run(xs)
+        val rowSumsOk = (0 until d).forall { i =>
+          (i * w until (i + 1) * w).map(got(_)).sum == xs.length
+        }
+        val overEstOk = xs.forall { h =>
+          val est = (0 until d).map(i =>
+            got(i * w + ((h >>> (i * wlog)) & (w - 1)).toInt)).min
+          est >= xs.count(_ == h)
+        }
+        got.sameElements(ref(xs)) && rowSumsOk && overEstOk &&
+          agg.merge(run(xs), run(ys)).sameElements(ref(xs ::: ys))
+    }
+
   property("hllRegisters = per-bucket max rho, merge = elementwise max") =
     forAll(hashes60, hashes60) { (xs, ys) =>
       import org.apache.spark.sql.catalyst.InternalRow

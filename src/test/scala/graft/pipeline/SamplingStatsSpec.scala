@@ -408,4 +408,42 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       plan should not include "CartesianProduct"
     }
   }
+
+  "Stats.cmsTokenEstimates" - {
+    "never undercounts, and is exact for every probe at a wide sketch" in {
+      import spark.implicits._
+      val exact = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      // ~30 distinct tokens in the corpus vs 4×2^9 counters: collisions
+      // within a 9-bit slice are possible, but four independent slices
+      // colliding for the same pair is not — est == cnt for every token
+      val got = Stats.cmsTokenEstimates(docs, col("text"), exact, "token",
+          d = 4, wlog = 9)
+        .select("token", "cnt", "est").collect()
+      got.length should be > 0
+      got.foreach { r =>
+        r.getAs[Long]("est") should be >= r.getAs[Long]("cnt")
+      }
+      got.count(r => r.getAs[Long]("est") == r.getAs[Long]("cnt")) shouldBe
+        got.length
+    }
+
+    "a deliberately narrow sketch overestimates colliding tokens" in {
+      import spark.implicits._
+      // 1 row × 2^3 slots and dozens of distinct tokens: pigeonhole forces
+      // collisions, so SOME estimate must exceed its exact count — and the
+      // sketch still never undercounts
+      val exact = docs
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val got = Stats.cmsTokenEstimates(docs, col("text"), exact, "token",
+          d = 1, wlog = 3)
+        .select("cnt", "est").as[(Long, Long)].collect()
+      got.foreach { case (cnt, est) => est should be >= cnt }
+      got.count { case (cnt, est) => est > cnt } should be > 0
+    }
+  }
 }
