@@ -1478,6 +1478,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sample_weighted" -> ((s, dir) => {
+      // DSIR resample: keep-probability min(1, 0.3·weight) decided by
+      // the deterministic hash threshold — a shuffle-free filter over
+      // the weighting output; rows with higher importance survive at
+      // proportionally higher rates, samples nest in both arguments
+      val docs = t(s, dir, "documents")
+      val weighted = graft.pipeline.Sampling.importanceWeights(
+        docs, "doc_id", col("text"),
+        docs.filter(col("lang") === "en"), col("text"), buckets = 256)
+      graft.pipeline.Sampling.weightedHashSample(
+          weighted, "doc_id", col("weight"), fraction = 0.3)
+        .select(col("doc_id"), col("weight"))
+        .orderBy("doc_id")
+    }),
+
     "sample_shuffle" -> ((s, dir) => {
       // deterministic per-epoch corpus shuffle as a PERMUTATION COLUMN:
       // sharded md5-hash order (one shuffle + per-shard window sort),
@@ -2609,32 +2624,21 @@ object SparkEntry {
     // the same md5-derived hash; HUGEINT sums cast to BIGINT (the r5
     // hasher lesson)
     "sample_importance" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang, tok FROM (
-        |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents) WHERE tok != ''),
-        |bk AS (
-        |  SELECT doc_id, lang,
-        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
-        |  FROM toks),
-        |tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tm FROM bk
-        |       WHERE lang = 'en' GROUP BY b),
-        |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rm FROM bk GROUP BY b),
-        |tot AS (
-        |  SELECT (SELECT CAST(SUM(tm) AS BIGINT) FROM tb) AS tt,
-        |         (SELECT CAST(SUM(rm) AS BIGINT) FROM rb) AS rt),
-        |d AS (
-        |  SELECT bk.doc_id,
-        |         CAST(SUM(COALESCE(tb.tm, 0)) AS BIGINT) AS t_mass,
-        |         CAST(SUM(COALESCE(rb.rm, 0)) AS BIGINT) AS r_mass
-        |  FROM bk LEFT JOIN tb ON bk.b = tb.b LEFT JOIN rb ON bk.b = rb.b
-        |  GROUP BY bk.doc_id)
-        |SELECT doc_id, t_mass, r_mass,
-        |       (CAST(t_mass AS DOUBLE) + 1.0) / (CAST(r_mass AS DOUBLE) + 1.0)
-        |         * (CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE)) AS weight,
-        |       (CAST(t_mass AS DOUBLE) + 1.0) / (CAST(r_mass AS DOUBLE) + 1.0)
-        |         * (CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE)) > 1.0 AS kept
-        |FROM d CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+      s"""$ImportanceCtes
+        |SELECT doc_id, t_mass, r_mass, weight, weight > 1.0 AS kept
+        |FROM iw ORDER BY doc_id""".stripMargin,
+
+    // DSIR resample: the weighted hash-threshold filter over the SAME
+    // importance CTEs — both sides compare double(hash) against
+    // min(1, f·weight)·2^60 in the identical op order
+    "sample_weighted" ->
+      s"""$ImportanceCtes
+        |SELECT doc_id, weight FROM iw
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           AS DOUBLE)
+        |      < least(1.0, CAST('0.3' AS DOUBLE) * weight)
+        |        * CAST(1152921504606846976 AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin,
 
     "sample_shuffle" ->
       """WITH h AS (
@@ -3765,6 +3769,37 @@ object SparkEntry {
   // component entries pin, so each lives once --
   private val WsTokensSql =
     """len(regexp_split_to_array(trim(text), '\s+'))"""
+
+  /** Shared CTE chain replaying [[pipeline.Sampling.importanceWeights]]
+    * (target = the English slice, 256 hash buckets): ends in `iw`
+    * (doc_id, t_mass, r_mass, weight) for both the weighting entry and
+    * the weighted-resample entry to build on. */
+  private val ImportanceCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, tok FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) WHERE tok != ''),
+      |bk AS (
+      |  SELECT doc_id, lang,
+      |         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+      |  FROM toks),
+      |tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tm FROM bk
+      |       WHERE lang = 'en' GROUP BY b),
+      |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rm FROM bk GROUP BY b),
+      |tot AS (
+      |  SELECT (SELECT CAST(SUM(tm) AS BIGINT) FROM tb) AS tt,
+      |         (SELECT CAST(SUM(rm) AS BIGINT) FROM rb) AS rt),
+      |d AS (
+      |  SELECT bk.doc_id,
+      |         CAST(SUM(COALESCE(tb.tm, 0)) AS BIGINT) AS t_mass,
+      |         CAST(SUM(COALESCE(rb.rm, 0)) AS BIGINT) AS r_mass
+      |  FROM bk LEFT JOIN tb ON bk.b = tb.b LEFT JOIN rb ON bk.b = rb.b
+      |  GROUP BY bk.doc_id),
+      |iw AS (
+      |  SELECT doc_id, t_mass, r_mass,
+      |         (CAST(t_mass AS DOUBLE) + 1.0) / (CAST(r_mass AS DOUBLE) + 1.0)
+      |           * (CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE)) AS weight
+      |  FROM d CROSS JOIN tot)""".stripMargin
   private val AlphaRatioSql =
     """(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
       |    / CAST(length(text) AS DOUBLE)""".stripMargin

@@ -222,6 +222,30 @@ object Sampling {
       .drop("__tt", "__rt")
   }
 
+  /** Deterministic weighted sampling — the resample half of the DSIR
+    * recipe ([[importanceWeights]] scores, this selects): each row is
+    * kept with probability min(1, fraction·weight), decided by the SAME
+    * hash-threshold trick as [[hashSample]] — keep iff
+    * hash(key) < min(1, f·w)·2^60. Shuffle-free (a filter inside the
+    * scan), deterministic across runs and engines, and MONOTONE in both
+    * arguments: raising the fraction or a row's weight only ever ADDS
+    * rows (nested samples), because the threshold moves one way while the
+    * hash is fixed.
+    *
+    * The comparison runs entirely in doubles on BOTH engines — the hash
+    * is cast to double (correctly rounded, identical everywhere) and
+    * tested against min(1, f·w)·2^60 computed in the same op order, so
+    * the kept set replays in SQL as
+    * `CAST(h AS DOUBLE) < least(1.0, f*w) * 1152921504606846976.0`.
+    * Rows with weight ≤ 0 are never kept. */
+  def weightedHashSample(
+      df: DataFrame, keyCol: String, weightCol: Column,
+      fraction: Double): DataFrame = {
+    val p = least(lit(1.0), lit(fraction) * weightCol)
+    df.filter(md5Hash60(col(keyCol)).cast("double") <
+      p * lit((1L << 60).toDouble))
+  }
+
   /** Deterministic global shuffle order — the "shuffle the corpus once
     * per epoch" step a training loader needs, as a PERMUTATION COLUMN
     * rather than a materialized reordering. Every row gets its position

@@ -52,6 +52,17 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got.head shouldBe 1L
     }
 
+    "plans a TakeOrdered top-k over broadcast stats - no global sort, no cartesian" in {
+      val plan = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("spark", "customer"), topK = 10)
+        .queryExecution.executedPlan.toString
+      plan should include("TakeOrderedAndProject")
+      // the 1-row stats/dfs sides broadcast; the corpus must never feed a
+      // cartesian or a full range-partitioned sort
+      plan should not include "CartesianProduct"
+      plan should not include "Exchange rangepartitioning"
+    }
+
     "is deterministic and caps at topK with contiguous ranks" in {
       val a = Retrieval.bm25TopK(docs, "doc_id", col("text"),
         Seq("spark", "customer", "window"), topK = 10).collect()
@@ -116,6 +127,42 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       val mean = (xs: Array[org.apache.spark.sql.Row]) =>
         xs.map(_.getAs[Double]("weight")).sum / xs.length
       mean(e) should be > mean(o)
+    }
+  }
+
+  "Sampling.weightedHashSample" - {
+    "keeps everything at weight >= 1/f, nothing at weight <= 0" in {
+      val w = docs.withColumn("w",
+        when(col("doc_id") % 2 === 0, lit(10.0)).otherwise(lit(0.0)))
+      val kept = Sampling.weightedHashSample(w, "doc_id", col("w"), 0.3)
+        .select("doc_id").as[Long].collect().toSet
+      // min(1, 0.3·10) = 1 ⇒ every even id survives; 0-weight rows never
+      kept shouldBe docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id").as[Long].collect().toSet
+    }
+
+    "is monotone in fraction and weight (samples nest)" in {
+      val w = docs.withColumn("w",
+        (pmod(col("doc_id"), lit(5)) + 1).cast("double") / 5.0)
+      def ids(f: Double, scale: Double) =
+        Sampling.weightedHashSample(
+          w.withColumn("w", col("w") * scale), "doc_id", col("w"), f)
+          .select("doc_id").as[Long].collect().toSet
+      val narrow = ids(0.2, 1.0)
+      val wider = ids(0.5, 1.0)
+      val heavier = ids(0.2, 2.0)
+      narrow.subsetOf(wider) shouldBe true
+      narrow.subsetOf(heavier) shouldBe true
+      // and the sample is deterministic
+      ids(0.2, 1.0) shouldBe narrow
+    }
+
+    "approximates per-row probabilities min(1, f*w)" in {
+      // weight 1 everywhere ⇒ behaves like hashSample(f): binomial check
+      val w = docs.withColumn("w", lit(1.0))
+      val n = docs.count().toDouble
+      val kept = Sampling.weightedHashSample(w, "doc_id", col("w"), 0.4).count()
+      kept.toDouble should be(0.4 * n +- 0.15 * n)
     }
   }
 
