@@ -994,6 +994,48 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "st13_stream_cms" -> ((s, dir) => {
+      // always-on frequency monitoring: per-source Count-Min counters
+      // maintained across micro-batches (state = 4×512 longs + a counter
+      // per group, bounded forever). Two triggers split the corpus by doc
+      // parity; counter ADDITION is batch-associative, so the counters
+      // after each group's last update equal the one-shot batch sketch —
+      // the gate verifies that identity by probing the global top-10
+      // tokens against per-source exact counts
+      import s.implicits._
+      val base = scratchDir(s, "st13", dir)
+      val rows = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val hashed = rows.select(col("doc_id"), col("source"),
+        graft.pipeline.Sampling.md5Hash60(col("tok")).as("h"))
+      hashed.filter(col("doc_id") % 2 === 0).select("source", "h")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      hashed.filter(col("doc_id") % 2 === 1).select("source", "h")
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .select(col("source").as("_1"), col("h").as("_2")).as[(String, Long)]
+      val q = graft.streaming.Streams.cmsMaintain(stream, d = 4, wlog = 9)
+        .toDF("source", "upd", "cnts")
+        .writeStream.format("memory").queryName("st13_cms")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      val finalCnts = s.table("st13_cms")
+        .groupBy("source").agg(max_by(col("cnts"), col("upd")).as("__cms"))
+      val top = rows.groupBy("tok").agg(count(lit(1)).as("g"))
+        .orderBy(col("g").desc, col("tok")).limit(10).select("tok")
+      val exact = rows.join(broadcast(top), "tok")
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      exact.join(broadcast(finalCnts), "source")
+        .withColumn("est", graft.pipeline.Stats.cmsEstimateExpr(
+          col("__cms"), col("tok"), d = 4, wlog = 9))
+        .select(col("source"), col("tok").as("token"), col("cnt"), col("est"))
+        .orderBy("source", "token")
+    }),
+
     "e3_asof_attribution" -> ((s, dir) => {
       // backward as-of join (purchase ← latest prior click per user):
       // union-tagged single-shuffle window plan, no range-join explosion
@@ -3290,6 +3332,37 @@ object SparkEntry {
     // the streaming register maintenance converges to the identical batch
     // sketch (elementwise-max merge), so the same replay applies
     "st12_stream_hll" -> hllOracle,
+
+    // streaming CMS ≡ one-shot batch sketch (add-merge identity): replay
+    // the per-source counters in SQL, probe global top-10 tokens
+    "st13_stream_cms" ->
+      """WITH tk AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok != ''),
+        |h AS (
+        |  SELECT source, tok,
+        |         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+        |  FROM tk),
+        |b AS (
+        |  SELECT source, i, (hv >> (i * 9)) & 511 AS slot,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM h CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) ii
+        |  GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT tok, COUNT(*) AS g FROM tk
+        |  GROUP BY tok ORDER BY g DESC, tok LIMIT 10),
+        |exact AS (
+        |  SELECT source, tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM tk JOIN top USING (tok) GROUP BY 1, 2),
+        |probe AS (
+        |  SELECT source, token, cnt,
+        |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv
+        |  FROM exact)
+        |SELECT p.source, p.token, p.cnt, MIN(b.c) AS est
+        |FROM probe p JOIN b ON b.source = p.source
+        |  AND b.slot = ((p.hv >> (b.i * 9)) & 511)
+        |GROUP BY 1, 2, 3 ORDER BY p.source, p.token""".stripMargin,
 
     // identical unrolled Morton formula, generated from the same source
     "layout_zorder" ->

@@ -330,21 +330,30 @@ object Stats {
   def cmsTokenEstimates(
       df: DataFrame, textCol: Column, probes: DataFrame, probeCol: String,
       d: Int, wlog: Int): DataFrame = {
-    val w = 1 << wlog
     val sketch = df
       .select(explode(split(textCol, " ")).as("__tok"))
       .filter(col("__tok") =!= "")
       .agg(graft.functions.SketchFunctions.cms_counters(
         Sampling.md5Hash60(col("__tok")), d, wlog).as("__cms"))
-    val h = Sampling.md5Hash60(col(probeCol))
-    val est = (0 until d).map { i =>
-      element_at(col("__cms"),
+    probes.crossJoin(broadcast(sketch))
+      .withColumn("est",
+        cmsEstimateExpr(col("__cms"), col(probeCol), d, wlog))
+      .drop("__cms")
+  }
+
+  /** Point-estimate expression over a row-major CMS counter-array column:
+    * min over the d rows of the counter at the probe key's bit-slice slot
+    * — pure element_at + least, codegen'd, shared by the batch probe
+    * ([[cmsTokenEstimates]]) and the streaming-maintained sketch
+    * (st13's max_by(upd) counters). */
+  def cmsEstimateExpr(cms: Column, key: Column, d: Int, wlog: Int): Column = {
+    val w = 1 << wlog
+    val h = Sampling.md5Hash60(key)
+    (0 until d).map { i =>
+      element_at(cms,
         (lit(i * w) + shiftright(h, i * wlog).bitwiseAND(lit((w - 1).toLong)))
           .cast("int") + 1)
     }.reduceLeft(least(_, _))
-    probes.crossJoin(broadcast(sketch))
-      .withColumn("est", est)
-      .drop("__cms")
   }
 
   /** Composition drift per corpus slice: the total-variation distance

@@ -110,4 +110,45 @@ object Streams {
           Iterator.single((g, upd + 1, regs.map(_.toInt).toSeq))
       }
   }
+
+  /** Streaming Count-Min maintenance — [[hllMaintain]]'s frequency twin:
+    * per group, fold each micro-batch's 60-bit hashes into the d×2^wlog
+    * counter state (same bit-slice arithmetic as
+    * [[graft.functions.CmsCounters]]) and emit the post-update counters
+    * with an update counter. Counter ADDITION is associative and
+    * commutative over batches, so the counters after a group's LAST
+    * update equal the one-shot batch sketch over everything the group
+    * has seen — the gate checks that identity, like st12's max-merge.
+    * State per group is d·2^wlog longs + one long, bounded forever:
+    * always-on frequency monitoring with no timeout and no growth.
+    *
+    * Output rows: (group, upd, counters row-major). Downstream takes
+    * max_by(upd) per group and probes with element_at + least, exactly
+    * as [[graft.pipeline.Stats.cmsTokenEstimates]] does in batch. */
+  def cmsMaintain(
+      hashes: Dataset[(String, Long)], d: Int,
+      wlog: Int): Dataset[(String, Long, Seq[Long])] = {
+    import hashes.sparkSession.implicits._
+    require(d > 0 && wlog > 0 && d * wlog <= 60,
+      s"cmsMaintain: need 0 < d*wlog <= 60, got d=$d wlog=$wlog")
+    val w = 1 << wlog
+    val mask = (w - 1).toLong
+    hashes.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Array[Long]), (String, Long, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)],
+         state: GroupState[(Long, Array[Long])]) =>
+          val (upd, cnt) =
+            state.getOption.getOrElse((0L, new Array[Long](d * w)))
+          rows.foreach { case (_, h) =>
+            var i = 0
+            while (i < d) {
+              cnt(i * w + ((h >>> (i * wlog)) & mask).toInt) += 1L
+              i += 1
+            }
+          }
+          state.update((upd + 1, cnt))
+          Iterator.single((g, upd + 1, cnt.toSeq))
+      }
+  }
 }

@@ -154,4 +154,42 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
   }
+
+  "Streams.cmsMaintain" - {
+    "streamed counters converge to the one-shot batch sketch" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val d = 2
+      val wlog = 5
+      val w = 1 << wlog
+      val hs = (1 to 300).map(i => (i * 2654435761L) % (1L << 60))
+      val src = MemoryStream[(String, Long)]
+      val q = Streams.cmsMaintain(src.toDS(), d, wlog)
+        .toDF("g", "upd", "cnts")
+        .writeStream.format("memory").queryName("cm")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-cm").toString)
+        .outputMode("update").start()
+      try {
+        src.addData(hs.take(100).map(("g1", _)): _*)
+        q.processAllAvailable()
+        src.addData(hs.drop(100).map(("g1", _)): _*)
+        q.processAllAvailable()
+        val last = spark.table("cm").orderBy(col("upd").desc).collect()(0)
+        last.getLong(1) shouldBe 2L
+        // reference: one-shot fold of ALL hashes
+        val ref = new Array[Long](d * w)
+        hs.foreach { h =>
+          (0 until d).foreach { i =>
+            ref(i * w + ((h >>> (i * wlog)) & (w - 1)).toInt) += 1L
+          }
+        }
+        last.getSeq[Long](2) shouldBe ref.toSeq
+        // each row's counters account for every occurrence
+        (0 until d).foreach { i =>
+          (i * w until (i + 1) * w).map(ref(_)).sum shouldBe hs.length.toLong
+        }
+      } finally q.stop()
+    }
+  }
 }
