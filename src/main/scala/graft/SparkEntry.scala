@@ -1117,6 +1117,19 @@ object SparkEntry {
         .select("doc_id", "lang", "quality").orderBy("doc_id")
     }),
 
+    "src_partitioned_layout" -> ((s, dir) => {
+      // Hive-style partitioned lake layout: one directory per lang, so a
+      // lang predicate prunes to 1/5 of the files BEFORE any IO
+      // (PartitionFilters — plan-pinned in LayoutSpec); the partition
+      // column comes back from directory names, not file bytes
+      val base = scratchDir(s, "srcpart", dir)
+      t(s, dir, "documents").write.partitionBy("lang")
+        .mode("overwrite").parquet(s"$base/docs")
+      s.read.parquet(s"$base/docs").filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "src_csv_roundtrip" -> ((s, dir) => {
       // CSV ingestion path (the interchange format curation pipelines
       // still receive): RFC-style quoting (quote doubled as escape) so
@@ -2384,6 +2397,9 @@ object SparkEntry {
     "src_csv_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "src_partitioned_layout" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "src_schema_evolution" ->
       """SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS quality
         |FROM documents WHERE doc_id % 2 = 0

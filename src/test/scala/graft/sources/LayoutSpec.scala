@@ -65,4 +65,25 @@ class LayoutSpec extends AnyFreeSpec with Matchers with SparkFixture {
       .collect().map(_.getLong(0)).toSeq
     viaSql shouldBe viaCol
   }
+
+  "a partitionBy(lang) layout prunes lang predicates before IO" in {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-srcpart").toString
+    val df = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+      (4L, "fr", 40L)).toDF("doc_id", "lang", "n_chars")
+    df.write.partitionBy("lang").mode("overwrite").parquet(base)
+    val read = spark.read.parquet(base).filter(col("lang") === "en")
+    // the predicate lands in PartitionFilters (directory pruning), never
+    // in PushedFilters/DataFilters — no non-en file is opened
+    val scan = read.queryExecution.executedPlan.toString
+    scan should include regex "PartitionFilters: \\[[^\\]]*lang[^\\]]*en[^\\]]*\\]"
+    scan should not include regex ("DataFilters: \\[[^\\]]*lang[^\\]]*\\]")
+    read.select("doc_id").as[Long].collect().sorted shouldBe Array(1L, 3L)
+    // and the partition column round-trips from directory names
+    spark.read.parquet(base).select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1) shouldBe df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+  }
 }
