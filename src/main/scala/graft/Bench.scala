@@ -33,7 +33,8 @@ object Bench {
     "stat_vocab_coverage", "stat_quantiles",
     "stat_source_drift", "stat_kmv_distinct", "stat_kmv_incremental",
     "stat_heavy_hitters", "stat_rollup",
-    "text_bm25", "sample_importance", "sample_shuffle", "text_normalize")
+    "text_bm25", "sample_importance", "sample_shuffle", "text_normalize",
+    "stat_cms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1912,6 +1912,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_ks_drift" -> ((s, dir) => {
+      // two-sample KS between the purchase and view value distributions —
+      // the continuous-column drift alarm; one aggregation to the
+      // distinct-value table, one window over VALUES, per-value gap =
+      // two divisions (no integer cross-product: overflow-safe at any n)
+      graft.pipeline.Stats.ksDrift(
+          events(s, dir).filter(col("event_type").isin("purchase", "view")),
+          col("value"), col("event_type") === "purchase")
+    }),
+
     "stat_cms" -> ((s, dir) => {
       // Count-Min frequency sketch: one pass folds every token occurrence
       // into 4×512 counters (vector-add merge, map-side partials); the
@@ -3316,6 +3326,33 @@ object SparkEntry {
         |ORDER BY event_type, p""".stripMargin,
 
     "stat_hll" -> hllOracle,
+
+    // KS replay: cumulative conditional counts over the distinct-value
+    // grid; every SUM/window-SUM cast from HUGEINT to BIGINT
+    "stat_ks_drift" ->
+      """WITH src AS (
+        |  SELECT value AS v, event_type = 'purchase' AS a FROM events
+        |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+        |c AS (
+        |  SELECT v,
+        |         CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |         CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM src GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |         CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |         CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb,
+        |         CAST((SELECT SUM(ca) FROM c) AS BIGINT) AS na,
+        |         CAST((SELECT SUM(cb) FROM c) AS BIGINT) AS nb
+        |  FROM c),
+        |g AS (
+        |  SELECT v, na, nb,
+        |         ABS(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+        |             - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE)) AS gap
+        |  FROM cum)
+        |SELECT na AS n_a, nb AS n_b, MAX(gap) AS ks,
+        |       (SELECT v FROM g ORDER BY gap DESC, v LIMIT 1) AS at_value
+        |FROM g GROUP BY na, nb""".stripMargin,
 
     // Count-Min replay: counter (i, slot) = count of token OCCURRENCES
     // whose hash's i-th 9-bit slice is slot; est = min over the d=4 rows.

@@ -356,6 +356,53 @@ object Stats {
     }.reduceLeft(least(_, _))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between two NUMERIC slices —
+    * the train/serve-skew and snapshot-drift alarm for continuous
+    * columns, complementing [[sourceDrift]]'s token-space TVD:
+    * KS = max over v of |F_a(v) − F_b(v)|, the largest gap between the
+    * two empirical CDFs.
+    *
+    * Engine-exact without integer overflow: counts compress to ONE row
+    * per distinct value (conditional sums), cumulative counts come from
+    * a window over that compressed table, and each candidate gap is
+    * |cum_a/n_a − cum_b/n_b| — two correctly-rounded divisions and a
+    * subtraction per DISTINCT value, identical in any engine; max is
+    * order-independent. (The integer cross-product form
+    * |cum_a·n_b − cum_b·n_a| would overflow Long near 3·10⁹ rows per
+    * side — the collocations lesson — so the per-row division form is
+    * the scale-safe one.)
+    *
+    * Shape at 100 TB: one map-side-combined aggregation to the
+    * distinct-value table, then a window over VALUES (the compressed
+    * domain, not the row count) — same discipline as
+    * [[groupQuantiles]]. Ties in the max break toward the SMALLEST
+    * value (max_by on (ks, -v) replayed via window in SQL).
+    *
+    * Output: one row (n_a, n_b, ks, at_value). */
+  def ksDrift(
+      df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    val counts = df
+      .filter(valueCol.isNotNull)
+      .select(valueCol.as("__v"), isA.as("__a"))
+      .groupBy("__v")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+    val w = Window.orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__cuma", sum("__ca").over(w))
+      .withColumn("__cumb", sum("__cb").over(w))
+      .crossJoin(broadcast(counts.agg(
+        sum("__ca").as("__na"), sum("__cb").as("__nb"))))
+      .withColumn("__gap",
+        abs(col("__cuma").cast("double") / col("__na").cast("double") -
+          col("__cumb").cast("double") / col("__nb").cast("double")))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(col("__gap")).as("ks"),
+        min_by(col("__v"), struct((-col("__gap")).as("g"), col("__v").as("v")))
+          .as("at_value"))
+  }
+
   /** Composition drift per corpus slice: the total-variation distance
     * between each group's token distribution and the REST of the corpus —
     * the monitoring stat behind "did this crawl/source/snapshot shift the

@@ -409,6 +409,40 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.ksDrift" - {
+    "identical samples give ks 0; disjoint samples give ks 1" in {
+      import spark.implicits._
+      val same = Seq((1.0, true), (2.0, true), (3.0, true),
+        (1.0, false), (2.0, false), (3.0, false)).toDF("v", "a")
+      val r0 = Stats.ksDrift(same, col("v"), col("a")).collect()(0)
+      r0.getAs[Double]("ks") shouldBe 0.0
+      r0.getAs[Long]("n_a") shouldBe 3L
+      val apart = Seq((1.0, true), (2.0, true), (5.0, false), (6.0, false))
+        .toDF("v", "a")
+      val r1 = Stats.ksDrift(apart, col("v"), col("a")).collect()(0)
+      r1.getAs[Double]("ks") shouldBe 1.0
+      r1.getAs[Double]("at_value") shouldBe 2.0 // gap first complete at 2
+    }
+
+    "matches the hand-computed max CDF gap with ties and repeats" in {
+      import spark.implicits._
+      // A = [1,1,2], B = [3]: F_a(1)=2/3,F_b(1)=0; F_a(2)=1,F_b(2)=0 ⇒ ks=1@2
+      val df = Seq((1.0, true), (1.0, true), (2.0, true), (3.0, false))
+        .toDF("v", "a")
+      val r = Stats.ksDrift(df, col("v"), col("a")).collect()(0)
+      r.getAs[Long]("n_a") shouldBe 3L
+      r.getAs[Long]("n_b") shouldBe 1L
+      r.getAs[Double]("ks") shouldBe 1.0
+      r.getAs[Double]("at_value") shouldBe 2.0
+      // overlapping: A=[1,3], B=[2,4]: gaps .5,.5(tie at 1? compute), max .5 at 1
+      val o = Seq((1.0, true), (3.0, true), (2.0, false), (4.0, false))
+        .toDF("v", "a")
+      val ro = Stats.ksDrift(o, col("v"), col("a")).collect()(0)
+      ro.getAs[Double]("ks") shouldBe 0.5
+      ro.getAs[Double]("at_value") shouldBe 1.0 // tie (gap .5 at 1 and 3) → smallest v
+    }
+  }
+
   "Stats.cmsTokenEstimates" - {
     "never undercounts, and is exact for every probe at a wide sketch" in {
       import spark.implicits._
