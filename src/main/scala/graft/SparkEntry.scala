@@ -1912,6 +1912,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "embed_project" -> ((s, dir) => {
+      // JL random projection: 64-dim embeddings into 8 deterministic
+      // hash-derived directions (the ANN-prefilter / cheap-similarity
+      // space) — 8 codegen'd dot kernels against plan-time literal
+      // directions, shuffle-free, no model table
+      graft.pipeline.Similarity.randomProjection(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+        .orderBy("id")
+    }),
+
     "stat_ks_drift" -> ((s, dir) => {
       // two-sample KS between the purchase and view value distributions —
       // the continuous-column drift alarm; one aggregation to the
@@ -3326,6 +3336,30 @@ object SparkEntry {
         |ORDER BY event_type, p""".stripMargin,
 
     "stat_hll" -> hllOracle,
+
+    // JL projection replay. The raw dot VALUES are the output here, so
+    // list_dot_product won't do (its reassociated/FMA accumulation drifts
+    // a last ulp from the sequential Java kernel — why the ann oracles
+    // output ranks only). Instead: FLOAT-QUANTIZED literal directions
+    // (every product exact in a double) + list_reduce, which folds
+    // left-to-right exactly like the codegen'd loop
+    "embed_project" -> {
+      // the constants go through a VARCHAR list cast: DuckDB's string →
+      // DOUBLE parse is correctly rounded, while a bare numeric literal
+      // lands in DECIMAL whose double conversion is NOT (measured: off
+      // by an ulp for full-precision constants)
+      val cols = (0 until 8).map { p =>
+        val lit = pipeline.Similarity.planeVectorF(p, 64)
+          .map(d => s"'${d.toString}'").mkString("[", ", ", "]::DOUBLE[]")
+        s"""list_reduce([v[i] * ($lit)[i] FOR i IN range(1, 65)],
+           |         (a, b) -> a + b) AS p$p""".stripMargin
+      }.mkString(",\n       ")
+      s"""SELECT vec_id AS id,
+         |       $cols
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |      FROM embeddings)
+         |ORDER BY id""".stripMargin
+    },
 
     // KS replay: cumulative conditional counts over the distinct-value
     // grid; every SUM/window-SUM cast from HUGEINT to BIGINT

@@ -101,6 +101,40 @@ object Similarity {
   def planeVector(p: Int, dim: Int): Seq[Double] =
     (0 until dim).map(j => planeComponent(p, j))
 
+  /** [[planeVector]] quantized to FLOAT precision (24-bit mantissas).
+    * For operators whose raw dot VALUES are outputs (not just signs or
+    * ranks), this makes every product float-input × float-representable
+    * constant EXACT in a double — so an engine whose dot kernel fuses
+    * multiply-add (FMA rounds a·b+s once; observed in DuckDB's
+    * list_dot_product) computes bit-identically to a separate
+    * multiply-then-add loop. Full-precision constants leave inexact
+    * products, and the two kernels drift a last ulp apart. */
+  def planeVectorF(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(j => planeComponent(p, j).toFloat.toDouble)
+
+  /** Johnson–Lindenstrauss random projection: embed each vector into the
+    * k deterministic hash-derived directions ([[planeVector]] — the same
+    * constants the sign-LSH buckets use, kept REAL-valued instead of
+    * thresholded). The classic cheap-similarity / ANN-prefilter space:
+    * distances are approximately preserved (JL), storage drops dim→k,
+    * and any downstream exact re-rank still runs on the originals.
+    *
+    * Shuffle-free: k codegen'd [[graft.functions.DotProduct]] kernels
+    * per row against PLAN-TIME literal directions — no join, no model
+    * table; and engine-exact (the literals round-trip through their
+    * shortest rendering, the dot sums left-to-right on both engines).
+    *
+    * Output: (id, p0 … p(k−1)) as doubles. */
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      dim: Int = 64): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val projCols = (0 until k).map { p =>
+      dot(col("v"), typedlit(planeVectorF(p, dim))).as(s"p$p")
+    }
+    corpus.select(col("id") +: projCols: _*)
+  }
+
   /** Sign-bit bucket of a vector under `planes` random hyperplanes. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
     (0 until planes).map { p =>

@@ -158,6 +158,34 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
   }
 
   "Similarity" - {
+    "randomProjection equals driver-side dots against the same planes" in {
+      val got = Similarity.randomProjection(emb, "vec_id", "embedding", k = 4)
+        .collect().map(r => r.getLong(0) ->
+          (0 until 4).map(p => r.getDouble(p + 1))).toMap
+      val planes = (0 until 4).map(p => Similarity.planeVectorF(p, 64).toArray)
+      val rows = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      rows.foreach { case (id, v) =>
+        val want = planes.map { pl =>
+          // left-to-right fold, matching the codegen'd kernel exactly
+          var s = 0.0; var j = 0
+          while (j < v.length) { s += v(j) * pl(j); j += 1 }
+          s
+        }
+        got(id) shouldBe want.toSeq // bit-exact, not approximate
+      }
+    }
+
+    "randomProjection preserves self-similarity structure" in {
+      // identical input vectors project identically; the projection is a
+      // deterministic pure function (two runs agree)
+      val a = Similarity.randomProjection(emb, "vec_id", "embedding", k = 8)
+        .collect().map(_.toString).sorted
+      val b = Similarity.randomProjection(emb, "vec_id", "embedding", k = 8)
+        .collect().map(_.toString).sorted
+      a shouldBe b
+    }
+
     "brute-force top-k matches a driver-side computation" in {
       val rows = emb.select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
