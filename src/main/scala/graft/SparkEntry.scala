@@ -1168,6 +1168,16 @@ object SparkEntry {
         .orderBy("cohort", "offset")
     }),
 
+    "e7_count_anomaly" -> ((s, dir) => {
+      // rolling-rate anomaly: per event type, hourly counts vs 2× the
+      // trailing-24-observed-buckets mean — integer cross-multiplied
+      // flag, window over the compressed (type, bucket) table
+      graft.pipeline.EventAnalytics.countAnomalies(
+          events(s, dir), "event_type", col("ts_ms"),
+          bucketMs = 3600000L, window = 24)
+        .orderBy("event_type", "bucket")
+    }),
+
     "e4_interval_join" -> ((s, dir) => {
       // banded range join: per event, how many same-type events follow
       // within 10 minutes (+ the first one's timestamp) — an equi join on
@@ -1531,6 +1541,15 @@ object SparkEntry {
           docs, "doc_id", col("text"),
           docs.filter(col("lang") === "en"), col("text"), buckets = 256)
         .orderBy("doc_id")
+    }),
+
+    "sample_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment: hash-range boundaries,
+      // shuffle-free, and stable under corpus growth (a doc's split never
+      // changes when other docs arrive — random splits leak on refresh)
+      graft.pipeline.Sampling.assignSplits(t(s, dir, "documents"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
     }),
 
     "sample_weighted" -> ((s, dir) => {
@@ -2465,6 +2484,24 @@ object SparkEntry {
         |GROUP BY c.cohort, up.w - c.cohort
         |ORDER BY cohort, "offset"""".stripMargin,
 
+    // trailing-row-window anomaly replay; window SUM/COUNT cast from
+    // HUGEINT, flag is the same integer cross-multiplication
+    "e7_count_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, bucket, cnt,
+        |         CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+        |         CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, bucket, cnt, trail_n, trail_sum,
+        |       trail_n > 0 AND cnt * trail_n > 2 * trail_sum AS anomaly
+        |FROM t ORDER BY event_type, bucket""".stripMargin,
+
     "e1_sessionize" ->
       """WITH g AS (
         |  SELECT user_id,
@@ -2705,6 +2742,20 @@ object SparkEntry {
       s"""$ImportanceCtes
         |SELECT doc_id, t_mass, r_mass, weight, weight > 1.0 AS kept
         |FROM iw ORDER BY doc_id""".stripMargin,
+
+    // split boundaries inlined from the SAME left-to-right partial-sum
+    // doubles the plan uses
+    "sample_split" -> {
+      val b1 = ((0.0 + 0.8) * (1L << 60)).toLong
+      val b2 = (((0.0 + 0.8) + 0.1) * (1L << 60)).toLong
+      s"""SELECT doc_id,
+         |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |            < $b1 THEN 'train'
+         |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |            < $b2 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     // DSIR resample: the weighted hash-threshold filter over the SAME
     // importance CTEs — both sides compare double(hash) against

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-log analytics beyond joins/windows: ordered funnels and retention
@@ -75,5 +76,46 @@ object EventAnalytics {
     up.join(cohorts, "u")
       .groupBy(col("cohort"), (col("w") - col("cohort")).as("offset"))
       .agg(count(lit(1)).as("users"))
+  }
+
+  /** Rolling-window count anomalies — the pipeline-health alarm ("did
+    * this event type spike vs its own recent rate"): per (type, time
+    * bucket), flag buckets whose count exceeds `factor`× the trailing
+    * mean over the last `window` OBSERVED buckets (row-window semantics:
+    * buckets with zero events don't appear, so the baseline is the last
+    * k nonempty buckets — identical on any engine, no gap-filling
+    * ambiguity).
+    *
+    * Integer-exact end to end: the flag is the cross-multiplied
+    * comparison cnt·trail_n > factor·trail_sum — no division anywhere,
+    * and the products stay far below Long range (trail_n ≤ window, so
+    * the bound is window·max_bucket_count ≈ 2⁴⁰ at a billion events per
+    * bucket). Buckets with no history (trail_n = 0) are never anomalous.
+    *
+    * Shape at 100 TB: one map-side-combined aggregation compresses the
+    * log to (type, bucket) rows; the window runs over that compressed
+    * table partitioned by type — state ∝ buckets, never events.
+    *
+    * Output: (event_type, bucket, cnt, trail_n, trail_sum, anomaly). */
+  def countAnomalies(
+      df: DataFrame, typeCol: String, tsMsCol: Column, bucketMs: Long,
+      window: Int, factor: Long = 2L): DataFrame = {
+    require(bucketMs > 0 && window > 0 && factor > 0,
+      "bucketMs, window and factor must be positive")
+    // exact floor division, same trick as retentionCohorts: subtract the
+    // remainder so the double division is exact-multiple / bucket
+    val ts = tsMsCol.cast("long")
+    val bucket = ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
+    val counts = df
+      .groupBy(col(typeCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket"))
+      .rowsBetween(-window, -1)
+    counts
+      .withColumn("trail_n", count(lit(1)).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("anomaly",
+        col("trail_n") > 0 &&
+          col("cnt") * col("trail_n") > lit(factor) * col("trail_sum"))
   }
 }

@@ -246,6 +246,32 @@ object Sampling {
       p * lit((1L << 60).toDouble))
   }
 
+  /** Deterministic train/validation/test assignment — the split every
+    * curation pipeline ends with, as a COLUMN, not a materialized
+    * three-way copy. Each row's 60-bit key hash is tested against
+    * cumulative fraction boundaries: hash < f₁·2^60 ⇒ split 1,
+    * < (f₁+f₂)·2^60 ⇒ split 2, … anything past the last boundary gets
+    * the final label. Shuffle-free, stable across runs/engines (the
+    * boundaries are plan-time Long literals computed with the same
+    * left-to-right partial sums an oracle inlines), and STABLE UNDER
+    * CORPUS GROWTH: a document's split never changes when other
+    * documents arrive — the property a random split lacks and
+    * leakage-free eval needs. */
+  def assignSplits(
+      df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val h = md5Hash60(col(keyCol))
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val expr = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), b), rest) =>
+      when(h < lit((b * (1L << 60)).toLong), name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Deterministic global shuffle order — the "shuffle the corpus once
     * per epoch" step a training loader needs, as a PERMUTATION COLUMN
     * rather than a materialized reordering. Every row gets its position

@@ -71,4 +71,41 @@ class EventAnalyticsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       zero shouldBe users
     }
   }
+
+  "EventAnalytics.countAnomalies" - {
+    "flags a spike against the trailing observed-bucket mean" in {
+      // type x, buckets 0..4 with counts [10,10,10,100,10]; window 24 ⇒
+      // bucket 3 sees trailing (10,10,10): 100·3 > 2·30 → anomaly;
+      // bucket 0 has no history; bucket 4 sees (10,10,10,100): 40 ≯ 260
+      val ev = (for {
+        (b, c) <- Seq((0L, 10), (1L, 10), (2L, 10), (3L, 100), (4L, 10))
+        i <- 0 until c
+      } yield ("x", b * 1000L + i)).toDF("typ", "ts_ms")
+      val got = EventAnalytics.countAnomalies(ev, "typ", col("ts_ms"),
+          bucketMs = 1000L, window = 24)
+        .orderBy("bucket").collect()
+      got.map(_.getAs[Long]("cnt")).toSeq shouldBe Seq(10L, 10L, 10L, 100L, 10L)
+      got.map(_.getAs[Boolean]("anomaly")).toSeq shouldBe
+        Seq(false, false, false, true, false)
+      got(3).getAs[Long]("trail_n") shouldBe 3L
+      got(3).getAs[Long]("trail_sum") shouldBe 30L
+      got(4).getAs[Long]("trail_sum") shouldBe 130L
+    }
+
+    "window slides: old buckets age out of the baseline" in {
+      // window 2: bucket 3's baseline is buckets 1,2 only
+      val ev = (for {
+        (b, c) <- Seq((0L, 100), (1L, 1), (2L, 1), (3L, 4))
+        i <- 0 until c
+      } yield ("x", b * 1000L + i)).toDF("typ", "ts_ms")
+      val got = EventAnalytics.countAnomalies(ev, "typ", col("ts_ms"),
+          bucketMs = 1000L, window = 2)
+        .orderBy("bucket").collect()
+      // bucket 3: trailing (1,1) → 4·2 > 2·2 → anomaly despite the old 100
+      got(3).getAs[Boolean]("anomaly") shouldBe true
+      got(3).getAs[Long]("trail_sum") shouldBe 2L
+      // bucket 2: trailing (100,1) → 1·2 > 2·101 is false
+      got(2).getAs[Boolean]("anomaly") shouldBe false
+    }
+  }
 }

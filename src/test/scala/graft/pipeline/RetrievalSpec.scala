@@ -166,6 +166,35 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Sampling.assignSplits" - {
+    "partitions the corpus into the requested fractions, stably" in {
+      val out = Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val n = docs.count().toDouble
+      val bys = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      bys.values.sum shouldBe n.toLong
+      bys("train").toDouble should be(0.8 * n +- 0.1 * n)
+      // growth stability: the split of an existing doc never changes when
+      // the corpus doubles
+      val bigger = docs.union(docs.withColumn("doc_id",
+        col("doc_id") + 1000000L))
+      val before = out.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      Sampling.assignSplits(bigger, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("doc_id") < 1000000L)
+        .collect().foreach { r =>
+          r.getAs[String]("split") shouldBe before(r.getAs[Long]("doc_id"))
+        }
+    }
+
+    "rejects fractions that do not sum to 1" in {
+      an[IllegalArgumentException] should be thrownBy
+        Sampling.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   "Sampling.shuffleOrder" - {
     "is a permutation: global positions are exactly 0..n-1" in {
       val out = Sampling.shuffleOrder(docs, "doc_id", shards = 8)
