@@ -323,8 +323,11 @@ case class CmsCounters(
   with UnaryLike[Expression] {
 
   require(d > 0, s"cms_counters: d must be positive, got $d")
-  require(wlog > 0 && d * wlog <= 60,
-    s"cms_counters: need 0 < d*wlog <= 60 hash bits, got d=$d wlog=$wlog")
+  // wlog ≤ 24 also keeps `1 << wlog` far from Int overflow (1 << 31 would
+  // crash; 1 << 32+ silently wraps the shift and degenerates the sketch)
+  require(wlog > 0 && wlog <= 24 && d * wlog <= 60,
+    s"cms_counters: need 0 < wlog <= 24 and d*wlog <= 60 hash bits, " +
+      s"got d=$d wlog=$wlog")
 
   private val w = 1 << wlog
   private val mask = (w - 1).toLong

@@ -110,8 +110,11 @@ object Retrieval {
       table: String, idCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
     def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+    // SQL string-literal escaping: a term like o'brien must render as
+    // 'o''brien' (the Spark side's isin needs no escaping)
+    def slit(t: String): String = s"'${t.replace("'", "''")}'"
     val tf = terms.zipWithIndex.map { case (t, i) =>
-      s"SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS tf$i"
+      s"SUM(CASE WHEN tok = ${slit(t)} THEN 1 ELSE 0 END) AS tf$i"
     }.mkString(",\n         ")
     val dfAgg = terms.indices.map { i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
@@ -139,7 +142,7 @@ object Retrieval {
        |  FROM $table),
        |perdoc AS (
        |  SELECT id, $tf
-       |  FROM toks WHERE tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |  FROM toks WHERE tok IN (${terms.map(slit).mkString(", ")})
        |  GROUP BY id),
        |dfs AS (SELECT $dfAgg FROM perdoc),
        |final AS (

@@ -293,6 +293,10 @@ object Sampling {
     val h = md5Hash60(col(idCol))
     val withShard = df.withColumn("__h", h)
       .withColumn("shard", pmod(col("__h"), lit(shards.toLong)))
+    // the offsets branch deliberately RE-SCANS rather than persisting:
+    // Catalyst column-prunes it to the id column alone (one narrow scan +
+    // a shards-row aggregate), which at corpus scale is far cheaper than
+    // caching the full-width rows the window branch needs
     val offsets = withShard.groupBy("shard")
       .agg(count(lit(1)).as("__n"))
       .withColumn("__off",

@@ -347,6 +347,8 @@ object Stats {
     * ([[cmsTokenEstimates]]) and the streaming-maintained sketch
     * (st13's max_by(upd) counters). */
   def cmsEstimateExpr(cms: Column, key: Column, d: Int, wlog: Int): Column = {
+    require(d > 0 && wlog > 0 && wlog <= 24 && d * wlog <= 60,
+      s"cmsEstimateExpr: need 0 < wlog <= 24 and d*wlog <= 60, got d=$d wlog=$wlog")
     val w = 1 << wlog
     val h = Sampling.md5Hash60(key)
     (0 until d).map { i =>
@@ -381,12 +383,16 @@ object Stats {
     * Output: one row (n_a, n_b, ks, at_value). */
   def ksDrift(
       df: DataFrame, valueCol: Column, isA: Column): DataFrame = {
+    // persist barrier: the compressed value table feeds the cumulative
+    // window AND the totals row (Stats convention — the shared-aggregate
+    // shape that otherwise runs twice)
     val counts = df
       .filter(valueCol.isNotNull)
       .select(valueCol.as("__v"), isA.as("__a"))
       .groupBy("__v")
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("__ca"),
         sum(when(!col("__a"), 1L).otherwise(0L)).as("__cb"))
+      .persist()
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts
@@ -397,10 +403,17 @@ object Stats {
       .withColumn("__gap",
         abs(col("__cuma").cast("double") / col("__na").cast("double") -
           col("__cumb").cast("double") / col("__nb").cast("double")))
+      // grouped (constant-key) aggregate, NOT a global one: an empty
+      // input then yields ZERO rows — matching the oracle's GROUP BY —
+      // instead of a single all-null row. A one-sided input divides by
+      // 0.0 and reports ks = Infinity (the gap vs an empty CDF), same
+      // IEEE value on both engines.
+      .groupBy(lit(true).as("__g"))
       .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
         max(col("__gap")).as("ks"),
         min_by(col("__v"), struct((-col("__gap")).as("g"), col("__v").as("v")))
           .as("at_value"))
+      .drop("__g")
   }
 
   /** Composition drift per corpus slice: the total-variation distance

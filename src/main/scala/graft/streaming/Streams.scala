@@ -129,8 +129,8 @@ object Streams {
       hashes: Dataset[(String, Long)], d: Int,
       wlog: Int): Dataset[(String, Long, Seq[Long])] = {
     import hashes.sparkSession.implicits._
-    require(d > 0 && wlog > 0 && d * wlog <= 60,
-      s"cmsMaintain: need 0 < d*wlog <= 60, got d=$d wlog=$wlog")
+    require(d > 0 && wlog > 0 && wlog <= 24 && d * wlog <= 60,
+      s"cmsMaintain: need 0 < wlog <= 24 and d*wlog <= 60, got d=$d wlog=$wlog")
     val w = 1 << wlog
     val mask = (w - 1).toLong
     hashes.groupByKey(_._1)

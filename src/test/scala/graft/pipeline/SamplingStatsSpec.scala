@@ -441,6 +441,15 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       ro.getAs[Double]("ks") shouldBe 0.5
       ro.getAs[Double]("at_value") shouldBe 1.0 // tie (gap .5 at 1 and 3) → smallest v
     }
+
+    "returns zero rows on an empty input (matching the SQL GROUP BY)" in {
+      import spark.implicits._
+      val empty = Seq.empty[(Double, Boolean)].toDF("v", "a")
+      Stats.ksDrift(empty, col("v"), col("a")).count() shouldBe 0L
+      // all-null values filter to empty too
+      val nulls = Seq((Option.empty[Double], true)).toDF("v", "a")
+      Stats.ksDrift(nulls, col("v"), col("a")).count() shouldBe 0L
+    }
   }
 
   "Stats.cmsTokenEstimates" - {
