@@ -1052,6 +1052,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "e8_asof_forward" -> ((s, dir) => {
+      // forward as-of: for each purchase, the NEXT view by the same user
+      // (time-to-next-impression) — the time-mirrored single-shuffle
+      // window plan, same cost shape as the backward e3
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.pipeline.AsOfJoin.asof(purchases, views, "user_id", "ts",
+          rightCols = Seq("view_id", "view_value"), suffix = "",
+          forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("view_id"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
     "e2_props_extract" -> ((s, dir) => {
       events(s, dir)
         .select(col("event_type"),
@@ -2169,6 +2187,14 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "e8_asof_forward" ->
+      """SELECT p.event_id, p.user_id,
+        |       v.event_id AS view_id, v.value AS view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
 
     "e2_props_extract" ->

@@ -4,11 +4,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Backward as-of join: for every left row, attach the single right row
-  * with the greatest timestamp at-or-before the left row's timestamp
-  * within the same key — event attribution, "state as of", point-in-time
-  * feature lookup. Left-join semantics: a left row with no prior right
-  * row keeps nulls.
+/** As-of join, backward (default) or forward: for every left row, attach
+  * the single right row with the greatest timestamp at-or-before — or,
+  * `forward`, the smallest at-or-after — the left row's timestamp within
+  * the same key. Event attribution, "state as of", point-in-time feature
+  * lookup, time-to-next-event. Left-join semantics: a left row with no
+  * matching right row keeps nulls.
   *
   * Spark-first plan: NOT a range join — a `l.ts >= r.ts` non-equi join
   * explodes to every prior candidate per left row and re-aggregates.
@@ -33,7 +34,8 @@ object AsOfJoin {
     * DETERMINISTICALLY toward the greatest right payload (struct order),
     * so repeated runs pick the same row. */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightCols: Seq[String], suffix: String = "_right"): DataFrame = {
+      rightCols: Seq[String], suffix: String = "_right",
+      forward: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     val lPayload = struct(leftCols.map(left(_)): _*)
     val rPayload = struct(rightCols.map(right(_)): _*)
@@ -46,8 +48,13 @@ object AsOfJoin {
           lit(null).cast(lType).as("__l"), rPayload.as("__r")))
     // __r last: right-side ties on (ts) order by payload, so last() picks
     // the greatest — a deterministic choice (ASOF engines pick an
-    // arbitrary one; any fixed rule is equally valid)
-    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"), col("__r"))
+    // arbitrary one; any fixed rule is equally valid).
+    // forward = the time-mirrored scan: descending ts finds the NEAREST
+    // right row at-or-AFTER each left row ("time to next event") with the
+    // identical one-shuffle one-sort shape; __side still sorts the right
+    // row first at timestamp ties, so "at-or-after" stays inclusive
+    val tsOrder = if (forward) col(ts).desc else col(ts).asc
+    val w = Window.partitionBy(key).orderBy(tsOrder, col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     combined
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

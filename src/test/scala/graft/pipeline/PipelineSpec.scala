@@ -53,6 +53,22 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         "p1" -> Some("rB")) // tie at (k=1, ts=5): greatest payload wins
     }
 
+    "forward as-of: earliest at-or-after per key, inclusive ties, null when none" in {
+      import spark.implicits._
+      val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 30L, "p3"))
+        .toDF("k", "ts", "name")
+      val right = Seq((1L, 10L, "r10"), (1L, 25L, "r25"), (1L, 5L, "r5"))
+        .toDF("k", "ts", "v")
+      val got = AsOfJoin.asof(left, right, "k", "ts", Seq("v"),
+          forward = true)
+        .select("name", "v_right").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      got shouldBe Map(
+        "p1" -> Some("r10"), // tie at ts=10 matches (inclusive at-or-after)
+        "p2" -> Some("r25"), // r10 is before; r25 is the next
+        "p3" -> None)        // nothing after ts=30
+    }
+
     "as-of join plans exactly one shuffle (no range-join explosion)" in {
       import spark.implicits._
       val left = Seq((1L, 10L, "p1")).toDF("k", "ts", "name")
