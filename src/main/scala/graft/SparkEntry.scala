@@ -750,6 +750,19 @@ object SparkEntry {
         .orderBy("window_ms")
     }),
 
+    "st14_trending_topk" -> ((s, dir) => {
+      // per-minute trending event types: windowed counts (the streaming
+      // stage) + per-window rank over finalized windows (the sink-side
+      // stage) — top 3 per window, count DESC then key
+      graft.streaming.Streams.trendingTopK(
+          events(s, dir).select(timestamp_millis(col("ts_ms")).as("t"),
+            col("event_type")),
+          "t", col("event_type"), "1 minute", "1 minute", k = 3)
+        .select(unix_millis(col("window_start")).as("window_ms"),
+          col("key"), col("cnt"), col("rank"))
+        .orderBy("window_ms", "rank")
+    }),
+
     // ---- analytics (joins/aggs/windows — Spark built-ins over the engine's
     // tables; the reference has none of these, SURVEY §2.3-2.5) ----------
     "q1_agg" -> ((s, dir) =>
@@ -2354,6 +2367,19 @@ object SparkEntry {
     "st7_windowed_counts" ->
       """SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ms, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY window_ms""".stripMargin,
+
+    "st14_trending_topk" ->
+      """WITH c AS (
+        |  SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ms,
+        |         event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_ms, key, cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY window_ms
+        |                ORDER BY cnt DESC, key) AS BIGINT) AS rank
+        |  FROM c)
+        |SELECT window_ms, key, cnt, rank FROM r
+        |WHERE rank <= 3 ORDER BY window_ms, rank""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

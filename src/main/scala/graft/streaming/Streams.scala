@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -25,6 +25,36 @@ object Streams {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("cnt"))
+
+  /** Windowed trending top-k: per tumbling window, the k heaviest keys
+    * (count DESC, key ASC) with their rank — the "what's trending this
+    * minute" feed. The windowed aggregation is the streaming-capable
+    * stage (same watermark/state story as [[windowedCounts]]); the rank
+    * is a per-window window function, which streaming cannot run over an
+    * open aggregate — in a live pipeline the counts stream appends
+    * FINALIZED windows to the sink and this same rank runs there
+    * (foreachBatch / downstream view), which is exactly the shape the
+    * batch form verifies: rank over completed windows. State per open
+    * window is its key counts; the rank never holds state.
+    *
+    * Scale: one shuffle for the (window, key) aggregate (map-side
+    * partials absorb hot keys), one for the per-window rank — both keyed
+    * by window, so the rank partition is bounded by a window's distinct
+    * keys. */
+  def trendingTopK(events: DataFrame, tsCol: String, keyCol: Column,
+      windowDur: String, watermarkDelay: String, k: Int): DataFrame = {
+    val counts = events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("w"), keyCol.as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("w").orderBy(col("cnt").desc, col("key"))
+    counts
+      .withColumn("rank", row_number().over(rank).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("w.start").as("window_start"), col("key"),
+        col("cnt"), col("rank"))
+  }
 
   /** Per-key session windows (gap-based): a session extends while
     * consecutive events arrive within `gap`; an event at-or-past the

@@ -155,6 +155,36 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Streams.trendingTopK" - {
+    "ranks keys per window, count desc then key, capped at k" in {
+      import spark.implicits._
+      // window [0,60s): a×3 b×2 c×1; window [60s,120s): b×2 a×1
+      val rows = Seq.fill(3)(("a", 5L)) ++ Seq.fill(2)(("b", 10L)) ++
+        Seq(("c", 20L)) ++ Seq.fill(2)(("b", 70L)) ++ Seq(("a", 80L))
+      val ev = rows.toDF("k", "sec")
+        .select(col("k"), timestamp_millis(col("sec") * 1000).as("t"))
+      val got = Streams.trendingTopK(ev, "t", col("k"),
+          "1 minute", "1 minute", k = 2)
+        .select(unix_millis(col("window_start")).as("w"), col("key"),
+          col("cnt"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      got shouldBe Set(
+        (0L, "a", 3L, 1L), (0L, "b", 2L, 2L), // c cut by k
+        (60000L, "b", 2L, 1L), (60000L, "a", 1L, 2L))
+    }
+
+    "equal counts break toward the smaller key" in {
+      import spark.implicits._
+      val ev = Seq(("z", 1L), ("y", 2L)).toDF("k", "sec")
+        .select(col("k"), timestamp_millis(col("sec") * 1000).as("t"))
+      val got = Streams.trendingTopK(ev, "t", col("k"),
+          "1 minute", "1 minute", k = 2)
+        .select("key", "rank").as[(String, Long)].collect().toMap
+      got shouldBe Map("y" -> 1L, "z" -> 2L)
+    }
+  }
+
   "Streams.cmsMaintain" - {
     "streamed counters converge to the one-shot batch sketch" in {
       implicit val sql = spark.sqlContext
