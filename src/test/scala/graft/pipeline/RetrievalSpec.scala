@@ -63,6 +63,43 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       plan should not include "Exchange rangepartitioning"
     }
 
+    "matches a driver-side reference on seeded random corpora" in {
+      val vocab = Vector("red", "green", "blue", "pad", "x", "y")
+      val rnd = new scala.util.Random(0xC0FFEE)
+      (1 to 3).foreach { _ =>
+        val corpus = (1L to 30L).map { id =>
+          id -> Seq.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        }
+        val terms = Seq("red", "blue")
+        // naive reference: same rational-idf BM25, same fixed term order
+        val n = corpus.size
+        val dls = corpus.map { case (id, toks) => id -> toks.length.toLong }.toMap
+        val avgdl = dls.values.sum.toDouble / n.toDouble
+        val dfs = terms.map(t =>
+          t -> corpus.count(_._2.contains(t)).toLong).toMap
+        val want = corpus
+          .filter { case (_, toks) => terms.exists(toks.contains) }
+          .map { case (id, toks) =>
+            val score = terms.map { t =>
+              val tf = toks.count(_ == t).toDouble
+              val idf = ((n - dfs(t)).toDouble + 0.5) / (dfs(t).toDouble + 0.5)
+              // (1.2 + 1.0), not a 2.2 literal: mirror the module's
+              // lit(k1 + 1.0) bit-for-bit
+              idf * (tf * (1.2 + 1.0)) /
+                (tf + 1.2 * (0.25 + 0.75 * dls(id) / avgdl))
+            }.reduceLeft(_ + _)
+            (id, score)
+          }
+          .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+        val df = corpus.map { case (id, toks) => (id, toks.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = Retrieval.bm25TopK(df, "doc_id", col("text"), terms,
+            topK = 5)
+          .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+        got shouldBe want
+      }
+    }
+
     "is deterministic and caps at topK with contiguous ranks" in {
       val a = Retrieval.bm25TopK(docs, "doc_id", col("text"),
         Seq("spark", "customer", "window"), topK = 10).collect()
