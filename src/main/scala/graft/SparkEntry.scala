@@ -1619,6 +1619,19 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "text_bm25_batch" -> ((s, dir) => {
+      // batched retrieval: a 5-query table against the corpus in ONE job
+      // (eval-set retrieval / hard-negative mining); per-(query, doc)
+      // term partials fold in canonical term order, so even the float
+      // sum replays; query 5's term never occurs — the query simply
+      // yields no rows
+      import s.implicits._
+      val qs = BatchQueries.toDF("query_id", "term")
+      graft.pipeline.Retrieval.bm25BatchTopK(t(s, dir, "documents"),
+          "doc_id", col("text"), qs, topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "text_normalize" -> ((s, dir) => {
       // canonical pre-tokenization normalization; the corpus is ASCII and
       // single-spaced, so typographic punctuation and ragged whitespace
@@ -2838,6 +2851,9 @@ object SparkEntry {
     "text_bm25" -> graft.pipeline.Retrieval.bm25OracleSql(
       "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
 
+    "text_bm25_batch" -> graft.pipeline.Retrieval.bm25BatchOracleSql(
+      "documents", "doc_id", BatchQueries, topK = 5),
+
     // same typographic injection as the entry (chr codes: 8220/8221 curly
     // double quotes, 8216/8217 curly singles, 8211/8212 dashes, 160 NBSP,
     // 9 tab); regexp_replace needs the 'g' flag — DuckDB defaults to
@@ -4032,6 +4048,16 @@ object SparkEntry {
   // component entries pin, so each lives once --
   private val WsTokensSql =
     """len(regexp_split_to_array(trim(text), '\s+'))"""
+
+  /** The fixed query table for `text_bm25_batch` — shared by the entry
+    * and its generated oracle. Query 5's term is absent from the corpus
+    * by construction (the no-candidates case). */
+  private val BatchQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "merge",
+    2L -> "customer", 2L -> "window", 2L -> "table",
+    3L -> "stream", 3L -> "filter",
+    4L -> "the", 4L -> "data",
+    5L -> "zzz_absent_term")
 
   /** Shared CTE chain replaying [[pipeline.Sampling.importanceWeights]]
     * (target = the English slice, 256 hash buckets): ends in `iw`

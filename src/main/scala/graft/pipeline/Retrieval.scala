@@ -98,6 +98,135 @@ object Retrieval {
         .cast("long"))
   }
 
+  /** Batched BM25 — [[bm25TopK]] for a QUERY TABLE: thousands of eval
+    * queries against the corpus in one job (eval-set retrieval, hard-
+    * negative mining). Same rational-idf score, different sum machinery:
+    * with arbitrary query tables the per-term partial scores live in
+    * ROWS, and a float sum over grouped rows has no deterministic order —
+    * so each (query, doc) collects its (term, partial) pairs, sorts them
+    * by term (canonical order), and folds left-to-right. The fold is an
+    * interpreted higher-order function, but it runs only on the
+    * CANDIDATE set (docs sharing ≥1 term with a query), whose size is
+    * ∝ query-term postings — bounded, never the corpus.
+    *
+    * Scale shape: corpus stats are one broadcast row; the distinct-term
+    * and per-term df tables are query-table-sized broadcasts; the only
+    * corpus-wide work is the token explode filtered by the term
+    * broadcast (shuffle ∝ matching occurrences); the final rank windows
+    * per query over its candidates.
+    *
+    * Output: (query_id, idCol, score, rank), rank 1..topK per query by
+    * (score DESC, id). */
+  def bm25BatchTopK(
+      df: DataFrame, idCol: String, textCol: Column, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
+      split(textCol, " ").as("__toks"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+      .persist()
+    val terms = qterms.select("term").distinct()
+    // postings of any query term: the corpus-wide stage — explode, then
+    // the broadcast term join keeps only matching occurrences
+    val tf = base
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
+      .join(broadcast(terms), col("__tok") === col("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(max(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
+      .persist()
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idf = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val tfd = col("__tf").cast("double")
+    val part = idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("__dl").cast("double") / avgdl))
+    val parts = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__id"), col("term"), part.as("__part"))
+    // canonical-order fold: sort the (term, part) pairs, then seed 0.0
+    // and add left-to-right — the one float-sum order both engines can
+    // replay exactly
+    val scored = parts
+      .groupBy(col("query_id"), col("__id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("__part")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("__part")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("__id").as(idCol), col("score"),
+        col("rank"))
+  }
+
+  /** DuckDB replay of [[bm25BatchTopK]]: the query table inlined as
+    * VALUES, every count CAST to BIGINT, constants via VARCHAR→DOUBLE,
+    * and the per-(query, doc) sum replayed as
+    * `list_reduce(0.0-seeded, list(part ORDER BY term))` — the same
+    * canonical term order and left fold as the Spark side. */
+  def bm25BatchOracleSql(
+      table: String, idCol: String, queries: Seq[(Long, String)],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+    def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+    def slit(t: String): String = s"'${t.replace("'", "''")}'"
+    // CAST: a bare VALUES integer is INT32 in DuckDB; the Spark side's
+    // query_id is BIGINT and the driver hasher is type-sensitive
+    val values = queries.map { case (q, t) =>
+      s"(CAST($q AS BIGINT), ${slit(t)})"
+    }.mkString(",\n         ")
+    s"""WITH q(query_id, term) AS (
+       |  VALUES $values),
+       |base AS (
+       |  SELECT $idCol AS id,
+       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |              END AS BIGINT) AS dl
+       |  FROM $table),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+       |tf AS (
+       |  SELECT id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT $idCol AS id, unnest(string_split(text, ' ')) AS tok
+       |        FROM $table)
+       |  WHERE tok IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2),
+       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |        FROM tf GROUP BY 1),
+       |parts AS (
+       |  SELECT q.query_id, tf.id, tf.term,
+       |    (((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |     * (CAST(tf AS DOUBLE) * ${dlit(k1 + 1.0)})
+       |     / (CAST(tf AS DOUBLE)
+       |        + ${dlit(k1)} * (${dlit(1.0 - b)}
+       |            + ${dlit(b)} * CAST(dl AS DOUBLE)
+       |              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+       |      AS part
+       |  FROM tf
+       |  JOIN q USING (term) JOIN dfs USING (term) JOIN base USING (id)
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT query_id, id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list(part ORDER BY term)),
+       |           (a, x) -> a + x) AS score
+       |  FROM parts GROUP BY query_id, id),
+       |ranked AS (
+       |  SELECT query_id, id, score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |                ORDER BY score DESC, id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, id AS $idCol, score, rank FROM ranked
+       |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of [[bm25TopK]] — same integers, and the double
     * expression mirrored OPERATION FOR OPERATION in the same association
     * order (avgdl is divided out exactly as the Spark side does, never

@@ -114,6 +114,33 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Retrieval.bm25BatchTopK" - {
+    "a single alphabetically-ordered query equals the single-query operator bit-for-bit" in {
+      // same df/N/avgdl definitions and the same fold order (batch sorts
+      // terms; pass the single query pre-sorted) ⇒ identical scores
+      val qs = Seq((7L, "customer"), (7L, "spark")).toDF("query_id", "term")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val batch = rows(Retrieval.bm25BatchTopK(docs, "doc_id", col("text"),
+        qs, topK = 10))
+      val single = rows(Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        Seq("customer", "spark"), topK = 10))
+      batch shouldBe single
+    }
+
+    "queries are isolated; an absent-term query yields no rows" in {
+      val qs = Seq((1L, "spark"), (2L, "zzz_nope")).toDF("query_id", "term")
+      val got = Retrieval.bm25BatchTopK(docs, "doc_id", col("text"), qs,
+        topK = 3)
+      got.filter(col("query_id") === 2L).count() shouldBe 0L
+      got.filter(col("query_id") === 1L).count() shouldBe 3L
+      // per-query ranks are contiguous from 1
+      got.filter(col("query_id") === 1L).select("rank").as[Long]
+        .collect().sorted shouldBe Array(1L, 2L, 3L)
+    }
+  }
+
   "Sampling.importanceWeights" - {
     "scores target-only vocabulary above raw-typical vocabulary" in {
       val raw = Seq(
