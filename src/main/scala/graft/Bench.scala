@@ -34,7 +34,8 @@ object Bench {
     "stat_source_drift", "stat_kmv_distinct", "stat_kmv_incremental",
     "stat_heavy_hitters", "stat_rollup",
     "text_bm25", "sample_importance", "sample_shuffle", "text_normalize",
-    "stat_cms", "embed_project", "e7_count_anomaly", "stat_ks_drift")
+    "stat_cms", "embed_project", "e7_count_anomaly", "stat_ks_drift",
+    "text_bm25_batch", "e8_asof_forward", "st14_trending_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
