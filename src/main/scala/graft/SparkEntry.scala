@@ -2207,19 +2207,30 @@ object SparkEntry {
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
 
+    // right-side (user, ts) ties pre-collapsed to the GREATEST payload —
+    // the Spark side's documented tie rule — because native ASOF leaves
+    // tie choice unspecified; a no-op on tie-free data, deterministic if
+    // a future generator ever emits ties
     "e3_asof_attribution" ->
       """SELECT p.event_id, p.user_id,
         |       c.event_id AS click_id, c.value AS click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |            ORDER BY event_id DESC, value DESC) = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // same tie pre-collapse as e3 (see the comment there)
     "e8_asof_forward" ->
       """SELECT p.event_id, p.user_id,
         |       v.event_id AS view_id, v.value AS view_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'view'
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+        |            ORDER BY event_id DESC, value DESC) = 1) v
         |  ON p.user_id = v.user_id AND p.ts <= v.ts
         |ORDER BY p.event_id""".stripMargin,
 

@@ -18,23 +18,74 @@ import org.apache.spark.sql.functions._
   * makes the whole score hash-replayable in any engine, which a ln-based
   * score is not.
   *
-  * Determinism of the multi-term sum: per-term partial scores are summed
-  * in FIXED query order as one left-folded expression (a column per term,
-  * no aggregation over terms), so the floating-point addition order is
-  * identical on every engine and every run.
+  * THE SCORE CONTRACT LIVES IN TWO FUNCTIONS ONLY: [[partialScore]] (the
+  * Catalyst expression) and [[partialScoreSql]] (its DuckDB mirror,
+  * association order identical — `(x / (s/n))` is never rearranged to
+  * `(x · (n/s))`; they differ in the last ulp). Both operators and both
+  * oracle generators call them; any change to k1/b handling or operation
+  * order is made exactly once per engine.
   *
   * Shape at 100 TB: candidate generation explodes tokens but FILTERS to
   * the query terms before the aggregation — the shuffle carries only the
-  * query terms' postings (∝ occurrences of the handful of query terms,
-  * not the corpus). Corpus stats (N, Σdl) are one column-scan aggregate
-  * and per-term dfs one k-column aggregate over the candidates; both are
-  * single rows broadcast to the scoring join. The final top-k is a
-  * TakeOrdered (no global sort shuffle).
+  * query terms' postings (∝ occurrences of the query terms, not the
+  * corpus). Corpus stats (N, Σdl) are one column-scan aggregate; per-term
+  * dfs are candidate-bounded aggregates; all broadcast to the scoring
+  * join. Top-k is a TakeOrdered (single query) or a per-query window
+  * (batch).
   */
 object Retrieval {
 
+  /** One term's BM25 partial score. Expects integer columns; `dl`, `n`,
+    * `sumdl` are the document length and corpus stats. Every cast,
+    * literal, and association here is mirrored by [[partialScoreSql]]. */
+  private def partialScore(tf0: Column, dfc: Column, dl: Column,
+      n: Column, sumdl: Column, k1: Double, b: Double): Column = {
+    val avgdl = sumdl.cast("double") / n.cast("double")
+    val tf = tf0.cast("double")
+    val idf = ((n - dfc).cast("double") + lit(0.5)) /
+      (dfc.cast("double") + lit(0.5))
+    idf * (tf * lit(k1 + 1.0)) /
+      (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
+  }
+
+  /** Non-dyadic double constant for DuckDB: VARCHAR→DOUBLE parse is
+    * correctly rounded; a bare numeric literal lands in DECIMAL whose
+    * double conversion is NOT (measured one-ulp drift). */
+  private def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+
+  /** SQL string literal: o'brien → 'o''brien'. */
+  private def slit(t: String): String = s"'${t.replace("'", "''")}'"
+
+  /** [[partialScore]]'s DuckDB mirror, given the SQL names of the tf and
+    * df columns; `dl`/`n`/`sumdl` are expected in scope. */
+  private def partialScoreSql(
+      tfSql: String, dfSql: String, k1: Double, b: Double): String =
+    s"""(((CAST(n - $dfSql AS DOUBLE) + 0.5) / (CAST($dfSql AS DOUBLE) + 0.5))
+       |     * (CAST($tfSql AS DOUBLE) * ${dlit(k1 + 1.0)})
+       |     / (CAST($tfSql AS DOUBLE)
+       |        + ${dlit(k1)} * (${dlit(1.0 - b)}
+       |            + ${dlit(b)} * CAST(dl AS DOUBLE)
+       |              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
+      .stripMargin
+
+  /** Shared oracle scaffolding: the per-document (id, dl) CTE body
+    * (mirrors TextAnalysis.tokenCount) and the corpus-stats CTE. */
+  private def baseSql(table: String, idCol: String): String =
+    s"""base AS (
+       |  SELECT $idCol AS id,
+       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+       |              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |              END AS BIGINT) AS dl
+       |  FROM $table),
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(dl) AS BIGINT) AS sumdl FROM base)""".stripMargin
+
   /** BM25 (rational-idf) top-k. `terms` is the query; a document is a
-    * candidate iff it contains at least one term. Output:
+    * candidate iff it contains at least one term. The multi-term sum
+    * folds in FIXED query order as one left-folded expression (a column
+    * per term, no aggregation over terms), so the floating-point
+    * addition order is identical on every engine and every run. Output:
     * (idCol, score DOUBLE, rank LONG), rank 1..topK by
     * (score DESC, id ASC). */
   def bm25TopK(
@@ -43,8 +94,8 @@ object Retrieval {
     require(terms.nonEmpty, "query must have at least one term")
 
     // one column-scan aggregate: corpus size and total token mass; the
-    // double division below is the only place avgdl exists, so both
-    // engines derive it from the same two integers
+    // double division in partialScore is the only place avgdl exists, so
+    // both engines derive it from the same two integers
     val base = df.select(col(idCol).as("__id"),
       TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
       split(textCol, " ").as("__toks"))
@@ -78,13 +129,9 @@ object Retrieval {
     val scored = perDoc
       .crossJoin(broadcast(stats))
       .crossJoin(broadcast(dfs))
-    val avgdl = col("sumdl").cast("double") / col("n").cast("double")
     val score = terms.indices.map { i =>
-      val tf = col(s"__tf$i").cast("double")
-      val idf = ((col("n") - col(s"__df$i")).cast("double") + lit(0.5)) /
-        (col(s"__df$i").cast("double") + lit(0.5))
-      idf * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+      partialScore(col(s"__tf$i"), col(s"__df$i"), col("__dl"),
+        col("n"), col("sumdl"), k1, b)
     }.reduceLeft(_ + _)
 
     import org.apache.spark.sql.expressions.Window
@@ -104,10 +151,10 @@ object Retrieval {
     * with arbitrary query tables the per-term partial scores live in
     * ROWS, and a float sum over grouped rows has no deterministic order —
     * so each (query, doc) collects its (term, partial) pairs, sorts them
-    * by term (canonical order), and folds left-to-right. The fold is an
-    * interpreted higher-order function, but it runs only on the
-    * CANDIDATE set (docs sharing ≥1 term with a query), whose size is
-    * ∝ query-term postings — bounded, never the corpus.
+    * by term (canonical order), and folds left-to-right from a 0.0 seed.
+    * The fold is an interpreted higher-order function, but it runs only
+    * on the CANDIDATE set (docs sharing ≥1 term with a query), whose
+    * size is ∝ query-term postings — bounded, never the corpus.
     *
     * Scale shape: corpus stats are one broadcast row; the distinct-term
     * and per-term df tables are query-table-sized broadcasts; the only
@@ -137,13 +184,8 @@ object Retrieval {
       .agg(max(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
       .persist()
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("__df"))
-    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
-    val idf = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
-      (col("__df").cast("double") + lit(0.5))
-    val tfd = col("__tf").cast("double")
-    val part = idf * (tfd * lit(k1 + 1.0)) /
-      (tfd + lit(k1) * (lit(1.0 - b) +
-        lit(b) * col("__dl").cast("double") / avgdl))
+    val part = partialScore(col("__tf"), col("__df"), col("__dl"),
+      col("__n"), col("__sumdl"), k1, b)
     val parts = tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfs), "term")
@@ -167,15 +209,12 @@ object Retrieval {
   }
 
   /** DuckDB replay of [[bm25BatchTopK]]: the query table inlined as
-    * VALUES, every count CAST to BIGINT, constants via VARCHAR→DOUBLE,
-    * and the per-(query, doc) sum replayed as
-    * `list_reduce(0.0-seeded, list(part ORDER BY term))` — the same
-    * canonical term order and left fold as the Spark side. */
+    * VALUES, every count CAST to BIGINT, and the per-(query, doc) sum
+    * replayed as `list_reduce(0.0-seeded, list(part ORDER BY term))` —
+    * the same canonical term order and left fold as the Spark side. */
   def bm25BatchOracleSql(
       table: String, idCol: String, queries: Seq[(Long, String)],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
-    def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
-    def slit(t: String): String = s"'${t.replace("'", "''")}'"
     // CAST: a bare VALUES integer is INT32 in DuckDB; the Spark side's
     // query_id is BIGINT and the driver hasher is type-sensitive
     val values = queries.map { case (q, t) =>
@@ -183,15 +222,7 @@ object Retrieval {
     }.mkString(",\n         ")
     s"""WITH q(query_id, term) AS (
        |  VALUES $values),
-       |base AS (
-       |  SELECT $idCol AS id,
-       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-       |              END AS BIGINT) AS dl
-       |  FROM $table),
-       |stats AS (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |         CAST(SUM(dl) AS BIGINT) AS sumdl FROM base),
+       |${baseSql(table, idCol)},
        |tf AS (
        |  SELECT id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
        |  FROM (SELECT $idCol AS id, unnest(string_split(text, ' ')) AS tok
@@ -202,12 +233,7 @@ object Retrieval {
        |        FROM tf GROUP BY 1),
        |parts AS (
        |  SELECT q.query_id, tf.id, tf.term,
-       |    (((CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-       |     * (CAST(tf AS DOUBLE) * ${dlit(k1 + 1.0)})
-       |     / (CAST(tf AS DOUBLE)
-       |        + ${dlit(k1)} * (${dlit(1.0 - b)}
-       |            + ${dlit(b)} * CAST(dl AS DOUBLE)
-       |              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))
+       |    ${partialScoreSql("tf", "df", k1, b)}
        |      AS part
        |  FROM tf
        |  JOIN q USING (term) JOIN dfs USING (term) JOIN base USING (id)
@@ -227,45 +253,22 @@ object Retrieval {
        |WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
-  /** DuckDB replay of [[bm25TopK]] — same integers, and the double
-    * expression mirrored OPERATION FOR OPERATION in the same association
-    * order (avgdl is divided out exactly as the Spark side does, never
-    * algebraically rearranged — `(x/ (s/n))` and `(x*(n/s))` differ in the
-    * last ulp). Non-dyadic constants are inlined via the JVM's shortest
-    * round-trip rendering and parsed back with a VARCHAR→DOUBLE cast: the
-    * string parse is correctly rounded, whereas a bare SQL literal would
-    * land in DECIMAL and risk a double-rounded conversion. */
+  /** DuckDB replay of [[bm25TopK]]: same integers, the double expression
+    * via [[partialScoreSql]], summed left-to-right in query order —
+    * identical association to the Spark reduceLeft. */
   def bm25OracleSql(
       table: String, idCol: String, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
-    def dlit(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
-    // SQL string-literal escaping: a term like o'brien must render as
-    // 'o''brien' (the Spark side's isin needs no escaping)
-    def slit(t: String): String = s"'${t.replace("'", "''")}'"
     val tf = terms.zipWithIndex.map { case (t, i) =>
       s"SUM(CASE WHEN tok = ${slit(t)} THEN 1 ELSE 0 END) AS tf$i"
     }.mkString(",\n         ")
     val dfAgg = terms.indices.map { i =>
       s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
     }.mkString(", ")
-    // per term: ((idf * num) / den), summed left-to-right in query order —
-    // identical association to the Spark reduceLeft
-    val score = terms.indices.map { i =>
-      s"""(((CAST(n - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
-         |     * (CAST(tf$i AS DOUBLE) * ${dlit(k1 + 1.0)})
-         |     / (CAST(tf$i AS DOUBLE)
-         |        + ${dlit(k1)} * (${dlit(1.0 - b)}
-         |            + ${dlit(b)} * CAST(dl AS DOUBLE)
-         |              / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))"""
-        .stripMargin
-    }.mkString("\n  + ")
-    s"""WITH base AS (
-       |  SELECT $idCol AS id,
-       |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-       |              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-       |              END AS BIGINT) AS dl
-       |  FROM $table),
-       |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM base),
+    val score = terms.indices
+      .map(i => partialScoreSql(s"tf$i", s"df$i", k1, b))
+      .mkString("\n  + ")
+    s"""WITH ${baseSql(table, idCol)},
        |toks AS (
        |  SELECT $idCol AS id, unnest(string_split(text, ' ')) AS tok
        |  FROM $table),
