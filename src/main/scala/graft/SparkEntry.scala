@@ -1995,6 +1995,22 @@ object SparkEntry {
           col("value"), col("event_type") === "purchase")
     }),
 
+    "stat_dup_rate" -> ((s, dir) => {
+      // per-source duplication report: docs vs distinct normalized
+      // fingerprints (the dedup dashboard stat that decides which crawl
+      // sources need attention) — one two-phase aggregate over (source,
+      // fingerprint), integer counts, one final division
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text")))
+            .as("distinct_docs"))
+        .withColumn("dup_rate",
+          (col("docs") - col("distinct_docs")).cast("double") /
+            col("docs").cast("double"))
+        .orderBy("source")
+    }),
+
     "stat_cms" -> ((s, dir) => {
       // Count-Min frequency sketch: one pass folds every token occurrence
       // into 4×512 counters (vector-add merge, map-side partials); the
@@ -3517,6 +3533,18 @@ object SparkEntry {
         |SELECT na AS n_a, nb AS n_b, MAX(gap) AS ks,
         |       (SELECT v FROM g ORDER BY gap DESC, v LIMIT 1) AS at_value
         |FROM g GROUP BY na, nb""".stripMargin,
+
+    // duplicate-rate replay over the same normalized fingerprint
+    "stat_dup_rate" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(DISTINCT md5(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))))
+        |    AS BIGINT) AS distinct_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+        |    ' +', ' ', 'g')))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Count-Min replay: counter (i, slot) = count of token OCCURRENCES
     // whose hash's i-th 9-bit slice is slot; est = min over the d=4 rows.
