@@ -750,6 +750,31 @@ object SparkEntry {
         .orderBy("window_ms")
     }),
 
+    "st15_stream_file_sink" -> ((s, dir) => {
+      // exactly-once parquet FILE SINK: the streaming write commits files
+      // through the _spark_metadata log, so a reader sees only committed
+      // batches (the lake-ingest tail of the feed pipeline — crash mid-
+      // batch leaves no partial files visible). Two triggers stream the
+      // corpus through; the identity oracle proves nothing is lost or
+      // duplicated across the trigger boundary
+      val base = scratchDir(s, "st15", dir)
+      val docs = t(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = stream.writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "st14_trending_topk" -> ((s, dir) => {
       // per-minute trending event types: windowed counts (the streaming
       // stage) + per-window rank over finalized windows (the sink-side
@@ -2407,6 +2432,10 @@ object SparkEntry {
     "st7_windowed_counts" ->
       """SELECT (epoch_ms(ts) // 60000) * 60000 AS window_ms, COUNT(*) AS cnt
         |FROM events GROUP BY 1 ORDER BY window_ms""".stripMargin,
+
+    "st15_stream_file_sink" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "st14_trending_topk" ->
       """WITH c AS (
