@@ -1883,6 +1883,28 @@ object SparkEntry {
         t(s, dir, "documents"), col("text"), minCount = 5L, k = 100)
     }),
 
+    "text_bpe_learn" -> ((s, dir) => {
+      // BPE tokenizer TRAINING (Sennrich-style): nMerges rounds of "merge
+      // the most frequent adjacent symbol pair" over the WORD-FREQUENCY
+      // table — the corpus is scanned once, every round after is a
+      // vocabulary-sized job; driver state = one (pair, count) row per
+      // round. Integer counts + (total DESC, pair ASC) tie-break + single-
+      // pass left-to-right replace ⇒ the oracle replays the whole loop
+      val (merges, words) = graft.pipeline.Bpe.learn(
+        t(s, dir, "documents"), col("text"), BpeMerges)
+      words.unpersist()
+      graft.pipeline.Bpe.mergesDF(s, merges)
+    }),
+
+    "text_bpe_vocab" -> ((s, dir) => {
+      // token vocabulary induced by the learned merges: top-50 tokens by
+      // weighted frequency over the final symbolization (vocabulary-sized
+      // aggregation + TakeOrdered; learning memoized as setup so the bench
+      // times the vocabulary derivation, not a second training run)
+      val (_, words) = bpeModel(s, dir)
+      graft.pipeline.Bpe.vocab(words, 50)
+    }),
+
     "text_chunk" -> ((s, dir) => {
       // RAG/context-window chunking: 32-token windows every 24 tokens
       // (8-token overlap). Pure narrow transform — zero shuffles, runs
@@ -2008,6 +2030,18 @@ object SparkEntry {
       graft.pipeline.Similarity.randomProjection(
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .orderBy("id")
+    }),
+
+    "stat_lsh_bands" -> ((s, dir) => {
+      // the MinHash-LSH dry-run report: per band, bucket count / largest
+      // bucket / singletons / candidate-pair workload Σ c(c−1)/2 — what
+      // you check BEFORE running the 100 TB band join (skew or candidate
+      // explosion ⇒ re-tune bands/rows or cap stop-shingles). Bucket
+      // identity = the literal r-tuple of md5-seeded signature mins, so
+      // the whole report is exact and replayed in the oracle
+      graft.pipeline.Dedup.lshBandStats(
+        t(s, dir, "documents"), "doc_id", col("text"),
+        shingleN = 3, k = 8, bands = 4)
     }),
 
     "stat_ks_drift" -> ((s, dir) => {
@@ -3369,6 +3403,29 @@ object SparkEntry {
         |WHERE cxy >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
 
+    // BPE learning replayed round-for-round: the same word-frequency
+    // base, per-round MATERIALIZED CTEs (pair counts → best pair → merge
+    // applied via the same single-pass replace), merges collected with
+    // their ranks. MATERIALIZED is load-bearing: each wf level is
+    // referenced twice, so inlining would blow up 2^n
+    "text_bpe_learn" ->
+      (bpeChainSql(BpeMerges) + "\n" +
+        (1 to BpeMerges).map(i =>
+          s"SELECT $i AS merge_rank, split_part(pr, ' ', 1) AS lhs, " +
+            s"split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, " +
+            s"total AS pair_count FROM b$i")
+          .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_rank")),
+
+    // the induced vocabulary from the final symbolization of the same
+    // replayed chain
+    "text_bpe_vocab" ->
+      (bpeChainSql(BpeMerges) + s"""
+         |SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |  SELECT cnt, unnest(list_filter(string_split(sym, ' '),
+         |                                 x -> x != '')) AS tok
+         |  FROM wf$BpeMerges)
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+
     // the Bloom filter replayed as set membership: bit positions are
     // token-window chunking: same single-space split, 1-based inclusive
     // list slice = Spark's slice(toks, start+1, 32), tail chunk short
@@ -3535,6 +3592,38 @@ object SparkEntry {
          |      FROM embeddings)
          |ORDER BY id""".stripMargin
     },
+
+    // LSH band report replayed: same 3-token shingles as jaccardOracle,
+    // seeded 60-bit md5 signature mins, bucket = the r-tuple of values,
+    // integer occupancy algebra (c·(c−1)/2 exact — the product is even)
+    "stat_lsh_bands" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hx AS (
+        |  SELECT doc_id, i,
+        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g),
+        |                             1, 15))::BIGINT) AS m
+        |  FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+        |  GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+        |         list(m ORDER BY i) AS key
+        |  FROM hx GROUP BY doc_id, band),
+        |bc AS (SELECT band, key, COUNT(*) AS c FROM bk GROUP BY band, key)
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |       MAX(c) AS max_bucket,
+        |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS singleton_buckets,
+        |       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+        |FROM bc GROUP BY band ORDER BY band""".stripMargin,
 
     // KS replay: cumulative conditional counts over the distinct-value
     // grid; every SUM/window-SUM cast from HUGEINT to BIGINT
@@ -4209,6 +4298,57 @@ object SparkEntry {
     * the oracle for both the deterministic shared-shingle path and the
     * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
     * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
+  /** Merge rounds for the BPE entries — small enough that the DuckDB
+    * replay (nMerges materialized CTE levels) stays cheap at the gate's
+    * scale, large enough that multi-character tokens emerge. */
+  private val BpeMerges = 12
+
+  /** BPE learning memoized per (session, sfDir): setup for
+    * `text_bpe_vocab` (the vocabulary derivation is the measured op
+    * there; `text_bpe_learn` itself always trains live). */
+  private def bpeModel(s: SparkSession, dir: String)
+      : (Seq[graft.pipeline.Bpe.Merge], DataFrame) =
+    prepared(s, s"bpe:$dir") {
+      graft.pipeline.Bpe.learn(t(s, dir, "documents"), col("text"), BpeMerges)
+    }
+
+  /** The shared WITH-chain replaying [[pipeline.Bpe.learn]] in DuckDB:
+    * wf0 = the word-frequency base with space-wrapped char symbols; then
+    * per round i: p_i = weighted adjacent-pair counts, b_i = the best pair
+    * (total DESC, pair ASC), wf_i = the merge applied via the same
+    * single-pass left-to-right `replace`. Every level is MATERIALIZED —
+    * each wf is referenced twice (p_{i+1} and wf_{i+1}), so plain CTE
+    * inlining would duplicate the chain 2^n times. */
+  private def bpeChainSql(n: Int): String = {
+    val sb = new StringBuilder(
+      """WITH wf0 AS MATERIALIZED (
+        |  SELECT w, COUNT(*) AS cnt,
+        |         ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS sym
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |                                  x -> x != '')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin)
+    for (i <- 1 to n) sb ++= s""",
+       |p$i AS MATERIALIZED (
+       |  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS total FROM (
+       |    SELECT cnt, unnest([t[j] || ' ' || t[j+1]
+       |                        FOR j IN range(1, len(t))]) AS pr
+       |    FROM (SELECT cnt, list_filter(string_split(sym, ' '),
+       |                                  x -> x != '') AS t
+       |          FROM wf${i - 1}))
+       |  GROUP BY pr),
+       |b$i AS MATERIALIZED (
+       |  SELECT pr, total FROM p$i ORDER BY total DESC, pr LIMIT 1),
+       |wf$i AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |         CASE WHEN pr IS NULL THEN sym
+       |              ELSE replace(sym, ' ' || pr || ' ',
+       |                           ' ' || replace(pr, ' ', '') || ' ')
+       |         END AS sym
+       |  FROM wf${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin
+    sb.toString
+  }
+
   private def jaccardOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -478,4 +478,44 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
   }
+
+  /** LSH band-occupancy report — the DRY-RUN to query BEFORE paying for a
+    * 100 TB MinHash dedup: per band, how many distinct buckets, the
+    * largest bucket, how many singletons (which contribute nothing), and
+    * the candidate-pair workload Σ c·(c−1)/2 the band's self-join would
+    * emit. A skewed `max_bucket` or exploding `candidate_pairs` says
+    * "re-tune bands/rows or add a stop-shingle cap" for a few corpus
+    * scans instead of discovering it as a hung join.
+    *
+    * Bucket identity is the literal r-tuple of signature values (no
+    * bucket hash — exact, and a hash collision can't merge two buckets);
+    * signatures use the seeded 60-bit md5 basis (`seed || '|' || shingle`,
+    * [[md5TokenHash]] convention) so the whole report replays in any
+    * engine with md5(). Cost: one corpus shingle explode + two two-phase
+    * hash aggregations; the (band, key) exchange carries ids × bands rows
+    * of r longs — the same cost class as the LSH join it predicts. */
+  def lshBandStats(df: DataFrame, idCol: String, textCol: Column,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"signature width $k not divisible by bands $bands")
+    val r = k / bands
+    val ex = df.select(col(idCol).as("id"),
+      explode(shingles(textCol, shingleN)).as("g"))
+    val sig = ex.groupBy("id").agg(
+      min(md5TokenHash(concat(lit("0|"), col("g")))).as("__m0"),
+      (1 until k).map(i =>
+        min(md5TokenHash(concat(lit(s"$i|"), col("g")))).as(s"__m$i")): _*)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until r).map(j => col(s"__m${b * r + j}")): _*).as("key"))
+    }
+    sig.select(explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("band", "key").agg(count(lit(1)).as("c"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        max("c").as("max_bucket"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+        sum(expr("c * (c - 1) DIV 2")).as("candidate_pairs"))
+      .orderBy("band")
+  }
 }

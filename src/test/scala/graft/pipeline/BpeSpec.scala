@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.freespec.AnyFreeSpec
+import org.scalatest.matchers.should.Matchers
+
+/** BPE tokenizer training (Bpe.learn) against the Sennrich-style worked
+  * example, hand-computed: corpus {low×5, lower×2, newest×6, widest×3}
+  * with end-of-word markers. Round-by-round pair totals:
+  *   r1: (e,s)=9 (s,t)=9 (t,</w>)=9 → tie → lexicographic → "e s"
+  *   r2: (es,t)=9 (t,</w>)=9 → "es t"
+  *   r3: (est,</w>)=9 → "est </w>"
+  *   r4: (l,o)=7 (o,w)=7 → "l o"
+  */
+class BpeSpec extends AnyFreeSpec with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    ("low " * 5) + ("lower " * 2) + ("newest " * 6) + ("widest " * 3)
+  ).toDF("text")
+
+  "Bpe.learn" - {
+    "reproduces the hand-computed merge sequence with counts" in {
+      val (merges, words) = Bpe.learn(corpus, col("text"), 4)
+      words.unpersist()
+      merges.map(m => (m.rank, m.lhs, m.rhs, m.merged, m.pairCount)) shouldBe
+        Seq((1, "e", "s", "es", 9L), (2, "es", "t", "est", 9L),
+          (3, "est", "</w>", "est</w>", 9L), (4, "l", "o", "lo", 7L))
+    }
+
+    "final symbolization reflects the applied merges" in {
+      val (_, words) = Bpe.learn(corpus, col("text"), 4)
+      val syms = words.collect().map(r =>
+        r.getString(0) -> r.getString(2)).toMap
+      words.unpersist()
+      syms("newest") shouldBe " n e w est</w> "
+      syms("low") shouldBe " lo w </w> "
+      syms("lower") shouldBe " lo w e r </w> "
+      syms("widest") shouldBe " w i d est</w> "
+    }
+
+    "vocab aggregates weighted token counts in (n DESC, tok ASC) order" in {
+      val (_, words) = Bpe.learn(corpus, col("text"), 4)
+      val v = Bpe.vocab(words, 5).as[(String, Long)].collect().toSeq
+      words.unpersist()
+      // hand count: w appears in low(5)+lower(2)+newest(6)+widest(3)=16;
+      // est</w> 6+3=9; e in newest(6)+lower(2)=8; </w> low 5 + lower 2=7;
+      // lo 5+2=7 — tie with </w> broken lexicographically ('<' < 'l')
+      v shouldBe Seq(("w", 16L), ("est</w>", 9L), ("e", 8L),
+        ("</w>", 7L), ("lo", 7L))
+    }
+
+    "stops early when no pair remains" in {
+      val (merges, words) = Bpe.learn(
+        Seq("a b a b").toDF("text"), col("text"), 10)
+      words.unpersist()
+      // each word is one char + marker: pairs (a,</w>)=2, (b,</w>)=2 →
+      // merge a</w>, then b</w>; after that every word is ONE symbol
+      merges.map(_.merged) shouldBe Seq("a</w>", "b</w>")
+    }
+
+    "merge application is the documented single-pass replace" in {
+      // run of identical symbols: " a a a a </w> " under merge (a,a) —
+      // single-pass left-to-right merges the FIRST disjoint occurrence
+      // then resumes after the consumed trailing space: "aa a a"
+      val (merges, words) = Bpe.learn(
+        Seq("aaaa aaaa aaaa").toDF("text"), col("text"), 1)
+      val sym = words.collect().map(_.getString(2)).head
+      words.unpersist()
+      merges.head.merged shouldBe "aa"
+      sym shouldBe " aa a a </w> "
+    }
+  }
+}

@@ -24,6 +24,31 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((1L, 3L), (2L, 1L))
     }
 
+    "lshBandStats: identical docs share every bucket, occupancy algebra exact" in {
+      import spark.implicits._
+      // two identical docs + one unrelated (no shared shingles): in EVERY
+      // band the twins land in one bucket of 2, the loner in its own →
+      // n_buckets=2, max=2, singletons=1, candidate_pairs=1
+      val df = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      val got = Dedup.lshBandStats(df, "doc_id", col("text"),
+          shingleN = 3, k = 8, bands = 4)
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe (0 until 4).map(b => (b, 2L, 2L, 1L, 1L))
+    }
+
+    "lshBandStats: disjoint corpora yield singleton buckets, zero candidates" in {
+      import spark.implicits._
+      val df = (1L to 6L).map(i =>
+        (i, s"tok${i}a tok${i}b tok${i}c tok${i}d")).toDF("doc_id", "text")
+      val got = Dedup.lshBandStats(df, "doc_id", col("text"),
+          shingleN = 3, k = 4, bands = 2)
+        .as[(Int, Long, Long, Long, Long)].collect().toSeq
+      got shouldBe Seq((0, 6L, 1L, 6L, 0L), (1, 6L, 1L, 6L, 0L))
+    }
+
     "as-of join: latest at-or-before per key, inclusive ties, null when none" in {
       import spark.implicits._
       val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 15L, "p3"))
