@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, CmsCounters, DotProduct, HllRegisters, TokenStats, WordPairs, WordShingles}
+import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, CmsCounters, DotProduct, EwmaArray, HllRegisters, TokenStats, WordPairs, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -81,6 +81,10 @@ object GraftFunctions {
       (FunctionIdentifier("bitset_contains"),
         info("bitset_contains", classOf[BitsetContains]),
         arity("bitset_contains", 2)(args => BitsetContains(args(0), args(1)))),
+      (FunctionIdentifier("ewma"),
+        info("ewma", classOf[EwmaArray]),
+        arity("ewma", 2)(args =>
+          EwmaArray(args(0), doubleLit(args(1), "ewma alpha")))),
       // sketch AGGREGATES: the registry takes the bare AggregateFunction —
       // the analyzer wraps it in an AggregateExpression, exactly as for
       // the built-in sum/avg entries
@@ -104,6 +108,14 @@ object GraftFunctions {
     case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
     case _ => throw new IllegalArgumentException(
       s"$what expects a literal integer, got $e")
+  }
+
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
+    case Literal(d: java.math.BigDecimal, _) => d.doubleValue
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case _ => throw new IllegalArgumentException(
+      s"$what expects a literal number, got $e")
   }
 
   /** Register on an already-running session. */

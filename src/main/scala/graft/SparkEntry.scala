@@ -1234,6 +1234,17 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    "e9_ewma_smooth" -> ((s, dir) => {
+      // EWMA-smoothed hourly event rates (α=1/4, dyadic): the codegen'd
+      // SeriesKernels.ewma left fold over each type's observed buckets —
+      // two IEEE roundings per step, replayed in the oracle by
+      // list_reduce over the same prefix
+      graft.pipeline.EventAnalytics.ewmaSmooth(
+          events(s, dir), "event_type", col("ts_ms"),
+          bucketMs = 3600000L, alpha = 0.25)
+        .orderBy("event_type", "bucket")
+    }),
+
     "e4_interval_join" -> ((s, dir) => {
       // banded range join: per event, how many same-type events follow
       // within 10 minutes (+ the first one's timestamp) — an equi join on
@@ -2656,6 +2667,27 @@ object SparkEntry {
         |SELECT event_type, bucket, cnt, trail_n, trail_sum,
         |       trail_n > 0 AND cnt * trail_n > 2 * trail_sum AS anomaly
         |FROM t ORDER BY event_type, bucket""".stripMargin,
+
+    // EWMA replay: same compressed (type, bucket) table, per-row prefix
+    // fold via list_reduce — identical order, identical IEEE ops (0.25
+    // and 0.75 are dyadic, so the DECIMAL→DOUBLE literal conversion is
+    // exact); single-element prefix = the seed, matching out(0) = x(0)
+    "e9_ewma_smooth" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT event_type, list(bucket ORDER BY bucket) AS bks,
+        |         list(CAST(cnt AS DOUBLE) ORDER BY bucket) AS xs
+        |  FROM c GROUP BY event_type),
+        |e AS (SELECT event_type, unnest(generate_series(1, len(bks))) AS i,
+        |             bks, xs
+        |      FROM g)
+        |SELECT event_type, bks[i] AS bucket, CAST(xs[i] AS BIGINT) AS cnt,
+        |       list_reduce(xs[1:i], (acc, x) -> 0.25 * x + 0.75 * acc)
+        |         AS ewma
+        |FROM e ORDER BY event_type, bucket""".stripMargin,
 
     "e1_sessionize" ->
       """WITH g AS (

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Imperative ordered-series kernels called from generated code — same
+  * rationale as [[TextKernels]]: a sequential fold written with the
+  * `aggregate` higher-order function runs INTERPRETED (CodegenFallback)
+  * and destabilizes warm-session JIT profiles; a static monomorphic
+  * kernel call per row does not. */
+object SeriesKernels {
+
+  /** Running exponentially-weighted moving average of `xs` at smoothing
+    * `alpha`: out(0) = xs(0); out(t) = alpha·xs(t) + (1−alpha)·out(t−1).
+    * Strict left-to-right IEEE evaluation — with a dyadic alpha the
+    * multiply by alpha is exact for integer-valued inputs, and every
+    * step is the same two roundings in any engine folding in the same
+    * order (DuckDB: `list_reduce`), so outputs replay bit-identically.
+    * NULL elements are not expected (inputs are aggregate counts). */
+  def ewma(xs: ArrayData, alpha: Double): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Any](n)
+    val beta = 1.0 - alpha
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getDouble(i)
+      acc = if (i == 0) x else alpha * x + beta * acc
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd running EWMA over an ARRAY<DOUBLE> (see
+  * [[SeriesKernels.ewma]]). `alpha` is fixed at plan time. NULL array ⇒
+  * NULL. */
+case class EwmaArray(child: Expression, alpha: Double)
+    extends UnaryExpression {
+
+  require(alpha > 0.0 && alpha <= 1.0,
+    s"ewma: alpha must be in (0, 1], got $alpha")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // containsNull=true is accepted (a Cast can widen the flag) but the
+    // VALUES must be null-free — inputs are aggregate counts
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ewma expects array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(xs: Any): Any =
+    SeriesKernels.ewma(xs.asInstanceOf[ArrayData], alpha)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.SeriesKernels.ewma($x, ${alpha}D)")
+
+  override protected def withNewChildInternal(c: Expression): EwmaArray =
+    copy(child = c)
+}
+
+object SeriesFunctions {
+  /** ewma(xs, alpha): running exponentially-weighted moving average. */
+  def ewma(xs: Column, alpha: Double): Column =
+    Bridge.column(EwmaArray(Bridge.expression(xs), alpha))
+}

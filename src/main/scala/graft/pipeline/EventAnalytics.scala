@@ -118,4 +118,44 @@ object EventAnalytics {
         col("trail_n") > 0 &&
           col("cnt") * col("trail_n") > lit(factor) * col("trail_sum"))
   }
+
+  /** Running EWMA smoothing of per-(type, bucket) event counts — the
+    * dashboard/alerting companion of [[countAnomalies]]: out(0) = x(0),
+    * out(t) = α·x(t) + (1−α)·out(t−1) over each type's buckets in time
+    * order (gaps are skipped, not zero-filled — the series is the
+    * observed buckets, same convention as countAnomalies' trailing
+    * window).
+    *
+    * The fold is the codegen'd [[graft.functions.SeriesKernels.ewma]]
+    * kernel (an `aggregate` HOF would run interpreted); with a dyadic α
+    * every step is the same two IEEE roundings in any engine folding
+    * left-to-right, so values replay bit-identically (DuckDB
+    * `list_reduce`).
+    *
+    * Shape at 100 TB: one map-side-combined aggregation compresses the
+    * log to (type, bucket) rows; the per-type collect_list then holds
+    * buckets, never events — state ∝ series length, the grouped-series
+    * shape shared with the window ops.
+    *
+    * Output: (event_type, bucket, cnt, ewma). */
+  def ewmaSmooth(df: DataFrame, typeCol: String, tsMsCol: Column,
+      bucketMs: Long, alpha: Double): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    val ts = tsMsCol.cast("long")
+    val bucket = ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
+    val counts = df
+      .groupBy(col(typeCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy(col(typeCol))
+      .agg(sort_array(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("s"))
+      .select(col(typeCol), col("s"),
+        graft.functions.SeriesFunctions.ewma(
+          col("s.cnt").cast("array<double>"), alpha).as("e"))
+      .select(col(typeCol), posexplode(col("s")).as(Seq("i", "r")), col("e"))
+      .select(col(typeCol), col("r.bucket").as("bucket"),
+        col("r.cnt").as("cnt"),
+        element_at(col("e"), col("i") + 1).as("ewma"))
+  }
 }

@@ -45,6 +45,9 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
           "(X'0002', 17179869193L), (X'0002', 34359738375L), " +
           "(X'0002', -9223372036854775808L) AS t(b, p)")
         .collect().map(_.getBoolean(0)).toSeq shouldBe Seq(false, false, false)
+      // running EWMA: 4; 0.25·8+0.75·4 = 5; 0.25·2+0.75·5 = 4.25
+      spark.sql("SELECT ewma(array(4.0D, 8.0D, 2.0D), 0.25D) AS e")
+        .collect()(0).getSeq[Double](0) shouldBe Seq(4.0, 5.0, 4.25)
     }
 
     "register exposes the sketch aggregates to spark.sql" in {

@@ -108,4 +108,34 @@ class EventAnalyticsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got(2).getAs[Boolean]("anomaly") shouldBe false
     }
   }
+
+  "EventAnalytics.ewmaSmooth" - {
+    "hand-computed smoothing; gaps skipped, types isolated" in {
+      // type a: bucket 1 → 4 events, bucket 2 → 8, bucket 5 → 2 (gap);
+      // α=0.25: ewma = 4; 0.25·8+0.75·4 = 5; 0.25·2+0.75·5 = 4.25
+      val ev = (for {
+        (t, b, c) <- Seq(("a", 1L, 4), ("a", 2L, 8), ("a", 5L, 2),
+          ("b", 3L, 7))
+        i <- 0 until c
+      } yield (t, b * 10L + i)).toDF("typ", "ts_ms")
+      val got = EventAnalytics.ewmaSmooth(ev, "typ", col("ts_ms"),
+          bucketMs = 10L, alpha = 0.25)
+        .orderBy("typ", "bucket").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      got shouldBe Seq(("a", 1L, 4L, 4.0), ("a", 2L, 8L, 5.0),
+        ("a", 5L, 2L, 4.25), ("b", 3L, 7L, 7.0))
+    }
+
+    "kernel equals the driver-side left fold exactly" in {
+      val xs = Seq(3.0, 17.0, 1.0, 1.0, 256.0, 9.0, 0.0, 41.0)
+      val alpha = 0.125
+      val expect = xs.tail.scanLeft(xs.head)(
+        (acc, x) => alpha * x + (1.0 - alpha) * acc)
+      val got = Seq(Tuple1(xs)).toDF("xs")
+        .select(graft.functions.SeriesFunctions.ewma(col("xs"), alpha))
+        .collect()(0).getSeq[Double](0)
+      got shouldBe expect // bit-exact, no tolerance
+    }
+  }
 }
