@@ -1032,6 +1032,42 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "st16_stream_ewma" -> ((s, dir) => {
+      // always-on smoothed-rate monitoring: per-type EWMA folded across
+      // micro-batches (flatMapGroupsWithState state = TWO numbers per
+      // group — last bucket + last ewma — bounded forever; frontier
+      // monotone, so re-delivered or late buckets are dropped). Two
+      // triggers split the finalized hourly counts at the midpoint
+      // bucket; in-order arrival makes the streamed fold equal the batch
+      // fold, so the e9 oracle applies unchanged — the gate verifies the
+      // streaming-identity
+      import s.implicits._
+      val base = scratchDir(s, "st16", dir)
+      val ts = col("ts_ms").cast("long")
+      val counts = events(s, dir)
+        .groupBy(col("event_type"),
+          ((ts - pmod(ts, lit(3600000L))) / 3600000L).cast("long")
+            .as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val mm = counts.agg(min("bucket"), max("bucket")).collect()(0)
+      val split = (mm.getLong(0) + mm.getLong(1)) / 2
+      counts.filter(col("bucket") <= split)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      counts.filter(col("bucket") > split)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .select(col("event_type").as("_1"), col("bucket").as("_2"),
+          col("cnt").as("_3")).as[(String, Long, Long)]
+      val q = graft.streaming.Streams.ewmaMaintain(stream, alpha = 0.25)
+        .toDF("event_type", "bucket", "cnt", "ewma")
+        .writeStream.format("memory").queryName("st16_ewma")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st16_ewma").orderBy("event_type", "bucket")
+    }),
+
     "st13_stream_cms" -> ((s, dir) => {
       // always-on frequency monitoring: per-source Count-Min counters
       // maintained across micro-batches (state = 4×512 longs + a counter
@@ -1916,6 +1952,28 @@ object SparkEntry {
       graft.pipeline.Bpe.vocab(words, 50)
     }),
 
+    "text_bpe_count" -> ((s, dir) => {
+      // corpus token counting under the LEARNED tokenizer — the "how many
+      // training tokens is this corpus" pass: per doc, words joined to
+      // the trained word table (vocabulary-sized merge join, the bigram-
+      // lift shape) and each word contributes its symbol count, read off
+      // the symbolization with codegen'd string algebra (spaces − 1 —
+      // no interpreted filter/size HOF)
+      val (_, words) = bpeModel(s, dir)
+      val perWord = words.select(col("w"),
+        (length(col("sym")) -
+          length(replace(col("sym"), lit(" "), lit(""))) - 1)
+          .cast("long").as("toks_per_word"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .hint("merge")
+        .join(perWord.hint("merge"), "w")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
+          sum("toks_per_word").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "text_chunk" -> ((s, dir) => {
       // RAG/context-window chunking: 32-token windows every 24 tokens
       // (8-token overlap). Pure narrow transform — zero shuffles, runs
@@ -2672,22 +2730,12 @@ object SparkEntry {
     // fold via list_reduce — identical order, identical IEEE ops (0.25
     // and 0.75 are dyadic, so the DECIMAL→DOUBLE literal conversion is
     // exact); single-element prefix = the seed, matching out(0) = x(0)
-    "e9_ewma_smooth" ->
-      """WITH c AS (
-        |  SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
-        |         CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |g AS (
-        |  SELECT event_type, list(bucket ORDER BY bucket) AS bks,
-        |         list(CAST(cnt AS DOUBLE) ORDER BY bucket) AS xs
-        |  FROM c GROUP BY event_type),
-        |e AS (SELECT event_type, unnest(generate_series(1, len(bks))) AS i,
-        |             bks, xs
-        |      FROM g)
-        |SELECT event_type, bks[i] AS bucket, CAST(xs[i] AS BIGINT) AS cnt,
-        |       list_reduce(xs[1:i], (acc, x) -> 0.25 * x + 0.75 * acc)
-        |         AS ewma
-        |FROM e ORDER BY event_type, bucket""".stripMargin,
+    "e9_ewma_smooth" -> ewmaOracle,
+
+    // streaming EWMA ≡ batch EWMA when finalized buckets arrive in order
+    // (two bucket-split triggers): the gate checks the identity against
+    // the SAME replay
+    "st16_stream_ewma" -> ewmaOracle,
 
     "e1_sessionize" ->
       """WITH g AS (
@@ -3447,6 +3495,20 @@ object SparkEntry {
             s"split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, " +
             s"total AS pair_count FROM b$i")
           .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_rank")),
+
+    // per-doc BPE token counts: the same replayed chain, words joined to
+    // the final symbolization, symbols counted by space algebra
+    "text_bpe_count" ->
+      (bpeChainSql(BpeMerges) + s"""
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |       CAST(SUM(len(sym) - len(replace(sym, ' ', '')) - 1)
+         |            AS BIGINT) AS n_bpe_tokens
+         |FROM (SELECT doc_id,
+         |             unnest(list_filter(string_split(text, ' '),
+         |                                x -> x != '')) AS w
+         |      FROM documents) d
+         |JOIN wf$BpeMerges USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // the induced vocabulary from the final symbolization of the same
     // replayed chain
@@ -4330,6 +4392,26 @@ object SparkEntry {
     * the oracle for both the deterministic shared-shingle path and the
     * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
     * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
+  /** The EWMA replay shared by the batch entry (`e9_ewma_smooth`) and the
+    * streaming-maintenance entry (`st16_stream_ewma`, whose in-order
+    * two-trigger fold must equal the batch fold). */
+  private val ewmaOracle =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT event_type, list(bucket ORDER BY bucket) AS bks,
+      |         list(CAST(cnt AS DOUBLE) ORDER BY bucket) AS xs
+      |  FROM c GROUP BY event_type),
+      |e AS (SELECT event_type, unnest(generate_series(1, len(bks))) AS i,
+      |             bks, xs
+      |      FROM g)
+      |SELECT event_type, bks[i] AS bucket, CAST(xs[i] AS BIGINT) AS cnt,
+      |       list_reduce(xs[1:i], (acc, x) -> 0.25 * x + 0.75 * acc)
+      |         AS ewma
+      |FROM e ORDER BY event_type, bucket""".stripMargin
+
   /** Merge rounds for the BPE entries — small enough that the DuckDB
     * replay (nMerges materialized CTE levels) stays cheap at the gate's
     * scale, large enough that multi-character tokens emerge. */

@@ -181,4 +181,46 @@ object Streams {
           Iterator.single((g, upd + 1, cnt.toSeq))
       }
   }
+
+  /** Streaming EWMA maintenance — the ORDER-SENSITIVE companion of the
+    * sketch maintainers: per group the state is just (last bucket, last
+    * ewma), two numbers, bounded forever. Each micro-batch folds its
+    * finalized (bucket, count) rows in bucket order through the same
+    * recurrence as [[graft.functions.SeriesKernels.ewma]]; rows at or
+    * before the state's bucket frontier are DROPPED (re-delivery and
+    * late stragglers can't corrupt the fold — monotone frontier, the
+    * watermark contract in miniature). When bucket counts arrive
+    * nondecreasing across triggers (the windowed-counts-on-watermark
+    * output feeding it), the emitted rows equal the one-shot batch
+    * [[graft.pipeline.EventAnalytics.ewmaSmooth]] over the union —
+    * the gate entry checks exactly that identity.
+    *
+    * Input (group, bucket, cnt); output (group, bucket, cnt, ewma). */
+  def ewmaMaintain(counts: Dataset[(String, Long, Long)], alpha: Double)
+      : Dataset[(String, Long, Long, Double)] = {
+    import counts.sparkSession.implicits._
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"ewmaMaintain: alpha must be in (0, 1], got $alpha")
+    val beta = 1.0 - alpha
+    counts.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (String, Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Double)]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var (last, e) = state.getOption.getOrElse((Long.MinValue, 0.0))
+          val out = Array.newBuilder[(String, Long, Long, Double)]
+          var seeded = state.exists
+          sorted.foreach { case (_, b, c) =>
+            if (b > last) {
+              e = if (!seeded) c.toDouble else alpha * c.toDouble + beta * e
+              seeded = true
+              last = b
+              out += ((g, b, c, e))
+            }
+          }
+          state.update((last, e))
+          out.result().iterator
+      }
+  }
 }

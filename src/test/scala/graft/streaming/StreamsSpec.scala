@@ -254,4 +254,62 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
   }
+
+  "Streams.ewmaMaintain" - {
+    "folds across batches; frontier drops late and re-delivered buckets" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(String, Long, Long)]
+      val q = Streams.ewmaMaintain(src.toDS(), alpha = 0.25)
+        .toDF("g", "bucket", "cnt", "ewma")
+        .writeStream.format("memory").queryName("ew")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ew").toString)
+        .outputMode("update").start()
+      try {
+        src.addData(("a", 1L, 4L), ("a", 2L, 8L), ("b", 3L, 7L))
+        q.processAllAvailable()
+        // batch 2: bucket 5 continues a's fold from state (e=5.0);
+        // bucket 2 is a re-delivery and bucket 0 is late — both dropped
+        src.addData(("a", 5L, 2L), ("a", 2L, 999L), ("a", 0L, 999L))
+        q.processAllAvailable()
+        val got = spark.table("ew").orderBy("g", "bucket").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3))).toSeq
+        got shouldBe Seq(("a", 1L, 4L, 4.0), ("a", 2L, 8L, 5.0),
+          ("a", 5L, 2L, 4.25), ("b", 3L, 7L, 7.0))
+      } finally q.stop()
+    }
+
+    "in-order arrival equals the batch ewmaSmooth fold" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(String, Long, Long)]
+      val q = Streams.ewmaMaintain(src.toDS(), alpha = 0.25)
+        .toDF("g", "bucket", "cnt", "ewma")
+        .writeStream.format("memory").queryName("ew2")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ew2").toString)
+        .outputMode("update").start()
+      try {
+        val counts = Seq(("x", 1L, 3L), ("x", 2L, 9L), ("x", 4L, 1L),
+          ("x", 7L, 5L), ("y", 2L, 6L), ("y", 3L, 2L))
+        src.addData(counts.filter(_._2 <= 3): _*)
+        q.processAllAvailable()
+        src.addData(counts.filter(_._2 > 3): _*)
+        q.processAllAvailable()
+        val got = spark.table("ew2").orderBy("g", "bucket").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+        // batch reference: events expanded so ewmaSmooth re-derives the
+        // same per-bucket counts (cnt copies of a row in each bucket)
+        val ev = counts.flatMap { case (g, b, c) =>
+          Seq.fill(c.toInt)((g, b * 10L)) }.toDF("g", "ts_ms")
+        val ref = graft.pipeline.EventAnalytics.ewmaSmooth(
+            ev, "g", col("ts_ms"), bucketMs = 10L, alpha = 0.25)
+          .orderBy("g", "bucket").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getDouble(3))).toSeq
+        got shouldBe ref // bit-exact identity, no tolerance
+      } finally q.stop()
+    }
+  }
 }
