@@ -35,7 +35,10 @@ object Bench {
     "stat_heavy_hitters", "stat_rollup",
     "text_bm25", "sample_importance", "sample_shuffle", "text_normalize",
     "stat_cms", "embed_project", "e7_count_anomaly", "stat_ks_drift",
-    "text_bm25_batch", "e8_asof_forward", "st14_trending_topk")
+    "text_bm25_batch", "e8_asof_forward", "st14_trending_topk",
+    "text_bpe_learn", "text_bpe_vocab", "text_bpe_count", "stat_lsh_bands",
+    "e9_ewma_smooth", "q8_market_share", "w2_running_total",
+    "dedup_norm_survivor")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -820,6 +820,60 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: a supplier nation's yearly share of PROMO-part
+      // revenue sold into ASIA — the classic many-dim star join. Fact
+      // table shuffles ONCE (orders equi-join); every dimension side is
+      // broadcast; exact decimal volume sums, share = one double
+      // division of the string-rendered decimals
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val natC = t(s, dir, "nation")
+      val natS = t(s, dir, "nation").select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val prt = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      val vol = (col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1.0d) - col("l_discount")).cast(DecimalType(18, 2)))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(year(col("o_orderdate")).as("o_year"), vol.as("vol"),
+          (col("supp_nation") === "NATION_1").as("is_n"))
+        .groupBy("o_year")
+        .agg(
+          coalesce(sum(when(col("is_n"), col("vol"))),
+            lit(0).cast(DecimalType(38, 4))).cast(DecimalType(38, 4))
+            .as("nation_volume"),
+          sum(col("vol")).cast(DecimalType(38, 4)).as("total_volume"))
+        .withColumn("mkt_share",
+          decAsDouble(col("nation_volume")) / decAsDouble(col("total_volume")))
+        .orderBy("o_year")
+    }),
+
+    "w2_running_total" -> ((s, dir) => {
+      // per-customer order timeline: exact decimal running revenue +
+      // days since the previous order — lag/cumsum window shapes over a
+      // unique (date, key) ordering so RANGE vs ROWS framing can't
+      // diverge; one shuffle on the partition key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+        .withColumn("run_total",
+          sum(col("price")).over(w).cast(DecimalType(38, 2)))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+        .select("o_custkey", "o_orderkey", "price", "run_total", "gap_days")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q6_date_range" -> ((s, dir) => {
       t(s, dir, "orders")
         .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
@@ -1290,6 +1344,22 @@ object SparkEntry {
           spanMs = 600000L, equi = Seq("event_type"))
         .select(col("event_id"), col("matches"), col("next_ts_ms"))
         .orderBy("event_id")
+    }),
+
+    "dedup_norm_survivor" -> ((s, dir) => {
+      // normalized-granularity dedup with a QUALITY survivor policy:
+      // whitespace/punctuation variants (injected here so the operator
+      // is exercised) collapse to one fingerprint group; the LONGEST raw
+      // copy survives (tie → min id) — "keep the richest variant", one
+      // two-phase max_by aggregate, no window. ASCII-only perturbation:
+      // engine-specific unicode CASING rules never enter the key
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val pert = docs.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("  "), col("text"), lit(" !!")).as("text"))
+      graft.pipeline.Dedup.normSurvivors(
+          docs.unionByName(pert), "text", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // ---- LLM-pipeline: dedup -------------------------------------------
@@ -2588,6 +2658,48 @@ object SparkEntry {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    // Q8 shape: same decimal volume algebra as q5, conditional numerator,
+    // share = one double division of the string-rendered decimals;
+    // year() is BIGINT in DuckDB — cast to match Spark's INT
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2)) AS vol,
+        |         n2.n_name = 'NATION_1' AS is_n
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |a AS (
+        |  SELECT o_year,
+        |         CAST(COALESCE(SUM(CASE WHEN is_n THEN vol END), 0)
+        |              AS DECIMAL(38,4)) AS nation_volume,
+        |         CAST(SUM(vol) AS DECIMAL(38,4)) AS total_volume
+        |  FROM v GROUP BY o_year)
+        |SELECT o_year, nation_volume, total_volume,
+        |       CAST(CAST(nation_volume AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(total_volume AS VARCHAR) AS DOUBLE) AS mkt_share
+        |FROM a ORDER BY o_year""".stripMargin,
+
+    // unique (date, orderkey) window ordering: RANGE-vs-ROWS default
+    // framing cannot diverge; date_diff is BIGINT in DuckDB — cast to
+    // Spark's INT
+    "w2_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |            AS DECIMAL(38,2)) AS run_total,
+        |       CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
+        |            AS INTEGER) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q6_date_range" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
@@ -2763,6 +2875,32 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT MIN(doc_id) AS doc_id, CAST(2 * COUNT(*) AS BIGINT) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // survivor-policy replay: same injected ASCII perturbation, same
+    // normalization fingerprint, longest-then-min-id via a window (the
+    // Spark side rides max_by on (len, −id) — same total order)
+    "dedup_norm_survivor" ->
+      """WITH ad AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || text || ' !!'
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |f AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+        |         length(text) AS len
+        |  FROM ad),
+        |r AS (
+        |  SELECT norm_fp, doc_id, len,
+        |         ROW_NUMBER() OVER (PARTITION BY norm_fp
+        |                            ORDER BY len DESC, doc_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY norm_fp) AS copies,
+        |         MAX(len) OVER (PARTITION BY norm_fp) AS max_len
+        |  FROM f)
+        |SELECT norm_fp, doc_id, CAST(copies AS BIGINT) AS copies,
+        |       CAST(max_len AS BIGINT) AS max_len
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,

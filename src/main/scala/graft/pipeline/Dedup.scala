@@ -479,6 +479,26 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
   }
 
+  /** Exact dedup at NORMALIZED granularity with a QUALITY survivor
+    * policy: documents identical after case/punctuation/whitespace
+    * normalization ([[TextAnalysis.fingerprint]]) form one group, and the
+    * survivor is the LONGEST raw variant (ties → smallest id) — the
+    * "keep the richest copy" curation rule, where [[exactSurvivors]]
+    * keeps the min-id copy of byte-identical text. Same scale shape: one
+    * two-phase hash aggregate on the 16-byte fingerprint (max_by carries
+    * (len, −id) so the policy rides the aggregate — no window, no second
+    * shuffle). Output (norm_fp, id, copies, max_len). */
+  def normSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("norm_fp"),
+        // long, not int: DuckDB's length() is BIGINT and the gate's
+        // hasher is type-sensitive
+        col(idCol), length(col(textCol)).cast("long").as("__len"))
+      .groupBy("norm_fp")
+      .agg(
+        max_by(col(idCol), struct(col("__len"), -col(idCol))).as(idCol),
+        count(lit(1)).as("copies"),
+        max(col("__len")).as("max_len"))
+
   /** LSH band-occupancy report — the DRY-RUN to query BEFORE paying for a
     * 100 TB MinHash dedup: per band, how many distinct buckets, the
     * largest bucket, how many singletons (which contribute nothing), and

@@ -24,6 +24,21 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((1L, 3L), (2L, 1L))
     }
 
+    "normSurvivors: longest variant wins, tie breaks to the smallest id" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "Hello,  world!"),       // group A: normalizes to "hello world"
+        (2L, "hello world"),          // shorter variant
+        (3L, "HELLO *** WORLD ***"),  // longest variant → survivor
+        (4L, "other doc"),            // singleton
+        (5L, "OTHER DOC"),            // same length (9) as 4 → tie → id 4
+        (6L, "unrelated")).toDF("doc_id", "text")
+      val got = Dedup.normSurvivors(df, "text", "doc_id")
+        .select("doc_id", "copies", "max_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got shouldBe Set((3L, 3L, 19L), (4L, 2L, 9L), (6L, 1L, 9L))
+    }
+
     "lshBandStats: identical docs share every bucket, occupancy algebra exact" in {
       import spark.implicits._
       // two identical docs + one unrelated (no shared shingles): in EVERY
