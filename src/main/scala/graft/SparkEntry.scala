@@ -2171,6 +2171,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "stat_token_gini" -> ((s, dir) => {
+      // lexical concentration per source: Gini of the token-frequency
+      // distribution from exact rank algebra over the COMPRESSED (count
+      // value, types) table — tie blocks contribute v·m·(2s+m−1) to 2A,
+      // DECIMAL(38,0) sums (n·S passes 2⁶³ at real scale), one double
+      // division of the string-rendered decimals
+      graft.pipeline.Stats.tokenGini(
+          t(s, dir, "documents"), "source", col("text"))
+        .orderBy("source")
+    }),
+
     "stat_lsh_bands" -> ((s, dir) => {
       // the MinHash-LSH dry-run report: per band, bucket count / largest
       // bucket / singletons / candidate-pair workload Σ c(c−1)/2 — what
@@ -3824,6 +3835,38 @@ object SparkEntry {
          |      FROM embeddings)
          |ORDER BY id""".stripMargin
     },
+
+    // Gini replay: same compressed count-value table, same tie-block rank
+    // algebra, DECIMAL(38,0) end-to-end, division on string-rendered
+    // decimals
+    "stat_token_gini" ->
+      """WITH tk AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok != ''),
+        |c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |z AS (SELECT source, c AS v, CAST(COUNT(*) AS BIGINT) AS m
+        |      FROM c GROUP BY 1, 2),
+        |w AS (
+        |  SELECT source, v, m,
+        |         CAST(COALESCE(SUM(m) OVER (PARTITION BY source ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) + 1 AS BIGINT) AS s
+        |  FROM z),
+        |a AS (
+        |  SELECT source,
+        |         CAST(SUM(CAST(v AS DECIMAL(38,0)) * m * (2*s + m - 1))
+        |              AS DECIMAL(38,0)) AS a2,
+        |         CAST(SUM(m) AS BIGINT) AS n,
+        |         CAST(SUM(v * m) AS BIGINT) AS tot
+        |  FROM w GROUP BY source)
+        |SELECT source, n AS vocab_size, tot AS total_tokens,
+        |       CAST(CAST(CAST(a2 - CAST(n + 1 AS DECIMAL(38,0)) * tot
+        |                      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * tot
+        |                        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |         AS gini
+        |FROM a ORDER BY source""".stripMargin,
 
     // LSH band report replayed: same 3-token shingles as jaccardOracle,
     // seeded 60-bit md5 signature mins, bucket = the r-tuple of values,

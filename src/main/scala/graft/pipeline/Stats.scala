@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distribution statistics for corpus curation: exact grouped quantiles and
   * heavy hitters, both shaped for 100 TB inputs.
@@ -462,4 +463,52 @@ object Stats {
             (col("insum") + col("n") * (col("nrest") - col("rs"))).cast("double") /
               (lit(2L) * col("n") * col("nrest")).cast("double")).as("tvd"))
   }
+
+  /** Per-group Gini coefficient of the token-frequency distribution —
+    * lexical concentration: 0 = every type equally frequent, →1 = a few
+    * types carry all the mass (burned-in boilerplate, generator loops,
+    * templated spam). The companion scalar to [[vocabCoverage]]'s cutoff
+    * search.
+    *
+    * Exact rank algebra on the COMPRESSED (count value v, types m) table
+    * (the [[groupQuantiles]]/vocabCoverage trick — a raw rank over the
+    * vocabulary would sort every type in one window partition): a tie
+    * block of m types at ascending-rank start s contributes
+    * Σ 2·i·v = v·m·(2s + m − 1) to twice the rank-weighted mass A, all
+    * integers; G = (2A − (n+1)·S) / (n·S) with n = vocab size, S = token
+    * mass. 2A and the numerator/denominator products are carried as
+    * DECIMAL(38,0) — n·S alone passes 2⁶³ at ~10⁷ types × 10¹² tokens —
+    * and the single division happens on the string-rendered decimals
+    * (engine-exact). Window state ∝ distinct count VALUES per group,
+    * bounded by design.
+    *
+    * Output: (group, vocab_size, total_tokens, gini). */
+  def tokenGini(df: DataFrame, groupCol: String, textCol: Column): DataFrame = {
+    val counts = df.select(col(groupCol), explode(split(textCol, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+    val byValue = counts.groupBy(col(groupCol), col("c").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = DecimalType(38, 0)
+    byValue
+      .withColumn("s", coalesce(sum("m").over(w), lit(0L)) + 1)
+      .groupBy(groupCol)
+      .agg(
+        sum(col("v").cast(dec) * col("m") * (lit(2) * col("s") + col("m") - 1))
+          .cast(dec).as("a2"),
+        sum("m").as("n"),
+        sum(col("v") * col("m")).as("tot"))
+      .select(col(groupCol), col("n").as("vocab_size"),
+        col("tot").as("total_tokens"),
+        (decAsDouble((col("a2") - (col("n") + 1).cast(dec) * col("tot"))
+            .cast(dec)) /
+          decAsDouble((col("n").cast(dec) * col("tot")).cast(dec)))
+          .as("gini"))
+  }
+
+  /** Decimal → double via the string rendering (correctly-rounded parse on
+    * both engines — see SparkEntry's helper of the same shape). */
+  private def decAsDouble(c: Column): Column = c.cast("string").cast("double")
 }

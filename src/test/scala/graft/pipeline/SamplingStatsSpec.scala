@@ -489,4 +489,34 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got.count { case (cnt, est) => est > cnt } should be > 0
     }
   }
+
+  "Stats.tokenGini" - {
+    "hand-computed coefficient; uniform and singleton groups are zero" in {
+      import spark.implicits._
+      // g1: counts {a:1, b:1, c:2} → ranks asc (1,1,2) at (1,2,3):
+      //     2A = 2(1·1 + 2·1 + 3·2) = 18; n=3, S=4 → G = (18−16)/12 = 1/6
+      // g2: counts {x:2, y:2} → 2A = 12; n=2, S=4 → G = (12−12)/8 = 0
+      // g3: one type → always 0
+      val df = Seq(
+        ("g1", "a b c c"), ("g2", "x x y y"), ("g3", "z z z")
+      ).toDF("source", "text")
+      val got = Stats.tokenGini(df, "source", col("text"))
+        .orderBy("source")
+        .as[(String, Long, Long, Double)].collect().toSeq
+      got shouldBe Seq(("g1", 3L, 4L, 1.0 / 6.0), ("g2", 2L, 4L, 0.0),
+        ("g3", 1L, 3L, 0.0))
+    }
+
+    "concentration raises the coefficient monotonically" in {
+      import spark.implicits._
+      val flat = ("flat", (1 to 20).map(i => s"t$i").mkString(" "))
+      val skew = ("skew", ((1 to 20).map(i => s"t$i") ++
+        Seq.fill(80)("t1")).mkString(" "))
+      val g = Stats.tokenGini(Seq(flat, skew).toDF("source", "text"),
+          "source", col("text"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      g("flat") shouldBe 0.0
+      g("skew") should be > 0.7
+    }
+  }
 }
