@@ -2171,6 +2171,20 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "stat_hll_overlap" -> ((s, dir) => {
+      // pairwise source overlap from HLL register ALGEBRA: union = the
+      // elementwise register max (sketch-sized pair join — groups²·2^p
+      // rows, corpus scanned once), inclusion–exclusion for the
+      // intersection; the sketch answer to the question
+      // stat_corpus_overlap pays a distinct-set self-join for
+      graft.pipeline.Stats.hllOverlap(
+          t(s, dir, "documents")
+            .select(col("source"),
+              explode(graft.pipeline.Dedup.shingles(col("text"), 3)).as("sh")),
+          "source", col("sh"), p = 6)
+        .orderBy("src_a", "src_b")
+    }),
+
     "stat_token_gini" -> ((s, dir) => {
       // lexical concentration per source: Gini of the token-frequency
       // distribution from exact rank algebra over the COMPRESSED (count
@@ -3835,6 +3849,59 @@ object SparkEntry {
          |      FROM embeddings)
          |ORDER BY id""".stripMargin
     },
+
+    // HLL overlap replay: the stat_hll register derivation with the
+    // bucket retained, pairwise elementwise-max union, the same scaled
+    // harmonic estimator at every level, inclusion–exclusion last
+    "stat_hll_overlap" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh0 AS (
+        |  SELECT source,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |h AS (
+        |  SELECT DISTINCT source,
+        |         ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM (SELECT source, unnest(s) AS sh FROM sh0)),
+        |r AS (SELECT source, h // (1::BIGINT << 54) AS bucket,
+        |             h % (1::BIGINT << 54) AS rest FROM h),
+        |regs0 AS (
+        |  SELECT source, bucket,
+        |         max(CASE WHEN rest = 0 THEN 55
+        |             ELSE 54 - length(bin(rest)) + 1 END) AS rho
+        |  FROM r GROUP BY 1, 2),
+        |grid AS (SELECT DISTINCT source, unnest(range(64)) AS bucket FROM h),
+        |regs AS (
+        |  SELECT g.source, g.bucket, COALESCE(r0.rho, 0) AS rho
+        |  FROM grid g LEFT JOIN regs0 r0
+        |    ON g.source = r0.source AND g.bucket = r0.bucket),
+        |singles AS (
+        |  SELECT source,
+        |    0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+        |      / CAST(CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS DOUBLE)
+        |      AS est
+        |  FROM regs GROUP BY source),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |         greatest(a.rho, b.rho) AS rho
+        |  FROM regs a JOIN regs b
+        |    ON a.bucket = b.bucket AND a.source < b.source),
+        |un AS (
+        |  SELECT src_a, src_b,
+        |    0.709::DOUBLE * 4096.0::DOUBLE * 36028797018963968.0::DOUBLE
+        |      / CAST(CAST(SUM(1::BIGINT << (55 - rho)) AS BIGINT) AS DOUBLE)
+        |      AS est_union
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.est AS est_a, sb.est AS est_b, est_union,
+        |       sa.est + sb.est - est_union AS est_overlap
+        |FROM un
+        |JOIN singles sa ON sa.source = src_a
+        |JOIN singles sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // Gini replay: same compressed count-value table, same tie-block rank
     // algebra, DECIMAL(38,0) end-to-end, division on string-rendered

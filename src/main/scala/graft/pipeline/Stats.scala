@@ -285,15 +285,17 @@ object Stats {
     * maintenance ([[graft.streaming.Streams.hllMaintain]]): registers in,
     * (nonempty, harmonic_scaled, est_distinct) out, with the same
     * integer-exact scaled harmonic sum and single-division estimate. */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   def hllEstimate(sk: DataFrame, groupCol: String, p: Int): DataFrame = {
     val m = 1 << p
     val s = 61 - p
-    val alpha = m match {
-      case 16 => 0.673
-      case 32 => 0.697
-      case 64 => 0.709
-      case _ => 0.7213 / (1.0 + 1.079 / m)
-    }
+    val alpha = hllAlpha(m)
     sk.select(col(groupCol), posexplode(col("regs")).as(Seq("bucket", "rho")))
       .groupBy(col(groupCol))
       .agg(
@@ -305,6 +307,55 @@ object Stats {
         // alpha·m² is one rounding; ·2^s is exact; the division rounds once
         (lit(alpha * (m.toDouble * m.toDouble)) * lit(math.pow(2.0, s)) /
           col("harmonic_scaled").cast("double")).as("est_distinct"))
+  }
+
+  /** Pairwise distinct-overlap estimates from HLL REGISTER ALGEBRA — the
+    * sketch-sized answer to "how much does each source pair share" that
+    * [[corpusOverlap]] answers exactly at the cost of a distinct-set
+    * self-join. One corpus pass builds the per-group registers; every
+    * pairwise union is then an elementwise max over 2^p ints (registers
+    * explode once, pair-join on bucket — groups² · 2^p rows of sketch
+    * data, corpus-free), and inclusion–exclusion gives
+    * est_overlap = est_a + est_b − est_union. Negative overlaps are the
+    * sketch's noise floor and are reported raw.
+    *
+    * Every input to the three divisions is the scaled-integer harmonic
+    * sum of [[hllEstimate]], so all six output columns replay exactly.
+    *
+    * Output: (src_a, src_b, est_a, est_b, est_union, est_overlap). */
+  def hllOverlap(
+      df: DataFrame, groupCol: String, valueCol: Column, p: Int): DataFrame = {
+    val m = 1 << p
+    val s = 61 - p
+    val alpha = hllAlpha(m)
+    val regs = df
+      .select(col(groupCol), Sampling.md5Hash60(valueCol).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.SketchFunctions.hll_registers(col("__h"), p)
+        .as("regs"))
+      .persist() // two consumers (singles + pair explode), one corpus pass
+    val singles = hllEstimate(regs, groupCol, p)
+      .select(col(groupCol), col("est_distinct"))
+    val ex = regs.select(col(groupCol).as("g"),
+      posexplode(col("regs")).as(Seq("bucket", "rho")))
+    ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.g") < col("b.g"))
+      .select(col("a.g").as("src_a"), col("b.g").as("src_b"),
+        greatest(col("a.rho"), col("b.rho")).as("rho"))
+      .groupBy("src_a", "src_b")
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $s - rho)")).as("hs"))
+      .select(col("src_a"), col("src_b"),
+        (lit(alpha * (m.toDouble * m.toDouble)) * lit(math.pow(2.0, s)) /
+          col("hs").cast("double")).as("est_union"))
+      .join(singles.select(col(groupCol).as("src_a"),
+        col("est_distinct").as("est_a")), "src_a")
+      .join(singles.select(col(groupCol).as("src_b"),
+        col("est_distinct").as("est_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
   }
 
   /** Count-Min frequency estimates for a set of probe tokens — the

@@ -490,6 +490,32 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.hllOverlap" - {
+    "identical groups: union = single, inclusion-exclusion returns the single" in {
+      import spark.implicits._
+      val vals = (1 to 400).flatMap(i => Seq(("a", s"v$i"), ("b", s"v$i")))
+      val got = Stats.hllOverlap(vals.toDF("g", "v"), "g", col("v"), p = 6)
+        .collect()(0)
+      val (ea, eb, eu, ov) = (got.getDouble(2), got.getDouble(3),
+        got.getDouble(4), got.getDouble(5))
+      ea shouldBe eb     // same value set, same registers
+      eu shouldBe ea     // union of identical registers is unchanged
+      ov shouldBe ea     // a + a − a is exact in IEEE
+    }
+
+    "union estimate dominates both singles; disjoint overlap is small" in {
+      import spark.implicits._
+      val vals = (1 to 300).map(i => ("a", s"x$i")) ++
+        (1 to 300).map(i => ("b", s"y$i"))
+      val got = Stats.hllOverlap(vals.toDF("g", "v"), "g", col("v"), p = 6)
+        .collect()(0)
+      val (ea, eb, eu, ov) = (got.getDouble(2), got.getDouble(3),
+        got.getDouble(4), got.getDouble(5))
+      eu should be >= math.max(ea, eb) // max-merge can only raise registers
+      math.abs(ov) should be < 0.35 * (ea + eb) // noise floor, not a match
+    }
+  }
+
   "Stats.tokenGini" - {
     "hand-computed coefficient; uniform and singleton groups are zero" in {
       import spark.implicits._
