@@ -1362,6 +1362,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_minhash_est" -> ((s, dir) => {
+      // the 100 TB verify: Jaccard ESTIMATED from signature agreement
+      // (matches/k over the k longs both docs already carry) instead of
+      // re-joining shingle sets; candidates from band collisions, corpus
+      // doubled so exact duplicates exercise the est=1.0 ceiling
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val doubled = docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.pipeline.Dedup.minhashEstimates(doubled, "doc_id", col("text"),
+          shingleN = 3, k = 8, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---- LLM-pipeline: dedup -------------------------------------------
     "dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select("doc_id", "text")
@@ -2929,6 +2942,48 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    // signature-agreement estimator replay: same doubled corpus, same
+    // seeded md5 signature mins, candidates from band-key equality,
+    // matches counted per seed, one division
+    "dedup_minhash_est" ->
+      """WITH ad AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ad),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hx AS (
+        |  SELECT doc_id, i,
+        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g),
+        |                             1, 15))::BIGINT) AS m
+        |  FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+        |  GROUP BY doc_id, i),
+        |bk AS (
+        |  SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+        |         list(m ORDER BY i) AS key
+        |  FROM hx GROUP BY doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ag AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(SUM(CASE WHEN ha.m = hb.m THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS matches
+        |  FROM cand c
+        |  JOIN hx ha ON ha.doc_id = c.id_a
+        |  JOIN hx hb ON hb.doc_id = c.id_b AND hb.i = ha.i
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, matches,
+        |       CAST(matches AS DOUBLE) / 8.0 AS est_jaccard
+        |FROM ag ORDER BY id_a, id_b""".stripMargin,
 
     // cross-parity ground truth: same shingle semantics as jaccardOracle,
     // odd (batch) rows joined against even (corpus) rows

@@ -518,17 +518,7 @@ object Dedup {
       shingleN: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
     val r = k / bands
-    val ex = df.select(col(idCol).as("id"),
-      explode(shingles(textCol, shingleN)).as("g"))
-    val sig = ex.groupBy("id").agg(
-      min(md5TokenHash(concat(lit("0|"), col("g")))).as("__m0"),
-      (1 until k).map(i =>
-        min(md5TokenHash(concat(lit(s"$i|"), col("g")))).as(s"__m$i")): _*)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        array((0 until r).map(j => col(s"__m${b * r + j}")): _*).as("key"))
-    }
-    sig.select(explode(array(bandCols: _*)).as("bk"))
+    sigBands(md5Signatures(df, idCol, textCol, shingleN, k), k, bands)
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
       .groupBy("band", "key").agg(count(lit(1)).as("c"))
       .groupBy("band").agg(
@@ -537,5 +527,68 @@ object Dedup {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
         sum(expr("c * (c - 1) DIV 2")).as("candidate_pairs"))
       .orderBy("band")
+  }
+
+  /** Engine-replayable MinHash signatures as k COLUMNS (`__m0..__m{k-1}`,
+    * the seeded 60-bit md5 basis) — shared by [[lshBandStats]] and
+    * [[minhashEstimates]]. Columns, not an array: downstream agreement
+    * counting stays a static codegen'd expression per seed. */
+  private def md5Signatures(df: DataFrame, idCol: String, textCol: Column,
+      shingleN: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(shingles(textCol, shingleN)).as("g"))
+      .groupBy("id").agg(
+        min(md5TokenHash(concat(lit("0|"), col("g")))).as("__m0"),
+        (1 until k).map(i =>
+          min(md5TokenHash(concat(lit(s"$i|"), col("g")))).as(s"__m$i")): _*)
+
+  /** Band structs (band index, r-value key) exploded from a signature
+    * table — one row per (id, band). */
+  private def sigBands(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        array((0 until r).map(j => col(s"__m${b * r + j}")): _*).as("key"))
+    }
+    sig.select(col("id") +: (0 until k).map(i => col(s"__m$i")) :+
+      explode(array(bandCols: _*)).as("bk"): _*)
+  }
+
+  /** MinHash Jaccard ESTIMATES for LSH candidate pairs — the estimator a
+    * 100 TB dedup uses INSTEAD of the exact shingle-set verify: similarity
+    * ≈ (matching signature positions)/k, read off the k longs both docs
+    * already carry (no shingle re-join, no set intersection — the verify
+    * cost drops from |shingles| to k per pair). Candidates come from band
+    * collisions exactly as the production join would ([[lshBandStats]]'s
+    * buckets); agreement is a static sum of k codegen'd comparisons.
+    * Signature basis is the seeded 60-bit md5, so candidates, matches and
+    * the single-division estimate all replay exactly.
+    *
+    * Output: (id_a, id_b, matches, est_jaccard), candidates only. */
+  def minhashEstimates(df: DataFrame, idCol: String, textCol: Column,
+      shingleN: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"signature width $k not divisible by bands $bands")
+    val sig = md5Signatures(df, idCol, textCol, shingleN, k).persist()
+    val bk = sigBands(sig, k, bands)
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .hint("merge") // corpus-sized both sides: never broadcast (see
+                     // bandedSignatures' estimate-miss rationale)
+    val cand = bk.alias("a")
+      .join(bk.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val a = sig.select(col("id").as("id_a") +:
+      (0 until k).map(i => col(s"__m$i").as(s"__a$i")): _*)
+    val b = sig.select(col("id").as("id_b") +:
+      (0 until k).map(i => col(s"__m$i").as(s"__b$i")): _*)
+    val matches = (0 until k).map(i =>
+        when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
+      .select(col("id_a"), col("id_b"), matches.as("matches"))
+      .withColumn("est_jaccard",
+        col("matches").cast("double") / lit(k.toDouble))
   }
 }

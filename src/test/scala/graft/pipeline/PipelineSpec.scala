@@ -39,6 +39,30 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((3L, 3L, 19L), (4L, 2L, 9L), (6L, 1L, 9L))
     }
 
+    "minhashEstimates: identical docs hit the est=1 ceiling; estimates bounded" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+        (3L, "alpha beta gamma delta eta theta"),    // partial overlap
+        (4L, "iota kappa lambda mu nu xi")           // disjoint
+      ).toDF("doc_id", "text")
+      val got = Dedup.minhashEstimates(df, "doc_id", col("text"),
+          shingleN = 3, k = 8, bands = 4)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getDouble(3)))).toMap
+      got((1L, 2L)) shouldBe ((8L, 1.0)) // identical signatures everywhere
+      got.foreach { case (_, (m, e)) =>
+        m should (be >= 0L and be <= 8L)
+        e shouldBe m.toDouble / 8.0
+      }
+      // the disjoint doc shares no shingles, so its signature mins come
+      // from different hash draws — it never reaches the ceiling with 1/2/3
+      got.keys.filter(p => p._1 == 4L || p._2 == 4L).foreach { p =>
+        got(p)._2 should be < 1.0
+      }
+    }
+
     "lshBandStats: identical docs share every bucket, occupancy algebra exact" in {
       import spark.implicits._
       // two identical docs + one unrelated (no shared shingles): in EVERY
