@@ -1475,6 +1475,34 @@ object SparkEntry {
     }),
 
     // ---- LLM-pipeline: similarity search -------------------------------
+    "pipeline_rag_prep" -> ((s, dir) => {
+      // RAG-side capstone — the retrieval pipeline as ONE DAG: overlapping
+      // token chunks (narrow, in-scan) → deterministic hash embeddings
+      // (md5-derived doubles, the honest stand-in for a model encoder:
+      // same schema/partitioning/score path as a real one) → cosine top-3
+      // chunks per question (queries broadcast, corpus never shuffles).
+      // The 8-term dot chain is left-associated on both engines, so
+      // scores are bit-identical and the ranking replays exactly
+      val chunks = graft.pipeline.TextAnalysis.chunkByTokens(
+          t(s, dir, "documents"), "doc_id", col("text"),
+          chunkTokens = 32, stride = 24)
+        .select((col("id") * 1000 + col("chunk_idx")).as("id"),
+          col("chunk_text").as("txt"))
+      val questions = RagQuestions.map { case (qid, q) => (qid, q) }
+      val qdf = s.createDataFrame(questions).toDF("id", "txt")
+      val all = chunks.unionByName(qdf)
+      val dim = 8
+      val emb = all.select(col("id"), array((0 until dim).map(j =>
+        graft.pipeline.Sampling.md5Hash60(
+            concat(lit(s"$j|"), col("txt"))).cast("double") /
+          lit(math.pow(2.0, 60))): _*).as("embedding"))
+      graft.pipeline.Similarity.cosineTopK(emb, "id", "embedding",
+          col("id") >= 1000000000L, k = 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5)
@@ -3106,6 +3134,43 @@ object SparkEntry {
         |SELECT doc_id, shard, start_tok, n_tok
         |FROM laid WHERE start_tok < 2000 ORDER BY doc_id""".stripMargin,
 
+    // RAG capstone replay: text_chunk's chunking, the same md5-derived
+    // embeddings (int→double cast is correctly rounded on both engines;
+    // /2^60 is exact), and an 8-term left-associated dot chain that
+    // matches the Java kernel's fold op-for-op — scores bit-identical,
+    // ranks deterministic (sim DESC, id)
+    "pipeline_rag_prep" ->
+      (s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+         |      FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id * 1000 + start // 24 AS id,
+         |              array_to_string(toks[start+1 : start+32], ' ') AS txt
+         |       FROM s),
+         |qs AS (SELECT * FROM (VALUES """.stripMargin +
+        RagQuestions.map { case (id, q) => s"($id, '$q')" }.mkString(", ") +
+        """) v(id, txt)),
+         |ar AS (SELECT id, txt FROM ch UNION ALL SELECT id, txt FROM qs),
+         |emb AS (SELECT id,
+         |  [CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || txt),
+         |                        1, 15))::BIGINT AS DOUBLE)
+         |     / 1152921504606846976.0 FOR j IN range(0, 8)] AS v
+         |  FROM ar),
+         |n AS (SELECT id, v,
+         |  sqrt(v[1]*v[1] + v[2]*v[2] + v[3]*v[3] + v[4]*v[4] + v[5]*v[5]
+         |       + v[6]*v[6] + v[7]*v[7] + v[8]*v[8]) AS nrm FROM emb),
+         |sims AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+         |  (q.v[1]*c.v[1] + q.v[2]*c.v[2] + q.v[3]*c.v[3] + q.v[4]*c.v[4]
+         |   + q.v[5]*c.v[5] + q.v[6]*c.v[6] + q.v[7]*c.v[7]
+         |   + q.v[8]*c.v[8]) / (c.nrm * q.nrm) AS sim
+         |  FROM n q JOIN n c ON q.id >= 1000000000 AND c.id != q.id),
+         |ranked AS (SELECT query_id, neighbor_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |                     ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM sims)
+         |SELECT query_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
+
     "ann_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4695,6 +4760,14 @@ object SparkEntry {
     * the oracle for both the deterministic shared-shingle path and the
     * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
     * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
+  /** The fixed question set for `pipeline_rag_prep` — ids ≥ 10⁹ mark the
+    * query side of the unioned chunk+question table (shared by the entry
+    * and its oracle). */
+  private val RagQuestions: Seq[(Long, String)] = Seq(
+    1000000000L -> "how does the stream merge window state",
+    1000000001L -> "customer orders with the largest revenue",
+    1000000002L -> "language detection for crawled documents")
+
   /** The EWMA replay shared by the batch entry (`e9_ewma_smooth`) and the
     * streaming-maintenance entry (`st16_stream_ewma`, whose in-order
     * two-trigger fold must equal the batch fold). */

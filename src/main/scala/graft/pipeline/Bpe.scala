@@ -68,6 +68,12 @@ object Bpe {
   def learn(df: DataFrame, textCol: Column, nMerges: Int)
       : (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"bpe: nMerges must be >= 1, got $nMerges")
+    // ONE Spark job per round: round r's pair-count aggregate is the
+    // action that materializes cur_r's persist as a side effect, so no
+    // separate count() job is needed; cur_{r-1} is unpersisted only
+    // AFTER that aggregate ran (its cache fed cur_r's materialization —
+    // dropping it earlier would re-derive the whole replace chain).
+    var prev: Option[DataFrame] = None
     var cur = wordTable(df, textCol).persist()
     val merges = ArrayBuffer.empty[Merge]
     var r = 1
@@ -79,22 +85,26 @@ object Bpe {
         .groupBy("pr").agg(sum("cnt").as("total"))
         .orderBy(col("total").desc, col("pr").asc)
         .limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(cur)
       if (top.isEmpty) done = true
       else {
         val pr = top(0).getString(0)
         val total = top(0).getLong(1)
         val sp = pr.indexOf(' ')
         val (a, b) = (pr.substring(0, sp), pr.substring(sp + 1))
-        val next = cur.withColumn("sym",
+        cur = cur.withColumn("sym",
           replace(col("sym"), lit(" " + pr + " "),
             lit(" " + a + b + " "))).persist()
-        next.count() // materialize BEFORE dropping the predecessor
-        cur.unpersist()
-        cur = next
         merges += Merge(r, a, b, a + b, total)
       }
       r += 1
     }
+    // materialize the final frame once so the last predecessor cache can
+    // be dropped here instead of leaking to the caller (one job — the
+    // per-round materializations all rode the pair-count aggregates);
+    // on early stop prev IS cur (already materialized) — nothing to do
+    prev.filter(_ ne cur).foreach { p => cur.count(); p.unpersist() }
     (merges.toSeq, cur)
   }
 
