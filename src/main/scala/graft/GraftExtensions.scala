@@ -114,6 +114,8 @@ object GraftFunctions {
     case Literal(d: Double, org.apache.spark.sql.types.DoubleType) => d
     case Literal(d: java.math.BigDecimal, _) => d.doubleValue
     case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i.toDouble
+    case Literal(l: Long, org.apache.spark.sql.types.LongType) => l.toDouble
     case _ => throw new IllegalArgumentException(
       s"$what expects a literal number, got $e")
   }

@@ -1097,18 +1097,37 @@ object SparkEntry {
       // streaming-identity
       import s.implicits._
       val base = scratchDir(s, "st16", dir)
-      val ts = col("ts_ms").cast("long")
+      // the SAME bucketing as the batch entry (shared timeBucket helper —
+      // a drifted copy here would silently break the streamed≡batch gate
+      // identity); one aggregation, persisted for its three consumers
       val counts = events(s, dir)
         .groupBy(col("event_type"),
-          ((ts - pmod(ts, lit(3600000L))) / 3600000L).cast("long")
+          graft.pipeline.EventAnalytics.timeBucket(col("ts_ms"), 3600000L)
             .as("bucket"))
         .agg(count(lit(1)).as("cnt"))
+        .persist()
       val mm = counts.agg(min("bucket"), max("bucket")).collect()(0)
       val split = (mm.getLong(0) + mm.getLong(1)) / 2
       counts.filter(col("bucket") <= split)
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      // FileStreamSource orders files by MODIFICATION TIME only; two tiny
+      // writes can land in the same local-FS millisecond, and st16 (unlike
+      // the order-insensitive st13/st15 twins) NEEDS batch 1 first — pin
+      // distinct mtimes explicitly instead of trusting the clock
+      val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
+      val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles(): Set[org.apache.hadoop.fs.Path] =
+        fs.listStatus(inPath).map(_.getPath)
+          .filterNot(p => p.getName.startsWith("_") ||
+            p.getName.startsWith(".")).toSet
+      val batch1 = dataFiles()
       counts.filter(col("bucket") > split)
         .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val batch2 = dataFiles() -- batch1
+      val t0 = System.currentTimeMillis()
+      batch1.foreach(p => fs.setTimes(p, t0 - 120000L, -1L))
+      batch2.foreach(p => fs.setTimes(p, t0 - 60000L, -1L))
+      counts.unpersist()
       val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
         .select(col("event_type").as("_1"), col("bucket").as("_2"),
@@ -1486,7 +1505,7 @@ object SparkEntry {
       val chunks = graft.pipeline.TextAnalysis.chunkByTokens(
           t(s, dir, "documents"), "doc_id", col("text"),
           chunkTokens = 32, stride = 24)
-        .select((col("id") * 1000 + col("chunk_idx")).as("id"),
+        .select((col("id") * RagChunkShift + col("chunk_idx")).as("id"),
           col("chunk_text").as("txt"))
       val questions = RagQuestions.map { case (qid, q) => (qid, q) }
       val qdf = s.createDataFrame(questions).toDF("id", "txt")
@@ -1497,7 +1516,7 @@ object SparkEntry {
             concat(lit(s"$j|"), col("txt"))).cast("double") /
           lit(math.pow(2.0, 60))): _*).as("embedding"))
       graft.pipeline.Similarity.cosineTopK(emb, "id", "embedding",
-          col("id") >= 1000000000L, k = 3)
+          col("id") >= RagQuerySentinel, k = 3)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -3144,7 +3163,7 @@ object SparkEntry {
          |           FROM documents),
          |s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
          |      FROM t WHERE len(toks) > 0),
-         |ch AS (SELECT doc_id * 1000 + start // 24 AS id,
+         |ch AS (SELECT doc_id * 1048576 + start // 24 AS id,
          |              array_to_string(toks[start+1 : start+32], ' ') AS txt
          |       FROM s),
          |qs AS (SELECT * FROM (VALUES """.stripMargin +
@@ -3163,7 +3182,7 @@ object SparkEntry {
          |  (q.v[1]*c.v[1] + q.v[2]*c.v[2] + q.v[3]*c.v[3] + q.v[4]*c.v[4]
          |   + q.v[5]*c.v[5] + q.v[6]*c.v[6] + q.v[7]*c.v[7]
          |   + q.v[8]*c.v[8]) / (c.nrm * q.nrm) AS sim
-         |  FROM n q JOIN n c ON q.id >= 1000000000 AND c.id != q.id),
+         |  FROM n q JOIN n c ON q.id >= 4611686018427387904 AND c.id != q.id),
          |ranked AS (SELECT query_id, neighbor_id,
          |  ROW_NUMBER() OVER (PARTITION BY query_id
          |                     ORDER BY sim DESC, neighbor_id) AS rank
@@ -4760,13 +4779,18 @@ object SparkEntry {
     * the oracle for both the deterministic shared-shingle path and the
     * MinHash-LSH path (whose recall at the fixture's J≈0.97 planted pairs
     * is 1 − (1−J⁴)¹⁶ ≈ 1-6e-14). */
-  /** The fixed question set for `pipeline_rag_prep` — ids ≥ 10⁹ mark the
+  /** The fixed question set for `pipeline_rag_prep` — ids ≥ 2⁶² mark the
     * query side of the unioned chunk+question table (shared by the entry
-    * and its oracle). */
+    * and its oracle). Chunk ids pack as doc_id·2²⁰ + chunk_idx, so the
+    * scheme is collision-free for doc_id < 2⁴² and docs < ~25M tokens —
+    * bounds a corpus-scale deployment actually clears, unlike the naive
+    * ×1000 packing. */
+  private val RagQuerySentinel: Long = 1L << 62
+  private val RagChunkShift: Long = 1L << 20
   private val RagQuestions: Seq[(Long, String)] = Seq(
-    1000000000L -> "how does the stream merge window state",
-    1000000001L -> "customer orders with the largest revenue",
-    1000000002L -> "language detection for crawled documents")
+    RagQuerySentinel -> "how does the stream merge window state",
+    (RagQuerySentinel + 1) -> "customer orders with the largest revenue",
+    (RagQuerySentinel + 2) -> "language detection for crawled documents")
 
   /** The EWMA replay shared by the batch entry (`e9_ewma_smooth`) and the
     * streaming-maintenance entry (`st16_stream_ewma`, whose in-order

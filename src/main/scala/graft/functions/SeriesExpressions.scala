@@ -29,6 +29,10 @@ object SeriesKernels {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // enforce the null-free contract instead of silently reading a null
+      // slot as 0.0 (the function is on the public spark.sql surface)
+      if (xs.isNullAt(i)) throw new IllegalArgumentException(
+        s"ewma: null element at position $i — inputs must be null-free")
       val x = xs.getDouble(i)
       acc = if (i == 0) x else alpha * x + beta * acc
       out(i) = acc

@@ -517,7 +517,6 @@ object Dedup {
   def lshBandStats(df: DataFrame, idCol: String, textCol: Column,
       shingleN: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
-    val r = k / bands
     sigBands(md5Signatures(df, idCol, textCol, shingleN, k), k, bands)
       .select(col("bk.band").as("band"), col("bk.key").as("key"))
       .groupBy("band", "key").agg(count(lit(1)).as("c"))

@@ -97,17 +97,23 @@ object EventAnalytics {
     * table partitioned by type — state ∝ buckets, never events.
     *
     * Output: (event_type, bucket, cnt, trail_n, trail_sum, anomaly). */
+  /** Exact floor-division time bucket (the remainder is subtracted first
+    * so the double division is exact-multiple / bucket — the
+    * retentionCohorts trick). Shared by [[countAnomalies]], [[ewmaSmooth]]
+    * and the streaming harness that must bucket IDENTICALLY to stay on
+    * the batch oracle. */
+  def timeBucket(tsMsCol: Column, bucketMs: Long): Column = {
+    val ts = tsMsCol.cast("long")
+    ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
+  }
+
   def countAnomalies(
       df: DataFrame, typeCol: String, tsMsCol: Column, bucketMs: Long,
       window: Int, factor: Long = 2L): DataFrame = {
     require(bucketMs > 0 && window > 0 && factor > 0,
       "bucketMs, window and factor must be positive")
-    // exact floor division, same trick as retentionCohorts: subtract the
-    // remainder so the double division is exact-multiple / bucket
-    val ts = tsMsCol.cast("long")
-    val bucket = ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
     val counts = df
-      .groupBy(col(typeCol), bucket.as("bucket"))
+      .groupBy(col(typeCol), timeBucket(tsMsCol, bucketMs).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col(typeCol)).orderBy(col("bucket"))
       .rowsBetween(-window, -1)
@@ -141,10 +147,8 @@ object EventAnalytics {
   def ewmaSmooth(df: DataFrame, typeCol: String, tsMsCol: Column,
       bucketMs: Long, alpha: Double): DataFrame = {
     require(bucketMs > 0, "bucketMs must be positive")
-    val ts = tsMsCol.cast("long")
-    val bucket = ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
     val counts = df
-      .groupBy(col(typeCol), bucket.as("bucket"))
+      .groupBy(col(typeCol), timeBucket(tsMsCol, bucketMs).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
     counts
       .groupBy(col(typeCol))

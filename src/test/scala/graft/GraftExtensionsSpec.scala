@@ -48,6 +48,15 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       // running EWMA: 4; 0.25·8+0.75·4 = 5; 0.25·2+0.75·5 = 4.25
       spark.sql("SELECT ewma(array(4.0D, 8.0D, 2.0D), 0.25D) AS e")
         .collect()(0).getSeq[Double](0) shouldBe Seq(4.0, 5.0, 4.25)
+      // INTEGER-literal alpha is accepted (1 ⇒ pass-through series)
+      spark.sql("SELECT ewma(array(4.0D, 8.0D), 1) AS e")
+        .collect()(0).getSeq[Double](0) shouldBe Seq(4.0, 8.0)
+      // null elements are rejected, never silently read as 0.0
+      val ex = intercept[Exception] {
+        spark.sql("SELECT ewma(array(1.0D, CAST(NULL AS DOUBLE)), 0.5D) AS e")
+          .collect()
+      }
+      ex.getMessage should include("null")
     }
 
     "register exposes the sketch aggregates to spark.sql" in {
