@@ -1343,6 +1343,15 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    "e10_user_paths" -> ((s, dir) => {
+      // top-20 first-5-event paths: one shuffle on the user key, ≤ depth
+      // rows per user survive the rank filter, ordered reassembly via
+      // GetArrayStructFields, two-phase path count + TakeOrdered
+      graft.pipeline.EventAnalytics.topPaths(
+        events(s, dir), "user_id", "event_type",
+        col("ts"), col("event_id"), depth = 5, k = 20)
+    }),
+
     "e9_ewma_smooth" -> ((s, dir) => {
       // EWMA-smoothed hourly event rates (α=1/4, dyadic): the codegen'd
       // SeriesKernels.ewma left fold over each type's observed buckets —
@@ -2922,6 +2931,19 @@ object SparkEntry {
         |SELECT event_type, bucket, cnt, trail_n, trail_sum,
         |       trail_n > 0 AND cnt * trail_n > 2 * trail_sum AS anomaly
         |FROM t ORDER BY event_type, bucket""".stripMargin,
+
+    // path replay: same (ts, event_id) rank, ordered string_agg join
+    "e10_user_paths" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS users
+        |FROM p GROUP BY path ORDER BY users DESC, path LIMIT 20""".stripMargin,
 
     // EWMA replay: same compressed (type, bucket) table, per-row prefix
     // fold via list_reduce — identical order, identical IEEE ops (0.25

@@ -125,6 +125,37 @@ object EventAnalytics {
           col("cnt") * col("trail_n") > lit(factor) * col("trail_sum"))
   }
 
+  /** Top-k user PATHS: the most common first-`depth` event-type sequences
+    * (the "how do users start" product-analytics staple the funnel's
+    * fixed stage list can't answer). Deterministic: events rank by
+    * (ts, id) per user; the path string joins the first `depth` types in
+    * that order.
+    *
+    * Shape at scale: ONE shuffle on the user key; the rank filter keeps
+    * ≤ depth rows per user before the per-user collect (arrays bounded by
+    * `depth`, reassembly via GetArrayStructFields — no lambda), and the
+    * path count is a second two-phase aggregate + TakeOrdered top-k.
+    *
+    * Output: (path, users), top k by (users DESC, path ASC). */
+  def topPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: Column, idCol: Column, depth: Int, k: Int): DataFrame = {
+    require(depth > 0 && k > 0, "depth and k must be positive")
+    // rank over the RENAMED projection — ordering by the caller's columns
+    // after the rename would not resolve
+    val w = Window.partitionBy(userCol).orderBy(col("__ts"), col("__id"))
+    df.select(col(userCol), col(typeCol).as("__t"), tsCol.as("__ts"),
+        idCol.as("__id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= depth)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("__rn").as("i"),
+        col("__t").as("t")))).as("s"))
+      .select(array_join(col("s.t"), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Running EWMA smoothing of per-(type, bucket) event counts — the
     * dashboard/alerting companion of [[countAnomalies]]: out(0) = x(0),
     * out(t) = α·x(t) + (1−α)·out(t−1) over each type's buckets in time

@@ -109,6 +109,23 @@ class EventAnalyticsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "EventAnalytics.topPaths" - {
+    "counts first-depth sequences; ties break by path" in {
+      val ev = Seq(
+        (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "C", 30L, 3L),
+        (2L, "A", 10L, 4L), (2L, "B", 20L, 5L),
+        (3L, "A", 1L, 6L), (3L, "B", 2L, 7L), (3L, "C", 3L, 8L),
+        (3L, "D", 4L, 9L), (3L, "E", 5L, 10L), // depth cut: D,E beyond 3
+        (4L, "B", 5L, 12L), (4L, "A", 5L, 11L) // same ts → id breaks tie
+      ).toDF("user_id", "event_type", "ts", "event_id")
+      val got = EventAnalytics.topPaths(ev, "user_id", "event_type",
+          col("ts"), col("event_id"), depth = 3, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      // tie at users=2 → path ASC: "A>B" (a prefix) sorts before "A>B>C"
+      got shouldBe Seq(("A>B", 2L), ("A>B>C", 2L))
+    }
+  }
+
   "EventAnalytics.ewmaSmooth" - {
     "hand-computed smoothing; gaps skipped, types isolated" in {
       // type a: bucket 1 → 4 events, bucket 2 → 8, bucket 5 → 2 (gap);
