@@ -1552,6 +1552,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      // IVF with a TRAINED coarse quantizer: centroids from 2
+      // deterministic k-medians rounds (exact medians ⇒ the trained
+      // vectors replay in the oracle) instead of first-nlist seeds —
+      // balanced lists are what bound probe cost at scale. Training is
+      // BUILD-time work, memoized like the PQ codebooks; the bench's
+      // second pass times the search
+      val cents = prepared(s, s"ivftrained:$dir") {
+        graft.pipeline.Clustering.kmediansCentroids(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
+      }
+      Similarity.annIvfTrainedTopK(t(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4,
+          trainIters = 2, trained = Some(cents))
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_pq_topk" -> ((s, dir) => {
       // product-quantization ANN: corpus stored as 8 byte-sized codes per
       // vector (vectors never leave the encode scan), queries score by
@@ -3065,6 +3084,8 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "ann_lsh_topk" -> annLshOracle,
     "ann_ivf_topk" -> annIvfOracle,
+    "ann_ivf_trained_topk" ->
+      annIvfTrainedOracle(nlist = 16, iters = 2, nprobe = 4, k = 5),
     "ann_pq_topk" -> annPqOracle(m = 8, ncodes = 8, sub = 8, k = 5, iters = 2),
     "ann_ivfpq_topk" ->
       annIvfPqOracle(nlist = 16, nprobe = 4, m = 8, ncodes = 8, sub = 8,
@@ -4597,7 +4618,20 @@ object SparkEntry {
     * Mirrors [[graft.pipeline.Clustering.kmediansAssign]] CTE-for-stage;
     * the median recipe is the same compressed cum-count quantile as the
     * stat_quantiles oracle. */
-  private def kmediansOracle(k: Int, iters: Int): String = {
+  private def kmediansOracle(k: Int, iters: Int): String =
+    kmediansCtes(k, iters) +
+      s"""sf AS (SELECT e.vec_id, c$iters.cid,
+         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.v", s"c$iters.cv")} DESC, c$iters.cid) AS rn
+         |  FROM e CROSS JOIN c$iters)
+         |SELECT vec_id, cid AS cluster FROM sf WHERE rn = 1
+         |ORDER BY vec_id""".stripMargin
+
+  /** The WITH-chain of the deterministic Lloyd loop, ending (with a
+    * trailing comma) at `c<iters>` = the trained (cid, cv) centroid
+    * table — shared by the clustering oracle and the trained-IVF oracle
+    * that composes an inverted-file search on top of it. */
+  private def kmediansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -4627,14 +4661,35 @@ object SparkEntry {
            |  FROM $prev LEFT JOIN cm$i ON $prev.cid = cm$i.cid),
            |""".stripMargin)
     }
-    sb.append(
-      s"""sf AS (SELECT e.vec_id, c$iters.cid,
-         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${cosSql("e.v", s"c$iters.cv")} DESC, c$iters.cid) AS rn
-         |  FROM e CROSS JOIN c$iters)
-         |SELECT vec_id, cid AS cluster FROM sf WHERE rn = 1
-         |ORDER BY vec_id""".stripMargin)
     sb.toString
+  }
+
+  /** Trained-IVF replay: the Lloyd chain's final centroid table feeds the
+    * same inverted-file search CTEs as annIvfOracle. */
+  private def annIvfTrainedOracle(
+      nlist: Int, iters: Int, nprobe: Int, k: Int): String = {
+    val c = s"c$iters"
+    kmediansCtes(nlist, iters) +
+      s"""scored AS (
+         |  SELECT e.vec_id, e.v, $c.cid,
+         |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |            ORDER BY ${cosSql("e.v", s"$c.cv")} DESC, $c.cid) AS crn
+         |  FROM e CROSS JOIN $c),
+         |assign AS (SELECT vec_id, v, cid FROM scored WHERE crn = 1),
+         |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid FROM scored
+         |           WHERE vec_id < 10 AND crn <= $nprobe),
+         |cand AS (
+         |  SELECT qp.query_id, a.vec_id AS id,
+         |         ${cosSql("qp.qv", "a.v")} AS sim
+         |  FROM qprobe qp JOIN assign a
+         |    ON a.cid = qp.cid AND a.vec_id != qp.query_id),
+         |ranked AS (
+         |  SELECT query_id, id AS neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, id) AS rank
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, rank FROM ranked
+         |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** KMV cardinality sketch replayed from the whole corpus — shared by the

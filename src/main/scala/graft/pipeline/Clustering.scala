@@ -59,15 +59,40 @@ object Clustering {
   def kmediansAssign(
       df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
-    require(k >= 2, "need at least 2 clusters")
-    require(iters >= 1, "need at least 1 update round")
     // persist: every round re-reads (id, v, nrm) — same load-bearing
     // barrier as Dedup.minhashDedupPairs' shingle set
-    val corpus = df.select(col(idCol).as("id"),
+    val corpus = prepCorpus(df, idCol, vecCol).persist()
+    val cents = trainCentroids(corpus, k, iters)
+    corpus.withColumn("cluster", assignTo(cents))
+      .select(col("id"), col("cluster"))
+  }
+
+  /** The trained centroid VECTORS alone — for callers that use the Lloyd
+    * loop as a coarse-quantizer TRAINING step (e.g. the trained-IVF ANN
+    * index) rather than for row assignment. Same determinism contract as
+    * [[kmediansAssign]]: exact medians, engine-replayable. */
+  def kmediansCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): IndexedSeq[Array[Double]] = {
+    val corpus = prepCorpus(df, idCol, vecCol).persist()
+    try trainCentroids(corpus, k, iters)
+    finally corpus.unpersist()
+  }
+
+  private def prepCorpus(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm",
         sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
-      .persist()
+
+  /** The shared Lloyd loop: `iters` rounds of literal-centroid assignment
+    * + exact component-wise median update over the (persisted) prepared
+    * corpus. Driver state = k×dim doubles per round. */
+  private def trainCentroids(
+      corpus: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Double]] = {
+    require(k >= 2, "need at least 2 clusters")
+    require(iters >= 1, "need at least 1 update round")
     // one init job, not two: dim comes from the seed vectors themselves
     // (embeddings are fixed-width by contract) instead of a separate first()
     var cents: IndexedSeq[Array[Double]] = corpus.orderBy("id").limit(k)
@@ -88,6 +113,6 @@ object Clustering {
         arr
       }
     }
-    corpus.withColumn("cluster", assignTo(cents)).select(col("id"), col("cluster"))
+    cents
   }
 }

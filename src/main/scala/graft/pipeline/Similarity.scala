@@ -158,6 +158,40 @@ object Similarity {
     val corpus = prep(df, idCol, vecCol)
     val centroids = corpus.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    ivfSearch(df, idCol, vecCol, queryPred, k, nprobe, corpus, centroids)
+  }
+
+  /** IVF with TRAINED coarse centroids: the same inverted-file search as
+    * [[annIvfTopK]], but the quantizer is the deterministic k-medians
+    * Lloyd loop ([[Clustering.kmediansCentroids]] — exact medians, so
+    * the trained vectors replay in an external oracle) instead of the
+    * first-nlist seed rows. Trained lists are far closer to balanced on
+    * clustered data, which is what bounds probe cost at scale; training
+    * is BUILD-time work (a stored artifact in production — memoize it
+    * behind the entry, like the PQ codebooks). */
+  def annIvfTrainedTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nlist: Int, nprobe: Int,
+      trainIters: Int,
+      trained: Option[IndexedSeq[Array[Double]]] = None): DataFrame = {
+    val spark = df.sparkSession
+    val cents = trained.getOrElse(
+      Clustering.kmediansCentroids(df, idCol, vecCol, nlist, trainIters))
+    import spark.implicits._
+    val centroids = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
+      // the SAME norm formula as prep() so the cosine replays identically
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    ivfSearch(df, idCol, vecCol, queryPred, k, nprobe,
+      prep(df, idCol, vecCol), centroids)
+  }
+
+  /** Shared inverted-file search over a (cid, cv, cnrm) centroid table:
+    * assign corpus rows to their nearest list, probe each query's nprobe
+    * lists, exact-rerank candidates. */
+  private def ivfSearch(
+      df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, nprobe: Int, corpus: DataFrame, centroids: DataFrame): DataFrame = {
     def nearest(side: DataFrame, keep: Int): DataFrame = {
       val scored = side.join(broadcast(centroids))
         .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))

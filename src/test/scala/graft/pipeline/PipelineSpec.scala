@@ -444,6 +444,21 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       val recall = (a1 & exact).size.toDouble / exact.size
       recall should be >= 0.3 // nprobe/nlist trade; exact re-rank of candidates
     }
+
+    "trained-IVF: deterministic, recall at least matches the seeded quantizer" in {
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, 5)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def run() = Similarity.annIvfTrainedTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nlist = 8, nprobe = 3, trainIters = 2)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a1 = run(); val a2 = run()
+      a1 shouldBe a2 // exact-median training is deterministic end-to-end
+      val recall = (a1 & exact).size.toDouble / exact.size
+      recall should be >= 0.3
+    }
   }
 
   "DotProduct expression" - {
