@@ -1390,6 +1390,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "dedup_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking: boundaries depend only on content, so
+      // the injected PREFIX-SHIFTED copies (the case every fixed-stride
+      // window scheme misses) still share every interior chunk with
+      // their originals — the cross-doc repeated-chunk report proves the
+      // shift-robustness the technique exists for
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val shifted = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("shiftedprefixtoken "), col("text")).as("text"))
+      graft.pipeline.Dedup.cdcChunkDupCounts(
+        docs.unionByName(shifted), "doc_id", col("text"), maskBits = 3)
+    }),
+
     "dedup_minhash_est" -> ((s, dir) => {
       // the 100 TB verify: Jaccard ESTIMATED from signature agreement
       // (matches/k over the k longs both docs already carry) instead of
@@ -3030,6 +3043,43 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_minhash_lsh" -> jaccardOracle,
+
+    // CDC replay: same injected shifted copies, same md5-boundary rule,
+    // boundary-count window, ordered chunk reassembly, chunk-hash counts
+    "dedup_cdc_chunks" ->
+      """WITH ad AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'shiftedprefixtoken ' || text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM ad),
+        |tk AS (
+        |  SELECT doc_id,
+        |         unnest([{'p': i, 'tok': t[i]}
+        |                 FOR i IN range(1, len(t) + 1)]) AS u
+        |  FROM toks),
+        |t2 AS (SELECT doc_id, u.p AS pos, u.tok AS tok FROM tk
+        |       WHERE u.tok != ''),
+        |f AS (
+        |  SELECT doc_id, pos, tok,
+        |         CASE WHEN ('0x' || substr(md5(tok), 1, 15))::BIGINT % 8 = 0
+        |              THEN 1 ELSE 0 END AS b
+        |  FROM t2),
+        |c AS (
+        |  SELECT doc_id, pos, tok,
+        |         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS chunk
+        |  FROM f),
+        |ch AS (
+        |  SELECT doc_id, chunk, string_agg(tok, ' ' ORDER BY pos)
+        |           AS chunk_text
+        |  FROM c GROUP BY 1, 2)
+        |SELECT md5(chunk_text) AS chunk_hash,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM ch GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+        |ORDER BY n_docs DESC, n_occurrences DESC, chunk_hash""".stripMargin,
 
     // signature-agreement estimator replay: same doubled corpus, same
     // seeded md5 signature mins, candidates from band-key equality,

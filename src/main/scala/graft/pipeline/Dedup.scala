@@ -528,6 +528,51 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** Content-defined chunking dedup — the SHIFT-ROBUST chunk granularity
+    * (the CDC idea behind rsync/LBFS/FastCDC, applied at token level):
+    * a token whose 60-bit md5 hash ≡ 0 (mod 2^maskBits) CLOSES the
+    * current chunk, so boundaries depend only on content — inserting a
+    * prefix shifts every fixed-stride window but moves NO interior CDC
+    * boundary, and the shared chunks still collide. Expected chunk
+    * length ≈ 2^maskBits tokens.
+    *
+    * Output: (chunk_hash, n_docs, n_occurrences) for chunks appearing in
+    * more than one document, ordered (n_docs DESC, n_occurrences DESC,
+    * chunk_hash) — the cross-document repeated-content report.
+    *
+    * Scale shape: one shuffle on the doc key for the boundary-count
+    * window (state ∝ one running sum), chunk reassembly via the bounded
+    * ordered collect, then a two-phase aggregate on the 16-byte chunk
+    * hash. The md5 basis makes boundaries, chunks and counts replay
+    * exactly in SQL. */
+  def cdcChunkDupCounts(
+      df: DataFrame, idCol: String, textCol: Column,
+      maskBits: Int): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20]: $maskBits")
+    val toks = df
+      .select(col(idCol).as("id"),
+        posexplode(split(textCol, " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val w = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("b",
+        when(pmod(md5TokenHash(col("tok")), lit(1L << maskBits)) === 0, 1L)
+          .otherwise(0L))
+      .withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
+      .groupBy("id", "chunk")
+      .agg(sort_array(collect_list(struct(col("pos").as("i"),
+        col("tok").as("t")))).as("s"))
+      .select(col("id"), array_join(col("s.t"), " ").as("chunk_text"))
+    chunks
+      .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+      .agg(countDistinct("id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("chunk_hash").asc)
+  }
+
   /** Engine-replayable MinHash signatures as k COLUMNS (`__m0..__m{k-1}`,
     * the seeded 60-bit md5 basis) — shared by [[lshBandStats]] and
     * [[minhashEstimates]]. Columns, not an array: downstream agreement

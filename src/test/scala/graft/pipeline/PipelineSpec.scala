@@ -39,6 +39,26 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((3L, 3L, 19L), (4L, 2L, 9L), (6L, 1L, 9L))
     }
 
+    "cdcChunkDupCounts: identical docs share all chunks; prefix shift survives" in {
+      import spark.implicits._
+      val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+      // identical pair: every chunk shared exactly twice
+      val twins = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val g1 = Dedup.cdcChunkDupCounts(twins, "doc_id", col("text"), 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      g1 should not be empty
+      g1.foreach { case (d, o) => d shouldBe 2L; o shouldBe 2L }
+      // PREFIX-SHIFTED copy: interior boundaries don't move, so shared
+      // chunks survive — the case every fixed-stride window scheme misses
+      val shifted = Seq((1L, text), (2L, "zzz " + text)).toDF("doc_id", "text")
+      val g2 = Dedup.cdcChunkDupCounts(shifted, "doc_id", col("text"), 3)
+        .collect()
+      g2.length should be >= 1
+      // only the chunk containing the prefix can differ: shifted doc
+      // shares all but at most one of the identical-pair chunk set
+      g2.length should be >= g1.length - 1
+    }
+
     "minhashEstimates: identical docs hit the est=1 ceiling; estimates bounded" in {
       import spark.implicits._
       val df = Seq(
