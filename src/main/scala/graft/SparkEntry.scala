@@ -1584,6 +1584,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "embed_outliers" -> ((s, dir) => {
+      // curation screen: top-25 embeddings farthest (1 − cosine) from
+      // their assigned trained centroid — off-distribution candidates to
+      // review before they poison an index; reuses the memoized k-medians
+      // quantizer the trained-IVF entry builds
+      val cents = prepared(s, s"ivftrained:$dir") {
+        graft.pipeline.Clustering.kmediansCentroids(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
+      }
+      Similarity.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
+          "embedding", cents, k = 25)
+        .select(col("id").as("vec_id"), col("cid"), col("outlier_score"))
+    }),
+
     "ann_pq_topk" -> ((s, dir) => {
       // product-quantization ANN: corpus stored as 8 byte-sized codes per
       // vector (vectors never leave the encode scan), queries score by
@@ -2221,6 +2235,20 @@ object SparkEntry {
             .filter(col("tok") =!= ""),
           "source", col("tok"), k = 64)
         .orderBy("source")
+    }),
+
+    "text_langid_confusion" -> ((s, dir) => {
+      // classifier QUALITY EVAL: labeled lang × predicted lang confusion
+      // matrix — one conditional-aggregation pass (explicit pivot values,
+      // no driver-side distinct scan), the accuracy report behind the
+      // text_langid gate
+      val langs = Seq("en", "de", "fr", "es", "zh", "und")
+      t(s, dir, "documents")
+        .select(col("lang"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang").pivot("lang_pred", langs).count()
+        .na.fill(0L, langs)
+        .orderBy("lang")
     }),
 
     "stat_pivot" -> ((s, dir) => {
@@ -3136,6 +3164,20 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfOracle,
     "ann_ivf_trained_topk" ->
       annIvfTrainedOracle(nlist = 16, iters = 2, nprobe = 4, k = 5),
+
+    // outlier replay: the same trained-centroid chain, assigned-centroid
+    // cosine, one subtraction, top-k by (score DESC, id)
+    "embed_outliers" ->
+      (kmediansCtes(16, 2) +
+        s"""scored AS (
+           |  SELECT e.vec_id, c2.cid, ${cosSql("e.v", "c2.cv")} AS csim,
+           |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |            ORDER BY ${cosSql("e.v", "c2.cv")} DESC, c2.cid)
+           |           AS crn
+           |  FROM e CROSS JOIN c2)
+           |SELECT vec_id, cid, 1.0::DOUBLE - csim AS outlier_score
+           |FROM scored WHERE crn = 1
+           |ORDER BY outlier_score DESC, vec_id LIMIT 25""".stripMargin),
     "ann_pq_topk" -> annPqOracle(m = 8, ncodes = 8, sub = 8, k = 5, iters = 2),
     "ann_ivfpq_topk" ->
       annIvfPqOracle(nlist = 16, nprobe = 4, m = 8, ncodes = 8, sub = 8,
@@ -4021,6 +4063,41 @@ object SparkEntry {
         |ORDER BY id""".stripMargin,
 
     // conditional-aggregation replay of the explicit-values pivot
+    // confusion replay: the FULL 5-language stopword argmax (ties toward
+    // the lexicographically greatest code, matching array_max on
+    // (score, lang) structs), then one conditional-aggregation pass
+    "text_langid_confusion" ->
+      """WITH tok AS (SELECT lang, string_split(lower(trim(text)), ' ') AS toks
+        |             FROM documents),
+        |c AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is',
+        |    'that','with','for','was'))) AS en_c,
+        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist',
+        |    'nicht','mit','ein','von','zu'))) AS de_c,
+        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est',
+        |    'dans','pour','que','une','des'))) AS fr_c,
+        |  len(list_filter(toks, x -> x IN ('el','la','los','las','es','en',
+        |    'que','una','por','con'))) AS es_c,
+        |  len(list_filter(toks, x -> x IN ('的','是','在','了','和','有',
+        |    '我','不','这','他'))) AS zh_c
+        |  FROM tok),
+        |p AS (SELECT lang,
+        |  CASE WHEN greatest(en_c, de_c, fr_c, es_c, zh_c) = 0 THEN 'und'
+        |       WHEN zh_c = greatest(en_c, de_c, fr_c, es_c, zh_c) THEN 'zh'
+        |       WHEN fr_c = greatest(en_c, de_c, fr_c, es_c, zh_c) THEN 'fr'
+        |       WHEN es_c = greatest(en_c, de_c, fr_c, es_c, zh_c) THEN 'es'
+        |       WHEN en_c = greatest(en_c, de_c, fr_c, es_c, zh_c) THEN 'en'
+        |       ELSE 'de' END AS pred
+        |  FROM c)
+        |SELECT lang,
+        |  CAST(COUNT(*) FILTER (pred = 'en') AS BIGINT) AS en,
+        |  CAST(COUNT(*) FILTER (pred = 'de') AS BIGINT) AS de,
+        |  CAST(COUNT(*) FILTER (pred = 'fr') AS BIGINT) AS fr,
+        |  CAST(COUNT(*) FILTER (pred = 'es') AS BIGINT) AS es,
+        |  CAST(COUNT(*) FILTER (pred = 'zh') AS BIGINT) AS zh,
+        |  CAST(COUNT(*) FILTER (pred = 'und') AS BIGINT) AS und
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+
     "stat_pivot" ->
       ("""SELECT lang, """ +
         (0 until 20).map(i =>

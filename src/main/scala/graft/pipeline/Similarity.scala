@@ -174,16 +174,44 @@ object Similarity {
       queryPred: Column, k: Int, nlist: Int, nprobe: Int,
       trainIters: Int,
       trained: Option[IndexedSeq[Array[Double]]] = None): DataFrame = {
-    val spark = df.sparkSession
     val cents = trained.getOrElse(
       Clustering.kmediansCentroids(df, idCol, vecCol, nlist, trainIters))
-    import spark.implicits._
-    val centroids = cents.zipWithIndex
-      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
-      // the SAME norm formula as prep() so the cosine replays identically
-      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
     ivfSearch(df, idCol, vecCol, queryPred, k, nprobe,
-      prep(df, idCol, vecCol), centroids)
+      prep(df, idCol, vecCol), centroidFrame(df, cents))
+  }
+
+  /** Driver-side centroid vectors as a (cid, cv, cnrm) frame — the SAME
+    * norm formula as prep() so cosines against them replay identically. */
+  private def centroidFrame(
+      df: DataFrame, cents: IndexedSeq[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("cid", "cv")
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** Embedding OUTLIER screen: the k corpus vectors farthest (1 − cosine)
+    * from their assigned trained centroid — the curation pass that
+    * surfaces corrupt/mislabeled/off-distribution embeddings before they
+    * poison a semantic-dedup or retrieval index. One broadcast-centroid
+    * assignment scan (corpus never shuffles) + TakeOrdered top-k; scores
+    * are one subtraction from the replayable cosine. */
+  def centroidOutliers(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: IndexedSeq[Array[Double]], k: Int): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val centroids = centroidFrame(df, cents)
+    val scored = corpus.join(broadcast(centroids))
+      .withColumn("csim",
+        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .select(col("id"), col("cid"),
+        (lit(1.0d) - col("csim")).as("outlier_score"))
+      .orderBy(col("outlier_score").desc, col("id").asc)
+      .limit(k)
   }
 
   /** Shared inverted-file search over a (cid, cv, cnrm) centroid table:
