@@ -1584,6 +1584,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "dedup_semantic_trained" -> ((s, dir) => {
+      // SemDeDup with the TRAINED quantizer — balanced cells bound the
+      // within-cluster pairwise cost first-nlist seeding leaves to luck;
+      // shares the memoized k-medians build with the trained-IVF entry
+      val cents = prepared(s, s"ivftrained:$dir") {
+        graft.pipeline.Clustering.kmediansCentroids(
+          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
+      }
+      Similarity.semanticDedupPairsTrained(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4, cents)
+        .select(col("cid"), col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "embed_outliers" -> ((s, dir) => {
       // curation screen: top-25 embeddings farthest (1 − cosine) from
       // their assigned trained centroid — off-distribution candidates to
@@ -3164,6 +3178,23 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfOracle,
     "ann_ivf_trained_topk" ->
       annIvfTrainedOracle(nlist = 16, iters = 2, nprobe = 4, k = 5),
+
+    // trained SemDeDup replay: the Lloyd chain's centroids feed the same
+    // cluster-scoped pair search as the seeded dedup_semantic oracle
+    "dedup_semantic_trained" ->
+      (kmediansCtes(16, 2) +
+        s"""scored AS (
+           |  SELECT e.vec_id, e.v, c2.cid,
+           |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |            ORDER BY ${cosSql("e.v", "c2.cv")} DESC, c2.cid)
+           |           AS crn
+           |  FROM e CROSS JOIN c2),
+           |assign AS (SELECT vec_id, v, cid FROM scored WHERE crn = 1)
+           |SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+           |FROM assign a JOIN assign b
+           |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |WHERE ${cosSql("a.v", "b.v")} >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin),
 
     // outlier replay: the same trained-centroid chain, assigned-centroid
     // cosine, one subtraction, top-k by (score DESC, id)

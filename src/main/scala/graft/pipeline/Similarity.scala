@@ -266,6 +266,20 @@ object Similarity {
     val corpus = prep(df, idCol, vecCol)
     val centroids = corpus.orderBy("id").limit(nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    semanticPairs(corpus, centroids, threshold)
+  }
+
+  /** [[semanticDedupPairs]] with the TRAINED k-medians quantizer (the
+    * production form its scaladoc promises): balanced cells bound the
+    * within-cluster pairwise cost that first-nlist seeding leaves to
+    * luck. Same search, same replayability (exact-median centroids). */
+  def semanticDedupPairsTrained(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      cents: IndexedSeq[Array[Double]]): DataFrame =
+    semanticPairs(prep(df, idCol, vecCol), centroidFrame(df, cents), threshold)
+
+  private def semanticPairs(
+      corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
     val scored = corpus.join(broadcast(centroids))
       .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
     val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
