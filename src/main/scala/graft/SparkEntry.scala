@@ -1091,43 +1091,11 @@ object SparkEntry {
       // micro-batches (flatMapGroupsWithState state = TWO numbers per
       // group — last bucket + last ewma — bounded forever; frontier
       // monotone, so re-delivered or late buckets are dropped). Two
-      // triggers split the finalized hourly counts at the midpoint
-      // bucket; in-order arrival makes the streamed fold equal the batch
-      // fold, so the e9 oracle applies unchanged — the gate verifies the
-      // streaming-identity
+      // in-order triggers (pinned mtimes) make the streamed fold equal
+      // the batch fold, so the e9 oracle applies unchanged — the gate
+      // verifies the streaming-identity
       import s.implicits._
-      val base = scratchDir(s, "st16", dir)
-      // the SAME bucketing as the batch entry (shared timeBucket helper —
-      // a drifted copy here would silently break the streamed≡batch gate
-      // identity); one aggregation, persisted for its three consumers
-      val counts = events(s, dir)
-        .groupBy(col("event_type"),
-          graft.pipeline.EventAnalytics.timeBucket(col("ts_ms"), 3600000L)
-            .as("bucket"))
-        .agg(count(lit(1)).as("cnt"))
-        .persist()
-      val mm = counts.agg(min("bucket"), max("bucket")).collect()(0)
-      val split = (mm.getLong(0) + mm.getLong(1)) / 2
-      counts.filter(col("bucket") <= split)
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      // FileStreamSource orders files by MODIFICATION TIME only; two tiny
-      // writes can land in the same local-FS millisecond, and st16 (unlike
-      // the order-insensitive st13/st15 twins) NEEDS batch 1 first — pin
-      // distinct mtimes explicitly instead of trusting the clock
-      val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
-      val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      def dataFiles(): Set[org.apache.hadoop.fs.Path] =
-        fs.listStatus(inPath).map(_.getPath)
-          .filterNot(p => p.getName.startsWith("_") ||
-            p.getName.startsWith(".")).toSet
-      val batch1 = dataFiles()
-      counts.filter(col("bucket") > split)
-        .coalesce(1).write.mode("append").parquet(s"$base/in")
-      val batch2 = dataFiles() -- batch1
-      val t0 = System.currentTimeMillis()
-      batch1.foreach(p => fs.setTimes(p, t0 - 120000L, -1L))
-      batch2.foreach(p => fs.setTimes(p, t0 - 60000L, -1L))
-      counts.unpersist()
+      val base = orderedCountFiles(s, dir, "st16")
       val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
         .select(col("event_type").as("_1"), col("bucket").as("_2"),
@@ -1139,6 +1107,29 @@ object SparkEntry {
         .outputMode("update").start()
       try q.processAllAvailable() finally q.stop()
       s.table("st16_ewma").orderBy("event_type", "bucket")
+    }),
+
+    "st17_stream_anomaly" -> ((s, dir) => {
+      // always-on anomaly ALARMS: the trailing-24-bucket baseline of
+      // e7_count_anomaly maintained across micro-batches (state = the
+      // frontier + ≤ 24 (bucket, cnt) pairs per type, bounded forever);
+      // in-order triggers ⇒ streamed flags ≡ the batch operator
+      // row-for-row, verified against the SAME e7 oracle
+      import s.implicits._
+      val base = orderedCountFiles(s, dir, "st17")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .select(col("event_type").as("_1"), col("bucket").as("_2"),
+          col("cnt").as("_3")).as[(String, Long, Long)]
+      val q = graft.streaming.Streams.anomalyMaintain(stream,
+          window = 24, factor = 2L)
+        .toDF("event_type", "bucket", "cnt", "trail_n", "trail_sum",
+          "anomaly")
+        .writeStream.format("memory").queryName("st17_anomaly")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("st17_anomaly").orderBy("event_type", "bucket")
     }),
 
     "st13_stream_cms" -> ((s, dir) => {
@@ -2990,21 +2981,12 @@ object SparkEntry {
 
     // trailing-row-window anomaly replay; window SUM/COUNT cast from
     // HUGEINT, flag is the same integer cross-multiplication
-    "e7_count_anomaly" ->
-      """WITH c AS (
-        |  SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
-        |         CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |t AS (
-        |  SELECT event_type, bucket, cnt,
-        |         CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
-        |         CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum
-        |  FROM c
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-        |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, bucket, cnt, trail_n, trail_sum,
-        |       trail_n > 0 AND cnt * trail_n > 2 * trail_sum AS anomaly
-        |FROM t ORDER BY event_type, bucket""".stripMargin,
+    "e7_count_anomaly" -> countAnomalyOracle,
+
+    // streaming anomaly ≡ batch anomaly when finalized buckets arrive in
+    // order (pinned-mtime two-trigger harness): the gate checks the
+    // identity against the SAME replay
+    "st17_stream_anomaly" -> countAnomalyOracle,
 
     // path replay: same (ts, event_id) rank, ordered string_agg join
     "e10_user_paths" ->
@@ -5026,6 +5008,64 @@ object SparkEntry {
     RagQuerySentinel -> "how does the stream merge window state",
     (RagQuerySentinel + 1) -> "customer orders with the largest revenue",
     (RagQuerySentinel + 2) -> "language detection for crawled documents")
+
+  /** The in-order two-trigger harness shared by the ORDER-SENSITIVE
+    * streaming entries (st16/st17): hourly (event_type, bucket, cnt)
+    * counts — the SAME timeBucket as the batch operators, a drifted copy
+    * would break the streamed≡batch gate identities — split at the
+    * midpoint bucket into two parquet files under `<base>/in`.
+    * FileStreamSource orders files by MODIFICATION TIME only and two
+    * tiny writes can land in the same local-FS millisecond, so the
+    * batches' mtimes are pinned explicitly (st12/st13/st15 are
+    * order-insensitive and don't need this). Returns the scratch base. */
+  private def orderedCountFiles(
+      s: SparkSession, dir: String, purpose: String): String = {
+    val base = scratchDir(s, purpose, dir)
+    val counts = events(s, dir)
+      .groupBy(col("event_type"),
+        graft.pipeline.EventAnalytics.timeBucket(col("ts_ms"), 3600000L)
+          .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val mm = counts.agg(min("bucket"), max("bucket")).collect()(0)
+    val split = (mm.getLong(0) + mm.getLong(1)) / 2
+    counts.filter(col("bucket") <= split)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
+    val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[org.apache.hadoop.fs.Path] =
+      fs.listStatus(inPath).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith(".")).toSet
+    val batch1 = dataFiles()
+    counts.filter(col("bucket") > split)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val batch2 = dataFiles() -- batch1
+    val t0 = System.currentTimeMillis()
+    batch1.foreach(p => fs.setTimes(p, t0 - 120000L, -1L))
+    batch2.foreach(p => fs.setTimes(p, t0 - 60000L, -1L))
+    counts.unpersist()
+    base
+  }
+
+  /** The trailing-window anomaly replay shared by the batch entry
+    * (`e7_count_anomaly`) and the streaming-maintenance entry
+    * (`st17_stream_anomaly`, whose in-order fold must equal it). */
+  private val countAnomalyOracle =
+    """WITH c AS (
+      |  SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, bucket, cnt,
+      |         CAST(COUNT(*) OVER w AS BIGINT) AS trail_n,
+      |         CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_sum
+      |  FROM c
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, bucket, cnt, trail_n, trail_sum,
+      |       trail_n > 0 AND cnt * trail_n > 2 * trail_sum AS anomaly
+      |FROM t ORDER BY event_type, bucket""".stripMargin
 
   /** The EWMA replay shared by the batch entry (`e9_ewma_smooth`) and the
     * streaming-maintenance entry (`st16_stream_ewma`, whose in-order

@@ -196,6 +196,45 @@ object Streams {
     * the gate entry checks exactly that identity.
     *
     * Input (group, bucket, cnt); output (group, bucket, cnt, ewma). */
+  /** Streaming rolling-rate anomaly — [[ewmaMaintain]]'s alarm twin,
+    * maintaining [[graft.pipeline.EventAnalytics.countAnomalies]]'s
+    * trailing-`window` baseline across micro-batches: state per group is
+    * the bucket frontier + the last `window` observed (bucket, count)
+    * pairs, bounded forever. Same monotone-frontier contract as
+    * ewmaMaintain (late/re-delivered buckets dropped); in-order arrival
+    * makes the streamed flags equal the batch operator row-for-row,
+    * which the st17 gate verifies against the e7 oracle.
+    *
+    * Output (group, bucket, cnt, trail_n, trail_sum, anomaly). */
+  def anomalyMaintain(
+      counts: Dataset[(String, Long, Long)], window: Int, factor: Long)
+      : Dataset[(String, Long, Long, Long, Long, Boolean)] = {
+    import counts.sparkSession.implicits._
+    require(window > 0 && factor > 0, "window and factor must be positive")
+    counts.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[(Long, Long)]),
+          (String, Long, Long, Long, Long, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Seq[(Long, Long)])]) =>
+          var (frontier, trail) =
+            state.getOption.getOrElse((Long.MinValue, Seq.empty[(Long, Long)]))
+          val out = Seq.newBuilder[(String, Long, Long, Long, Long, Boolean)]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, b, c) =>
+            if (b > frontier) {
+              val trailN = trail.size.toLong
+              val trailSum = trail.iterator.map(_._2).sum
+              val anomaly = trailN > 0 && c * trailN > factor * trailSum
+              out += ((g, b, c, trailN, trailSum, anomaly))
+              trail = (trail :+ (b -> c)).takeRight(window)
+              frontier = b
+            }
+          }
+          state.update((frontier, trail))
+          out.result().iterator
+      }
+  }
+
   def ewmaMaintain(counts: Dataset[(String, Long, Long)], alpha: Double)
       : Dataset[(String, Long, Long, Double)] = {
     import counts.sparkSession.implicits._

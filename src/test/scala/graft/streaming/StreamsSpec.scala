@@ -255,6 +255,37 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Streams.anomalyMaintain" - {
+    "trailing baseline carries across batches; window slides; frontier drops" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val src = MemoryStream[(String, Long, Long)]
+      val q = Streams.anomalyMaintain(src.toDS(), window = 2, factor = 2L)
+        .toDF("g", "bucket", "cnt", "trail_n", "trail_sum", "anomaly")
+        .writeStream.format("memory").queryName("am")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-am").toString)
+        .outputMode("update").start()
+      try {
+        src.addData(("x", 0L, 100L), ("x", 1L, 1L), ("x", 2L, 1L))
+        q.processAllAvailable()
+        // batch 2: bucket 3's baseline is (1,1) from buckets 1,2 — the
+        // old 100 aged out of the 2-window; 4·2 > 2·2 → anomaly. The
+        // re-delivered bucket 2 is behind the frontier and dropped
+        src.addData(("x", 3L, 4L), ("x", 2L, 999L))
+        q.processAllAvailable()
+        val got = spark.table("am").orderBy("g", "bucket").collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getBoolean(5))).toSeq
+        got shouldBe Seq(
+          (0L, 100L, 0L, 0L, false), // no history
+          (1L, 1L, 1L, 100L, false),
+          (2L, 1L, 2L, 101L, false),
+          (3L, 4L, 2L, 2L, true))    // streamed flag ≡ batch operator
+      } finally q.stop()
+    }
+  }
+
   "Streams.ewmaMaintain" - {
     "folds across batches; frontier drops late and re-delivered buckets" in {
       implicit val sql = spark.sqlContext
