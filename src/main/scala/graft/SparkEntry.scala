@@ -1563,13 +1563,9 @@ object SparkEntry {
       // balanced lists are what bound probe cost at scale. Training is
       // BUILD-time work, memoized like the PQ codebooks; the bench's
       // second pass times the search
-      val cents = prepared(s, s"ivftrained:$dir") {
-        graft.pipeline.Clustering.kmediansCentroids(
-          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
-      }
-      Similarity.annIvfTrainedTopK(t(s, dir, "embeddings"), "vec_id",
-          "embedding", col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4,
-          trainIters = 2, trained = Some(cents))
+      val cents = trainedQuantizer(s, dir)
+      Similarity.annIvfTopKWithCentroids(t(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") < 10, k = 5, nprobe = 4, cents)
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1579,10 +1575,7 @@ object SparkEntry {
       // SemDeDup with the TRAINED quantizer — balanced cells bound the
       // within-cluster pairwise cost first-nlist seeding leaves to luck;
       // shares the memoized k-medians build with the trained-IVF entry
-      val cents = prepared(s, s"ivftrained:$dir") {
-        graft.pipeline.Clustering.kmediansCentroids(
-          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
-      }
+      val cents = trainedQuantizer(s, dir)
       Similarity.semanticDedupPairsTrained(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4, cents)
         .select(col("cid"), col("id_a"), col("id_b"))
@@ -1594,10 +1587,7 @@ object SparkEntry {
       // their assigned trained centroid — off-distribution candidates to
       // review before they poison an index; reuses the memoized k-medians
       // quantizer the trained-IVF entry builds
-      val cents = prepared(s, s"ivftrained:$dir") {
-        graft.pipeline.Clustering.kmediansCentroids(
-          t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)
-      }
+      val cents = trainedQuantizer(s, dir)
       Similarity.centroidOutliers(t(s, dir, "embeddings"), "vec_id",
           "embedding", cents, k = 25)
         .select(col("id").as("vec_id"), col("cid"), col("outlier_score"))
@@ -4079,20 +4069,24 @@ object SparkEntry {
     // confusion replay: the FULL 5-language stopword argmax (ties toward
     // the lexicographically greatest code, matching array_max on
     // (score, lang) structs), then one conditional-aggregation pass
+    // single-space tokenization is the langid-family convention (shared
+    // with the text_langid oracle; the kernel's \\s+ split coincides on
+    // space-separated corpora); counts COALESCE to 0 so NULL text falls
+    // through to 'und' exactly like the Spark side's otherwise()
     "text_langid_confusion" ->
       """WITH tok AS (SELECT lang, string_split(lower(trim(text)), ' ') AS toks
         |             FROM documents),
         |c AS (SELECT lang,
-        |  len(list_filter(toks, x -> x IN ('the','and','of','to','in','is',
-        |    'that','with','for','was'))) AS en_c,
-        |  len(list_filter(toks, x -> x IN ('der','die','das','und','ist',
-        |    'nicht','mit','ein','von','zu'))) AS de_c,
-        |  len(list_filter(toks, x -> x IN ('le','la','les','et','est',
-        |    'dans','pour','que','une','des'))) AS fr_c,
-        |  len(list_filter(toks, x -> x IN ('el','la','los','las','es','en',
-        |    'que','una','por','con'))) AS es_c,
-        |  len(list_filter(toks, x -> x IN ('的','是','在','了','和','有',
-        |    '我','不','这','他'))) AS zh_c
+        |  COALESCE(len(list_filter(toks, x -> x IN ('the','and','of','to',
+        |    'in','is','that','with','for','was'))), 0) AS en_c,
+        |  COALESCE(len(list_filter(toks, x -> x IN ('der','die','das','und',
+        |    'ist','nicht','mit','ein','von','zu'))), 0) AS de_c,
+        |  COALESCE(len(list_filter(toks, x -> x IN ('le','la','les','et',
+        |    'est','dans','pour','que','une','des'))), 0) AS fr_c,
+        |  COALESCE(len(list_filter(toks, x -> x IN ('el','la','los','las',
+        |    'es','en','que','una','por','con'))), 0) AS es_c,
+        |  COALESCE(len(list_filter(toks, x -> x IN ('的','是','在','了',
+        |    '和','有','我','不','这','他'))), 0) AS zh_c
         |  FROM tok),
         |p AS (SELECT lang,
         |  CASE WHEN greatest(en_c, de_c, fr_c, es_c, zh_c) = 0 THEN 'und'
@@ -4774,30 +4768,32 @@ object SparkEntry {
   private def kmediansCtes(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
-         |       FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cid, v AS cv
+         |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT $k)),
          |""".stripMargin)
     for (i <- 1 to iters) {
       val prev = s"c${i - 1}"
       sb.append(
-        s"""s$i AS (SELECT e.vec_id, e.v, $prev.cid,
+        s"""s$i AS MATERIALIZED (SELECT e.vec_id, e.v, $prev.cid,
            |  ROW_NUMBER() OVER (PARTITION BY e.vec_id
            |    ORDER BY ${cosSql("e.v", s"$prev.cv")} DESC, $prev.cid) AS rn
            |  FROM e CROSS JOIN $prev),
-           |a$i AS (SELECT vec_id, v, cid FROM s$i WHERE rn = 1),
-           |comp$i AS (SELECT cid, i AS pos, v[i] AS comp
+           |a$i AS MATERIALIZED (SELECT vec_id, v, cid FROM s$i WHERE rn = 1),
+           |comp$i AS MATERIALIZED (SELECT cid, i AS pos, v[i] AS comp
            |  FROM a$i, UNNEST(generate_series(1, len(v))) AS t(i)),
-           |cnt$i AS (SELECT cid, pos, comp, COUNT(*) AS c
+           |cnt$i AS MATERIALIZED (SELECT cid, pos, comp, COUNT(*) AS c
            |  FROM comp$i GROUP BY 1, 2, 3),
-           |cum$i AS (SELECT cid, pos, comp,
+           |cum$i AS MATERIALIZED (SELECT cid, pos, comp,
            |    SUM(c) OVER (PARTITION BY cid, pos ORDER BY comp) AS cum,
            |    SUM(c) OVER (PARTITION BY cid, pos) AS n
            |  FROM cnt$i),
-           |med$i AS (SELECT cid, pos, MIN(comp) AS m FROM cum$i
+           |med$i AS MATERIALIZED (SELECT cid, pos, MIN(comp) AS m FROM cum$i
            |  WHERE cum >= greatest(1, ceil(n * 0.5)) GROUP BY 1, 2),
-           |cm$i AS (SELECT cid, list(m ORDER BY pos) AS cv FROM med$i GROUP BY cid),
-           |c$i AS (SELECT $prev.cid, COALESCE(cm$i.cv, $prev.cv) AS cv
+           |cm$i AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cv FROM med$i GROUP BY cid),
+           |c$i AS MATERIALIZED (SELECT $prev.cid, COALESCE(cm$i.cv, $prev.cv) AS cv
            |  FROM $prev LEFT JOIN cm$i ON $prev.cid = cm$i.cid),
            |""".stripMargin)
     }
@@ -5009,6 +5005,20 @@ object SparkEntry {
     (RagQuerySentinel + 1) -> "customer orders with the largest revenue",
     (RagQuerySentinel + 2) -> "language detection for crawled documents")
 
+  /** The ONE trained coarse quantizer shared by ann_ivf_trained_topk,
+    * dedup_semantic_trained and embed_outliers — built once per
+    * (session, sfDir); the memo key ENCODES the parameters, so a tuned
+    * variant can never silently serve stale centroids to its siblings. */
+  private val TrainedNlist = 16
+  private val TrainedIters = 2
+  private def trainedQuantizer(
+      s: SparkSession, dir: String): IndexedSeq[Array[Double]] =
+    prepared(s, s"kmedians:$TrainedNlist:$TrainedIters:$dir") {
+      graft.pipeline.Clustering.kmediansCentroids(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        TrainedNlist, TrainedIters)
+    }
+
   /** The in-order two-trigger harness shared by the ORDER-SENSITIVE
     * streaming entries (st16/st17): hourly (event_type, bucket, cnt)
     * counts — the SAME timeBucket as the batch operators, a drifted copy
@@ -5027,25 +5037,26 @@ object SparkEntry {
           .as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .persist()
-    val mm = counts.agg(min("bucket"), max("bucket")).collect()(0)
-    val split = (mm.getLong(0) + mm.getLong(1)) / 2
-    counts.filter(col("bucket") <= split)
-      .coalesce(1).write.mode("append").parquet(s"$base/in")
-    val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
-    val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def dataFiles(): Set[org.apache.hadoop.fs.Path] =
-      fs.listStatus(inPath).map(_.getPath)
-        .filterNot(p => p.getName.startsWith("_") ||
-          p.getName.startsWith(".")).toSet
-    val batch1 = dataFiles()
-    counts.filter(col("bucket") > split)
-      .coalesce(1).write.mode("append").parquet(s"$base/in")
-    val batch2 = dataFiles() -- batch1
-    val t0 = System.currentTimeMillis()
-    batch1.foreach(p => fs.setTimes(p, t0 - 120000L, -1L))
-    batch2.foreach(p => fs.setTimes(p, t0 - 60000L, -1L))
-    counts.unpersist()
-    base
+    try {
+      val mm = counts.agg(min("bucket"), max("bucket")).collect()(0)
+      val split = (mm.getLong(0) + mm.getLong(1)) / 2
+      counts.filter(col("bucket") <= split)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val inPath = new org.apache.hadoop.fs.Path(s"$base/in")
+      val fs = inPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles(): Set[org.apache.hadoop.fs.Path] =
+        fs.listStatus(inPath).map(_.getPath)
+          .filterNot(p => p.getName.startsWith("_") ||
+            p.getName.startsWith(".")).toSet
+      val batch1 = dataFiles()
+      counts.filter(col("bucket") > split)
+        .coalesce(1).write.mode("append").parquet(s"$base/in")
+      val batch2 = dataFiles() -- batch1
+      val t0 = System.currentTimeMillis()
+      batch1.foreach(p => fs.setTimes(p, t0 - 120000L, -1L))
+      batch2.foreach(p => fs.setTimes(p, t0 - 60000L, -1L))
+      base
+    } finally counts.unpersist()
   }
 
   /** The trailing-window anomaly replay shared by the batch entry

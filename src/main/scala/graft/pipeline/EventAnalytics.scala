@@ -78,6 +78,16 @@ object EventAnalytics {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** Exact floor-division time bucket (the remainder is subtracted first
+    * so the double division is exact-multiple / bucket — the
+    * retentionCohorts trick). Shared by [[countAnomalies]], [[ewmaSmooth]]
+    * and the streaming harness that must bucket IDENTICALLY to stay on
+    * the batch oracle. */
+  def timeBucket(tsMsCol: Column, bucketMs: Long): Column = {
+    val ts = tsMsCol.cast("long")
+    ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
+  }
+
   /** Rolling-window count anomalies — the pipeline-health alarm ("did
     * this event type spike vs its own recent rate"): per (type, time
     * bucket), flag buckets whose count exceeds `factor`× the trailing
@@ -97,16 +107,6 @@ object EventAnalytics {
     * table partitioned by type — state ∝ buckets, never events.
     *
     * Output: (event_type, bucket, cnt, trail_n, trail_sum, anomaly). */
-  /** Exact floor-division time bucket (the remainder is subtracted first
-    * so the double division is exact-multiple / bucket — the
-    * retentionCohorts trick). Shared by [[countAnomalies]], [[ewmaSmooth]]
-    * and the streaming harness that must bucket IDENTICALLY to stay on
-    * the batch oracle. */
-  def timeBucket(tsMsCol: Column, bucketMs: Long): Column = {
-    val ts = tsMsCol.cast("long")
-    ((ts - pmod(ts, lit(bucketMs))) / bucketMs).cast("long")
-  }
-
   def countAnomalies(
       df: DataFrame, typeCol: String, tsMsCol: Column, bucketMs: Long,
       window: Int, factor: Long = 2L): DataFrame = {

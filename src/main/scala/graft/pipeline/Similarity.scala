@@ -172,13 +172,19 @@ object Similarity {
   def annIvfTrainedTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nlist: Int, nprobe: Int,
-      trainIters: Int,
-      trained: Option[IndexedSeq[Array[Double]]] = None): DataFrame = {
-    val cents = trained.getOrElse(
+      trainIters: Int): DataFrame =
+    annIvfTopKWithCentroids(df, idCol, vecCol, queryPred, k, nprobe,
       Clustering.kmediansCentroids(df, idCol, vecCol, nlist, trainIters))
+
+  /** IVF search over PRE-TRAINED centroids (e.g. a memoized or stored
+    * quantizer) — the caller owns the training parameters, so none are
+    * restated (and silently ignored) here. */
+  def annIvfTopKWithCentroids(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nprobe: Int,
+      cents: IndexedSeq[Array[Double]]): DataFrame =
     ivfSearch(df, idCol, vecCol, queryPred, k, nprobe,
       prep(df, idCol, vecCol), centroidFrame(df, cents))
-  }
 
   /** Driver-side centroid vectors as a (cid, cv, cnrm) frame — the SAME
     * norm formula as prep() so cosines against them replay identically. */
@@ -200,13 +206,7 @@ object Similarity {
   def centroidOutliers(
       df: DataFrame, idCol: String, vecCol: String,
       cents: IndexedSeq[Array[Double]], k: Int): DataFrame = {
-    val corpus = prep(df, idCol, vecCol)
-    val centroids = centroidFrame(df, cents)
-    val scored = corpus.join(broadcast(centroids))
-      .withColumn("csim",
-        dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
-    scored.withColumn("crn", row_number().over(w))
+    centroidScored(prep(df, idCol, vecCol), centroidFrame(df, cents))
       .filter(col("crn") === 1)
       .select(col("id"), col("cid"),
         (lit(1.0d) - col("csim")).as("outlier_score"))
@@ -217,17 +217,24 @@ object Similarity {
   /** Shared inverted-file search over a (cid, cv, cnrm) centroid table:
     * assign corpus rows to their nearest list, probe each query's nprobe
     * lists, exact-rerank candidates. */
+  /** The ONE nearest-centroid scoring idiom (broadcast centroids, cosine
+    * csim, rank crn by (csim DESC, cid)) — shared by the IVF search, the
+    * SemDeDup assignment and the outlier screen so a tie-break or norm
+    * fix can never drift between them (and their oracles). */
+  private def centroidScored(side: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = side.join(broadcast(centroids))
+      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    scored.withColumn("crn", row_number().over(w))
+  }
+
   private def ivfSearch(
       df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nprobe: Int, corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    def nearest(side: DataFrame, keep: Int): DataFrame = {
-      val scored = side.join(broadcast(centroids))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
-      scored.withColumn("crn", row_number().over(w))
+    def nearest(side: DataFrame, keep: Int): DataFrame =
+      centroidScored(side, centroids)
         .filter(col("crn") <= keep)
         .drop("cv", "cnrm", "csim", "crn")
-    }
     val assigned = nearest(corpus, 1)
     val probes = nearest(prep(df.filter(queryPred), idCol, vecCol), nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
@@ -280,14 +287,11 @@ object Similarity {
 
   private def semanticPairs(
       corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
-    val scored = corpus.join(broadcast(centroids))
-      .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
     // persist: both self-join sides reuse the assignment — without the
     // barrier the scan + centroid scoring + top-1 window run twice.
     // merge hints: both sides are corpus-sized; never let a stale static
     // estimate broadcast one (same rationale as Dedup.lshCandidatePairs)
-    val assigned = scored.withColumn("crn", row_number().over(w))
+    val assigned = centroidScored(corpus, centroids)
       .filter(col("crn") === 1)
       .select(col("cid"), col("id"), col("v"), col("nrm"))
       .persist()

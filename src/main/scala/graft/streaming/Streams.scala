@@ -182,20 +182,6 @@ object Streams {
       }
   }
 
-  /** Streaming EWMA maintenance — the ORDER-SENSITIVE companion of the
-    * sketch maintainers: per group the state is just (last bucket, last
-    * ewma), two numbers, bounded forever. Each micro-batch folds its
-    * finalized (bucket, count) rows in bucket order through the same
-    * recurrence as [[graft.functions.SeriesKernels.ewma]]; rows at or
-    * before the state's bucket frontier are DROPPED (re-delivery and
-    * late stragglers can't corrupt the fold — monotone frontier, the
-    * watermark contract in miniature). When bucket counts arrive
-    * nondecreasing across triggers (the windowed-counts-on-watermark
-    * output feeding it), the emitted rows equal the one-shot batch
-    * [[graft.pipeline.EventAnalytics.ewmaSmooth]] over the union —
-    * the gate entry checks exactly that identity.
-    *
-    * Input (group, bucket, cnt); output (group, bucket, cnt, ewma). */
   /** Streaming rolling-rate anomaly — [[ewmaMaintain]]'s alarm twin,
     * maintaining [[graft.pipeline.EventAnalytics.countAnomalies]]'s
     * trailing-`window` baseline across micro-batches: state per group is
@@ -235,6 +221,20 @@ object Streams {
       }
   }
 
+  /** Streaming EWMA maintenance — the ORDER-SENSITIVE companion of the
+    * sketch maintainers: per group the state is just (last bucket, last
+    * ewma), two numbers, bounded forever. Each micro-batch folds its
+    * finalized (bucket, count) rows in bucket order through the same
+    * recurrence as [[graft.functions.SeriesKernels.ewma]]; rows at or
+    * before the state's bucket frontier are DROPPED (re-delivery and
+    * late stragglers can't corrupt the fold — monotone frontier, the
+    * watermark contract in miniature). When bucket counts arrive
+    * nondecreasing across triggers (the windowed-counts-on-watermark
+    * output feeding it), the emitted rows equal the one-shot batch
+    * [[graft.pipeline.EventAnalytics.ewmaSmooth]] over the union —
+    * the gate entry checks exactly that identity.
+    *
+    * Input (group, bucket, cnt); output (group, bucket, cnt, ewma). */
   def ewmaMaintain(counts: Dataset[(String, Long, Long)], alpha: Double)
       : Dataset[(String, Long, Long, Double)] = {
     import counts.sparkSession.implicits._
