@@ -1334,6 +1334,16 @@ object SparkEntry {
         .orderBy("event_type", "bucket")
     }),
 
+    "e11_markov_transitions" -> ((s, dir) => {
+      // the Markov-chain view of the event log: per-user consecutive
+      // (from, to) type pairs, counts + row-normalized probabilities;
+      // one user-key shuffle for adjacency, |types|² output
+      graft.pipeline.EventAnalytics.transitionMatrix(
+          events(s, dir), "user_id", "event_type",
+          col("ts"), col("event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
     "e10_user_paths" -> ((s, dir) => {
       // top-20 first-5-event paths: one shuffle on the user key, ≤ depth
       // rows per user survive the rank filter, ordered reassembly via
@@ -2152,6 +2162,27 @@ object SparkEntry {
         .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
           sum("toks_per_word").as("n_bpe_tokens"))
         .orderBy("doc_id")
+    }),
+
+    "text_bigram_next" -> ((s, dir) => {
+      // the bigram-LM table ("most likely successor per token"): one
+      // WordPairs kernel pass, two-phase counts, and the argmax rides
+      // the aggregate as max(struct(cnt, w2)) — no window shuffle; rows
+      // gated to tokens with ≥ 10 successors so the table is the
+      // high-signal core, not the hapax tail
+      t(s, dir, "documents")
+        .select(explode(
+          graft.functions.TextFunctions.word_pairs(col("text"))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cnt"))
+        .select(substring_index(col("b"), " ", 1).as("w1"),
+          substring_index(col("b"), " ", -1).as("w2"), col("cnt"))
+        .groupBy("w1")
+        .agg(max(struct(col("cnt").as("c"), col("w2").as("w"))).as("m"),
+          sum("cnt").as("total"))
+        .filter(col("total") >= 10)
+        .select(col("w1"), col("m.w").as("next_w"),
+          col("m.c").as("next_cnt"), col("total"))
+        .orderBy("w1")
     }),
 
     "text_chunk" -> ((s, dir) => {
@@ -2977,6 +3008,25 @@ object SparkEntry {
     // order (pinned-mtime two-trigger harness): the gate checks the
     // identity against the SAME replay
     "st17_stream_anomaly" -> countAnomalyOracle,
+
+    // transition replay: same (ts, event_id) lag adjacency, integer
+    // counts, one division per cell
+    "e11_markov_transitions" ->
+      """WITH p AS (
+        |  SELECT LAG(event_type) OVER w AS from_type,
+        |         event_type AS to_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |c AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cnt,
+        |       CAST(SUM(cnt) OVER (PARTITION BY from_type) AS BIGINT)
+        |         AS row_total,
+        |       CAST(cnt AS DOUBLE) /
+        |         CAST(CAST(SUM(cnt) OVER (PARTITION BY from_type)
+        |              AS BIGINT) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // path replay: same (ts, event_id) rank, ordered string_agg join
     "e10_user_paths" ->
@@ -3922,6 +3972,28 @@ object SparkEntry {
         |JOIN uc uy ON uy.w = split_part(b, ' ', 2)
         |WHERE cxy >= 5
         |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // successor-table replay: same adjacent pairs with multiplicity, the
+    // struct-max argmax ≡ (cnt DESC, w2 DESC) rn=1
+    "text_bigram_next" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x != '') AS t
+        |  FROM documents),
+        |bc AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])
+        |           AS b
+        |    FROM toks) GROUP BY b),
+        |sp AS (SELECT split_part(b, ' ', 1) AS w1,
+        |              split_part(b, ' ', 2) AS w2, cnt FROM bc),
+        |r AS (
+        |  SELECT w1, w2, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY w1
+        |                            ORDER BY cnt DESC, w2 DESC) AS rn,
+        |         CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total
+        |  FROM sp)
+        |SELECT w1, w2 AS next_w, cnt AS next_cnt, total
+        |FROM r WHERE rn = 1 AND total >= 10 ORDER BY w1""".stripMargin,
 
     // BPE learning replayed round-for-round: the same word-frequency
     // base, per-round MATERIALIZED CTEs (pair counts → best pair → merge

@@ -156,6 +156,31 @@ object EventAnalytics {
       .limit(k)
   }
 
+  /** First-order event-type TRANSITION MATRIX (the Markov-chain view of
+    * the log, complementing [[topPaths]]' literal prefixes): for every
+    * consecutive pair of events per user, count (from, to) and the
+    * row-normalized probability. Deterministic (ts, id) ordering;
+    * integer counts with ONE final division per cell.
+    *
+    * One shuffle on the user key for the lag window (the log compresses
+    * no further — transitions need adjacency), then a two-phase
+    * (from, to) count whose output is |types|² rows. */
+  def transitionMatrix(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: Column, idCol: Column): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col("__ts"), col("__id"))
+    val pairs = df
+      .select(col(userCol), col(typeCol).as("to_type"), tsCol.as("__ts"),
+        idCol.as("__id"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+    val totals = Window.partitionBy("from_type")
+    pairs
+      .withColumn("row_total", sum("cnt").over(totals))
+      .withColumn("prob",
+        col("cnt").cast("double") / col("row_total").cast("double"))
+  }
+
   /** Running EWMA smoothing of per-(type, bucket) event counts — the
     * dashboard/alerting companion of [[countAnomalies]]: out(0) = x(0),
     * out(t) = α·x(t) + (1−α)·out(t−1) over each type's buckets in time

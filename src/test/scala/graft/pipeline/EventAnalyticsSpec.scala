@@ -126,6 +126,23 @@ class EventAnalyticsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "EventAnalytics.transitionMatrix" - {
+    "counts adjacent pairs per user; rows normalize to 1" in {
+      val ev = Seq(
+        (1L, "A", 1L, 1L), (1L, "B", 2L, 2L), (1L, "A", 3L, 3L),
+        (2L, "A", 1L, 4L), (2L, "A", 2L, 5L)
+      ).toDF("user_id", "event_type", "ts", "event_id")
+      val got = EventAnalytics.transitionMatrix(ev, "user_id",
+          "event_type", col("ts"), col("event_id"))
+        .orderBy("from_type", "to_type").collect()
+        .map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getDouble(4)))).toMap
+      got shouldBe Map(
+        ("A", "A") -> ((1L, 0.5)), ("A", "B") -> ((1L, 0.5)),
+        ("B", "A") -> ((1L, 1.0)))
+    }
+  }
+
   "EventAnalytics.ewmaSmooth" - {
     "hand-computed smoothing; gaps skipped, types isolated" in {
       // type a: bucket 1 → 4 events, bucket 2 → 8, bucket 5 → 2 (gap);
