@@ -2340,6 +2340,14 @@ object SparkEntry {
         .orderBy("src_a", "src_b")
     }),
 
+    "stat_vocab_growth" -> ((s, dir) => {
+      // the Heaps'-law curve: distinct types + token mass after the
+      // first c docs in the deterministic hash permutation — exact
+      // integer counts, checkpoints joined as a broadcast literal table
+      graft.pipeline.Stats.vocabGrowth(t(s, dir, "documents"), "doc_id",
+        col("text"), checkpoints = Seq(50, 100, 200, 400, 800, 1600))
+    }),
+
     "stat_token_gini" -> ((s, dir) => {
       // lexical concentration per source: Gini of the token-frequency
       // distribution from exact rank algebra over the COMPRESSED (count
@@ -4290,6 +4298,45 @@ object SparkEntry {
         |JOIN singles sa ON sa.source = src_a
         |JOIN singles sb ON sb.source = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // growth-curve replay: shuffleOrder's sharded permutation (shard →
+    // per-shard rank → offset cumsum), first-appearance mins, one
+    // conditional count/sum per checkpoint
+    "stat_vocab_growth" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |           ::BIGINT AS h
+        |  FROM documents),
+        |sh AS (SELECT doc_id, text, h, h % 32 AS shard FROM d),
+        |r AS (SELECT doc_id, text, shard,
+        |             ROW_NUMBER() OVER (PARTITION BY shard
+        |                                ORDER BY h, doc_id) AS pos
+        |      FROM sh),
+        |off AS (SELECT shard, COUNT(*) AS n FROM sh GROUP BY shard),
+        |o2 AS (SELECT shard,
+        |              COALESCE(SUM(n) OVER (ORDER BY shard
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |              0) AS o
+        |       FROM off),
+        |g AS (SELECT doc_id, text, o + pos - 1 AS gp
+        |      FROM r JOIN o2 ON r.shard = o2.shard),
+        |tk AS (SELECT gp, unnest(list_filter(string_split(text, ' '),
+        |                                     x -> x != '')) AS w
+        |       FROM g),
+        |fp AS (SELECT w, MIN(gp) AS first_gp FROM tk GROUP BY w),
+        |dt AS (SELECT gp, CAST(COUNT(*) AS BIGINT) AS nt
+        |       FROM tk GROUP BY gp),
+        |cp AS (SELECT unnest([50, 100, 200, 400, 800, 1600]) AS c),
+        |ds AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS docs_seen
+        |       FROM cp JOIN g ON gp < c GROUP BY c),
+        |ts AS (SELECT c, CAST(SUM(nt) AS BIGINT) AS tokens_seen
+        |       FROM cp JOIN dt ON gp < c GROUP BY c),
+        |ty AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS distinct_types
+        |       FROM cp JOIN fp ON first_gp < c GROUP BY c)
+        |SELECT c, docs_seen, tokens_seen, distinct_types
+        |FROM ds JOIN ts USING (c) JOIN ty USING (c)
+        |ORDER BY c""".stripMargin,
 
     // Gini replay: same compressed count-value table, same tie-block rank
     // algebra, DECIMAL(38,0) end-to-end, division on string-rendered

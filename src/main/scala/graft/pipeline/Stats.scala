@@ -515,6 +515,45 @@ object Stats {
               (lit(2L) * col("n") * col("nrest")).cast("double")).as("tvd"))
   }
 
+  /** Vocabulary GROWTH curve (the Heaps'-law table): distinct token
+    * types and token mass seen after the first `c` documents in
+    * deterministic hash order, for each checkpoint `c` — how tokenizer
+    * sizing ([[vocabCoverage]]) extrapolates as the corpus grows, and
+    * the sanity check that a new crawl slice actually adds vocabulary.
+    *
+    * Exact and engine-replayable: document order is
+    * [[Sampling.shuffleOrder]]'s sharded hash permutation (exact global
+    * positions, no global sort), a type's first appearance is
+    * min(position), and each checkpoint is one conditional count/sum —
+    * all integers. Checkpoints join as a broadcast literal table, so the
+    * corpus-sized sides never shuffle for them.
+    *
+    * Output: (c, docs_seen, tokens_seen, distinct_types) per checkpoint. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: Column,
+      checkpoints: Seq[Int], shards: Int = 32): DataFrame = {
+    require(checkpoints.nonEmpty, "need at least one checkpoint")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ordered = Sampling.shuffleOrder(
+        df.select(col(idCol), textCol.as("__text")), idCol, shards)
+      .select(col("global_pos").as("gp"), col("__text"))
+    val toks = ordered
+      .select(col("gp"), explode(split(col("__text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val firstPos = toks.groupBy("w").agg(min("gp").as("first_gp"))
+    val docToks = toks.groupBy("gp").agg(count(lit(1)).as("nt"))
+    val cp = checkpoints.toDF("c")
+    val docs = ordered.join(broadcast(cp), col("gp") < col("c"))
+      .groupBy("c").agg(count(lit(1)).as("docs_seen"))
+    val tokens = docToks.join(broadcast(cp), col("gp") < col("c"))
+      .groupBy("c").agg(sum("nt").as("tokens_seen"))
+    val types = firstPos.join(broadcast(cp), col("first_gp") < col("c"))
+      .groupBy("c").agg(count(lit(1)).as("distinct_types"))
+    docs.join(tokens, "c").join(types, "c")
+      .select("c", "docs_seen", "tokens_seen", "distinct_types")
+      .orderBy("c")
+  }
+
   /** Per-group Gini coefficient of the token-frequency distribution —
     * lexical concentration: 0 = every type equally frequent, →1 = a few
     * types carry all the mass (burned-in boilerplate, generator loops,

@@ -490,6 +490,28 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.vocabGrowth" - {
+    "curve is monotone and saturates at the full corpus counts" in {
+      import spark.implicits._
+      val docs = (1L to 30L).map(i =>
+        (i, (1 to 5).map(j => s"tok${(i * 7 + j) % 40}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val got = Stats.vocabGrowth(docs, "doc_id", col("text"),
+          checkpoints = Seq(5, 10, 30, 100), shards = 4)
+        .as[(Int, Long, Long, Long)].collect().toSeq
+      got.map(_._1) shouldBe Seq(5, 10, 30, 100)
+      // docs/tokens/types all nondecreasing in c
+      got.sliding(2).foreach { case Seq(a, b) =>
+        b._2 should be >= a._2; b._3 should be >= a._3; b._4 should be >= a._4
+      }
+      // past the corpus size the curve saturates at the full counts
+      got.last shouldBe ((100, 30L, 150L,
+        docs.select(explode(split(col("text"), " "))).distinct().count()))
+      got(0)._2 shouldBe 5L   // exactly c docs seen below each prefix
+      got(1)._2 shouldBe 10L
+    }
+  }
+
   "Stats.hllOverlap" - {
     "identical groups: union = single, inclusion-exclusion returns the single" in {
       import spark.implicits._
