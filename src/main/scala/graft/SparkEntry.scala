@@ -2165,23 +2165,10 @@ object SparkEntry {
     }),
 
     "text_bigram_next" -> ((s, dir) => {
-      // the bigram-LM table ("most likely successor per token"): one
-      // WordPairs kernel pass, two-phase counts, and the argmax rides
-      // the aggregate as max(struct(cnt, w2)) — no window shuffle; rows
-      // gated to tokens with ≥ 10 successors so the table is the
-      // high-signal core, not the hapax tail
-      t(s, dir, "documents")
-        .select(explode(
-          graft.functions.TextFunctions.word_pairs(col("text"))).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("cnt"))
-        .select(substring_index(col("b"), " ", 1).as("w1"),
-          substring_index(col("b"), " ", -1).as("w2"), col("cnt"))
-        .groupBy("w1")
-        .agg(max(struct(col("cnt").as("c"), col("w2").as("w"))).as("m"),
-          sum("cnt").as("total"))
-        .filter(col("total") >= 10)
-        .select(col("w1"), col("m.w").as("next_w"),
-          col("m.c").as("next_cnt"), col("total"))
+      // the bigram-LM table ("most likely successor per token") — see
+      // TextAnalysis.bigramSuccessors for the shape
+      graft.pipeline.TextAnalysis.bigramSuccessors(
+          t(s, dir, "documents"), col("text"), minTotal = 10L)
         .orderBy("w1")
     }),
 
@@ -4334,8 +4321,11 @@ object SparkEntry {
         |       FROM cp JOIN dt ON gp < c GROUP BY c),
         |ty AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS distinct_types
         |       FROM cp JOIN fp ON first_gp < c GROUP BY c)
-        |SELECT c, docs_seen, tokens_seen, distinct_types
-        |FROM ds JOIN ts USING (c) JOIN ty USING (c)
+        |SELECT c, COALESCE(docs_seen, 0) AS docs_seen,
+        |       COALESCE(tokens_seen, 0) AS tokens_seen,
+        |       COALESCE(distinct_types, 0) AS distinct_types
+        |FROM cp LEFT JOIN ds USING (c) LEFT JOIN ts USING (c)
+        |        LEFT JOIN ty USING (c)
         |ORDER BY c""".stripMargin,
 
     // Gini replay: same compressed count-value table, same tie-block rank

@@ -532,15 +532,24 @@ object Stats {
   def vocabGrowth(df: DataFrame, idCol: String, textCol: Column,
       checkpoints: Seq[Int], shards: Int = 32): DataFrame = {
     require(checkpoints.nonEmpty, "need at least one checkpoint")
+    require(checkpoints.distinct == checkpoints,
+      "duplicate checkpoints would double-count through the range joins")
     val spark = df.sparkSession
     import spark.implicits._
+    // persist: the permutation (window shuffle + offsets scan) feeds
+    // three aggregate branches — same rationale as collocations' persist
     val ordered = Sampling.shuffleOrder(
         df.select(col(idCol), textCol.as("__text")), idCol, shards)
       .select(col("global_pos").as("gp"), col("__text"))
+      .persist()
     val toks = ordered
       .select(col("gp"), explode(split(col("__text"), " ")).as("w"))
       .filter(col("w") =!= "")
     val firstPos = toks.groupBy("w").agg(min("gp").as("first_gp"))
+    // per-doc counts: the explode output is NARROW (rows for one gp stay
+    // in one partition), so the partial aggregation collapses to one row
+    // per doc before the exchange — the shuffle carries doc-count rows,
+    // never tokens
     val docToks = toks.groupBy("gp").agg(count(lit(1)).as("nt"))
     val cp = checkpoints.toDF("c")
     val docs = ordered.join(broadcast(cp), col("gp") < col("c"))
@@ -549,8 +558,15 @@ object Stats {
       .groupBy("c").agg(sum("nt").as("tokens_seen"))
     val types = firstPos.join(broadcast(cp), col("first_gp") < col("c"))
       .groupBy("c").agg(count(lit(1)).as("distinct_types"))
-    docs.join(tokens, "c").join(types, "c")
-      .select("c", "docs_seen", "tokens_seen", "distinct_types")
+    // build FROM the checkpoint table with left joins: a checkpoint whose
+    // prefix has no docs/tokens/types still gets its row (with zeros) —
+    // the per-checkpoint output contract
+    cp.join(docs, Seq("c"), "left")
+      .join(tokens, Seq("c"), "left")
+      .join(types, Seq("c"), "left")
+      .select(col("c"), coalesce(col("docs_seen"), lit(0L)).as("docs_seen"),
+        coalesce(col("tokens_seen"), lit(0L)).as("tokens_seen"),
+        coalesce(col("distinct_types"), lit(0L)).as("distinct_types"))
       .orderBy("c")
   }
 

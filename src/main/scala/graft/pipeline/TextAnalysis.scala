@@ -398,6 +398,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Bigram SUCCESSOR table (the 1-gram-context LM view): for each token
+    * with at least `minTotal` successor OCCURRENCES (total bigram count,
+    * not distinct successors — the gate keeps the high-signal core, not
+    * the hapax tail), its most frequent next token (ties → the
+    * lexicographically greatest successor, the struct-max order).
+    *
+    * Same adjacent-pair tokenization as [[collocations]] (the codegen'd
+    * [[graft.functions.WordPairs]] kernel, multiplicity kept) — change
+    * the pair rule THERE and this table follows. One corpus pass,
+    * two-phase counts; the argmax rides the aggregate as
+    * max(struct(cnt, w2)), so no window shuffle.
+    *
+    * Output: (w1, next_w, next_cnt, total). */
+  def bigramSuccessors(
+      df: DataFrame, textCol: Column, minTotal: Long): DataFrame =
+    df.select(explode(
+        graft.functions.TextFunctions.word_pairs(textCol)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"), col("cnt"))
+      .groupBy("w1")
+      .agg(max(struct(col("cnt").as("c"), col("w2").as("w"))).as("m"),
+        sum("cnt").as("total"))
+      .filter(col("total") >= minTotal)
+      .select(col("w1"), col("m.w").as("next_w"),
+        col("m.c").as("next_cnt"), col("total"))
+
   /** Token-window chunking with overlap — the RAG/context-window prep
     * stage: split each document into chunks of `chunkTokens` whitespace
     * tokens, starting a new chunk every `stride` tokens (stride <
