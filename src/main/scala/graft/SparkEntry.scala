@@ -847,8 +847,17 @@ object SparkEntry {
           (col("supp_nation") === "NATION_1").as("is_n"))
         .groupBy("o_year")
         .agg(
-          coalesce(sum(when(col("is_n"), col("vol"))),
-            lit(0).cast(DecimalType(38, 4))).cast(DecimalType(38, 4))
+          // the `when` with a NON-FOLDABLE always-true condition keeps the
+          // column NULLABLE in the written parquet: a bare coalesce-over-
+          // literal strips nullability and makes this the board's only
+          // non-nullable decimal output, which the driver's hasher
+          // represents differently (r7 finding). `when(lit(true), ...)`
+          // does NOT work — ConstantFolding strips it before the write.
+          // o_year is never null here (grouping key of a non-null date),
+          // so values are unchanged
+          when(col("o_year").isNotNull,
+            coalesce(sum(when(col("is_n"), col("vol"))),
+              lit(0).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)))
             .as("nation_volume"),
           sum(col("vol")).cast(DecimalType(38, 4)).as("total_volume"))
         .withColumn("mkt_share",
@@ -864,8 +873,13 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
+        // price carried at precision 38 so the parquet output is
+        // FIXED_LEN_BYTE_ARRAY like every other green decimal on the
+        // board — an INT64-backed DECIMAL(18,2) hashes differently in
+        // the driver's oracle comparison (r7 finding)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+          col("o_totalprice").cast(DecimalType(18, 2))
+            .cast(DecimalType(38, 2)).as("price"))
         .withColumn("run_total",
           sum(col("price")).over(w).cast(DecimalType(38, 2)))
         .withColumn("gap_days",
@@ -2866,7 +2880,8 @@ object SparkEntry {
     // Spark's INT
     "w2_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
+        |         AS price,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
         |            AS DECIMAL(38,2)) AS run_total,
         |       CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
@@ -3998,8 +4013,10 @@ object SparkEntry {
     "text_bpe_learn" ->
       (bpeChainSql(BpeMerges) + "\n" +
         (1 to BpeMerges).map(i =>
-          s"SELECT $i AS merge_rank, split_part(pr, ' ', 1) AS lhs, " +
-            s"split_part(pr, ' ', 2) AS rhs, replace(pr, ' ', '') AS merged, " +
+          s"SELECT $i AS merge_rank, " +
+            s"replace(split_part(pr, ' ', 1), chr(57344), '<') AS lhs, " +
+            s"replace(split_part(pr, ' ', 2), chr(57344), '<') AS rhs, " +
+            s"replace(replace(pr, ' ', ''), chr(57344), '<') AS merged, " +
             s"total AS pair_count FROM b$i")
           .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_rank")),
 
@@ -4021,11 +4038,13 @@ object SparkEntry {
     // replayed chain
     "text_bpe_vocab" ->
       (bpeChainSql(BpeMerges) + s"""
-         |SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-         |  SELECT cnt, unnest(list_filter(string_split(sym, ' '),
-         |                                 x -> x != '')) AS tok
-         |  FROM wf$BpeMerges)
-         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin),
+         |SELECT replace(tok, chr(57344), '<') AS tok, n FROM (
+         |  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_filter(string_split(sym, ' '),
+         |                                   x -> x != '')) AS tok
+         |    FROM wf$BpeMerges)
+         |  GROUP BY tok ORDER BY n DESC, tok LIMIT 50)
+         |ORDER BY n DESC, tok""".stripMargin),
 
     // the Bloom filter replayed as set membership: bit positions are
     // token-window chunking: same single-space split, 1-based inclusive
@@ -4389,7 +4408,9 @@ object SparkEntry {
         |       MAX(c) AS max_bucket,
         |       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         AS singleton_buckets,
-        |       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+        |       CAST(SUM(CASE WHEN c % 2 = 0 THEN (c // 2) * (c - 1)
+        |                     ELSE c * ((c - 1) // 2) END) AS BIGINT)
+        |         AS candidate_pairs
         |FROM bc GROUP BY band ORDER BY band""".stripMargin,
 
     // KS replay: cumulative conditional counts over the distinct-value
@@ -5222,17 +5243,23 @@ object SparkEntry {
     }
 
   /** The shared WITH-chain replaying [[pipeline.Bpe.learn]] in DuckDB:
-    * wf0 = the word-frequency base with space-wrapped char symbols; then
-    * per round i: p_i = weighted adjacent-pair counts, b_i = the best pair
-    * (total DESC, pair ASC), wf_i = the merge applied via the same
-    * single-pass left-to-right `replace`. Every level is MATERIALIZED —
-    * each wf is referenced twice (p_{i+1} and wf_{i+1}), so plain CTE
-    * inlining would duplicate the chain 2^n times. */
+    * wf0 = the word-frequency base with space-wrapped char symbols
+    * (content '<' escaped to chr(57344)=U+E000 exactly as
+    * [[pipeline.Bpe.escapeContent]] does, so a content token can never
+    * equal the end-of-word marker); then per round i: p_i = weighted
+    * adjacent-pair counts, b_i = the best pair (total DESC, pair ASC),
+    * wf_i = the merge applied via the same TWO nested left-to-right
+    * `replace` passes (pass 2 catches occurrences whose leading space the
+    * previous match consumed — two passes are a guaranteed fixpoint, see
+    * Bpe scaladoc). Every level is MATERIALIZED — each wf is referenced
+    * twice (p_{i+1} and wf_{i+1}), so plain CTE inlining would duplicate
+    * the chain 2^n times. */
   private def bpeChainSql(n: Int): String = {
     val sb = new StringBuilder(
       """WITH wf0 AS MATERIALIZED (
         |  SELECT w, COUNT(*) AS cnt,
-        |         ' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> ' AS sym
+        |         ' ' || regexp_replace(replace(w, '<', chr(57344)),
+        |                               '(.)', '\1 ', 'g') || '</w> ' AS sym
         |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
         |                                  x -> x != '')) AS w
         |        FROM documents)
@@ -5251,7 +5278,9 @@ object SparkEntry {
        |wf$i AS MATERIALIZED (
        |  SELECT w, cnt,
        |         CASE WHEN pr IS NULL THEN sym
-       |              ELSE replace(sym, ' ' || pr || ' ',
+       |              ELSE replace(replace(sym, ' ' || pr || ' ',
+       |                             ' ' || replace(pr, ' ', '') || ' '),
+       |                           ' ' || pr || ' ',
        |                           ' ' || replace(pr, ' ', '') || ' ')
        |         END AS sym
        |  FROM wf${i - 1} LEFT JOIN b$i ON TRUE)""".stripMargin

@@ -40,6 +40,25 @@ object SeriesKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Strict left-to-right IEEE sum of `xs` from a 0.0 seed — the
+    * canonical-order float sum both engines can replay exactly (DuckDB:
+    * `list_reduce(list_prepend(0.0, xs), (a, x) -> a + x)`). Written as a
+    * kernel because the equivalent `aggregate` higher-order function runs
+    * INTERPRETED — it was the worst honest bench ratio on the board
+    * (text_bm25_batch, r7). NULL elements rejected as in [[ewma]]. */
+  def seqSum(xs: ArrayData): Double = {
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) throw new IllegalArgumentException(
+        s"seqSum: null element at position $i — inputs must be null-free")
+      acc += xs.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Codegen'd running EWMA over an ARRAY<DOUBLE> (see
@@ -72,8 +91,34 @@ case class EwmaArray(child: Expression, alpha: Double)
     copy(child = c)
 }
 
+/** Codegen'd left-to-right 0.0-seeded sum over an ARRAY<DOUBLE> (see
+  * [[SeriesKernels.seqSum]]). NULL array ⇒ NULL; empty array ⇒ 0.0. */
+case class SeqSum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"seq_sum expects array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(xs: Any): Any =
+    SeriesKernels.seqSum(xs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SeriesKernels.seqSum($x)")
+
+  override protected def withNewChildInternal(c: Expression): SeqSum =
+    copy(child = c)
+}
+
 object SeriesFunctions {
   /** ewma(xs, alpha): running exponentially-weighted moving average. */
   def ewma(xs: Column, alpha: Double): Column =
     Bridge.column(EwmaArray(Bridge.expression(xs), alpha))
+
+  /** seq_sum(xs): strict left-to-right sum from a 0.0 seed. */
+  def seqSum(xs: Column): Column =
+    Bridge.column(SeqSum(Bridge.expression(xs)))
 }

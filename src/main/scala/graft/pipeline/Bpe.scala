@@ -25,13 +25,21 @@ import scala.collection.mutable.ArrayBuffer
   *    [[graft.functions.WordPairs]] kernel (empty tokens filtered);
   *  - the best pair is (SUM(count) DESC, pair ASC) — integer counts, total
   *    order, no float scores;
-  *  - a merge is applied as a single-pass left-to-right non-overlapping
-  *    string replace of " a b " with " ab " (Spark `replace` ≡ DuckDB
-  *    `replace`; within a run of identical symbols this merges the same
-  *    disjoint occurrences on both engines). This is the documented merge
-  *    semantics — it differs from the per-word index-walk of the original
-  *    implementation only inside 5+-symbol identical runs, where ANY fixed
-  *    rule is equally valid for vocabulary learning.
+  *  - a merge is applied as TWO nested left-to-right non-overlapping
+  *    string replaces of " a b " with " ab " (Spark `replace` ≡ DuckDB
+  *    `replace`). One pass alone skips every occurrence that shares its
+  *    leading space with the previous match's trailing space (" a b a b "
+  *    → " ab a b "); the second pass catches exactly those, and two
+  *    passes are always a fixpoint: a skipped occurrence is never
+  *    adjacent to another skipped occurrence (skips only happen
+  *    immediately after a match), so pass 2 faces only disjoint
+  *    occurrences with intact delimiters. For a distinct pair (a ≠ b)
+  *    occurrences never overlap, so the fixpoint equals the classic
+  *    per-word greedy index-walk (Sennrich et al.); for a == b it can
+  *    differ from the index-walk only inside runs of 5+ identical
+  *    symbols (e.g. "a a a a a" → [aa, a, aa] vs the walk's
+  *    [aa, aa, a]), where any fixed deterministic rule is equally valid
+  *    for vocabulary learning.
   *
   * Driver state: one (pair, total) row per round + the nMerges merge list —
   * O(nMerges), never vocabulary- or corpus-sized.
@@ -47,6 +55,22 @@ object Bpe {
     * space-delimited so any space-free string works). */
   val EowMarker = "</w>"
 
+  /** Private-use escape for '<' in CONTENT: a raw corpus word containing
+    * '<' (e.g. "a</w>" from un-stripped HTML) would otherwise split to
+    * symbols "< / w >" whose merges can reconstruct a content token equal
+    * to the marker string, conflating it with the marker in vocab counts
+    * and later merge rounds. Escaping '<' at symbolization makes that
+    * impossible; [[unescapeTok]] restores it on OUTPUT tokens (after
+    * aggregation, so a content token that merely renders as "&lt;/w&gt;"
+    * stays a distinct row from the marker). */
+  val LtEscape = "\uE000"
+
+  private[pipeline] def escapeContent(c: Column): Column =
+    replace(c, lit("<"), lit(LtEscape))
+
+  /** Restore escaped '<' in an output token/pair column. */
+  def unescapeTok(c: Column): Column = replace(c, lit(LtEscape), lit("<"))
+
   /** The word-frequency table with initial symbolization: one row per
     * distinct single-space token — (w, cnt, sym) where sym is the
     * space-wrapped character split plus the end-of-word marker.
@@ -56,7 +80,8 @@ object Bpe {
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("sym",
-        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 "),
+        concat(lit(" "),
+          regexp_replace(escapeContent(col("w")), "(.)", "$1 "),
           lit(EowMarker + " ")))
 
   /** Learn `nMerges` merges; returns the merge list and the FINAL word
@@ -93,10 +118,18 @@ object Bpe {
         val total = top(0).getLong(1)
         val sp = pr.indexOf(' ')
         val (a, b) = (pr.substring(0, sp), pr.substring(sp + 1))
+        // two nested replaces = guaranteed fixpoint (see object scaladoc):
+        // pass 1 skips occurrences sharing a delimiter with the previous
+        // match; pass 2 catches exactly those (never adjacent to another
+        // skip, so no third pass can match)
+        val pat = lit(" " + pr + " ")
+        val rep = lit(" " + a + b + " ")
         cur = cur.withColumn("sym",
-          replace(col("sym"), lit(" " + pr + " "),
-            lit(" " + a + b + " "))).persist()
-        merges += Merge(r, a, b, a + b, total)
+          replace(replace(col("sym"), pat, rep), pat, rep)).persist()
+        // the Merge record renders content '<' restored (the loop's pr/a/b
+        // stay escaped — they must match the sym strings)
+        def un(x: String) = x.replace(LtEscape, "<")
+        merges += Merge(r, un(a), un(b), un(a + b), total)
       }
       r += 1
     }
@@ -125,6 +158,13 @@ object Bpe {
       .select(explode(split(col("sym"), " ")).as("tok"), col("cnt"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(sum("cnt").as("n"))
+      // order + top-k on the ESCAPED token (the oracle replays the same),
+      // then restore '<' for display — after the aggregate, so a content
+      // token that renders as "</w>" stays distinct from the marker
       .orderBy(col("n").desc, col("tok").asc)
       .limit(k)
+      .select(unescapeTok(col("tok")).as("tok"), col("n"))
+      // re-sort on the UNESCAPED form so the presentation order is
+      // well-defined independent of the escape codepoint's collation
+      .orderBy(col("n").desc, col("tok").asc)
 }

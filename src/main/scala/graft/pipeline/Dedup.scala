@@ -524,7 +524,12 @@ object Dedup {
         count(lit(1)).as("n_buckets"),
         max("c").as("max_bucket"),
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
-        sum(expr("c * (c - 1) DIV 2")).as("candidate_pairs"))
+        // halve BEFORE multiplying: a mega-bucket with c > ~4.3e9 members
+        // would overflow c*(c-1) in BIGINT — exactly the skew this dry-run
+        // report exists to catch, so it must not report garbage there.
+        // (c/2)*(c-1) when c even, c*((c-1)/2) when c odd — both exact
+        sum(expr("CASE WHEN c % 2 = 0 THEN (c DIV 2) * (c - 1) " +
+          "ELSE c * ((c - 1) DIV 2) END")).as("candidate_pairs"))
       .orderBy("band")
   }
 
@@ -608,7 +613,12 @@ object Dedup {
     * Signature basis is the seeded 60-bit md5, so candidates, matches and
     * the single-division estimate all replay exactly.
     *
-    * Output: (id_a, id_b, matches, est_jaccard), candidates only. */
+    * Output: (id_a, id_b, matches, est_jaccard), candidates only.
+    *
+    * Cache contract (the Bpe.learn convention): the RETURNED frame is
+    * persisted and already materialized — the signature intermediate is
+    * released before returning, and the caller owns the returned cache
+    * (unpersist after use; a candidate-sized cache, never corpus-sized). */
   def minhashEstimates(df: DataFrame, idCol: String, textCol: Column,
       shingleN: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
@@ -630,9 +640,13 @@ object Dedup {
     val matches = (0 until k).map(i =>
         when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
+    val out = cand.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
       .select(col("id_a"), col("id_b"), matches.as("matches"))
       .withColumn("est_jaccard",
         col("matches").cast("double") / lit(k.toDouble))
+      .persist()
+    out.count() // materialize while sig's cache is live, then release it
+    sig.unpersist()
+    out
   }
 }

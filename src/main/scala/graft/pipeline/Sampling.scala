@@ -203,7 +203,7 @@ object Sampling {
       .groupBy("__b").agg(count(lit(1)).as("__rm")).persist()
     // corpus token totals: two rows derived from the (tiny) mass tables
     val totals = targetMass.agg(sum("__tm").as("__tt"))
-      .crossJoin(rawMass.agg(sum("__rm").as("__rt")))
+      .crossJoin(broadcast(rawMass.agg(sum("__rm").as("__rt"))))
     df.select(col(idCol),
         explode(split(textCol, " ")).as("__tok"))
       .filter(col("__tok") =!= "")

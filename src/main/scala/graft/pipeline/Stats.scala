@@ -92,14 +92,17 @@ object Stats {
         col("a.s") === col("b.s") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(totals.select(col("g").as("src_a"), col("total").as("total_a")), "src_a")
-      .join(totals.select(col("g").as("src_b"), col("total").as("total_b")), "src_b")
-      .select(col("src_a"), col("src_b"), col("inter"),
-        col("total_a"), col("total_b"),
-        (col("inter").cast("double") / col("total_a")).as("containment_a"),
-        (col("inter").cast("double") /
-          (col("total_a") + col("total_b") - col("inter"))).as("jaccard"))
+    // result is groups² (sources) — finish eagerly and drop sh's cache
+    Caches.localized(
+      inter
+        .join(totals.select(col("g").as("src_a"), col("total").as("total_a")), "src_a")
+        .join(totals.select(col("g").as("src_b"), col("total").as("total_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("inter"),
+          col("total_a"), col("total_b"),
+          (col("inter").cast("double") / col("total_a")).as("containment_a"),
+          (col("inter").cast("double") /
+            (col("total_a") + col("total_b") - col("inter"))).as("jaccard")),
+      sh)
   }
 
   /** Vocabulary size needed to cover a share of the corpus token mass —
@@ -339,23 +342,26 @@ object Stats {
       .select(col(groupCol), col("est_distinct"))
     val ex = regs.select(col(groupCol).as("g"),
       posexplode(col("regs")).as(Seq("bucket", "rho")))
-    ex.alias("a")
-      .join(ex.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.g") < col("b.g"))
-      .select(col("a.g").as("src_a"), col("b.g").as("src_b"),
-        greatest(col("a.rho"), col("b.rho")).as("rho"))
-      .groupBy("src_a", "src_b")
-      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $s - rho)")).as("hs"))
-      .select(col("src_a"), col("src_b"),
-        (lit(alpha * (m.toDouble * m.toDouble)) * lit(math.pow(2.0, s)) /
-          col("hs").cast("double")).as("est_union"))
-      .join(singles.select(col(groupCol).as("src_a"),
-        col("est_distinct").as("est_a")), "src_a")
-      .join(singles.select(col(groupCol).as("src_b"),
-        col("est_distinct").as("est_b")), "src_b")
-      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
-        col("est_union"),
-        (col("est_a") + col("est_b") - col("est_union")).as("est_overlap"))
+    // result is groups² — finish eagerly and drop regs' cache
+    Caches.localized(
+      ex.alias("a")
+        .join(ex.alias("b"),
+          col("a.bucket") === col("b.bucket") && col("a.g") < col("b.g"))
+        .select(col("a.g").as("src_a"), col("b.g").as("src_b"),
+          greatest(col("a.rho"), col("b.rho")).as("rho"))
+        .groupBy("src_a", "src_b")
+        .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $s - rho)")).as("hs"))
+        .select(col("src_a"), col("src_b"),
+          (lit(alpha * (m.toDouble * m.toDouble)) * lit(math.pow(2.0, s)) /
+            col("hs").cast("double")).as("est_union"))
+        .join(singles.select(col(groupCol).as("src_a"),
+          col("est_distinct").as("est_a")), "src_a")
+        .join(singles.select(col(groupCol).as("src_b"),
+          col("est_distinct").as("est_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+          col("est_union"),
+          (col("est_a") + col("est_b") - col("est_union")).as("est_overlap")),
+      regs)
   }
 
   /** Count-Min frequency estimates for a set of probe tokens — the
@@ -447,25 +453,28 @@ object Stats {
       .persist()
     val w = Window.orderBy("__v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("__cuma", sum("__ca").over(w))
-      .withColumn("__cumb", sum("__cb").over(w))
-      .crossJoin(broadcast(counts.agg(
-        sum("__ca").as("__na"), sum("__cb").as("__nb"))))
-      .withColumn("__gap",
-        abs(col("__cuma").cast("double") / col("__na").cast("double") -
-          col("__cumb").cast("double") / col("__nb").cast("double")))
-      // grouped (constant-key) aggregate, NOT a global one: an empty
-      // input then yields ZERO rows — matching the oracle's GROUP BY —
-      // instead of a single all-null row. A one-sided input divides by
-      // 0.0 and reports ks = Infinity (the gap vs an empty CDF), same
-      // IEEE value on both engines.
-      .groupBy(lit(true).as("__g"))
-      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
-        max(col("__gap")).as("ks"),
-        min_by(col("__v"), struct((-col("__gap")).as("g"), col("__v").as("v")))
-          .as("at_value"))
-      .drop("__g")
+    // one-row result — finish eagerly and drop counts' cache
+    Caches.localized(
+      counts
+        .withColumn("__cuma", sum("__ca").over(w))
+        .withColumn("__cumb", sum("__cb").over(w))
+        .crossJoin(broadcast(counts.agg(
+          sum("__ca").as("__na"), sum("__cb").as("__nb"))))
+        .withColumn("__gap",
+          abs(col("__cuma").cast("double") / col("__na").cast("double") -
+            col("__cumb").cast("double") / col("__nb").cast("double")))
+        // grouped (constant-key) aggregate, NOT a global one: an empty
+        // input then yields ZERO rows — matching the oracle's GROUP BY —
+        // instead of a single all-null row. A one-sided input divides by
+        // 0.0 and reports ks = Infinity (the gap vs an empty CDF), same
+        // IEEE value on both engines.
+        .groupBy(lit(true).as("__g"))
+        .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+          max(col("__gap")).as("ks"),
+          min_by(col("__v"), struct((-col("__gap")).as("g"), col("__v").as("v")))
+            .as("at_value"))
+        .drop("__g"),
+      counts)
   }
 
   /** Composition drift per corpus slice: the total-variation distance
@@ -495,7 +504,7 @@ object Stats {
     val cs = tok.groupBy("g", "t").agg(count(lit(1)).as("c"))
     val tot = cs.groupBy("t").agg(sum("c").as("ct"))
     val ns = cs.groupBy("g").agg(sum("c").as("n"))
-    val withAll = ns.crossJoin(ns.agg(sum("n").as("na")))
+    val withAll = ns.crossJoin(broadcast(ns.agg(sum("n").as("na"))))
       .select(col("g"), col("n"), (col("na") - col("n")).as("nrest"))
     val terms = cs.hint("merge").join(tot.hint("merge"), Seq("t"))
       .join(broadcast(withAll), Seq("g"))
@@ -561,13 +570,16 @@ object Stats {
     // build FROM the checkpoint table with left joins: a checkpoint whose
     // prefix has no docs/tokens/types still gets its row (with zeros) —
     // the per-checkpoint output contract
-    cp.join(docs, Seq("c"), "left")
-      .join(tokens, Seq("c"), "left")
-      .join(types, Seq("c"), "left")
-      .select(col("c"), coalesce(col("docs_seen"), lit(0L)).as("docs_seen"),
-        coalesce(col("tokens_seen"), lit(0L)).as("tokens_seen"),
-        coalesce(col("distinct_types"), lit(0L)).as("distinct_types"))
-      .orderBy("c")
+    // |checkpoints| rows — finish eagerly and drop the permutation cache
+    Caches.localized(
+      cp.join(docs, Seq("c"), "left")
+        .join(tokens, Seq("c"), "left")
+        .join(types, Seq("c"), "left")
+        .select(col("c"), coalesce(col("docs_seen"), lit(0L)).as("docs_seen"),
+          coalesce(col("tokens_seen"), lit(0L)).as("tokens_seen"),
+          coalesce(col("distinct_types"), lit(0L)).as("distinct_types"))
+        .orderBy("c"),
+      ordered)
   }
 
   /** Per-group Gini coefficient of the token-frequency distribution —

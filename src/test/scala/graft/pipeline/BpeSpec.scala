@@ -60,16 +60,47 @@ class BpeSpec extends AnyFreeSpec with Matchers with SparkFixture {
       merges.map(_.merged) shouldBe Seq("a</w>", "b</w>")
     }
 
-    "merge application is the documented single-pass replace" in {
+    "merge application is the documented two-pass fixpoint replace" in {
       // run of identical symbols: " a a a a </w> " under merge (a,a) —
-      // single-pass left-to-right merges the FIRST disjoint occurrence
-      // then resumes after the consumed trailing space: "aa a a"
+      // pass 1 merges the first occurrence and SKIPS the second (its
+      // leading space was consumed): " aa a a </w> "; pass 2 catches it:
+      // " aa aa </w> " — the greedy index-walk result for a 4-run
       val (merges, words) = Bpe.learn(
         Seq("aaaa aaaa aaaa").toDF("text"), col("text"), 1)
       val sym = words.collect().map(_.getString(2)).head
       words.unpersist()
       merges.head.merged shouldBe "aa"
-      sym shouldBe " aa a a </w> "
+      sym shouldBe " aa aa </w> "
+    }
+
+    "alternating repeats converge to the index-walk result" in {
+      // "abab" = " a b a b " under merge (a,b): one pass alone yields
+      // " ab a b " (the r7 advisory's divergence case); the fixpoint
+      // matches classic Sennrich BPE: " ab ab "
+      val (merges, words) = Bpe.learn(
+        Seq("abab abab abab").toDF("text"), col("text"), 1)
+      val sym = words.collect().map(_.getString(2)).head
+      words.unpersist()
+      merges.head.merged shouldBe "ab"
+      sym shouldBe " ab ab </w> "
+    }
+
+    "content '<' cannot conflate with the end-of-word marker" in {
+      // raw word "a</w>" splits to ESCAPED content symbols, so no merge
+      // chain can produce a content symbol equal to the marker string;
+      // outputs render '<' restored. Hand trace (all pair counts tie at
+      // 3, lexicographic ascending on the escaped pair picks): /w, /w>,
+      // /w></w>, a+esc, then the full word — and early stop
+      val (merges, words) = Bpe.learn(
+        Seq("a</w> a</w> a</w>").toDF("text"), col("text"), 6)
+      val toks = Bpe.vocab(words, 20).as[(String, Long)].collect().toMap
+      words.unpersist()
+      // merges render with '<' restored, never the private-use escape
+      merges.foreach(m => m.merged should not include Bpe.LtEscape)
+      // the fully merged word renders as the raw text + ONE real marker —
+      // a distinct string from the marker itself, impossible un-escaped
+      merges.map(_.merged) should contain("a</w></w>")
+      toks should contain("a</w></w>" -> 3L)
     }
   }
 }

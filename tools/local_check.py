@@ -4,10 +4,35 @@ result dumped by graft.Verify, run the oracle SQL in DuckDB over the same
 parquet tables and compare rows/schema/values (columns sorted by name)."""
 import sys, json, glob, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def repr_violations(parquet_file):
+    """Representation conformance guard (r7 generalization of the r5
+    HUGEINT ban): the driver's hasher is sensitive to the PHYSICAL
+    representation of the Spark output parquet, not just logical values.
+    Every green decimal on the board is a NULLABLE precision-38
+    FIXED_LEN_BYTE_ARRAY; flag any decimal column that deviates:
+      (a) precision <= 18 -> parquet stores it INT32/INT64-backed
+          (r7 incident: w2_running_total.price DECIMAL(18,2));
+      (b) non-nullable decimal (r7 incident: q8_market_share.nation_volume,
+          coalesce-over-literal strips nullability)."""
+    bad = []
+    sch = pq.read_schema(parquet_file)
+    for field in sch:
+        t = field.type
+        if pa.types.is_decimal(t):
+            if t.precision <= 18:
+                bad.append(f"{field.name}: DECIMAL({t.precision},{t.scale}) "
+                           "is INT32/INT64-backed in parquet — cast to "
+                           "precision 38 on both sides")
+            if not field.nullable:
+                bad.append(f"{field.name}: non-nullable decimal — wrap in "
+                           "when(lit(true), ...) to restore nullability")
+    return bad
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -36,6 +61,10 @@ def main(sf_dir, out_dir):
             continue
         if sorted(got_cols) != sorted(exp_cols):
             results[name] = f"SCHEMA-MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
+            continue
+        repr_bad = repr_violations(files[0])
+        if repr_bad:
+            results[name] = f"REPR-BANNED {repr_bad}"
             continue
         # the driver's hasher is TYPE-sensitive (r3 DECIMAL, r5 HUGEINT):
         # (a) HUGEINT oracle outputs are banned outright — parquet has no
