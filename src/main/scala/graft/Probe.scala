@@ -105,6 +105,41 @@ object Probe {
         spark.sharedState.cacheManager.clearCache()
       }
     }
+    if (what == "jobs") {
+      // Probe <dir> jobs <query,query,...> [reps] — per-Spark-job wall
+      // times inside each run (shows the scheduling-floor breakdown)
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+      val names = args(2).split(",").toSeq
+      val reps = if (args.length > 3) args(3).toInt else 2
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      val lines = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(js.stageInfos.headOption.map(_.name.take(60)))
+            .getOrElse("?")
+          starts.put(js.jobId, (System.nanoTime(), desc.take(80)))
+        }
+        override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+          val s = starts.remove(je.jobId)
+          if (s != null) lines.add(
+            f"    job ${je.jobId}%3d ${(System.nanoTime() - s._1) / 1e9}%6.2f s  ${s._2}")
+          ()
+        }
+      })
+      for (q <- names; r <- 1 to reps) {
+        lines.clear()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        val el = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        Thread.sleep(200) // let listener events drain
+        println(f"[jobs] $q run$r total $el%.2f s, ${lines.size} jobs")
+        lines.forEach(l => println(l))
+      }
+    }
     spark.stop()
   }
 }

@@ -1901,10 +1901,8 @@ object SparkEntry {
       // term partials fold in canonical term order, so even the float
       // sum replays; query 5's term never occurs — the query simply
       // yields no rows
-      import s.implicits._
-      val qs = BatchQueries.toDF("query_id", "term")
-      graft.pipeline.Retrieval.bm25BatchTopK(t(s, dir, "documents"),
-          "doc_id", col("text"), qs, topK = 5)
+      graft.pipeline.Retrieval.bm25BatchTopKLocal(t(s, dir, "documents"),
+          "doc_id", col("text"), BatchQueries, topK = 5)
         .orderBy("query_id", "rank")
     }),
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Imperative per-row text kernels called from generated code.
@@ -137,6 +137,100 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The 60-bit md5 token hash (first 15 hex chars of md5 as an integer —
+    * the Dedup.md5TokenHash convention) over raw UTF-8 bytes: the first
+    * 15 hex chars are exactly the top 60 bits of the digest. */
+  def md5Hash60(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Content-defined chunks of the non-empty single-space tokens: a token
+    * whose 60-bit md5 hash ≡ 0 (mod 2^maskBits) CLOSES the current chunk
+    * (boundary token included, chunk flushed after it); the trailing
+    * partial chunk is kept. Exact value parity with the
+    * explode → boundary window → groupBy collect_list formulation it
+    * replaces — computed per ROW, so the corpus never explodes into
+    * token rows and the per-doc window/reassembly shuffles disappear. */
+  def cdcChunks(text: UTF8String, maskBits: Int): ArrayData = {
+    val raw = text.split(Space, -1)
+    val mask = (1L << maskBits) - 1L
+    val out = new java.util.ArrayList[Any]()
+    val cur = new java.util.ArrayList[UTF8String]()
+    def flush(): Unit = {
+      if (!cur.isEmpty) {
+        out.add(UTF8String.concatWs(Space,
+          cur.toArray(new Array[UTF8String](cur.size())): _*))
+        cur.clear()
+      }
+    }
+    var i = 0
+    while (i < raw.length) {
+      val tok = raw(i)
+      if (tok.numBytes() > 0) {
+        cur.add(tok)
+        if ((md5Hash60(tok.getBytes) & mask) == 0L) flush()
+      }
+      i += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray())
+  }
+
+  /** Occurrence counts of each lookup term among the single-space tokens
+    * of `text`, aligned with the plan-time term list — one hash probe per
+    * token, one pass. Replaces the explode→broadcast-join→groupBy(doc,
+    * term) postings formulation for PLAN-TIME term sets (BM25): the
+    * per-(doc, term) tf is computed inside the scan, so the corpus never
+    * explodes into per-token rows and the (doc, term) aggregation shuffle
+    * disappears. Exact value parity with
+    * `SUM(CASE WHEN tok = term THEN 1 ...)` over `split(text, ' ')`. */
+  def termCounts(text: UTF8String,
+      lookup: java.util.HashMap[UTF8String, Integer], k: Int): ArrayData = {
+    val toks = text.split(Space, -1)
+    val counts = new Array[Long](k)
+    var i = 0
+    while (i < toks.length) {
+      val idx = lookup.get(toks(i))
+      if (idx != null) counts(idx.intValue()) += 1L
+      i += 1
+    }
+    new GenericArrayData(counts.map(c => c: java.lang.Long).toArray[Any])
+  }
+
+  /** Remove every line present in `drop` from `lines`, preserving order
+    * and multiplicity of the kept lines; returns [joined text, kept
+    * count]. The in-row equivalent of the anti-join → groupBy →
+    * ordered-collect reassembly it replaces (boilerplate line removal):
+    * the drop set arrives as a BROADCAST, so the corpus is never
+    * exploded into line rows or reassembled through a shuffle. */
+  def removeLines(lines: ArrayData, drop: JHashSet[UTF8String],
+      sep: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = lines.numElements()
+    val kept = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val l = lines.getUTF8String(i)
+      if (!drop.contains(l)) kept.add(l)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        UTF8String.concatWs(sep,
+          kept.toArray(new Array[UTF8String](kept.size())): _*),
+        kept.size().toLong))
+  }
+
   /** Per-set token hit counts over whitespace tokens of
     * `lower(trim(text))` — exact value parity with the per-language
     * `aggregate(split(lower(trim(text)), "\\s+"), …)` fold (tokens hitting
@@ -232,6 +326,103 @@ case class TokenSetHits(child: Expression, sets: Seq[Seq[String]]) extends Unary
   override protected def withNewChildInternal(c: Expression): TokenSetHits = copy(child = c)
 }
 
+/** Codegen'd boilerplate-line removal (see [[TextKernels.removeLines]]):
+  * drops every line in the BROADCAST set, rejoins the survivors with
+  * `sep`, and returns struct(clean_text, kept_lines). The drop set is
+  * runtime data (the cross-document duplicate-line dictionary), so it
+  * travels as a proper Broadcast — torrent distribution, one
+  * deserialization per executor — not a plan literal. NULL lines ⇒ NULL. */
+case class RemoveLines(child: Expression,
+    drop: org.apache.spark.broadcast.Broadcast[JHashSet[UTF8String]],
+    sep: String) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("clean_text", StringType, nullable = false),
+    StructField("kept_lines", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"remove_lines expects array<string>, got ${t.simpleString}")
+  }
+
+  @transient private lazy val sepUtf8 = UTF8String.fromString(sep)
+
+  override def nullSafeEval(lines: Any): Any =
+    TextKernels.removeLines(lines.asInstanceOf[ArrayData], drop.value, sepUtf8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bc = ctx.addReferenceObj("dropLines", drop,
+      "org.apache.spark.broadcast.Broadcast")
+    val s = ctx.addReferenceObj("lineSep", sepUtf8,
+      "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.TextKernels.removeLines($x, " +
+        s"(java.util.HashSet) $bc.value(), $s)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RemoveLines =
+    copy(child = c)
+}
+
+/** Codegen'd content-defined chunking (see [[TextKernels.cdcChunks]]).
+  * NULL text ⇒ NULL chunk list. */
+case class CdcChunks(child: Expression, maskBits: Int)
+    extends UnaryExpression {
+  require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20]: $maskBits")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.cdcChunks(text.asInstanceOf[UTF8String], maskBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextKernels.cdcChunks($t, $maskBits)")
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
+/** Codegen'd per-term occurrence counts aligned with the plan-time `terms`
+  * list (see [[TextKernels.termCounts]]). NULL text ⇒ NULL. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+  require(terms.nonEmpty, "term_counts needs at least one term")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_counts expects a string input, got ${child.dataType.simpleString}")
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer]()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.put(UTF8String.fromString(t), i)
+    }
+    m
+  }
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.termCounts(text.asInstanceOf[UTF8String], lookup, terms.size)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termIdx", lookup, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextKernels.termCounts($t, $ref, ${terms.size})")
+  }
+
+  override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
+}
+
 /** Codegen'd single-pass token statistics `[total, distinct, top]` (see
   * [[TextKernels.tokenStats]]). NULL text ⇒ NULL. */
 case class TokenStats(child: Expression) extends UnaryExpression {
@@ -320,6 +511,23 @@ object TextFunctions {
     * word set — codegen'd; returns array<int> aligned with `sets`. */
   def token_set_hits(text: Column, sets: Seq[Seq[String]]): Column =
     Bridge.column(TokenSetHits(Bridge.expression(text), sets))
+
+  /** Occurrence counts of each plan-time term among single-space tokens —
+    * codegen'd; returns array<long> aligned with `terms`. */
+  def term_counts(text: Column, terms: Seq[String]): Column =
+    Bridge.column(TermCounts(Bridge.expression(text), terms))
+
+  /** Content-defined chunks (60-bit md5 boundaries, expected length
+    * ≈ 2^maskBits tokens) — codegen'd. */
+  def cdc_chunks(text: Column, maskBits: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(text), maskBits))
+
+  /** struct(clean_text, kept_lines) after dropping the broadcast line
+    * set — codegen'd. */
+  def remove_lines(lines: Column,
+      drop: org.apache.spark.broadcast.Broadcast[JHashSet[UTF8String]],
+      sep: String): Column =
+    Bridge.column(RemoveLines(Bridge.expression(lines), drop, sep))
 
   /** Single-pass token statistics `array<long>[total, distinct, top]` —
     * codegen'd, shuffle-free. */

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic embedding clustering (Lloyd-style k-medians) — the
@@ -17,10 +18,14 @@ import org.apache.spark.sql.functions._
   *     not a mean: a median is an order-independent selection from
   *     observed values, so it replays bit-exactly in any engine, while a
   *     distributed double mean depends on summation order (the one thing
-  *     no engine promises). Medians reuse [[Stats.groupQuantiles]]'s
-  *     distinct-value-compressed quantile plan over (cluster, position)
-  *     groups. A production run that prefers classic k-means swaps the
-  *     median aggregate for `avg` without changing any other shape.
+  *     no engine promises). The median is the ceil(n/2)-th order
+  *     statistic selected by POSITION in one window over (cluster,
+  *     position) groups — a single shuffle per round ([[Stats
+  *     .groupQuantiles]]'s distinct-value compression buys nothing on
+  *     high-cardinality doubles and costs two more shuffles; same
+  *     count-threshold definition, same values). A production run that
+  *     prefers classic k-means swaps the median selection for `avg`
+  *     without changing any other shape.
   *   - **Init is the first k vectors in id order** — the same
   *     reproducible seeding as [[Similarity.annIvfTopK]]'s coarse
   *     quantizer (k-means++ plugs in where determinism isn't required).
@@ -38,19 +43,15 @@ object Clustering {
     * cluster (and diverge from the oracle, whose NaN ordering differs).
     * Zero-norm ROWS are the caller's concern (embeddings are non-zero by
     * contract). */
-  private def assignTo(cents: IndexedSeq[Array[Double]]): Column = {
-    val sims = cents.map { c =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      if (cn == 0.0) lit(-1.0)
-      else
-        graft.functions.VectorFunctions.dot_product(col("v"), typedlit(c.toSeq)) /
-          (col("nrm") * lit(cn))
-    }
-    val g = greatest(sims: _*)
-    (1 until cents.size).foldLeft(when(sims(0) === g, lit(0L))) {
-      case (acc, i) => acc.when(sims(i) === g, lit(i.toLong))
-    }.otherwise(lit((cents.size - 1).toLong))
-  }
+  private def assignTo(cents: IndexedSeq[Array[Double]]): Column =
+    // the codegen'd kernel evaluates the identical arithmetic the old
+    // k-literal-column formulation did (same dot fold, same division,
+    // first index wins ties) but carries the centroid matrix as a
+    // REFERENCE OBJECT: successive Lloyd rounds generate byte-identical
+    // source, so analysis stays linear in k and the per-round Janino
+    // compile collapses to a codegen-cache hit
+    graft.functions.VectorFunctions.nearest_centroid(
+      col("v"), col("nrm"), cents.map(_.toSeq))
 
   /** (id, cluster) after `iters` k-medians update rounds. Per round: one
     * corpus scan for assignment (projection only) + the compressed
@@ -103,8 +104,19 @@ object Clustering {
       val comps = corpus.withColumn("cluster", assignTo(cents))
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "comp")))
         .withColumn("g", col("cluster") * dim + col("pos"))
-      val med = Stats.groupQuantiles(comps, "g", col("comp"), Seq(0.5))
-        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // exact median by position: q(.5) = min{v : |x <= v| >= ceil(n/2)}
+      // = the ceil(n/2)-th order statistic — one window shuffle on the
+      // group key (equal values give the same selected VALUE whatever
+      // row_number's tie order; groups spread a cluster over dim keys,
+      // so no single sort partition carries a whole cluster)
+      val wOrd = Window.partitionBy("g").orderBy("comp")
+      val wAll = Window.partitionBy("g")
+      val med = comps
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === greatest(lit(1L), ceil(col("n") * lit(0.5))))
+        .select(col("g"), col("comp"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       cents = cents.indices.map { c =>
         val arr = cents(c).clone()
         (0 until dim).foreach { p =>

@@ -545,31 +545,20 @@ object Dedup {
     * more than one document, ordered (n_docs DESC, n_occurrences DESC,
     * chunk_hash) — the cross-document repeated-content report.
     *
-    * Scale shape: one shuffle on the doc key for the boundary-count
-    * window (state ∝ one running sum), chunk reassembly via the bounded
-    * ordered collect, then a two-phase aggregate on the 16-byte chunk
+    * Scale shape: chunking runs INSIDE the scan (the codegen'd CdcChunks
+    * kernel hashes each token once and emits the chunk strings per row),
+    * so the corpus never explodes into token rows and the per-doc
+    * boundary window + ordered-collect reassembly shuffles disappear —
+    * the only shuffle is the two-phase aggregate on the 16-byte chunk
     * hash. The md5 basis makes boundaries, chunks and counts replay
     * exactly in SQL. */
   def cdcChunkDupCounts(
       df: DataFrame, idCol: String, textCol: Column,
       maskBits: Int): DataFrame = {
     require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20]: $maskBits")
-    val toks = df
-      .select(col(idCol).as("id"),
-        posexplode(split(textCol, " ")).as(Seq("pos", "tok")))
-      .filter(col("tok") =!= "")
-    val w = Window.partitionBy("id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
-      .withColumn("b",
-        when(pmod(md5TokenHash(col("tok")), lit(1L << maskBits)) === 0, 1L)
-          .otherwise(0L))
-      .withColumn("chunk", coalesce(sum("b").over(w), lit(0L)))
-      .groupBy("id", "chunk")
-      .agg(sort_array(collect_list(struct(col("pos").as("i"),
-        col("tok").as("t")))).as("s"))
-      .select(col("id"), array_join(col("s.t"), " ").as("chunk_text"))
-    chunks
+    df.select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.cdc_chunks(textCol, maskBits))
+          .as("chunk_text"))
       .groupBy(md5(col("chunk_text")).as("chunk_hash"))
       .agg(countDistinct("id").as("n_docs"),
         count(lit(1)).as("n_occurrences"))

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Ranked full-text retrieval over a document corpus — the "find the
   * training examples most relevant to this probe" step (eval-set curation,
@@ -25,13 +26,14 @@ import org.apache.spark.sql.functions._
   * oracle generators call them; any change to k1/b handling or operation
   * order is made exactly once per engine.
   *
-  * Shape at 100 TB: candidate generation explodes tokens but FILTERS to
-  * the query terms before the aggregation — the shuffle carries only the
-  * query terms' postings (∝ occurrences of the query terms, not the
-  * corpus). Corpus stats (N, Σdl) are one column-scan aggregate; per-term
-  * dfs are candidate-bounded aggregates; all broadcast to the scoring
-  * join. Top-k is a TakeOrdered (single query) or a per-query window
-  * (batch).
+  * Shape at 100 TB: candidate generation computes per-(doc, term) tfs
+  * INSIDE the corpus scan via the codegen'd TermCounts kernel (plan-time
+  * term lookup, one hash probe per token) — no token explode, no
+  * broadcast join, no (doc, term) aggregation shuffle; only candidate
+  * docs survive the scan. Corpus stats (N, Σdl) are one column-scan
+  * aggregate; per-term dfs are candidate-bounded aggregates; all
+  * broadcast to the scoring join. Top-k is a TakeOrdered (single query)
+  * or a per-query window (batch).
   */
 object Retrieval {
 
@@ -93,49 +95,32 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     require(terms.nonEmpty, "query must have at least one term")
 
-    // one column-scan aggregate: corpus size and total token mass; the
-    // double division in partialScore is the only place avgdl exists, so
-    // both engines derive it from the same two integers
     val base = df.select(col(idCol).as("__id"),
       TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
-      split(textCol, " ").as("__toks"))
-    val stats = base.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+      textCol.as("__text"))
+    val tc = graft.functions.TextFunctions.term_counts(col("__text"), terms)
 
-    // postings of the query terms only: the explode is corpus-wide but the
-    // filter runs inside the generated stage, so the aggregation shuffle
-    // carries just the matching (doc, term) occurrences
-    val hits = base
-      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
-      .filter(col("__tok").isin(terms: _*))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("__tok") === t, 1L).otherwise(0L)).as(s"__tf$i")
-    }
-    val aggCols = max(col("__dl")).as("__dl") +: tfCols
-    // persist barrier: the candidate table feeds BOTH the df aggregate
-    // and the scoring join — without it the postings explode+aggregate
-    // runs twice (plan-verified). Candidates are bounded by the query
-    // terms' postings, not the corpus, so caching them is cheap at scale.
-    val perDoc = hits.groupBy(col("__id"))
-      .agg(aggCols.head, aggCols.tail: _*)
-      .persist()
+    // PASS 1 — one corpus aggregate computes EVERYTHING global: corpus
+    // size, token mass, and every per-term df (docs with tf > 0), all
+    // exact integers, collected to the driver (k + 2 longs). The tf
+    // vector comes from the codegen'd TermCounts kernel inside the scan —
+    // no token explode, no (doc, term) shuffle, no broadcast round-trips.
+    val (n, sumdl, dfs) = collectStats(base, tc, terms.size)
+    if (n == 0L) return emptyResult(base, idCol, withQueryId = false)
 
-    // per-term document frequencies: a single k-column row over the
-    // candidates (df counts docs with tf > 0), broadcast like the stats
-    val dfCols = terms.indices.map { i =>
-      sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i")
-    }
-    val dfs = perDoc.agg(dfCols.head, dfCols.tail: _*)
-
-    val scored = perDoc
-      .crossJoin(broadcast(stats))
-      .crossJoin(broadcast(dfs))
+    // PASS 2 — score in the scan with the stats as literals: the same
+    // exact integers partialScore would have read from broadcast columns,
+    // folded left-to-right in query order (identical association to the
+    // oracle's `+` chain). Non-candidates drop at the filter.
     val score = terms.indices.map { i =>
-      partialScore(col(s"__tf$i"), col(s"__df$i"), col("__dl"),
-        col("n"), col("sumdl"), k1, b)
+      partialScore(col("__tc")(i), lit(dfs(i)), col("__dl"),
+        lit(n), lit(sumdl), k1, b)
     }.reduceLeft(_ + _)
-
     import org.apache.spark.sql.expressions.Window
-    val ranked = scored.select(col("__id").as(idCol), score.as("score"))
+    val ranked = base
+      .select(col("__id"), col("__dl"), tc.as("__tc"))
+      .filter(array_max(col("__tc")) > 0)
+      .select(col("__id").as(idCol), score.as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
     // rank re-derived on the k collected rows — a window over topK rows,
@@ -143,6 +128,31 @@ object Retrieval {
     ranked.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol)))
         .cast("long"))
+  }
+
+  /** One-pass global stats: (corpus size, token mass, per-term df). */
+  private def collectStats(base: DataFrame, tc: Column,
+      k: Int): (Long, Long, IndexedSeq[Long]) = {
+    val aggCols = count(lit(1)).as("__n") +: sum(col("__dl")).as("__sumdl") +:
+      (0 until k).map(i =>
+        sum(when(col("__tc")(i) > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val row = base.select(col("__dl"), tc.as("__tc"))
+      .agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = row.getLong(0)
+    if (n == 0L) (0L, 0L, IndexedSeq.fill(k)(0L))
+    else (n, row.getLong(1), (0 until k).map(i => row.getLong(i + 2)))
+  }
+
+  /** Zero-row result with the operator's output shape (empty corpus). */
+  private def emptyResult(base: DataFrame, idCol: String,
+      withQueryId: Boolean): DataFrame = {
+    val none = base.filter(lit(false))
+    if (withQueryId)
+      none.select(lit(0L).as("query_id"), col("__id").as(idCol),
+        lit(0.0).as("score"), lit(0L).as("rank"))
+    else
+      none.select(col("__id").as(idCol), lit(0.0).as("score"),
+        lit(0L).as("rank"))
   }
 
   /** Batched BM25 — [[bm25TopK]] for a QUERY TABLE: thousands of eval
@@ -157,32 +167,130 @@ object Retrieval {
     * query), whose size is ∝ query-term postings — bounded, never the
     * corpus.
     *
-    * Scale shape: corpus stats are one broadcast row; the distinct-term
-    * and per-term df tables are query-table-sized broadcasts; the only
-    * corpus-wide work is the token explode filtered by the term
-    * broadcast (shuffle ∝ matching occurrences); the final rank windows
-    * per query over its candidates.
+    * Scale shape: corpus stats are one broadcast row; the distinct term
+    * list is query-table-bounded and rides into the scan as the
+    * codegen'd TermCounts kernel's plan-time lookup, so the only
+    * corpus-wide work is ONE projection scan (no token explode, no
+    * (doc, term) aggregation shuffle — candidates emerge directly);
+    * per-term dfs are a candidate-bounded aggregate broadcast back; the
+    * final rank windows per query over its candidates.
     *
     * Output: (query_id, idCol, score, rank), rank 1..topK per query by
     * (score DESC, id). */
   def bm25BatchTopK(
       df: DataFrame, idCol: String, textCol: Column, queries: DataFrame,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    // the query table comes to the DRIVER once — it is driver-bounded by
+    // contract (thousands of eval queries; the old plan shipped the same
+    // rows as TWO broadcasts) — and the local core runs with zero
+    // query-table-side Spark jobs
+    val local = queries.select(col("query_id").cast("long"), col("term"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    bm25BatchTopKLocal(df, idCol, textCol, local, k1, b, topK)
+  }
+
+  /** Literal-path cutoff: query tables with at most this many distinct
+    * (query, term) pairs are compiled INTO the scan (one score expression
+    * per query); larger tables use the row formulation so generated code
+    * stays bounded. */
+  private val MaxInlinedQueryPairs = 256
+
+  /** UTF-8 binary string order — what DuckDB's `ORDER BY term` and
+    * Spark's `sort_array` both use; Java String order differs for
+    * supplementary characters, so sorts that must replay use this. */
+  private val utf8Order: Ordering[String] =
+    Ordering.comparatorToOrdering(
+      (a: String, b: String) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+
+  /** [[bm25BatchTopK]] with the query table as a LOCAL sequence — the
+    * common case (a literal eval-query list); skips every query-table
+    * Spark job: terms become the TermCounts kernel's plan-time lookup and
+    * each query's score a compiled expression.
+    *
+    * Small tables (≤ [[MaxInlinedQueryPairs]] pairs) run the fully
+    * inlined plan: PASS 1 aggregates corpus size, token mass, and every
+    * per-term df in one scan (k + 2 longs to the driver); PASS 2 scores
+    * every (query, doc) pair inside the scan with those integers as
+    * literals and windows out the top-k. Two corpus scans, zero
+    * broadcasts, zero candidate-side aggregation shuffles.
+    *
+    * Fold parity with the row formulation and the oracle: each query's
+    * terms fold in UTF-8-binary term order from a 0.0 seed; a term with
+    * tf = 0 contributes exactly +0.0 (zero numerator, positive
+    * denominator), and x + 0.0 == x bit-exactly for the non-negative
+    * partial sums here — so inlining absent terms changes no bit. */
+  def bm25BatchTopKLocal(
+      df: DataFrame, idCol: String, textCol: Column,
+      queries: Seq[(Long, String)],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "query table must be non-empty")
+    val qpairs = queries.distinct
+    if (qpairs.size > MaxInlinedQueryPairs)
+      return bm25BatchRows(df, idCol, textCol, qpairs, k1, b, topK)
     val base = df.select(col(idCol).as("__id"),
       TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
-      split(textCol, " ").as("__toks"))
+      textCol.as("__text"))
+    val termList = qpairs.map(_._2).distinct.sorted(utf8Order)
+    val idx = termList.zipWithIndex.toMap
+    val tc = graft.functions.TextFunctions.term_counts(col("__text"), termList)
+    val (n, sumdl, dfs) = collectStats(base, tc, termList.size)
+    if (n == 0L) return emptyResult(base, idCol, withQueryId = true)
+    // one struct per query: its score folds the query's terms in
+    // ascending term order (indices into the sorted termList), its hit
+    // flag keeps only docs sharing ≥ 1 term with the query
+    val qStructs = qpairs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (qid, ps) =>
+        val tis = ps.map(p => idx(p._2)).sorted
+        val score = tis.map { i =>
+          partialScore(col("__tc")(i), lit(dfs(i)), col("__dl"),
+            lit(n), lit(sumdl), k1, b)
+        }.reduceLeft(_ + _)
+        val hit = tis.map(i => col("__tc")(i) > 0).reduceLeft(_ || _)
+        struct(lit(qid).as("query_id"), score.as("score"), hit.as("hit"))
+    }
+    val scored = base
+      .select(col("__id"), col("__dl"), tc.as("__tc"))
+      .filter(array_max(col("__tc")) > 0)
+      .select(col("__id"), explode(array(qStructs: _*)).as("__q"))
+      .filter(col("__q.hit"))
+      .select(col("__q.query_id").as("query_id"), col("__id"),
+        col("__q.score").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("__id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("__id").as(idCol), col("score"),
+        col("rank"))
+  }
+
+  /** Row-formulation batch scoring for LARGE query tables (inlining
+    * would blow up generated code): per-(doc, term) tf rows from the
+    * TermCounts kernel, query/df joins against local relations, and the
+    * canonical-order fold via the codegen'd SeqSum kernel. Identical
+    * results to the inlined path (same fold order, same candidates). */
+  private def bm25BatchRows(
+      df: DataFrame, idCol: String, textCol: Column,
+      qpairs: Seq[(Long, String)],
+      k1: Double, b: Double, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
+      textCol.as("__text"))
     val stats = base.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
-    val qterms = queries.select(col("query_id"), col("term")).distinct()
-      .persist()
-    val terms = qterms.select("term").distinct()
-    // postings of any query term: the corpus-wide stage — explode, then
-    // the broadcast term join keeps only matching occurrences
+    val qterms = qpairs.toDF("query_id", "term")
+    val termList = qpairs.map(_._2).distinct.sorted(utf8Order)
+    val tc = graft.functions.TextFunctions.term_counts(col("__text"), termList)
+    val termArr = typedlit(termList)
     val tf = base
-      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
-      .join(broadcast(terms), col("__tok") === col("term"))
-      .groupBy(col("__id"), col("term"))
-      .agg(max(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
+      .select(col("__id"), col("__dl"),
+        posexplode(tc).as(Seq("__ti", "__tf")))
+      .filter(col("__tf") > 0)
+      .select(col("__id"), col("__dl"),
+        element_at(termArr, col("__ti") + 1).as("term"), col("__tf"))
       .persist()
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("__df"))
     val part = partialScore(col("__tf"), col("__df"), col("__dl"),
@@ -192,12 +300,6 @@ object Retrieval {
       .join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("__id"), col("term"), part.as("__part"))
-    // canonical-order fold: sort the (term, part) pairs, then seed 0.0
-    // and add left-to-right — the one float-sum order both engines can
-    // replay exactly. The fold is the codegen'd SeqSum kernel over the
-    // extracted part column (sort_array + GetArrayStructFields are both
-    // codegen'd): the equivalent `aggregate` higher-order function runs
-    // interpreted and was the board's worst honest bench ratio (r7)
     val scored = parts
       .groupBy(col("query_id"), col("__id"))
       .agg(graft.functions.SeriesFunctions.seqSum(
@@ -205,10 +307,14 @@ object Retrieval {
           .getField("__part")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("__id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= topK)
-      .select(col("query_id"), col("__id").as(idCol), col("score"),
-        col("rank"))
+    // queries × topK rows — finished eagerly so the candidate cache is
+    // released before returning
+    Caches.localized(
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= topK)
+        .select(col("query_id"), col("__id").as(idCol), col("score"),
+          col("rank")),
+      tf)
   }
 
   /** DuckDB replay of [[bm25BatchTopK]]: the query table inlined as

@@ -284,16 +284,24 @@ object TextAnalysis {
     * lines, [[graft.functions.TextFunctions.word_chunks]] as the
     * pseudo-paragraph stand-in when it doesn't.
     *
-    * Plan at scale: lines explode to (id, pos, line) — corpus-token
-    * volume; the boilerplate set is ONE two-phase count-distinct
-    * aggregate, filtered to lines above the frequency bar, which shrinks
-    * it to (total line occurrences / maxDocFreq) rows at most — small,
-    * but derived at runtime, so the anti-join is left UNHINTED and AQE
-    * picks broadcast-vs-shuffle from its real size (the Content.visible
-    * lesson: a structurally-"small" set can still blow past driver memory
-    * in the tail). Reassembly is per-document (sort_array over the doc's
-    * own kept lines — never a global sort), with the struct field
-    * extracted via GetArrayStructFields, not an interpreted lambda.
+    * Plan at scale — ADAPTIVE on the dictionary's real size (the
+    * Content.visible lesson: a structurally-"small" set can still blow
+    * past driver memory in the tail, so the size is probed with a hard
+    * LIMIT, never assumed):
+    *
+    *   - the boilerplate set is ONE two-phase count-distinct aggregate,
+    *     filtered to lines above the frequency bar, collected through
+    *     `limit(MaxBroadcastLines + 1)` — the limit bounds driver memory
+    *     no matter how pathological the tail;
+    *   - if it FITS, removal runs in-row: the set ships as a Broadcast
+    *     into the codegen'd RemoveLines kernel and the second corpus
+    *     pass is a pure projection — no line explode, no anti-join, no
+    *     per-document reassembly shuffle;
+    *   - if it does NOT fit, the anti-join path runs: lines explode to
+    *     (id, pos, line), an UNHINTED anti-join lets AQE pick
+    *     broadcast-vs-shuffle, and reassembly is per-document
+    *     (sort_array over the doc's own kept lines — never a global
+    *     sort). Both paths keep the same lines in the same order.
     *
     * Output: (id, clean_text, kept_lines); documents whose every line was
     * boilerplate drop out (callers left-join and coalesce to empty). */
@@ -305,14 +313,34 @@ object TextAnalysis {
       .agg(countDistinct("id").as("ndocs"))
       .filter(col("ndocs") > maxDocFreq)
       .select("line")
-    val kept = lines.join(boiler, Seq("line"), "left_anti")
-    kept.groupBy("id")
-      .agg(
-        array_join(
-          sort_array(collect_list(struct(col("pos"), col("line"))))
-            .getField("line"), sep).as("clean_text"),
-        count(lit(1)).as("kept_lines"))
+    val probed = boiler.limit(MaxBroadcastLines + 1).collect()
+    if (probed.length <= MaxBroadcastLines) {
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      probed.foreach(r => set.add(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      val bc = df.sparkSession.sparkContext.broadcast(set)
+      df.select(col(idCol).as("id"),
+          graft.functions.TextFunctions.remove_lines(linesCol, bc, sep)
+            .as("__r"))
+        .select(col("id"), col("__r.clean_text").as("clean_text"),
+          col("__r.kept_lines").as("kept_lines"))
+        .filter(col("kept_lines") > 0)
+    } else {
+      val kept = lines.join(boiler, Seq("line"), "left_anti")
+      kept.groupBy("id")
+        .agg(
+          array_join(
+            sort_array(collect_list(struct(col("pos"), col("line"))))
+              .getField("line"), sep).as("clean_text"),
+          count(lit(1)).as("kept_lines"))
+    }
   }
+
+  /** Boilerplate dictionaries up to this many lines run the in-row
+    * broadcast-kernel removal; larger ones fall back to the anti-join.
+    * ~1M short lines ≈ low hundreds of MB broadcast — the conventional
+    * broadcast ceiling. */
+  val MaxBroadcastLines: Int = 1 << 20
 
   /** Markup stripping — the extract-text-from-HTML step that precedes
     * every other text operator when the corpus arrives as crawled pages.

@@ -343,4 +343,149 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
   }
+
+  // ---- kill-and-replay: the FeedPipelineSpec property for the r7
+  // maintainers. A file-source query dies MID-TRIGGER (poison row in the
+  // second file while the crash switch is armed), restarts from the same
+  // checkpoint, and must replay that batch from committed state: the
+  // union of rows emitted across both incarnations equals the clean
+  // one-shot fold — nothing lost, nothing double-folded.
+
+  private def replayDrive(
+      tag: String,
+      startQuery: (String, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val base = Files.createTempDirectory(s"graft-$tag").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/in"))
+      .map(_.getPath).filter(_.getName.startsWith("part-")).toSet
+    val rows1 = (0L until 10L).map(b => ("g1", b, b % 4 + 1))
+    val rows2 = (10L until 20L).map(b => ("g1", b, b % 5 + 2))
+    rows1.toDF("g", "bucket", "cnt").coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val batch1 = dataFiles()
+    rows2.toDF("g", "bucket", "cnt").coalesce(1)
+      .write.mode("append").parquet(s"$base/in")
+    val batch2 = dataFiles() -- batch1
+    // FileStreamSource orders by mtime only — pin distinct times so the
+    // two files are two deterministic triggers
+    val t0 = System.currentTimeMillis()
+    batch1.foreach(p => fs.setTimes(p, t0 - 120000L, -1L))
+    batch2.foreach(p => fs.setTimes(p, t0 - 60000L, -1L))
+    val ckpt = s"$base/ckpt"
+    ReplayBuffer.clear(tag)
+    // incarnation 1: trigger 1 commits, trigger 2 hits the poison row
+    // (the memory sink cannot recover from a checkpoint, so the sink is
+    // foreachBatch into a batchId-keyed buffer — a replayed batch lands
+    // on its original key, which is exactly the sink-idempotence
+    // contract a production exactly-once sink provides)
+    ReplayCrash.armed = true
+    val q1 = startQuery(base, ckpt)
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    died.getMessage should include("injected mid-trigger crash")
+    // incarnation 2: restart from the SAME checkpoint; the failed batch
+    // replays against the state trigger 1 committed
+    ReplayCrash.armed = false
+    val q2 = startQuery(base, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    ReplayBuffer.rows(tag)
+  }
+
+  private def sourceDS(base: String) = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$base/in").schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      .select(col("g"), col("bucket"), col("cnt"))
+      .as[(String, Long, Long)]
+      .map { r =>
+        ReplayCrash.check(r._2)
+        r
+      }
+  }
+
+  "Streams.ewmaMaintain kill-and-replay" - {
+    "a mid-trigger crash replays cleanly: streamed union ≡ batch fold" in {
+      val rows = replayDrive("st16replay", (base, ckpt) =>
+        Streams.ewmaMaintain(sourceDS(base), alpha = 0.25)
+          .toDF("g", "bucket", "cnt", "ewma")
+          .writeStream
+          .foreachBatch(ReplayBuffer.sink("st16replay") _)
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start())
+      val got = rows
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      // clean one-shot fold over all 20 buckets in order
+      var e = 0.0
+      val ref = (0L until 20L).map { b =>
+        val c = if (b < 10) b % 4 + 1 else b % 5 + 2
+        e = if (b == 0L) c.toDouble else 0.25 * c.toDouble + 0.75 * e
+        ("g1", b, c, e)
+      }
+      got shouldBe ref // bit-exact: replay neither skipped nor re-folded
+    }
+  }
+
+  "Streams.anomalyMaintain kill-and-replay" - {
+    "a mid-trigger crash replays cleanly: streamed union ≡ batch baseline" in {
+      val rows = replayDrive("st17replay", (base, ckpt) =>
+        Streams.anomalyMaintain(sourceDS(base), window = 3, factor = 2L)
+          .toDF("g", "bucket", "cnt", "trail_n", "trail_sum", "anomaly")
+          .writeStream
+          .foreachBatch(ReplayBuffer.sink("st17replay") _)
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start())
+      val got = rows
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5)))
+        .sortBy(t => (t._1, t._2))
+      var trail = Seq.empty[(Long, Long)]
+      val ref = (0L until 20L).map { b =>
+        val c = if (b < 10) b % 4 + 1 else b % 5 + 2
+        val (tn, ts) = (trail.size.toLong, trail.map(_._2).sum)
+        val anomaly = tn > 0 && c * tn > 2L * ts
+        trail = (trail :+ (b -> c)).takeRight(3)
+        ("g1", b, c, tn, ts, anomaly)
+      }
+      got shouldBe ref
+    }
+  }
+}
+
+/** Crash switch for the kill-and-replay tests: local[*] shares one JVM,
+  * so the volatile flag arms the poison row across "executor" tasks. */
+object ReplayCrash {
+  @volatile var armed = false
+  def check(bucket: Long): Unit =
+    if (armed && bucket == 10L)
+      throw new RuntimeException("injected mid-trigger crash")
+}
+
+/** Idempotent foreachBatch sink for the kill-and-replay tests: rows land
+  * under their (tag, batchId) key, so a REPLAYED batch overwrites its
+  * original slot instead of duplicating — the sink-idempotence contract
+  * of a production exactly-once sink, in-memory. The batch collects
+  * before the put, so a mid-batch crash stores nothing. */
+object ReplayBuffer {
+  private val buf =
+    new scala.collection.concurrent.TrieMap[(String, Long),
+      Seq[org.apache.spark.sql.Row]]()
+  def sink(tag: String)(df: org.apache.spark.sql.DataFrame,
+      batchId: Long): Unit = {
+    val rows = df.collect().toSeq
+    buf.put((tag, batchId), rows)
+    ()
+  }
+  def rows(tag: String): Seq[org.apache.spark.sql.Row] =
+    buf.toSeq.filter(_._1._1 == tag).sortBy(_._1._2).flatMap(_._2)
+  def clear(tag: String): Unit =
+    buf.keys.filter(_._1 == tag).foreach(buf.remove)
 }
