@@ -180,46 +180,53 @@ object Sampling {
     * hash-matches.
     *
     * Shape at 100 TB: the two bucket tables are O(buckets) rows built by
-    * one aggregation each and BROADCAST to the scoring join; the corpus
-    * pays one explode + one broadcast join + one per-doc aggregation.
-    * `kept` (weight > 1) is a shuffle-free gate — resample the kept set
-    * with [[hashSample]] downstream.
+    * one aggregation each, COLLECTED to the driver (the "model" is
+    * bounded by construction — that is DSIR's point) and inlined as
+    * literal lookup arrays, so the scoring pass is one explode + two
+    * codegen'd element_at probes + one per-doc aggregation: no broadcast
+    * joins, no totals cross-join, no cached intermediates. `kept`
+    * (weight > 1) is a shuffle-free gate — resample the kept set with
+    * [[hashSample]] downstream.
     *
     * Output: (idCol, t_mass, r_mass, weight, kept). */
   def importanceWeights(
       df: DataFrame, idCol: String, textCol: Column, target: DataFrame,
       targetTextCol: Column, buckets: Int = 1024): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def bucketed(d: DataFrame, t: Column): DataFrame =
+    require(buckets <= (1 << 20),
+      "the bucket model must stay driver-sized — use a smaller hash space")
+    def mass(d: DataFrame, t: Column): Array[Long] = {
+      val out = new Array[Long](buckets)
       d.select(explode(split(t, " ")).as("__tok"))
         .filter(col("__tok") =!= "")
         .select(pmod(md5Hash60(col("__tok")), lit(buckets.toLong)).as("__b"))
-    // persist barriers: each mass table feeds its broadcast join AND the
-    // totals row — unpersisted, the corpus-wide bucket count would run
-    // twice. The tables are O(buckets) rows, trivially cacheable.
-    val targetMass = bucketed(target, targetTextCol)
-      .groupBy("__b").agg(count(lit(1)).as("__tm")).persist()
-    val rawMass = bucketed(df, textCol)
-      .groupBy("__b").agg(count(lit(1)).as("__rm")).persist()
-    // corpus token totals: two rows derived from the (tiny) mass tables
-    val totals = targetMass.agg(sum("__tm").as("__tt"))
-      .crossJoin(broadcast(rawMass.agg(sum("__rm").as("__rt"))))
+        .groupBy("__b").agg(count(lit(1)).as("__m"))
+        .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val tm = mass(target, targetTextCol)
+    val rm = mass(df, textCol)
+    val (tt, rt) = (tm.sum, rm.sum)
+    // same single IEEE division the column form performed per row; an
+    // EMPTY corpus previously produced a null total (sum over no rows)
+    // and a null weight — preserved
+    val ratio =
+      if (tt == 0L || rt == 0L) lit(null).cast("double")
+      else lit(rt.toDouble / tt.toDouble)
+    val tmArr = typedlit(tm.toSeq)
+    val rmArr = typedlit(rm.toSeq)
+    val b = pmod(md5Hash60(col("__tok")), lit(buckets.toLong))
+      .cast("int") + lit(1) // element_at is 1-based
     df.select(col(idCol),
         explode(split(textCol, " ")).as("__tok"))
       .filter(col("__tok") =!= "")
-      .withColumn("__b", pmod(md5Hash60(col("__tok")), lit(buckets.toLong)))
-      .join(broadcast(targetMass), Seq("__b"), "left")
-      .join(broadcast(rawMass), Seq("__b"), "left")
       .groupBy(col(idCol))
-      .agg(sum(coalesce(col("__tm"), lit(0L))).as("t_mass"),
-        sum(coalesce(col("__rm"), lit(0L))).as("r_mass"))
-      .crossJoin(broadcast(totals))
+      .agg(sum(element_at(tmArr, b)).as("t_mass"),
+        sum(element_at(rmArr, b)).as("r_mass"))
       .withColumn("weight",
         (col("t_mass").cast("double") + lit(1.0)) /
-          (col("r_mass").cast("double") + lit(1.0)) *
-          (col("__rt").cast("double") / col("__tt").cast("double")))
+          (col("r_mass").cast("double") + lit(1.0)) * ratio)
       .withColumn("kept", col("weight") > lit(1.0))
-      .drop("__tt", "__rt")
   }
 
   /** Deterministic weighted sampling — the resample half of the DSIR

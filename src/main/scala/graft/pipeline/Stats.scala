@@ -70,29 +70,31 @@ object Stats {
     * source A is already covered by source B" before paying for a full
     * cross-corpus dedup. Pairs with zero shared shingles are not emitted.
     *
-    * Plan at scale: the corpus collapses to DISTINCT (group, shingle)
-    * rows in one two-phase aggregate (map-side combine absorbs per-doc
-    * repetition), per-group totals are a second tiny aggregate, and the
-    * pair counts come from a self-join on the shingle key — merge-hinted,
-    * since both sides are vocabulary-sized and the static estimate
-    * under-counts exploded shingle tables ~1000× (see
-    * Dedup.bandedSignatures). Work ∝ shared-shingle collisions, never
-    * |A|×|B|; group count is assumed small (sources), so the output and
-    * the totals join are trivial. Integer counts; the containment divide
-    * is a single correctly-rounded IEEE op — engine-exact. */
+    * Plan at scale: ONE corpus shuffle — groupBy(shingle) with a
+    * collect_set(group) partial aggregate (map-side combine absorbs
+    * per-doc repetition; each set is bounded by the group count, which
+    * is small by contract — sources, crawls). Per-group totals and the
+    * pairwise intersections both derive from that vocabulary-sized
+    * grouped table: pairs explode within each shingle's group set (≤
+    * groups² rows per shingle, never |A|×|B| docs), so work stays ∝
+    * shared-shingle collisions with no self-join and no sort exchange.
+    * Integer counts; the containment divide is a single
+    * correctly-rounded IEEE op — engine-exact. */
   def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
       n: Int): DataFrame = {
-    val sh = df.select(col(groupCol).as("g"),
+    val byShingle = df.select(col(groupCol).as("g"),
         explode(Dedup.shingles(col(textCol), n)).as("s"))
-      .distinct()
-      .persist() // shared by totals + both join sides; the 100 TB spill point
-    val totals = sh.groupBy("g").agg(count(lit(1)).as("total"))
-    val inter = sh.hint("merge").alias("a")
-      .join(sh.hint("merge").alias("b"),
-        col("a.s") === col("b.s") && col("a.g") < col("b.g"))
-      .groupBy(col("a.g").as("src_a"), col("b.g").as("src_b"))
+      .groupBy("s").agg(collect_set(col("g")).as("gs"))
+      .persist() // shared by totals + pair counts; the 100 TB spill point
+    val totals = byShingle.select(explode(col("gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("total"))
+    val inter = byShingle
+      .select(explode(col("gs")).as("ga"), col("gs"))
+      .select(col("ga"), explode(col("gs")).as("gb"))
+      .filter(col("ga") < col("gb"))
+      .groupBy(col("ga").as("src_a"), col("gb").as("src_b"))
       .agg(count(lit(1)).as("inter"))
-    // result is groups² (sources) — finish eagerly and drop sh's cache
+    // result is groups² (sources) — finish eagerly and drop the cache
     Caches.localized(
       inter
         .join(totals.select(col("g").as("src_a"), col("total").as("total_a")), "src_a")
@@ -102,7 +104,7 @@ object Stats {
           (col("inter").cast("double") / col("total_a")).as("containment_a"),
           (col("inter").cast("double") /
             (col("total_a") + col("total_b") - col("inter"))).as("jaccard")),
-      sh)
+      byShingle)
   }
 
   /** Vocabulary size needed to cover a share of the corpus token mass —
