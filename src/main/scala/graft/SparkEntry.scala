@@ -2176,6 +2176,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_bpe_encode" -> ((s, dir) => {
+      // token-ID encoding under the LEARNED tokenizer — the
+      // tokenize-to-ids step between learning and packing (what a
+      // training pipeline actually ships): ids are the full-vocabulary
+      // rank (weighted count DESC, token ASC), each doc becomes its
+      // dense id sequence; the gate checks total length + the first 48
+      val (_, words) = bpeModel(s, dir)
+      graft.pipeline.Bpe.encode(t(s, dir, "documents"), col("doc_id"),
+          col("text"), words, headIds = 48)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "text_bigram_next" -> ((s, dir) => {
       // the bigram-LM table ("most likely successor per token") — see
       // TextAnalysis.bigramSuccessors for the shape
@@ -2323,6 +2336,18 @@ object SparkEntry {
       graft.pipeline.Similarity.randomProjection(
           t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
         .orderBy("id")
+    }),
+
+    "embed_quantize_sq8" -> ((s, dir) => {
+      // scalar int8 embedding quantization: per-dimension global
+      // [min,max] calibration (one dim-bounded aggregate, inlined as
+      // literals), then a shuffle-free codegen'd projection maps every
+      // component to its 0..255 code — the memory-compression companion
+      // to the PQ codebooks (8x vs doubles, ADC-style readback)
+      graft.pipeline.Similarity.scalarQuantize(
+          t(s, dir, "embeddings"), "vec_id", "embedding")
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
     }),
 
     "stat_hll_overlap" -> ((s, dir) => {
@@ -3228,6 +3253,25 @@ object SparkEntry {
 
     // outlier replay: the same trained-centroid chain, assigned-centroid
     // cosine, one subtraction, top-k by (score DESC, id)
+    // per-dimension min/max over DOUBLE-cast components (float->double is
+    // lossless, so aggregating either side of the cast selects the same
+    // value), then the identical three-op map; a constant dimension
+    // yields code 0 on both engines
+    "embed_quantize_sq8" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |cal AS (SELECT i, MIN(e) AS mn, MAX(e) AS mx FROM ex GROUP BY i),
+        |q AS (
+        |  SELECT vec_id, i,
+        |         CASE WHEN mx = mn THEN 0
+        |              ELSE CAST(round((e - mn) / (mx - mn) * 255) AS BIGINT)
+        |         END AS c
+        |  FROM ex JOIN cal USING (i))
+        |SELECT vec_id, list(c ORDER BY i) AS codes
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "embed_outliers" ->
       (kmediansCtes(16, 2) +
         s"""scored AS (
@@ -4043,6 +4087,45 @@ object SparkEntry {
          |    FROM wf$BpeMerges)
          |  GROUP BY tok ORDER BY n DESC, tok LIMIT 50)
          |ORDER BY n DESC, tok""".stripMargin),
+
+    // the learned chain's FULL vocabulary ranked into dense ids, per-word
+    // symbol-id lists rebuilt on the vocabulary, then per-doc ordered
+    // reassembly — the same structures the Spark encode builds
+    "text_bpe_encode" ->
+      (bpeChainSql(BpeMerges) + s""",
+         |vocab_all AS MATERIALIZED (
+         |  SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+         |    SELECT cnt, unnest(list_filter(string_split(sym, ' '),
+         |                                   x -> x != '')) AS tok
+         |    FROM wf$BpeMerges)
+         |  GROUP BY tok),
+         |tid AS MATERIALIZED (
+         |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok)
+         |              AS BIGINT) AS tok_id
+         |  FROM vocab_all),
+         |wsym AS (
+         |  SELECT w, u['spos'] AS spos, u['tok'] AS tok FROM (
+         |    SELECT w, unnest([{'spos': j, 'tok': t[j]}
+         |                      FOR j IN range(1, len(t) + 1)]) AS u
+         |    FROM (SELECT w, list_filter(string_split(sym, ' '),
+         |                                x -> x != '') AS t
+         |          FROM wf$BpeMerges))),
+         |wt AS MATERIALIZED (
+         |  SELECT w, list(tok_id ORDER BY spos) AS wids
+         |  FROM wsym JOIN tid USING (tok) GROUP BY w),
+         |docw AS (
+         |  SELECT doc_id, u['wpos'] AS wpos, u['w'] AS w FROM (
+         |    SELECT doc_id, unnest([{'wpos': j, 'w': t[j]}
+         |                           FOR j IN range(1, len(t) + 1)]) AS u
+         |    FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+         |                                     x -> x != '') AS t
+         |          FROM documents))),
+         |enc AS (
+         |  SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids
+         |  FROM docw JOIN wt USING (w) GROUP BY doc_id)
+         |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+         |       ids[1:48] AS head_ids
+         |FROM enc ORDER BY doc_id""".stripMargin),
 
     // the Bloom filter replayed as set membership: bit positions are
     // token-window chunking: same single-space split, 1-based inclusive

@@ -150,6 +150,58 @@ object Bpe {
       .orderBy("merge_rank")
   }
 
+  /** Token-ID encoding of a corpus under the LEARNED tokenizer — the
+    * tokenize-to-ids step between [[learn]] and sequence packing (the
+    * step an LLM data pipeline actually ships to training): every
+    * document becomes its dense token-id sequence.
+    *
+    * IDs are the full vocabulary ranked (weighted count DESC, token ASC)
+    * — dense 1..V, deterministic, engine-replayable (the ESCAPED token
+    * string orders on both engines; ids are opaque so escaping never
+    * surfaces). The id assignment is one vocabulary-sized global sort —
+    * the same driver-bounded model-table class as the merge list; at
+    * 100 TB the vocabulary is millions of rows, a seconds-long single
+    * sort amortized over the corpus-sized encode that follows.
+    *
+    * Encode shape: per-word symbol-id sequences are built once on the
+    * VOCABULARY (two merge-hinted vocabulary joins, ordered collect per
+    * word — word-sized lists), then the corpus pays one split + one
+    * vocabulary merge join + one per-document ordered reassembly; the
+    * shuffle carries (doc, word-position, word-ids) rows, each list
+    * bounded by the longest word's symbol count.
+    *
+    * Output: (id, n_tokens, head_ids) — the full length plus the first
+    * `headIds` ids (the gate-friendly prefix; a production encode writes
+    * the whole array to parquet the same way). */
+  def encode(df: DataFrame, idCol: Column, textCol: Column,
+      finalWords: DataFrame, headIds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(headIds >= 1, s"headIds must be >= 1, got $headIds")
+    val ids = finalWords
+      .select(explode(split(col("sym"), " ")).as("tok"), col("cnt"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(sum("cnt").as("n"))
+      .withColumn("tok_id",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc))
+          .cast("long"))
+      .select("tok", "tok_id")
+    val wordIds = finalWords
+      .select(col("w"), posexplode(split(col("sym"), " ")).as(Seq("spos", "tok")))
+      .filter(col("tok") =!= "")
+      .hint("merge").join(ids.hint("merge"), "tok")
+      .groupBy("w")
+      .agg(sort_array(collect_list(struct(col("spos"), col("tok_id"))))
+        .getField("tok_id").as("wids"))
+    df.select(idCol.as("id"), posexplode(split(textCol, " ")).as(Seq("wpos", "w")))
+      .filter(col("w") =!= "")
+      .hint("merge").join(wordIds.hint("merge"), "w")
+      .groupBy("id")
+      .agg(flatten(sort_array(collect_list(struct(col("wpos"), col("wids"))))
+        .getField("wids")).as("ids"))
+      .select(col("id"), size(col("ids")).cast("long").as("n_tokens"),
+        slice(col("ids"), 1, headIds).as("head_ids"))
+  }
+
   /** Token vocabulary induced by the final symbolization: top-k tokens by
     * weighted frequency (count DESC, token ASC) — the `text_bpe_vocab`
     * entry shape. Vocabulary-sized aggregation + TakeOrdered top-k. */

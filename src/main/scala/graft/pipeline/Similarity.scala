@@ -135,6 +135,40 @@ object Similarity {
     corpus.select(col("id") +: projCols: _*)
   }
 
+  /** Scalar int8 quantization (SQ8) of the embedding column — the
+    * memory-compression companion to [[trainPq]]'s product quantizer:
+    * per-DIMENSION global [min, max] calibration, then every component
+    * maps to round((x − min)/(max − min) · 255) ∈ [0, 255]. Storage
+    * drops 8× vs doubles; a scorer reads back x̂ = min + code/255 ·
+    * (max − min) (asymmetric-distance style, like the PQ ADC path).
+    *
+    * Shape: calibration is ONE dim-bounded aggregate (posexplode →
+    * two-phase min/max per dimension — at 100 TB the shuffle carries
+    * dim rows per partial), collected to the driver (2·dim doubles —
+    * model-table class) and inlined as plan-time literals; quantization
+    * is then a shuffle-free codegen'd projection, the JL-projection
+    * idiom. Engine-exact: min/max are selections, the map is three
+    * fixed-order IEEE ops and a nonnegative half-up round, identical in
+    * any engine; a constant dimension (max = min) quantizes to 0 rather
+    * than dividing by zero.
+    *
+    * Output: (id, codes array<long>, dim entries in dimension order). */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val corpus = prep(df, idCol, vecCol)
+    val cal = corpus
+      .select(posexplode(col("v")).as(Seq("i", "e")))
+      .groupBy("i").agg(min("e").as("mn"), max("e").as("mx"))
+      .orderBy("i").collect()
+    require(cal.nonEmpty, "empty corpus — nothing to calibrate")
+    val codes = cal.map { r =>
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+      if (mx == mn) lit(0L)
+      else round((col("v")(r.getInt(0)) - lit(mn)) / (lit(mx) - lit(mn))
+        * lit(255.0d)).cast("long")
+    }
+    corpus.select(col("id"), array(codes.toIndexedSeq: _*).as("codes"))
+  }
+
   /** Sign-bit bucket of a vector under `planes` random hyperplanes. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
     (0 until planes).map { p =>

@@ -85,6 +85,23 @@ class BpeSpec extends AnyFreeSpec with Matchers with SparkFixture {
       sym shouldBe " ab ab </w> "
     }
 
+    "encode emits dense full-vocab ids, docs reassemble in order" in {
+      // after 4 merges the final symbols are (weighted count, tok):
+      // w=16, est</w>=9, e=8, </w>=7, lo=7, n=6, d=3, i=3, r=2 → ids
+      // 1..9 in (n DESC, tok ASC) order; "</w>"(7) sorts before "lo"(7)
+      val (_, words) = Bpe.learn(corpus, col("text"), 4)
+      val docs = Seq((1L, "low widest"), (2L, "newest")).toDF("id", "txt")
+      val got = Bpe.encode(docs, col("id"), col("txt"), words, headIds = 48)
+        .orderBy("id")
+        .as[(Long, Long, Seq[Long])].collect().toSeq
+      words.unpersist()
+      // low = [lo w </w>] = [5,1,4]; widest = [w i d est</w>] = [1,8,7,2]
+      // newest = [n e w est</w>] = [6,3,1,2]
+      got shouldBe Seq(
+        (1L, 7L, Seq(5L, 1L, 4L, 1L, 8L, 7L, 2L)),
+        (2L, 4L, Seq(6L, 3L, 1L, 2L)))
+    }
+
     "content '<' cannot conflate with the end-of-word marker" in {
       // raw word "a</w>" splits to ESCAPED content symbols, so no merge
       // chain can produce a content symbol equal to the marker string;

@@ -276,6 +276,26 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
+    "scalarQuantize matches a driver-side per-dimension map" in {
+      val got = Similarity.scalarQuantize(emb, "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val rows = emb.select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      val dim = rows.head._2.length
+      val mins = (0 until dim).map(i => rows.map(_._2(i)).min)
+      val maxs = (0 until dim).map(i => rows.map(_._2(i)).max)
+      rows.foreach { case (id, v) =>
+        val want = (0 until dim).map { i =>
+          if (maxs(i) == mins(i)) 0L
+          else // HALF_UP like Spark's round() on a nonnegative argument
+            BigDecimal((v(i) - mins(i)) / (maxs(i) - mins(i)) * 255.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        got(id) shouldBe want
+        all(got(id)) should (be >= 0L and be <= 255L)
+      }
+    }
+
     "randomProjection preserves self-similarity structure" in {
       // identical input vectors project identically; the projection is a
       // deterministic pure function (two runs agree)
