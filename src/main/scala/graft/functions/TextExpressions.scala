@@ -394,6 +394,9 @@ case class CdcChunks(child: Expression, maskBits: Int)
 case class TermCounts(child: Expression, terms: Seq[String])
     extends UnaryExpression {
   require(terms.nonEmpty, "term_counts needs at least one term")
+  // a duplicate would silently win the lookup slot and zero the others'
+  // counts — callers dedupe and map their own indices (Retrieval.slot)
+  require(terms.distinct == terms, "term_counts terms must be distinct")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

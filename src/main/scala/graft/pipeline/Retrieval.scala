@@ -98,14 +98,21 @@ object Retrieval {
     val base = df.select(col(idCol).as("__id"),
       TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
       textCol.as("__text"))
-    val tc = graft.functions.TextFunctions.term_counts(col("__text"), terms)
+    // the kernel lookup is built on the DISTINCT terms; a repeated query
+    // term maps through `slot` so each duplicate still contributes its
+    // full tf partial to the score chain, exactly like the previous
+    // k-column formulation and the oracle's per-index SUM columns
+    val distinctTerms = terms.distinct
+    val slot = terms.map(distinctTerms.indexOf(_))
+    val tc = graft.functions.TextFunctions.term_counts(
+      col("__text"), distinctTerms)
 
     // PASS 1 — one corpus aggregate computes EVERYTHING global: corpus
     // size, token mass, and every per-term df (docs with tf > 0), all
     // exact integers, collected to the driver (k + 2 longs). The tf
     // vector comes from the codegen'd TermCounts kernel inside the scan —
     // no token explode, no (doc, term) shuffle, no broadcast round-trips.
-    val (n, sumdl, dfs) = collectStats(base, tc, terms.size)
+    val (n, sumdl, dfs) = collectStats(base, tc, distinctTerms.size)
     if (n == 0L) return emptyResult(base, idCol, withQueryId = false)
 
     // PASS 2 — score in the scan with the stats as literals: the same
@@ -113,7 +120,7 @@ object Retrieval {
     // folded left-to-right in query order (identical association to the
     // oracle's `+` chain). Non-candidates drop at the filter.
     val score = terms.indices.map { i =>
-      partialScore(col("__tc")(i), lit(dfs(i)), col("__dl"),
+      partialScore(col("__tc")(slot(i)), lit(dfs(slot(i))), col("__dl"),
         lit(n), lit(sumdl), k1, b)
     }.reduceLeft(_ + _)
     import org.apache.spark.sql.expressions.Window
@@ -186,6 +193,12 @@ object Retrieval {
     // query-table-side Spark jobs
     val local = queries.select(col("query_id").cast("long"), col("term"))
       .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    if (local.isEmpty) {
+      // empty query table -> empty result, not an exception (the
+      // pre-round-8 contract for callers that filter queries upstream)
+      val base = df.select(col(idCol).as("__id"))
+      return emptyResult(base, idCol, withQueryId = true)
+    }
     bm25BatchTopKLocal(df, idCol, textCol, local, k1, b, topK)
   }
 
@@ -307,14 +320,19 @@ object Retrieval {
           .getField("__part")).as("score"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("__id"))
-    // queries × topK rows — finished eagerly so the candidate cache is
-    // released before returning
-    Caches.localized(
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= topK)
-        .select(col("query_id"), col("__id").as(idCol), col("score"),
-          col("rank")),
-      tf)
+    // this is the LARGE-query-table path: queries × topK can be millions
+    // of rows, so the result must stay DISTRIBUTED — Bpe.learn's cache
+    // contract instead of a driver collect: the returned frame is
+    // persisted and materialized, tf's candidate cache is released, and
+    // the caller owns the returned cache (unpersist after use)
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("__id").as(idCol), col("score"),
+        col("rank"))
+      .persist()
+    out.count() // materialize while tf's cache is live, then release it
+    tf.unpersist()
+    out
   }
 
   /** DuckDB replay of [[bm25BatchTopK]]: the query table inlined as

@@ -309,15 +309,21 @@ object TextAnalysis {
       maxDocFreq: Int, sep: String = " "): DataFrame = {
     val lines = df
       .select(col(idCol).as("id"), posexplode(linesCol).as(Seq("pos", "line")))
+    // persisted BEFORE the probe: the probe's collect is the aggregate's
+    // only full run — the anti-join fallback reuses the cache instead of
+    // re-exploding the corpus (the probe would otherwise double the most
+    // expensive stage exactly in the pathological-dictionary case)
     val boiler = lines.groupBy("line")
       .agg(countDistinct("id").as("ndocs"))
       .filter(col("ndocs") > maxDocFreq)
       .select("line")
+      .persist()
     val probed = boiler.limit(MaxBroadcastLines + 1).collect()
     if (probed.length <= MaxBroadcastLines) {
       val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
       probed.foreach(r => set.add(
         org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      boiler.unpersist()
       val bc = df.sparkSession.sparkContext.broadcast(set)
       df.select(col(idCol).as("id"),
           graft.functions.TextFunctions.remove_lines(linesCol, bc, sep)
@@ -326,6 +332,9 @@ object TextAnalysis {
           col("__r.kept_lines").as("kept_lines"))
         .filter(col("kept_lines") > 0)
     } else {
+      // fallback: the returned frame reads the persisted dictionary —
+      // caller owns that cache (Bpe.learn convention; unpersist after
+      // the result is consumed)
       val kept = lines.join(boiler, Seq("line"), "left_anti")
       kept.groupBy("id")
         .agg(

@@ -29,6 +29,25 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       // doc 4 has no query term — not a candidate at all
     }
 
+    "a repeated query term contributes its full partial per occurrence" in {
+      // regression (round-8 review): the kernel lookup dedupes terms, so
+      // each duplicate must still map to the shared tf slot — a repeated
+      // term's score is exactly twice the single-term score
+      val df = Seq(
+        (1L, "spark spark pad"),
+        (2L, "spark other pad"),
+        (3L, "other other pad")
+      ).toDF("doc_id", "text")
+      def scores(terms: Seq[String]) =
+        Retrieval.bm25TopK(df, "doc_id", col("text"), terms)
+          .select("doc_id", "score").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val once = scores(Seq("spark"))
+      val twice = scores(Seq("spark", "spark"))
+      twice.keySet shouldBe once.keySet
+      once.foreach { case (id, s) => twice(id) shouldBe (s + s) }
+    }
+
     "prefers the shorter document at equal tf" in {
       val df = Seq(
         (1L, "spark pad"),
