@@ -2383,6 +2383,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_token_simpson" -> ((s, dir) => {
+      // diversity without transcendentals: simpson = Σc²/S² (collision
+      // probability) and eff_types = S²/Σc² (effective vocabulary size /
+      // Rényi-2 perplexity) from exact DECIMAL(38,0) integer aggregates
+      // + one string-rendered-decimal division each — the replayable
+      // stand-in for Shannon entropy's order-dependent c·log c sum
+      graft.pipeline.Stats.tokenSimpson(
+          t(s, dir, "documents"), "source", col("text"))
+        .orderBy("source")
+    }),
+
     "stat_lsh_bands" -> ((s, dir) => {
       // the MinHash-LSH dry-run report: per band, bucket count / largest
       // bucket / singletons / candidate-pair workload Σ c(c−1)/2 — what
@@ -4458,6 +4469,31 @@ object SparkEntry {
         |         CAST(CAST(CAST(CAST(n AS DECIMAL(38,0)) * tot
         |                        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
         |         AS gini
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Simpson replay: same token counts, Σc² and S·S as DECIMAL(38,0),
+    // each output one division of the string-rendered decimals
+    "stat_token_simpson" ->
+      """WITH tk AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok != ''),
+        |c AS (SELECT source, tok, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |a AS (
+        |  SELECT source,
+        |         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |         CAST(SUM(c) AS BIGINT) AS tot,
+        |         CAST(SUM(CAST(CAST(c AS DECIMAL(38,0)) * c
+        |                       AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq
+        |  FROM c GROUP BY source)
+        |SELECT source, vocab_size, tot AS total_tokens,
+        |       CAST(CAST(sq AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(CAST(CAST(tot AS DECIMAL(38,0)) * tot
+        |                        AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+        |         AS simpson,
+        |       CAST(CAST(CAST(CAST(tot AS DECIMAL(38,0)) * tot
+        |                      AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) /
+        |         CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS eff_types
         |FROM a ORDER BY source""".stripMargin,
 
     // LSH band report replayed: same 3-token shingles as jaccardOracle,

@@ -628,6 +628,46 @@ object Stats {
           .as("gini"))
   }
 
+  /** Per-group Simpson concentration of the token-frequency distribution
+    * and its inverse, the EFFECTIVE vocabulary size (inverse participation
+    * ratio / Rényi-2 "perplexity"): simpson = Σ c_t² / S² is the
+    * probability two independently drawn tokens are the same type;
+    * eff_types = S² / Σ c_t² is "how many equally-frequent types would
+    * look like this corpus" — the diversity scalar that, unlike Shannon
+    * entropy, needs NO transcendentals: Σ c² and S are exact integer
+    * aggregates (DECIMAL(38,0) — Σ c² passes 2⁶³ once one type exceeds
+    * ~3·10⁹ occurrences), and each output is ONE division of the
+    * string-rendered decimals, so it hash-replays in any engine where a
+    * per-type c·log c sum cannot (order-dependent rounding + libm
+    * last-ulp drift). Companion scalar to [[tokenGini]].
+    *
+    * Shape at 100 TB: one explode → two-phase (group, token) count (the
+    * shuffle is vocabulary-sized, map-side combine absorbs Zipf heads)
+    * → one per-group aggregate. No windows, no joins, no driver state.
+    *
+    * Output: (group, vocab_size, total_tokens, simpson, eff_types). */
+  def tokenSimpson(df: DataFrame, groupCol: String, textCol: Column)
+      : DataFrame = {
+    val dec = DecimalType(38, 0)
+    val counts = df.select(col(groupCol), explode(split(textCol, " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col(groupCol), col("w")).agg(count(lit(1)).as("c"))
+    counts.groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        sum("c").as("tot"),
+        // cast BEFORE the product — a long·long square overflows first at
+        // the very count magnitudes the decimal is there for
+        sum((col("c").cast(dec) * col("c")).cast(dec)).cast(dec).as("sq"))
+      .select(col(groupCol), col("vocab_size"),
+        col("tot").as("total_tokens"),
+        (decAsDouble(col("sq")) /
+          decAsDouble((col("tot").cast(dec) * col("tot")).cast(dec)))
+          .as("simpson"),
+        (decAsDouble((col("tot").cast(dec) * col("tot")).cast(dec)) /
+          decAsDouble(col("sq"))).as("eff_types"))
+  }
+
   /** Decimal → double via the string rendering (correctly-rounded parse on
     * both engines — see SparkEntry's helper of the same shape). */
   private def decAsDouble(c: Column): Column = c.cast("string").cast("double")
