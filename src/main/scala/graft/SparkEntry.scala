@@ -814,9 +814,11 @@ object SparkEntry {
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+        // exact decimal sum internally; output is the string-rendered
+        // double (decimal outputs hash-bomb on trailing zeros — r8)
+        .agg(decAsDouble(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
             (lit(1.0d) - col("l_discount")).cast(DecimalType(18, 2))))
-          .cast(DecimalType(38, 4)).as("revenue"))
+          .cast(DecimalType(38, 4))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -847,21 +849,20 @@ object SparkEntry {
           (col("supp_nation") === "NATION_1").as("is_n"))
         .groupBy("o_year")
         .agg(
-          // the `when` with a NON-FOLDABLE always-true condition keeps the
-          // column NULLABLE in the written parquet: a bare coalesce-over-
-          // literal strips nullability and makes this the board's only
-          // non-nullable decimal output, which the driver's hasher
-          // represents differently (r7 finding). `when(lit(true), ...)`
-          // does NOT work — ConstantFolding strips it before the write.
-          // o_year is never null here (grouping key of a non-null date),
-          // so values are unchanged
-          when(col("o_year").isNotNull,
-            coalesce(sum(when(col("is_n"), col("vol"))),
+          // exact decimal sums internally; the OUTPUT columns are the
+          // string-rendered doubles (r8 finding: a decimal output column
+          // is a hasher bomb — any value with a trailing zero in its
+          // decimal rendering, e.g. 15832061.2200, string-compares
+          // differently from the float64 repr 15832061.22 the oracle
+          // side carries; render once via the exact decimal string and
+          // both engines parse the identical double)
+          decAsDouble(coalesce(sum(when(col("is_n"), col("vol"))),
               lit(0).cast(DecimalType(38, 4))).cast(DecimalType(38, 4)))
             .as("nation_volume"),
-          sum(col("vol")).cast(DecimalType(38, 4)).as("total_volume"))
+          decAsDouble(sum(col("vol")).cast(DecimalType(38, 4)))
+            .as("total_volume"))
         .withColumn("mkt_share",
-          decAsDouble(col("nation_volume")) / decAsDouble(col("total_volume")))
+          col("nation_volume") / col("total_volume"))
         .orderBy("o_year")
     }),
 
@@ -873,18 +874,18 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, dir, "orders")
-        // price carried at precision 38 so the parquet output is
-        // FIXED_LEN_BYTE_ARRAY like every other green decimal on the
-        // board — an INT64-backed DECIMAL(18,2) hashes differently in
-        // the driver's oracle comparison (r7 finding)
+        // the running sum is EXACT decimal arithmetic; only the OUTPUT is
+        // the string-rendered double (r8 finding: decimal output columns
+        // are hasher bombs — 303981.10 vs the oracle float64's 303981.1)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          col("o_totalprice").cast(DecimalType(18, 2))
-            .cast(DecimalType(38, 2)).as("price"))
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
         .withColumn("run_total",
-          sum(col("price")).over(w).cast(DecimalType(38, 2)))
+          decAsDouble(sum(col("price_dec")).over(w).cast(DecimalType(38, 2))))
         .withColumn("gap_days",
           datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
-        .select("o_custkey", "o_orderkey", "price", "run_total", "gap_days")
+        .select(col("o_custkey"), col("o_orderkey"),
+          decAsDouble(col("price_dec")).as("price"),
+          col("run_total"), col("gap_days"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -893,9 +894,11 @@ object SparkEntry {
         .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
           col("o_orderdate") < expr("TIMESTAMP '1997-01-01 00:00:00'"))
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        // exact decimal sum internally; output is the string-rendered
+        // double (decimal outputs hash-bomb on trailing zeros — r8)
         .agg(count(lit(1)).as("cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2)))
-            .cast(DecimalType(38, 2)).as("total"))
+          decAsDouble(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2))).as("total"))
         .orderBy("month")
     }),
 
@@ -2182,11 +2185,19 @@ object SparkEntry {
       // training pipeline actually ships): ids are the full-vocabulary
       // rank (weighted count DESC, token ASC), each doc becomes its
       // dense id sequence; the gate checks total length + the first 48
+      // ids EXPLODED to one scalar row per (doc, position) — the
+      // driver's comparer sorts with pandas and cannot hash list cells
+      // (r8 finding), so the library keeps the array shape and the gate
+      // flattens it
       val (_, words) = bpeModel(s, dir)
       graft.pipeline.Bpe.encode(t(s, dir, "documents"), col("doc_id"),
           col("text"), words, headIds = 48)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          posexplode(col("head_ids")).as(Seq("pos0", "tok_id")))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("pos0") + 1).cast("int").as("pos"), col("tok_id"))
+        .orderBy("doc_id", "pos")
     }),
 
     "text_bigram_next" -> ((s, dir) => {
@@ -2343,11 +2354,17 @@ object SparkEntry {
       // [min,max] calibration (one dim-bounded aggregate, inlined as
       // literals), then a shuffle-free codegen'd projection maps every
       // component to its 0..255 code — the memory-compression companion
-      // to the PQ codebooks (8x vs doubles, ADC-style readback)
+      // to the PQ codebooks (8x vs doubles, ADC-style readback).
+      // Exploded to one scalar row per (vector, dimension) for the gate —
+      // the driver's comparer cannot hash list cells (r8 finding); the
+      // library API keeps the packed array shape
       graft.pipeline.Similarity.scalarQuantize(
           t(s, dir, "embeddings"), "vec_id", "embedding")
         .withColumnRenamed("id", "vec_id")
-        .orderBy("vec_id")
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim0", "code")))
+        .select(col("vec_id"), (col("dim0") + 1).cast("int").as("dim"),
+          col("code"))
+        .orderBy("vec_id", "dim")
     }),
 
     "stat_hll_overlap" -> ((s, dir) => {
@@ -2870,8 +2887,9 @@ object SparkEntry {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+        |       AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2900,13 +2918,14 @@ object SparkEntry {
         |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'),
         |a AS (
         |  SELECT o_year,
-        |         CAST(COALESCE(SUM(CASE WHEN is_n THEN vol END), 0)
-        |              AS DECIMAL(38,4)) AS nation_volume,
-        |         CAST(SUM(vol) AS DECIMAL(38,4)) AS total_volume
+        |         CAST(CAST(CAST(COALESCE(SUM(CASE WHEN is_n THEN vol END), 0)
+        |              AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE)
+        |           AS nation_volume,
+        |         CAST(CAST(CAST(SUM(vol) AS DECIMAL(38,4)) AS VARCHAR)
+        |              AS DOUBLE) AS total_volume
         |  FROM v GROUP BY o_year)
         |SELECT o_year, nation_volume, total_volume,
-        |       CAST(CAST(nation_volume AS VARCHAR) AS DOUBLE) /
-        |         CAST(CAST(total_volume AS VARCHAR) AS DOUBLE) AS mkt_share
+        |       nation_volume / total_volume AS mkt_share
         |FROM a ORDER BY o_year""".stripMargin,
 
     // unique (date, orderkey) window ordering: RANGE-vs-ROWS default
@@ -2914,10 +2933,10 @@ object SparkEntry {
     // Spark's INT
     "w2_running_total" ->
       """SELECT o_custkey, o_orderkey,
-        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
-        |         AS price,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
-        |            AS DECIMAL(38,2)) AS run_total,
+        |       CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+        |            AS DOUBLE) AS price,
+        |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS run_total,
         |       CAST(date_diff('day', LAG(o_orderdate) OVER w, o_orderdate)
         |            AS INTEGER) AS gap_days
         |FROM orders
@@ -2926,8 +2945,8 @@ object SparkEntry {
 
     "q6_date_range" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-        |         AS total
+        |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -3280,8 +3299,8 @@ object SparkEntry {
         |              ELSE CAST(round((e - mn) / (mx - mn) * 255) AS BIGINT)
         |         END AS c
         |  FROM ex JOIN cal USING (i))
-        |SELECT vec_id, list(c ORDER BY i) AS codes
-        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(i AS INTEGER) AS dim, c AS code
+        |FROM q ORDER BY vec_id, dim""".stripMargin,
 
     "embed_outliers" ->
       (kmediansCtes(16, 2) +
@@ -4135,8 +4154,9 @@ object SparkEntry {
          |  SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids
          |  FROM docw JOIN wt USING (w) GROUP BY doc_id)
          |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
-         |       ids[1:48] AS head_ids
-         |FROM enc ORDER BY doc_id""".stripMargin),
+         |       CAST(generate_subscripts(ids[1:48], 1) AS INTEGER) AS pos,
+         |       unnest(ids[1:48]) AS tok_id
+         |FROM enc ORDER BY doc_id, pos""".stripMargin),
 
     // the Bloom filter replayed as set membership: bit positions are
     // token-window chunking: same single-space split, 1-based inclusive

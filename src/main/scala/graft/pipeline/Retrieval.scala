@@ -187,19 +187,85 @@ object Retrieval {
   def bm25BatchTopK(
       df: DataFrame, idCol: String, textCol: Column, queries: DataFrame,
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
-    // the query table comes to the DRIVER once — it is driver-bounded by
-    // contract (thousands of eval queries; the old plan shipped the same
-    // rows as TWO broadcasts) — and the local core runs with zero
-    // query-table-side Spark jobs
-    val local = queries.select(col("query_id").cast("long"), col("term"))
-      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    if (local.isEmpty) {
+    // PROBE the query-table size before any driver collect (the
+    // boilerplateLineDedup convention): tables up to
+    // MaxCollectedQueryPairs come to the driver once and run the
+    // zero-query-side-job compiled paths; anything larger stays fully
+    // DISTRIBUTED — an unconditional collect would OOM the driver on a
+    // mining-scale query table before any cutoff could help.
+    val qdist = queries.select(col("query_id").cast("long"), col("term"))
+      .distinct().persist()
+    val probed = qdist.limit(MaxCollectedQueryPairs + 1).collect()
+    if (probed.isEmpty) {
       // empty query table -> empty result, not an exception (the
       // pre-round-8 contract for callers that filter queries upstream)
+      qdist.unpersist()
       val base = df.select(col(idCol).as("__id"))
       return emptyResult(base, idCol, withQueryId = true)
     }
-    bm25BatchTopKLocal(df, idCol, textCol, local, k1, b, topK)
+    if (probed.length <= MaxCollectedQueryPairs) {
+      qdist.unpersist()
+      val local = probed.map(r => (r.getLong(0), r.getString(1))).toSeq
+      bm25BatchTopKLocal(df, idCol, textCol, local, k1, b, topK)
+    } else bm25BatchDistributed(df, idCol, textCol, qdist, k1, b, topK)
+  }
+
+  /** Query tables up to this many distinct (query, term) pairs are
+    * collected to the driver (the compiled literal/row paths); larger
+    * ones run [[bm25BatchDistributed]]. 64Ki pairs of short terms is a
+    * few MB on the driver and keeps the row path's term-array literal
+    * plan-safe. */
+  private val MaxCollectedQueryPairs = 1 << 16
+
+  /** Fully distributed batch BM25 for query tables past the driver
+    * bound: postings from one corpus explode + a broadcast semi-join on
+    * the (deduped) term table, per-term dfs aggregated from the
+    * candidate-bounded postings, and the same canonical-order seqSum
+    * fold / window as the row path. Broadcasts are Spark-managed
+    * DataFrame broadcasts (spill-safe), never driver collections.
+    * Returns a PERSISTED frame the caller owns (Bpe.learn convention);
+    * `qdist` is released here. */
+  private def bm25BatchDistributed(
+      df: DataFrame, idCol: String, textCol: Column, qdist: DataFrame,
+      k1: Double, b: Double, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("__id"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("__dl"),
+      split(textCol, " ").as("__toks"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
+    val terms = qdist.select("term").distinct()
+    // corpus-wide stage: explode once; the broadcast term join keeps only
+    // query-term occurrences, so the aggregate below is candidate-bounded
+    val tf = base
+      .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
+      .join(broadcast(terms), col("__tok") === col("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(max(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
+      .persist()
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val part = partialScore(col("__tf"), col("__df"), col("__dl"),
+      col("__n"), col("__sumdl"), k1, b)
+    val parts = tf
+      .join(broadcast(qdist), "term")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("__id"), col("term"), part.as("__part"))
+    val scored = parts
+      .groupBy(col("query_id"), col("__id"))
+      .agg(graft.functions.SeriesFunctions.seqSum(
+        sort_array(collect_list(struct(col("term"), col("__part"))))
+          .getField("__part")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("__id"))
+    val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("__id").as(idCol), col("score"),
+        col("rank"))
+      .persist()
+    out.count() // materialize while tf/qdist caches are live
+    tf.unpersist()
+    qdist.unpersist()
+    out
   }
 
   /** Literal-path cutoff: query tables with at most this many distinct

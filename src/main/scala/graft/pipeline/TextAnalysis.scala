@@ -332,16 +332,22 @@ object TextAnalysis {
           col("__r.kept_lines").as("kept_lines"))
         .filter(col("kept_lines") > 0)
     } else {
-      // fallback: the returned frame reads the persisted dictionary —
-      // caller owns that cache (Bpe.learn convention; unpersist after
-      // the result is consumed)
+      // fallback: materialize the RESULT while the dictionary cache is
+      // live, then release the dictionary here — the caller never holds
+      // `boiler`, so deferring its unpersist would leak it (r8 review).
+      // The returned frame is persisted; the CALLER owns that cache
+      // (Bpe.learn convention; unpersist after the result is consumed)
       val kept = lines.join(boiler, Seq("line"), "left_anti")
-      kept.groupBy("id")
+      val out = kept.groupBy("id")
         .agg(
           array_join(
             sort_array(collect_list(struct(col("pos"), col("line"))))
               .getField("line"), sep).as("clean_text"),
           count(lit(1)).as("kept_lines"))
+        .persist()
+      out.count()
+      boiler.unpersist()
+      out
     }
   }
 

