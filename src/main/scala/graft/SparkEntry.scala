@@ -2197,7 +2197,9 @@ object SparkEntry {
           posexplode(col("head_ids")).as(Seq("pos0", "tok_id")))
         .select(col("doc_id"), col("n_tokens"),
           (col("pos0") + 1).cast("int").as("pos"), col("tok_id"))
-        .orderBy("doc_id", "pos")
+      // no ORDER BY: the driver comparer sorts rows itself, and a global
+      // sort of the exploded gate rows would bill the entry for work the
+      // operator doesn't do
     }),
 
     "text_bigram_next" -> ((s, dir) => {
@@ -2364,7 +2366,8 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim0", "code")))
         .select(col("vec_id"), (col("dim0") + 1).cast("int").as("dim"),
           col("code"))
-        .orderBy("vec_id", "dim")
+      // no ORDER BY: the driver comparer sorts rows itself (see
+      // text_bpe_encode)
     }),
 
     "stat_hll_overlap" -> ((s, dir) => {

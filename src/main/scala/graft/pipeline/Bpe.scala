@@ -177,32 +177,23 @@ object Bpe {
       finalWords: DataFrame, headIds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(headIds >= 1, s"headIds must be >= 1, got $headIds")
-    // dense vocabulary ids = global rank by (n DESC, tok ASC), computed in
-    // TWO PHASES so the whole vocabulary never sorts in one task: range-
-    // partition on the rank key (unique composite — no cross-boundary
-    // ties), rank within each range, then add the per-range row offsets
-    // (numPartitions-sized driver array). A bare row_number() over a
-    // global Window would serialize a 100 TB-scale vocabulary through a
-    // single partition. The vocab agg runs twice (offset pass + rank
-    // pass) rather than persisting: it is vocabulary-sized, and the
-    // RangePartitioner is deterministic so the two passes agree on pids.
-    val byKey = finalWords
+    // dense vocabulary ids = global rank by (n DESC, tok ASC). The global
+    // window IS single-partition, and that is fine here: the rank runs
+    // over the TOKEN table, and BPE tokens are model-sized by
+    // construction — |alphabet| + nMerges symbols (PQ-codebook class),
+    // never word- or corpus-scale. Alternatives that parallelize the sort
+    // (range-partition + per-range offsets) recompute the aggregate on
+    // both sides of a driver collect, and RangePartitioner's sampled
+    // boundaries are not guaranteed stable across those two executions on
+    // a real cluster — a silent mis-rank for a sort that never needed
+    // parallelizing.
+    val ids = finalWords
       .select(explode(split(col("sym"), " ")).as("tok"), col("cnt"))
       .filter(col("tok") =!= "")
       .groupBy("tok").agg(sum("cnt").as("n"))
-      .repartitionByRange(col("n").desc, col("tok").asc)
-      .withColumn("pid", spark_partition_id())
-    val offsets = byKey.groupBy("pid").count().orderBy("pid").collect()
-      .foldLeft((Map.empty[Int, Long], 0L)) { case ((m, acc), r) =>
-        (m + (r.getInt(0) -> acc), acc + r.getLong(1))
-      }._1
-    val offCol = offsets.foldLeft(lit(0L)) { case (c, (p, o)) =>
-      when(col("pid") === p, lit(o)).otherwise(c)
-    }
-    val ids = byKey
       .withColumn("tok_id",
-        row_number().over(Window.partitionBy("pid")
-          .orderBy(col("n").desc, col("tok").asc)).cast("long") + offCol)
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc))
+          .cast("long"))
       .select("tok", "tok_id")
     val wordIds = finalWords
       .select(col("w"), posexplode(split(col("sym"), " ")).as(Seq("spos", "tok")))

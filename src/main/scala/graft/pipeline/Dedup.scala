@@ -144,12 +144,19 @@ object Dedup {
     * never all-pairs. */
   def lshCandidatePairs(
       df: DataFrame, idCol: String, sigCol: String, bands: Int, k: Int): DataFrame = {
+    // bucket-group + in-row pair expansion instead of a banded self-join:
+    // one shuffle on (band, bh) + the pair-dedup shuffle, vs the
+    // sort-merge self-join's two corpus-sized sorts. Pair volume is
+    // collision-bounded identically in both shapes (c members ⇒ c² pairs
+    // either way); a bucket's id list lives in one aggregation buffer,
+    // the same memory a sort-merge join buffers for the matching group.
     val banded = bandedSignatures(df, idCol, sigCol, bands, k)
-    banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    banded
+      .groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
       .distinct()
   }
 
@@ -603,39 +610,43 @@ object Dedup {
     * the single-division estimate all replay exactly.
     *
     * Output: (id_a, id_b, matches, est_jaccard), candidates only.
-    *
-    * Cache contract (the Bpe.learn convention): the RETURNED frame is
-    * persisted and already materialized — the signature intermediate is
-    * released before returning, and the caller owns the returned cache
-    * (unpersist after use; a candidate-sized cache, never corpus-sized). */
+    * Pure lazy DAG — no caches to own (every intermediate is single-use). */
   def minhashEstimates(df: DataFrame, idCol: String, textCol: Column,
       shingleN: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
-    val sig = md5Signatures(df, idCol, textCol, shingleN, k).persist()
-    val bk = sigBands(sig, k, bands)
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .hint("merge") // corpus-sized both sides: never broadcast (see
-                     // bandedSignatures' estimate-miss rationale)
-    val cand = bk.alias("a")
-      .join(bk.alias("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    val a = sig.select(col("id").as("id_a") +:
-      (0 until k).map(i => col(s"__m$i").as(s"__a$i")): _*)
-    val b = sig.select(col("id").as("id_b") +:
-      (0 until k).map(i => col(s"__m$i").as(s"__b$i")): _*)
+    // THREE shuffles end to end: signature aggregate, band-bucket
+    // aggregate, pair dedup. Candidates come from grouping the banded
+    // rows per (band, key) and expanding pairs IN-ROW — each band row
+    // carries the full k-long signature into its bucket, so agreement is
+    // counted on the struct pair right where the pair is born and the
+    // two corpus-sized signature re-joins (plus the self-join's two
+    // sort-merge sorts) are gone. Bucket membership is collision-bounded
+    // exactly like the join formulation (a bucket of c near-identical
+    // docs yields c² pairs in EITHER shape — lshBandStats is the dry-run
+    // that catches pathological occupancy before the 100 TB run).
+    val sig = md5Signatures(df, idCol, textCol, shingleN, k)
+    val member = struct(col("id") +: (0 until k).map(i => col(s"__m$i")): _*)
+    val buckets = sigBands(sig, k, bands)
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), member.as("m"))
+      .groupBy("band", "key").agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) > 1)
     val matches = (0 until k).map(i =>
-        when(col(s"__a$i") === col(s"__b$i"), 1L).otherwise(0L))
+        when(col(s"a.__m$i") === col(s"b.__m$i"), 1L).otherwise(0L))
       .reduce(_ + _)
-    val out = cand.join(a.hint("merge"), "id_a").join(b.hint("merge"), "id_b")
-      .select(col("id_a"), col("id_b"), matches.as("matches"))
+    val pairs = buckets
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        matches.as("matches"))
+    // a pair colliding in several bands carries the same matches value in
+    // each — first() dedups across bands in the same shuffle. No persist:
+    // with the signature re-joins gone every intermediate is single-use,
+    // so the whole operator is one lazy three-shuffle DAG (the r8 cache
+    // contract guarded a sig table that no longer exists).
+    pairs.groupBy("id_a", "id_b")
+      .agg(first(col("matches")).as("matches"))
       .withColumn("est_jaccard",
         col("matches").cast("double") / lit(k.toDouble))
-      .persist()
-    out.count() // materialize while sig's cache is live, then release it
-    sig.unpersist()
-    out
   }
 }

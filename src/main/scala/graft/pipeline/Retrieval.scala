@@ -186,7 +186,16 @@ object Retrieval {
     * (score DESC, id). */
   def bm25BatchTopK(
       df: DataFrame, idCol: String, textCol: Column, queries: DataFrame,
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame =
+    bm25BatchTopKBounded(df, idCol, textCol, queries, k1, b, topK,
+      MaxCollectedQueryPairs)
+
+  /** [[bm25BatchTopK]] with the driver-collect bound injectable — the
+    * spec entry point that lets a test drive the distributed large-table
+    * path without materializing 64Ki query pairs. */
+  private[pipeline] def bm25BatchTopKBounded(
+      df: DataFrame, idCol: String, textCol: Column, queries: DataFrame,
+      k1: Double, b: Double, topK: Int, maxCollected: Int): DataFrame = {
     // PROBE the query-table size before any driver collect (the
     // boilerplateLineDedup convention): tables up to
     // MaxCollectedQueryPairs come to the driver once and run the
@@ -195,7 +204,7 @@ object Retrieval {
     // mining-scale query table before any cutoff could help.
     val qdist = queries.select(col("query_id").cast("long"), col("term"))
       .distinct().persist()
-    val probed = qdist.limit(MaxCollectedQueryPairs + 1).collect()
+    val probed = qdist.limit(maxCollected + 1).collect()
     if (probed.isEmpty) {
       // empty query table -> empty result, not an exception (the
       // pre-round-8 contract for callers that filter queries upstream)
@@ -203,7 +212,7 @@ object Retrieval {
       val base = df.select(col(idCol).as("__id"))
       return emptyResult(base, idCol, withQueryId = true)
     }
-    if (probed.length <= MaxCollectedQueryPairs) {
+    if (probed.length <= maxCollected) {
       qdist.unpersist()
       val local = probed.map(r => (r.getLong(0), r.getString(1))).toSeq
       bm25BatchTopKLocal(df, idCol, textCol, local, k1, b, topK)

@@ -306,7 +306,16 @@ object TextAnalysis {
     * Output: (id, clean_text, kept_lines); documents whose every line was
     * boilerplate drop out (callers left-join and coalesce to empty). */
   def boilerplateLineDedup(df: DataFrame, idCol: String, linesCol: Column,
-      maxDocFreq: Int, sep: String = " "): DataFrame = {
+      maxDocFreq: Int, sep: String = " "): DataFrame =
+    boilerplateLineDedupBounded(df, idCol, linesCol, maxDocFreq, sep,
+      MaxBroadcastLines)
+
+  /** [[boilerplateLineDedup]] with the broadcast bound injectable — the
+    * spec entry point that drives the anti-join fallback without building
+    * a 2^20-line dictionary. */
+  private[pipeline] def boilerplateLineDedupBounded(
+      df: DataFrame, idCol: String, linesCol: Column,
+      maxDocFreq: Int, sep: String, maxBroadcast: Int): DataFrame = {
     val lines = df
       .select(col(idCol).as("id"), posexplode(linesCol).as(Seq("pos", "line")))
     // persisted BEFORE the probe: the probe's collect is the aggregate's
@@ -318,8 +327,8 @@ object TextAnalysis {
       .filter(col("ndocs") > maxDocFreq)
       .select("line")
       .persist()
-    val probed = boiler.limit(MaxBroadcastLines + 1).collect()
-    if (probed.length <= MaxBroadcastLines) {
+    val probed = boiler.limit(maxBroadcast + 1).collect()
+    if (probed.length <= maxBroadcast) {
       val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
       probed.foreach(r => set.add(
         org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))

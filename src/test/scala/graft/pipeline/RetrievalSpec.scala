@@ -158,6 +158,24 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got.filter(col("query_id") === 1L).select("rank").as[Long]
         .collect().sorted shouldBe Array(1L, 2L, 3L)
     }
+
+    "the distributed large-table path is bit-identical to the compiled path" in {
+      // force the distributed formulation by shrinking the driver-collect
+      // bound below the table size: same fold order (canonical term sort
+      // from a 0.0 seed), same candidates ⇒ identical doubles
+      val qs = Seq((7L, "customer"), (7L, "spark"), (8L, "query"),
+        (9L, "table"), (9L, "zzz_nope")).toDF("query_id", "term")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "doc_id", "score", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val dist = Retrieval.bm25BatchTopKBounded(docs, "doc_id", col("text"),
+        qs, k1 = 1.2, b = 0.75, topK = 5, maxCollected = 2)
+      val compiled = Retrieval.bm25BatchTopK(docs, "doc_id", col("text"),
+        qs, topK = 5)
+      rows(dist) shouldBe rows(compiled)
+      dist.unpersist() // distributed path returns a caller-owned cache
+    }
   }
 
   "Sampling.importanceWeights" - {

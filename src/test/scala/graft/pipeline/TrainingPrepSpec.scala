@@ -528,6 +528,27 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       got(1L) shouldBe "chorus verse chorus" // countDistinct(doc) = 1, kept
     }
+
+    "the anti-join fallback path matches the in-row broadcast path" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, Seq("NAV BAR", "FOOTER", "body a", "body b")),
+        (2L, Seq("NAV BAR", "FOOTER", "body c")),
+        (3L, Seq("NAV BAR", "only nav")),
+        (4L, Seq("FOOTER")) // all boilerplate — must vanish on both paths
+      ).toDF("doc_id", "lines")
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // bound 1 < |{NAV BAR, FOOTER}| forces the fallback
+      val fallback = TextAnalysis.boilerplateLineDedupBounded(
+        df, "doc_id", col("lines"), maxDocFreq = 1, sep = " | ",
+        maxBroadcast = 1)
+      val inRow = TextAnalysis.boilerplateLineDedup(
+        df, "doc_id", col("lines"), maxDocFreq = 1, sep = " | ")
+      rows(fallback) shouldBe rows(inRow)
+      rows(fallback).map(_._1) shouldBe Set(1L, 2L, 3L)
+      fallback.unpersist() // fallback returns a caller-owned cache
+    }
   }
 
   "Snapshot.diff" - {
