@@ -1010,12 +1010,13 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val q = stream.writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          Dedup.minhashDedupAgainstTables(
-              s.read.parquet(s"$base/corpus_shingles"),
-              s.read.parquet(s"$base/corpus_banded"),
-              b, "text", "doc_id", n = 3, k = 32, bands = 16, threshold = 0.5)
-            .select("batch_id", "corpus_id", "jaccard")
+          val res = Dedup.minhashDedupAgainstTables(
+            s.read.parquet(s"$base/corpus_shingles"),
+            s.read.parquet(s"$base/corpus_banded"),
+            b, "text", "doc_id", n = 3, k = 32, bands = 16, threshold = 0.5)
+          res.select("batch_id", "corpus_id", "jaccard")
             .write.mode("append").parquet(s"$base/out")
+          res.unpersist() // caller-owned cache, one per trigger
           ()
         }
         .option("checkpointLocation", s"$base/ckpt")

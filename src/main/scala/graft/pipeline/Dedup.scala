@@ -277,7 +277,13 @@ object Dedup {
     * alongside the corpus and are extended append-only as batches are
     * admitted (old rows' signatures never change), so per-batch dedup
     * cost is the batch's own shingling plus the bucket probe, independent
-    * of re-deriving anything corpus-sized. */
+    * of re-deriving anything corpus-sized.
+    *
+    * Per-batch plan: two corpus SCANS, zero corpus shuffles — the banded
+    * probe broadcasts the batch's bands, the verify pre-prunes the corpus
+    * shingle table to candidate ids with a broadcast semi-join. Returns a
+    * PERSISTED, materialized frame (Bpe.learn convention): the caller
+    * owns the cache and unpersists after use. */
   def minhashDedupAgainstTables(
       corpusShingled: DataFrame, corpusBanded: DataFrame, batch: DataFrame,
       textCol: String, idCol: String,
@@ -285,17 +291,36 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val shB = shingled(batch, textCol, idCol, n).persist()
     val bandedB = bandedSignatures(minhashSignatures(shB, k), "id", "sig", bands, k)
-    // hint the corpus side again here: a stored table arrives without the
-    // merge hint bandedSignatures attaches, and its banded row count is
-    // exactly the under-estimated exploded shape that must never broadcast
-    val cand = bandedB.alias("a")
-      .join(corpusBanded.hint("merge").alias("b"),
+    // the BATCH side is the ingest increment — bounded by contract (one
+    // crawl / one micro-batch), orders of magnitude below the corpus — so
+    // the bucket probe is an EXPLICIT broadcast-hash join with the batch
+    // as build side: the corpus-banded table streams through unshuffled
+    // and unsorted (the previous merge-hinted join sorted corpus × bands
+    // rows on every admitted batch). The broadcast is a Spark-managed
+    // DataFrame broadcast of batch × bands (band, bh, id) rows; the
+    // corpus side must still never be the build side (its static size
+    // estimate undercounts ~1000× — see bandedSignatures).
+    val cand = broadcast(bandedB.alias("a"))
+      .join(corpusBanded.alias("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccardBetween(cand, shB, corpusShingled, threshold)
+      .persist() // read twice: the id prune below + the verify join
+    // prune the corpus shingle table to candidate ids with a broadcast
+    // semi-join BEFORE the verify: the corpus scans once unshuffled, and
+    // verifyJaccardBetween's sort-merge then sorts a candidate-sized
+    // slice instead of the whole corpus on every admitted batch
+    val corpusSlice = corpusShingled.join(
+      broadcast(cand.select(col("id_b").as("id")).distinct()),
+      Seq("id"), "left_semi")
+    val out = verifyJaccardBetween(cand, shB, corpusSlice, threshold)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
         col("jaccard"))
+      .persist()
+    out.count() // materialize while cand/shB caches are live
+    cand.unpersist()
+    shB.unpersist()
+    out
   }
 
   /** Connected components over a near-duplicate pair graph: every node
@@ -394,15 +419,23 @@ object Dedup {
     * dominates the query in a long-lived session; two narrow aggregates
     * compile instantly and scale the same. */
   def simhashSignatures(tokenHashes: DataFrame, width: Int): DataFrame =
+    // one groupBy(id) with `width` conditional-sum columns (the
+    // md5Signatures k-column idiom) instead of exploding `width` rows per
+    // token hash — the explode formulation pushed tokens×width rows
+    // through TWO aggregation shuffles; this one folds the votes map-side
+    // in a single pass and assembles the fingerprint from the vote columns
     tokenHashes
-      .select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(width - 1))).as("bit"))
-      .groupBy("id", "bit")
-      .agg(sum(when(expr("shiftright(h, bit)")
-          .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("vote"))
       .groupBy("id")
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sig"))
+      .agg(
+        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as("__v0"),
+        (1 until width).map(b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)).as(s"__v$b")): _*)
+      .select(col("id"),
+        (0 until width).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * banding the `width`-bit fingerprint into `bands` chunks (pigeonhole:
@@ -420,22 +453,29 @@ object Dedup {
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("__tok"))
       .select(col("id"), tokenHash(col("__tok")).as("h"))
     val withSig = simhashSignatures(tokenHashes, width)
-      .persist() // barrier: keep the signature agg out of the self-join sides
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("sig"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
     }
-    val banded = withSig
-      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("b"))
-      .select(col("id"), col("sig"), col("b.band"), col("b.bh"))
-      .hint("merge") // corpus-sized self-join sides — never broadcast (see lshCandidatePairs)
-    banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
+    // bucket-group + in-row pair expansion (the lshCandidatePairs shape):
+    // each band row carries (id, sig) into its bucket, pairs explode
+    // inside the bucket with the Hamming distance computed where the pair
+    // is born, and the cross-band dedup rides the final aggregate — no
+    // self-join, no persist barrier (every intermediate is single-use)
+    val pairs = withSig
+      .select(explode(array(bandCols: _*)).as("b"),
+        struct(col("id"), col("sig")).as("m"))
+      .select(col("b.band").as("band"), col("b.bh").as("bh"), col("m"))
+      .groupBy("band", "bh").agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+    pairs.groupBy("id_a", "id_b")
+      .agg(first(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
