@@ -148,8 +148,13 @@ object Dedup {
     // one shuffle on (band, bh) + the pair-dedup shuffle, vs the
     // sort-merge self-join's two corpus-sized sorts. Pair volume is
     // collision-bounded identically in both shapes (c members ⇒ c² pairs
-    // either way); a bucket's id list lives in one aggregation buffer,
-    // the same memory a sort-merge join buffers for the matching group.
+    // either way). Memory tradeoff, stated honestly: a bucket's id list
+    // lives in ONE aggregation buffer and cannot spill, where the
+    // self-join's buffered match group (ExternalAppendOnlyUnsafeRowArray)
+    // could — the c² pair EXPLOSION kills both shapes, but a mega-bucket
+    // alone only kills this one. Mega-buckets mean mass-duplicated
+    // content: run exactSurvivors first (the standard pipeline order) and
+    // dry-run occupancy with lshBandStats before a full-corpus pass.
     val banded = bandedSignatures(df, idCol, sigCol, bands, k)
     banded
       .groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
@@ -239,8 +244,10 @@ object Dedup {
     val sh = shingled(df, textCol, idCol, n).persist()
     // signatures via the codegen'd aggregation (minhashSignatures), not the
     // per-row HOF lambda: interpreted HOF eval was the whole-query
-    // bottleneck (observed 60x in long-lived sessions)
-    val sig = minhashSignatures(sh, k).persist()
+    // bottleneck (observed 60x in long-lived sessions). No persist: since
+    // the bucket-group rewrite, lshCandidatePairs is the signature table's
+    // only consumer (the persist used to guard the self-join's two sides)
+    val sig = minhashSignatures(sh, k)
     val cand = lshCandidatePairs(sig, "id", "sig", bands, k)
     verifyJaccard(cand, sh, threshold)
   }
@@ -260,15 +267,23 @@ object Dedup {
     * them inline here keeps the operator self-contained.
     *
     * Output: (batch_id, corpus_id, jaccard), one row per verified
-    * near-dup pair with jaccard >= threshold. */
+    * near-dup pair with jaccard >= threshold. Returns a PERSISTED,
+    * already-materialized frame — the caller owns that (candidate-sized)
+    * cache and unpersists it after use; the corpus-sized shingle
+    * intermediate is released here. */
   def minhashDedupAgainst(
       corpus: DataFrame, batch: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 32, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val shC = shingled(corpus, textCol, idCol, n).persist() // see minhashDedupPairs
     val bandedC = bandedSignatures(minhashSignatures(shC, k), "id", "sig", bands, k)
-    minhashDedupAgainstTables(shC, bandedC, batch, textCol, idCol,
+    val out = minhashDedupAgainstTables(shC, bandedC, batch, textCol, idCol,
       n, k, bands, threshold)
+    // the result is fully materialized inside AgainstTables, so the
+    // corpus shingle cache has no remaining consumer — release it here
+    // rather than leaking a corpus-sized cache per admitted batch
+    shC.unpersist()
+    out
   }
 
   /** The persisted-corpus form of [[minhashDedupAgainst]]: takes the
@@ -419,23 +434,15 @@ object Dedup {
     * dominates the query in a long-lived session; two narrow aggregates
     * compile instantly and scale the same. */
   def simhashSignatures(tokenHashes: DataFrame, width: Int): DataFrame =
-    // one groupBy(id) with `width` conditional-sum columns (the
-    // md5Signatures k-column idiom) instead of exploding `width` rows per
-    // token hash — the explode formulation pushed tokens×width rows
-    // through TWO aggregation shuffles; this one folds the votes map-side
-    // in a single pass and assembles the fingerprint from the vote columns
     tokenHashes
+      .select(col("id"), col("h"),
+        explode(sequence(lit(0), lit(width - 1))).as("bit"))
+      .groupBy("id", "bit")
+      .agg(sum(when(expr("shiftright(h, bit)")
+          .bitwiseAND(1) === 1, 1L).otherwise(-1L)).as("vote"))
       .groupBy("id")
-      .agg(
-        sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)).as("__v0"),
-        (1 until width).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L)).as(s"__v$b")): _*)
-      .select(col("id"),
-        (0 until width).map(b =>
-          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("sig"))
+      .agg(sum(when(col("vote") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L)).as("sig"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, found by
     * banding the `width`-bit fingerprint into `bands` chunks (pigeonhole:
@@ -458,7 +465,8 @@ object Dedup {
         shiftright(col("sig"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
     }
-    // bucket-group + in-row pair expansion (the lshCandidatePairs shape):
+    // bucket-group + in-row pair expansion (the lshCandidatePairs shape —
+    // see there for the non-spillable-bucket tradeoff and its guards):
     // each band row carries (id, sig) into its bucket, pairs explode
     // inside the bucket with the Hamming distance computed where the pair
     // is born, and the cross-band dedup rides the final aggregate — no
@@ -662,8 +670,10 @@ object Dedup {
     // two corpus-sized signature re-joins (plus the self-join's two
     // sort-merge sorts) are gone. Bucket membership is collision-bounded
     // exactly like the join formulation (a bucket of c near-identical
-    // docs yields c² pairs in EITHER shape — lshBandStats is the dry-run
-    // that catches pathological occupancy before the 100 TB run).
+    // docs yields c² pairs in EITHER shape), but the bucket's member list
+    // (k longs each here) occupies one non-spillable aggregation buffer —
+    // see lshCandidatePairs for the tradeoff; exact-dedup first and the
+    // lshBandStats occupancy dry-run are the mega-bucket guards.
     val sig = md5Signatures(df, idCol, textCol, shingleN, k)
     val member = struct(col("id") +: (0 until k).map(i => col(s"__m$i")): _*)
     val buckets = sigBands(sig, k, bands)

@@ -227,13 +227,17 @@ object Retrieval {
   private val MaxCollectedQueryPairs = 1 << 16
 
   /** Fully distributed batch BM25 for query tables past the driver
-    * bound: postings from one corpus explode + a broadcast semi-join on
-    * the (deduped) term table, per-term dfs aggregated from the
-    * candidate-bounded postings, and the same canonical-order seqSum
-    * fold / window as the row path. Broadcasts are Spark-managed
-    * DataFrame broadcasts (spill-safe), never driver collections.
-    * Returns a PERSISTED frame the caller owns (Bpe.learn convention);
-    * `qdist` is released here. */
+    * bound: postings from one corpus explode joined with the (deduped)
+    * term table, per-term dfs aggregated from the candidate-bounded
+    * postings, and the same canonical-order seqSum fold / window as the
+    * row path. The term/query/df joins carry NO broadcast hints: this
+    * path exists precisely because the query table may be too large to
+    * materialize on the driver, and a `broadcast()` hint would collect it
+    * there anyway (BroadcastExchange builds driver-side) — AQE still
+    * promotes any side that turns out small at runtime, and past that
+    * size a term-keyed shuffle join is the honest cost. Only the 1-row
+    * stats frame is explicitly broadcast. Returns a PERSISTED frame the
+    * caller owns (Bpe.learn convention); `qdist` is released here. */
   private def bm25BatchDistributed(
       df: DataFrame, idCol: String, textCol: Column, qdist: DataFrame,
       k1: Double, b: Double, topK: Int): DataFrame = {
@@ -243,11 +247,11 @@ object Retrieval {
       split(textCol, " ").as("__toks"))
     val stats = base.agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
     val terms = qdist.select("term").distinct()
-    // corpus-wide stage: explode once; the broadcast term join keeps only
+    // corpus-wide stage: explode once; the term join keeps only
     // query-term occurrences, so the aggregate below is candidate-bounded
     val tf = base
       .select(col("__id"), col("__dl"), explode(col("__toks")).as("__tok"))
-      .join(broadcast(terms), col("__tok") === col("term"))
+      .join(terms, col("__tok") === col("term"))
       .groupBy(col("__id"), col("term"))
       .agg(max(col("__dl")).as("__dl"), count(lit(1)).as("__tf"))
       .persist()
@@ -255,8 +259,8 @@ object Retrieval {
     val part = partialScore(col("__tf"), col("__df"), col("__dl"),
       col("__n"), col("__sumdl"), k1, b)
     val parts = tf
-      .join(broadcast(qdist), "term")
-      .join(broadcast(dfs), "term")
+      .join(qdist, "term")
+      .join(dfs, "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("__id"), col("term"), part.as("__part"))
     val scored = parts

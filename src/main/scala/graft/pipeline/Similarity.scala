@@ -155,23 +155,20 @@ object Similarity {
     * Output: (id, codes array<long>, dim entries in dimension order). */
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val probe = corpus.select(size(col("v"))).head(1)
-    require(probe.nonEmpty, "empty corpus — nothing to calibrate")
-    val dim = probe(0).getInt(0)
-    // per-dimension [min, max] as 2·dim direct aggregates over vector
-    // rows — no posexplode (the explode formulation pushed rows × dim
-    // elements through an aggregation shuffle; this is one pass of
-    // element_at reads with map-side combine down to a single row)
-    val cal = corpus.agg(
-      min(col("v")(0)).as("mn0"),
-      (max(col("v")(0)).as("mx0") +:
-        (1 until dim).flatMap(i => Seq(
-          min(col("v")(i)).as(s"mn$i"), max(col("v")(i)).as(s"mx$i")))): _*)
-      .first()
-    val codes = (0 until dim).map { i =>
-      val (mn, mx) = (cal.getAs[Double](s"mn$i"), cal.getAs[Double](s"mx$i"))
+    // per-index two-phase min/max via posexplode — robust to ragged or
+    // null-bearing corpora (bounds come from the indices actually
+    // present), and the aggregate stays narrow at any dimensionality (a
+    // 2·dim-column single aggregate would hit the wide-HashAggregate
+    // codegen-compile wall simhashSignatures documents)
+    val cal = corpus
+      .select(posexplode(col("v")).as(Seq("i", "e")))
+      .groupBy("i").agg(min("e").as("mn"), max("e").as("mx"))
+      .orderBy("i").collect()
+    require(cal.nonEmpty, "empty corpus — nothing to calibrate")
+    val codes = cal.map { r =>
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
       if (mx == mn) lit(0L)
-      else round((col("v")(i) - lit(mn)) / (lit(mx) - lit(mn))
+      else round((col("v")(r.getInt(0)) - lit(mn)) / (lit(mx) - lit(mn))
         * lit(255.0d)).cast("long")
     }
     corpus.select(col("id"), array(codes.toIndexedSeq: _*).as("codes"))

@@ -68,6 +68,11 @@ def main(sf_dir, out_dir):
         if not os.path.isdir(d):
             continue
         files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            # a partially-failed write (directory, no part files) must cost
+            # one line, not the whole gate run
+            results[name] = "NO-PARQUET (empty output dir — did the write fail?)"
+            continue
         if name not in oracle:
             n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             results[name] = f"NO-ORACLE rows={n}"
