@@ -2361,12 +2361,19 @@ object SparkEntry {
       // Exploded to one scalar row per (vector, dimension) for the gate —
       // the driver's comparer cannot hash list cells (r8 finding); the
       // library API keeps the packed array shape
+      // flattening rides an exploded LITERAL index sequence + one array
+      // read, NOT posexplode(codes): InferFiltersFromGenerate would infer
+      // `size(codes) > 0` from a generator over the computed array and
+      // push the whole 64-expression quantization INTO the scan filter —
+      // observed doubling the entry's per-row work; over the literal
+      // sequence the inferred guard constant-folds away
       graft.pipeline.Similarity.scalarQuantize(
           t(s, dir, "embeddings"), "vec_id", "embedding")
         .withColumnRenamed("id", "vec_id")
-        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim0", "code")))
+        .select(col("vec_id"), col("codes"),
+          explode(sequence(lit(0), lit(63))).as("dim0"))
         .select(col("vec_id"), (col("dim0") + 1).cast("int").as("dim"),
-          col("code"))
+          col("codes")(col("dim0")).as("code"))
       // no ORDER BY: the driver comparer sorts rows itself (see
       // text_bpe_encode)
     }),
