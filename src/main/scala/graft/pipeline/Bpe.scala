@@ -84,22 +84,115 @@ object Bpe {
           regexp_replace(escapeContent(col("w")), "(.)", "$1 "),
           lit(EowMarker + " ")))
 
+  /** Word-table row bound for the in-memory learn path: below this the
+    * collected (w, cnt, sym) rows are at most a few tens of MB and the
+    * merge loop runs on the driver (the shape every production BPE
+    * trainer uses — the model-table class, like the PQ codebooks); above
+    * it the distributed per-round loop takes over. Probed with a
+    * limit(N+1) collect, the same honest cutover as
+    * [[Retrieval.bm25BatchTopK]]'s query-table probe. */
+  private[pipeline] val MaxInlinedVocab = 65536
+
   /** Learn `nMerges` merges; returns the merge list and the FINAL word
     * table (w, cnt, sym) whose symbols are the learned tokenization.
-    * Each round = two vocabulary-sized jobs (pair count + re-symbolize);
-    * the previous round's table is unpersisted only after the next is
-    * materialized, so lineage never re-derives the chain. Stops early if
-    * no pair remains (every word a single symbol). */
-  def learn(df: DataFrame, textCol: Column, nMerges: Int)
-      : (Seq[Merge], DataFrame) = {
+    * Stops early if no pair remains (every word a single symbol).
+    *
+    * The corpus is scanned exactly once either way (the word-table
+    * aggregate). When the vocabulary fits [[MaxInlinedVocab]] the merge
+    * rounds run on the DRIVER over the collected word table — Spark's
+    * per-job floor would otherwise dominate nMerges sequential
+    * vocabulary-sized jobs — with bit-identical semantics (same pair
+    * kernel, same UTF-8-binary tie-break, same two-pass replace).
+    * Larger vocabularies fall back to the distributed loop: each round =
+    * two vocabulary-sized jobs (pair count + re-symbolize); the previous
+    * round's table is unpersisted only after the next is materialized,
+    * so lineage never re-derives the chain. */
+  def learn(df: DataFrame, textCol: Column, nMerges: Int,
+      maxInlined: Int = MaxInlinedVocab): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1, s"bpe: nMerges must be >= 1, got $nMerges")
+    val wt = wordTable(df, textCol).persist()
+    val probe = wt.limit(maxInlined + 1).collect()
+    if (probe.length <= maxInlined) {
+      wt.unpersist()
+      learnLocal(df.sparkSession, probe, nMerges)
+    } else learnDistributed(wt, nMerges)
+  }
+
+  /** Driver-memory merge loop over a probed-small word table. Mirrors the
+    * distributed loop exactly: pairs = adjacent non-empty space-split
+    * symbols (the [[graft.functions.TextKernels.wordPairs]] contract),
+    * best = (total DESC, pair ASC in UTF-8 BYTE order — Spark's
+    * UTF8_BINARY collation, not Java's UTF-16 compareTo), merge = two
+    * nested left-to-right non-overlapping replaces (`String.replace` ≡
+    * Spark/DuckDB `replace`). */
+  private def learnLocal(spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row], nMerges: Int)
+      : (Seq[Merge], DataFrame) = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    def utf8Lt(x: String, y: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(UTF_8), y.getBytes(UTF_8)) < 0
+    val (iw, ic, is) = rows.headOption.map { r =>
+      (r.fieldIndex("w"), r.fieldIndex("cnt"), r.fieldIndex("sym"))
+    }.getOrElse((0, 1, 2))
+    val ws = rows.map(_.getString(iw))
+    val cnts = rows.map(_.getLong(ic))
+    val syms = rows.map(_.getString(is))
+    val merges = ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= nMerges && !done) {
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      var i = 0
+      while (i < syms.length) {
+        val toks = syms(i).split(' ').filter(_.nonEmpty)
+        val c = cnts(i)
+        var j = 0
+        while (j < toks.length - 1) {
+          counts.merge(toks(j) + " " + toks(j + 1), c, (a, b) => a + b)
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var bestPr: String = null
+        var bestTotal = Long.MinValue
+        counts.forEach { (pr, tot) =>
+          if (tot > bestTotal || (tot == bestTotal && utf8Lt(pr, bestPr)))
+            { bestPr = pr; bestTotal = tot }
+        }
+        val sp = bestPr.indexOf(' ')
+        val (a, b) = (bestPr.substring(0, sp), bestPr.substring(sp + 1))
+        val pat = " " + bestPr + " "
+        val rep = " " + a + b + " "
+        i = 0
+        while (i < syms.length) {
+          syms(i) = syms(i).replace(pat, rep).replace(pat, rep)
+          i += 1
+        }
+        def un(x: String) = x.replace(LtEscape, "<")
+        merges += Merge(r, un(a), un(b), un(a + b), bestTotal)
+      }
+      r += 1
+    }
+    import spark.implicits._
+    val out = ws.indices.map(i => (ws(i), cnts(i), syms(i)))
+      .toDF("w", "cnt", "sym")
+    (merges.toSeq, out)
+  }
+
+  /** Distributed fallback for vocabularies beyond [[MaxInlinedVocab]];
+    * `cur` is the already-persisted word table. */
+  private def learnDistributed(wordTbl: DataFrame, nMerges: Int)
+      : (Seq[Merge], DataFrame) = {
     // ONE Spark job per round: round r's pair-count aggregate is the
     // action that materializes cur_r's persist as a side effect, so no
     // separate count() job is needed; cur_{r-1} is unpersisted only
     // AFTER that aggregate ran (its cache fed cur_r's materialization —
     // dropping it earlier would re-derive the whole replace chain).
     var prev: Option[DataFrame] = None
-    var cur = wordTable(df, textCol).persist()
+    var cur = wordTbl
     val merges = ArrayBuffer.empty[Merge]
     var r = 1
     var done = false

@@ -102,6 +102,25 @@ class BpeSpec extends AnyFreeSpec with Matchers with SparkFixture {
         (2L, 4L, Seq(6L, 3L, 1L, 2L)))
     }
 
+    "driver-memory and distributed paths learn identically" in {
+      // the probe-and-inline cutover (MaxInlinedVocab) must be invisible:
+      // force the distributed loop (maxInlined = 0) and pin merge list +
+      // final symbolization against the driver-memory path. The corpus
+      // includes the escaped-'<' case so the UTF-8-byte tie-break is
+      // exercised on a multi-byte symbol (U+E000) too.
+      val docs = Seq(("low " * 5) + ("lower " * 2) + ("newest " * 6) +
+        ("widest " * 3) + "a</w> a</w> a</w>").toDF("text")
+      val (ml, wl) = Bpe.learn(docs, col("text"), 6)
+      val (md, wd) = Bpe.learn(docs, col("text"), 6, maxInlined = 0)
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("w").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      val (sl, sd) = (dump(wl), dump(wd))
+      wd.unpersist()
+      md shouldBe ml
+      sd shouldBe sl
+    }
+
     "content '<' cannot conflate with the end-of-word marker" in {
       // raw word "a</w>" splits to ESCAPED content symbols, so no merge
       // chain can produce a content symbol equal to the marker string;
