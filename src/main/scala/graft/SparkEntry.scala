@@ -1570,6 +1570,19 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "ann_knn_graph" -> ((s, dir) => {
+      // k-NN GRAPH construction — the neighborhood structure SemDeDup-
+      // style dedup, graph clustering and diversity pruning consume:
+      // every corpus vector's 3 nearest neighbors among its sign-LSH
+      // Hamming-1 multiprobe candidates (exact cosine, per-node rank) —
+      // the whole-corpus companion to ann_lsh_topk's query-set search
+      graft.pipeline.Similarity.knnGraph(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 3, planes = 6, dim = 64)
+        .select(col("node_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("node_id", "rank")
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       Similarity.annLshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           col("vec_id") < 10, k = 5, planes = 4, dim = 64)
@@ -3329,6 +3342,25 @@ object SparkEntry {
       annIvfPqOracle(nlist = 16, nprobe = 4, m = 8, ncodes = 8, sub = 8,
         k = 5, iters = 2),
     "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,
+
+    "ann_knn_graph" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bkt AS (
+         |  SELECT vec_id, v, ${bucketSql(6)} AS bucket FROM e),
+         |cand AS (
+         |  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+         |         ${cosSql("a.v", "b.v")} AS sim
+         |  FROM bkt a JOIN bkt b ON a.vec_id != b.vec_id
+         |  WHERE bit_count(xor(CAST(a.bucket AS BIGINT),
+         |                      CAST(b.bucket AS BIGINT))) <= 1),
+         |ranked AS (
+         |  SELECT node_id, neighbor_id,
+         |         ROW_NUMBER() OVER (PARTITION BY node_id
+         |                            ORDER BY sim DESC, neighbor_id) AS rank
+         |  FROM cand)
+         |SELECT node_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+         |ORDER BY node_id, rank""".stripMargin,
 
     "dedup_substring" ->
       """WITH w0 AS (

@@ -87,6 +87,41 @@ object Similarity {
       .select(col("id").as("id_a"), col("id_b"), col("sim"))
   }
 
+  /** k-NN GRAPH over the whole corpus — every vector's k nearest
+    * neighbors by cosine: the neighborhood structure SemDeDup-style
+    * semantic dedup, graph clustering and diversity pruning consume.
+    * Candidates come from sign-bucket LSH with Hamming-1 multiprobe (the
+    * [[cosineNearDupPairsLsh]] scale shape — work ∝ bucket collisions,
+    * never corpus²), exact cosine runs on candidates only, and each node
+    * ranks its own candidates by (sim DESC, neighbor ASC). A (node,
+    * neighbor) candidate arises from EXACTLY one probe (the one flipping
+    * their buckets' differing bit, or the identity probe when the buckets
+    * are equal), so no dedup shuffle is needed — the DAG is one
+    * probe⋈bucket join plus the per-node rank window. Nodes whose
+    * Hamming-1 ball holds no other vector emit no rows — the LSH recall
+    * trade; `planes` tunes ball occupancy (more planes = smaller, purer
+    * buckets; at corpus scale raise planes so buckets stay bounded). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int = 6, dim: Int = 64): DataFrame = {
+    val base = prep(df, idCol, vecCol)
+      .withColumn("bucket", lshBucket(col("v"), planes, dim))
+    val probes = array(
+      col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = base.select(col("id"), col("v"), col("nrm"),
+      explode(probes).as("probe"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrmb"), col("bucket").as("bucket_b"))
+    val cand = a
+      .join(b, col("probe") === col("bucket_b") && col("id") =!= col("id_b"))
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
+    val w = Window.partitionBy("id").orderBy(col("sim").desc, col("id_b"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as("node_id"), col("id_b").as("neighbor_id"),
+        col("rank"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane p is a
     * hash-derived value in [-1, 1]. Fixed by construction — no RNG, no
     * Date.now; identical across runs and executors. */

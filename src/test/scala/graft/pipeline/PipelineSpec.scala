@@ -541,6 +541,44 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       lsh.subsetOf(exact) shouldBe true
       if (exact.nonEmpty) (lsh.size.toDouble / exact.size) should be >= 0.2
     }
+
+    "knnGraph matches a driver-side replay of the probe-ball rank" in {
+      // exact replay: same sign buckets (full-precision planeVector
+      // constants, left-to-right dot), Hamming<=1 candidate sets, cosine,
+      // (sim DESC, neighbor ASC) rank — pins candidates, ranks AND the
+      // no-dedup-needed claim (each pair arises from exactly one probe)
+      val k = 3
+      val vecs = emb.select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+        .sortBy(_._1)
+      val planes = (0 until 6).map(p => Similarity.planeVector(p, 64).toArray)
+      def dotd(a: Array[Double], b: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+      }
+      val bucket = vecs.map { case (id, v) =>
+        id -> planes.zipWithIndex.map { case (pl, p) =>
+          if (dotd(v, pl) >= 0) 1L << p else 0L }.sum
+      }.toMap
+      val byId = vecs.toMap
+      val expect = vecs.flatMap { case (id, v) =>
+        val cands = vecs.filter { case (idB, _) =>
+          idB != id &&
+            java.lang.Long.bitCount(bucket(id) ^ bucket(idB)) <= 1 }
+        cands.map { case (idB, vb) =>
+          val sim = dotd(v, vb) /
+            (math.sqrt(dotd(v, v)) * math.sqrt(dotd(vb, vb)))
+          (id, idB, sim)
+        }.sortBy { case (_, idB, sim) => (-sim, idB) }
+          .take(k).zipWithIndex
+          .map { case ((a, bId, _), i) => (a, bId, i + 1L) }
+      }.toSet
+      val got = Similarity.knnGraph(emb, "vec_id", "embedding", k)
+        .select("node_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      got shouldBe expect
+      expect.nonEmpty shouldBe true
+    }
   }
 
   "TextAnalysis" - {
