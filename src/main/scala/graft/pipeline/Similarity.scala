@@ -64,6 +64,34 @@ object Similarity {
       .select(col("id").as("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Sign-bucket LSH candidate pairs under Hamming-1 multiprobe — the
+    * shared candidate generator for [[cosineNearDupPairsLsh]] and
+    * [[knnGraph]]. Each left row explodes to its probe ball (own bucket
+    * + `planes` one-bit flips) and joins the right side's bucket; pairs
+    * are kept by `pairPred` on (id, id_b). The probe masks are DISTINCT,
+    * so a qualifying pair (buckets within Hamming distance 1) arises
+    * from exactly one probe — no dedup pass exists or is needed. Both
+    * join sides re-derive the corpus (scan + cast + norm + bucket twice)
+    * rather than caching it: at corpus scale a persist trades a second
+    * columnar scan and bucket kernel for corpus-sized cache pressure,
+    * and the cache would leak besides (the result is lazy and
+    * caller-consumed, so no safe unpersist point exists here).
+    * Output: (id, v, nrm) ⊗ (id_b, vb, nrmb) candidate rows. */
+  private def lshProbeCandidates(base: DataFrame, planes: Int,
+      pairPred: (Column, Column) => Column): DataFrame = {
+    val probes = array(
+      col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val a = base.select(col("id"), col("v"), col("nrm"),
+      explode(probes).as("probe"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nrmb"), col("bucket").as("bucket_b"))
+    a.join(b, col("probe") === col("bucket_b") &&
+        pairPred(col("id"), col("id_b")))
+      .select(col("id"), col("id_b"), col("v"), col("vb"),
+        col("nrm"), col("nrmb"))
+  }
+
   /** Scale path for cosine near-dup: candidates limited to pairs whose
     * sign-buckets are within Hamming distance 1 (probabilistic recall);
     * exact cosine verification on candidates only. */
@@ -72,16 +100,7 @@ object Similarity {
       planes: Int = 6, dim: Int = 64): DataFrame = {
     val base = prep(df, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
-    val probes = array(
-      col("bucket") +: (0 until planes).map(p =>
-        col("bucket").bitwiseXOR(lit(1L << p))): _*)
-    val a = base.select(col("id"), col("v"), col("nrm"),
-      explode(probes).as("probe"))
-    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrmb"), col("bucket").as("bucket_b"))
-    a.join(b, col("probe") === col("bucket_b") && col("id") < col("id_b"))
-      .select(col("id"), col("id_b"), col("v"), col("vb"), col("nrm"), col("nrmb"))
-      .distinct()
+    lshProbeCandidates(base, planes, _ < _)
       .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
       .filter(col("sim") >= threshold)
       .select(col("id").as("id_a"), col("id_b"), col("sim"))
@@ -105,15 +124,7 @@ object Similarity {
       planes: Int = 6, dim: Int = 64): DataFrame = {
     val base = prep(df, idCol, vecCol)
       .withColumn("bucket", lshBucket(col("v"), planes, dim))
-    val probes = array(
-      col("bucket") +: (0 until planes).map(p =>
-        col("bucket").bitwiseXOR(lit(1L << p))): _*)
-    val a = base.select(col("id"), col("v"), col("nrm"),
-      explode(probes).as("probe"))
-    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nrmb"), col("bucket").as("bucket_b"))
-    val cand = a
-      .join(b, col("probe") === col("bucket_b") && col("id") =!= col("id_b"))
+    val cand = lshProbeCandidates(base, planes, _ =!= _)
       .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nrmb")))
     val w = Window.partitionBy("id").orderBy(col("sim").desc, col("id_b"))
     cand.withColumn("rank", row_number().over(w))
