@@ -1750,6 +1750,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_decontaminate_fuzzy" -> ((s, dir) => {
+      // FUZZY benchmark decontamination: MinHash-signature agreement
+      // between training docs and the held-out slice (doc_id % 97 == 0),
+      // the paraphrase-robust companion to text_decontaminate's exact
+      // 3-gram gate. Planted leaks (eval docs re-labeled +1000000 into
+      // the training side) exercise the matches = k ceiling alongside
+      // any natural near-dups; eval bands broadcast, the corpus pays one
+      // signature shuffle
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val heldOut = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0).unionByName(
+        heldOut.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      graft.pipeline.Dedup.fuzzyDecontaminate(train, heldOut, "doc_id",
+          col("text"), shingleN = 3, k = 8, bands = 4, minMatches = 4)
+        .orderBy("doc_id")
+    }),
+
     "text_top_terms" -> ((s, dir) => {
       // per-doc distinctive terms: TF-IDF ordering realized with INTEGER
       // keys (tf DESC, df ASC, token) — same order as any monotone idf,
@@ -3273,6 +3290,56 @@ object SparkEntry {
         |SELECT id_a, id_b, matches,
         |       CAST(matches AS DOUBLE) / 8.0 AS est_jaccard
         |FROM ag ORDER BY id_a, id_b""".stripMargin,
+
+    "text_decontaminate_fuzzy" ->
+      """WITH ev AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        |ad AS (
+        |  SELECT 't' AS side, doc_id, text FROM documents
+        |  WHERE doc_id % 97 <> 0
+        |  UNION ALL SELECT 't', doc_id + 1000000, text FROM ev
+        |  UNION ALL SELECT 'e', doc_id, text FROM ev),
+        |toks AS (SELECT side, doc_id, string_split(text, ' ') AS t FROM ad),
+        |sh AS (
+        |  SELECT side, doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |ex AS (SELECT side, doc_id, unnest(s) AS g FROM sh),
+        |hx AS (
+        |  SELECT side, doc_id, i,
+        |         MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || g),
+        |                             1, 15))::BIGINT) AS m
+        |  FROM ex CROSS JOIN (SELECT unnest(range(0, 8)) AS i)
+        |  GROUP BY side, doc_id, i),
+        |bk AS (
+        |  SELECT side, doc_id, CAST(i // 2 AS INTEGER) AS band,
+        |         list(m ORDER BY i) AS key
+        |  FROM hx GROUP BY side, doc_id, band),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS did, b.doc_id AS eid
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.key = b.key
+        |   AND a.side = 't' AND b.side = 'e'),
+        |ag AS (
+        |  SELECT c.did, c.eid,
+        |         CAST(SUM(CASE WHEN ha.m = hb.m THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS matches
+        |  FROM cand c
+        |  JOIN hx ha ON ha.side = 't' AND ha.doc_id = c.did
+        |  JOIN hx hb ON hb.side = 'e' AND hb.doc_id = c.eid AND hb.i = ha.i
+        |  GROUP BY 1, 2),
+        |best AS (
+        |  SELECT did, eid, matches,
+        |         ROW_NUMBER() OVER (PARTITION BY did
+        |                            ORDER BY matches DESC, eid) AS rn
+        |  FROM ag)
+        |SELECT did AS doc_id, eid AS eval_id, matches,
+        |       CAST(matches AS DOUBLE) / 8.0 AS est_jaccard
+        |FROM best WHERE rn = 1 AND matches >= 4
+        |ORDER BY doc_id""".stripMargin,
 
     // cross-parity ground truth: same shingle semantics as jaccardOracle,
     // odd (batch) rows joined against even (corpus) rows

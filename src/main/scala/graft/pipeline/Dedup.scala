@@ -699,4 +699,49 @@ object Dedup {
       .withColumn("est_jaccard",
         col("matches").cast("double") / lit(k.toDouble))
   }
+
+  /** FUZZY decontamination: flag training documents that NEAR-duplicate a
+    * held-out evaluation document — the MinHash companion to exact n-gram
+    * decontamination (the two standard leak gates an LLM pipeline runs
+    * before training: exact overlap catches verbatim leaks, signature
+    * agreement catches paraphrased/reformatted ones). Candidates come
+    * from LSH band collisions BETWEEN the two sides; similarity is
+    * estimated as matches/k on the signatures both sides already carry
+    * (the [[minhashEstimates]] contract). The held-out side is
+    * benchmark-sized by contract, so its banded table rides an explicit
+    * broadcast and the training corpus pays exactly ONE shuffle (its own
+    * signature aggregate), then streams through the probe unshuffled —
+    * the [[minhashDedupAgainstTables]] posture with the increment on the
+    * other side.
+    *
+    * Output: one row per contaminated training doc — its best witness
+    * (matches DESC, eval id ASC): (doc_id, eval_id, matches,
+    * est_jaccard), docs with best matches < `minMatches` dropped. */
+  def fuzzyDecontaminate(train: DataFrame, heldOut: DataFrame,
+      idCol: String, textCol: Column, shingleN: Int, k: Int, bands: Int,
+      minMatches: Int): DataFrame = {
+    require(k % bands == 0, s"signature width $k not divisible by bands $bands")
+    import org.apache.spark.sql.expressions.Window
+    def sideStruct(df: DataFrame, tag: String) =
+      sigBands(md5Signatures(df, idCol, textCol, shingleN, k), k, bands)
+        .select(struct(col("id") +: (0 until k).map(i => col(s"__m$i")): _*)
+          .as(tag), col("bk.band").as("band"), col("bk.key").as("key"))
+    val tb = sideStruct(train, "t")
+    val eb = sideStruct(heldOut, "e")
+    val matches = (0 until k).map(i =>
+        when(col(s"t.__m$i") === col(s"e.__m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("matches").desc, col("eval_id").asc)
+    tb.join(broadcast(eb), Seq("band", "key"))
+      .select(col("t.id").as("doc_id"), col("e.id").as("eval_id"),
+        matches.as("matches"))
+      // a pair colliding in several bands repeats the same matches value —
+      // first() dedups in the per-pair shuffle (the minhashEstimates idiom)
+      .groupBy("doc_id", "eval_id").agg(first("matches").as("matches"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("matches") >= minMatches)
+      .select(col("doc_id"), col("eval_id"), col("matches"),
+        (col("matches").cast("double") / lit(k.toDouble)).as("est_jaccard"))
+  }
 }

@@ -532,6 +532,38 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "fuzzy decontamination" - {
+    "flags planted leaks at the matches=k ceiling with the min-id witness" in {
+      import spark.implicits._
+      val train = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "the quick brown fox jumps over the lazy dog today"),
+        (3L, "completely unrelated content about spark physical plans"))
+        .toDF("doc_id", "text")
+      // eval ids 100/101 share identical text — the tie must resolve to
+      // the SMALLER eval id; doc 2 is a verbatim leak of it
+      val heldOut = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog today"),
+        (101L, "the quick brown fox jumps over the lazy dog today"))
+        .toDF("doc_id", "text")
+      val got = Dedup.fuzzyDecontaminate(train, heldOut, "doc_id",
+          col("text"), shingleN = 3, k = 8, bands = 4, minMatches = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      got shouldBe Array((2L, 100L, 8L, 1.0))
+    }
+
+    "sub-threshold agreement is dropped" in {
+      import spark.implicits._
+      val train = Seq((1L, "x y z w v u t s r q")).toDF("doc_id", "text")
+      val heldOut = Seq((9L, "a b c d e f g h i j")).toDF("doc_id", "text")
+      // disjoint shingle sets: even if a band collides by hash accident
+      // the agreement count stays below minMatches
+      Dedup.fuzzyDecontaminate(train, heldOut, "doc_id", col("text"),
+        shingleN = 3, k = 8, bands = 4, minMatches = 4).count() shouldBe 0L
+    }
+  }
+
   "embedding cosine near-dup" - {
     "LSH-bucketed variant finds a subset of the exact pairs, deterministically" in {
       val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
