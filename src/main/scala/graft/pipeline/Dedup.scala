@@ -680,9 +680,7 @@ object Dedup {
       .select(col("bk.band").as("band"), col("bk.key").as("key"), member.as("m"))
       .groupBy("band", "key").agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")) > 1)
-    val matches = (0 until k).map(i =>
-        when(col(s"a.__m$i") === col(s"b.__m$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
+    val matches = sigAgreement("a", "b", k)
     val pairs = buckets
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
@@ -721,27 +719,33 @@ object Dedup {
       idCol: String, textCol: Column, shingleN: Int, k: Int, bands: Int,
       minMatches: Int): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
-    import org.apache.spark.sql.expressions.Window
     def sideStruct(df: DataFrame, tag: String) =
       sigBands(md5Signatures(df, idCol, textCol, shingleN, k), k, bands)
         .select(struct(col("id") +: (0 until k).map(i => col(s"__m$i")): _*)
           .as(tag), col("bk.band").as("band"), col("bk.key").as("key"))
     val tb = sideStruct(train, "t")
     val eb = sideStruct(heldOut, "e")
-    val matches = (0 until k).map(i =>
-        when(col(s"t.__m$i") === col(s"e.__m$i"), 1L).otherwise(0L))
-      .reduce(_ + _)
+    // no per-pair dedup shuffle: a pair colliding in several bands repeats
+    // the IDENTICAL (matches) tuple, so the rank-1 window row is the same
+    // whichever copy wins — the one post-probe exchange is the window's,
+    // and WindowGroupLimit trims the duplicates map-side before it
     val w = Window.partitionBy("doc_id")
       .orderBy(col("matches").desc, col("eval_id").asc)
     tb.join(broadcast(eb), Seq("band", "key"))
       .select(col("t.id").as("doc_id"), col("e.id").as("eval_id"),
-        matches.as("matches"))
-      // a pair colliding in several bands repeats the same matches value —
-      // first() dedups in the per-pair shuffle (the minhashEstimates idiom)
-      .groupBy("doc_id", "eval_id").agg(first("matches").as("matches"))
+        sigAgreement("t", "e", k).as("matches"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("matches") >= minMatches)
       .select(col("doc_id"), col("eval_id"), col("matches"),
         (col("matches").cast("double") / lit(k.toDouble)).as("est_jaccard"))
   }
+
+  /** Signature-agreement count between two `__m0..__m{k-1}` struct
+    * prefixes — the matches-of-k MinHash estimator core shared by
+    * [[minhashEstimates]] and [[fuzzyDecontaminate]]: a static sum of k
+    * codegen'd comparisons. */
+  private def sigAgreement(pa: String, pb: String, k: Int): Column =
+    (0 until k).map(i =>
+        when(col(s"$pa.__m$i") === col(s"$pb.__m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
 }
