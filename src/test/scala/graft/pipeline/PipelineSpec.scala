@@ -553,6 +553,22 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Array((2L, 100L, 8L, 1.0))
     }
 
+    "fuzzy decontamination plan: eval side broadcasts, corpus never merge-joins" in {
+      import spark.implicits._
+      val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+      val heldOut = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+      val plan = Dedup.fuzzyDecontaminate(train, heldOut, "doc_id",
+          col("text"), shingleN = 3, k = 8, bands = 4, minMatches = 4)
+        .queryExecution.executedPlan.toString
+      // the probe is an explicit broadcast of the held-out bands — the
+      // training corpus streams through with no sort-merge pairing and
+      // no per-pair dedup aggregate (the rank window is the only
+      // post-probe exchange)
+      plan should include("BroadcastHashJoin")
+      plan should not include "SortMergeJoin"
+      plan should include("WindowGroupLimit")
+    }
+
     "sub-threshold agreement is dropped" in {
       import spark.implicits._
       val train = Seq((1L, "x y z w v u t s r q")).toDF("doc_id", "text")
@@ -572,6 +588,17 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       lsh.subsetOf(exact) shouldBe true
       if (exact.nonEmpty) (lsh.size.toDouble / exact.size) should be >= 0.2
+    }
+
+    "knnGraph plan: top-k cut below the rank shuffle, no quadratic join" in {
+      // scale shape: WindowGroupLimit trims each map partition to k rows
+      // BEFORE the per-node rank exchange, and candidates come from the
+      // bucket equi-join — never a cartesian/BNLJ corpus pairing
+      val plan = Similarity.knnGraph(emb, "vec_id", "embedding", 3)
+        .queryExecution.executedPlan.toString
+      plan should include("WindowGroupLimit")
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
     }
 
     "knnGraph matches a driver-side replay of the probe-ball rank" in {
