@@ -2037,6 +2037,35 @@ object SparkEntry {
         .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
     }),
 
+    "stat_cube" -> ((s, dir) => {
+      // full CUBE over (lang, source): all four grouping levels in ONE
+      // expand+aggregate pass (never four scans), levels disambiguated by
+      // the SQL-standard grouping_id bitmask (lang as MSB on both
+      // engines) so rolled-up NULLs can't conflate with data NULLs
+      t(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("docs"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy(col("lang").asc_nulls_first,
+          col("source").asc_nulls_first, col("gid"))
+    }),
+
+    "stat_unpivot" -> ((s, dir) => {
+      // wide-to-long reshaping: the per-source metric report unpivoted to
+      // (source, metric, value) rows — a narrow in-partition expand after
+      // one aggregate, no extra shuffle
+      val perSource = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"),
+          max(col("n_chars")).cast("long").as("max_chars"))
+      perSource.unpivot(
+          Array(col("source")),
+          Array(col("chars"), col("docs"), col("max_chars")),
+          "metric", "value")
+        .orderBy("source", "metric")
+    }),
+
     "stat_heavy_hitters" -> ((s, dir) => {
       // exact top-25 tokens: two-phase count absorbs token skew map-side,
       // TakeOrdered picks the head without a global sort
@@ -3817,6 +3846,25 @@ object SparkEntry {
         |  MAX(n_chars) AS max_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+
+    "stat_cube" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, gid""".stripMargin,
+
+    "stat_unpivot" ->
+      """WITH a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |         CAST(SUM(n_chars) AS BIGINT) AS chars,
+        |         CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, 'chars' AS metric, chars AS value FROM a
+        |UNION ALL SELECT source, 'docs', docs FROM a
+        |UNION ALL SELECT source, 'max_chars', max_chars FROM a
+        |ORDER BY source, metric""".stripMargin,
 
     "stat_heavy_hitters" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
