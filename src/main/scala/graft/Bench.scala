@@ -43,7 +43,9 @@ object Bench {
     "e9_ewma_smooth", "q8_market_share", "w2_running_total",
     "dedup_norm_survivor", "stat_token_gini", "stat_hll_overlap", "dedup_minhash_est", "pipeline_rag_prep", "e10_user_paths", "ann_ivf_trained_topk", "dedup_cdc_chunks", "embed_outliers", "embed_quantize_sq8", "text_langid_confusion", "dedup_semantic_trained", "st17_stream_anomaly", "e11_markov_transitions", "text_bigram_next", "stat_vocab_growth",
     "ann_knn_graph", "text_decontaminate_fuzzy", "stat_cube",
-    "stat_unpivot")
+    "stat_unpivot",
+    "graph_pagerank", "embed_robust_scale", "q4_order_priority",
+    "q13_customer_distribution", "w3_moving_avg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

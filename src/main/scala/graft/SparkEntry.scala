@@ -889,6 +889,56 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "q4_order_priority" -> ((s, dir) => {
+      // EXISTS semi-join (TPC-H Q4 shape on this schema): orders in a
+      // half-year window having at least one RETURNED lineitem, counted
+      // per priority. LEFT SEMI keeps the probe side duplicate-free (a
+      // multi-lineitem order counts once, no post-join distinct);
+      // integer counts end-to-end
+      val ret = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("o_orderdate") < expr("TIMESTAMP '1996-07-01 00:00:00'"))
+        .join(ret, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q13_customer_distribution" -> ((s, dir) => {
+      // LEFT OUTER join + two-level aggregation (TPC-H Q13 shape):
+      // orders-per-customer histogram, zero-order customers kept by the
+      // outer join (the right side is pre-filtered, equivalent to the
+      // ON-clause predicate and the better plan); integer counts only
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") =!= "F")
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "w3_moving_avg" -> ((s, dir) => {
+      // frame-bounded sliding window (ROWS BETWEEN 6 PRECEDING AND
+      // CURRENT ROW): 7-order moving revenue per customer. The frame sum
+      // is EXACT decimal rendered once via the string→double cast
+      // (decimal outputs are hasher bombs — r8); the average is ONE IEEE
+      // division of that double by the exact frame row count. Unique
+      // (date, key) ordering inside each partition, one shuffle
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+      t(s, dir, "orders").filter(pmod(col("o_custkey"), lit(10)) === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
+        .withColumn("mov_sum",
+          decAsDouble(sum(col("price_dec")).over(w).cast(DecimalType(38, 2))))
+        .withColumn("n_win", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("mov_sum"),
+          (col("mov_sum") / col("n_win")).as("mov_avg"), col("n_win"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q6_date_range" -> ((s, dir) => {
       t(s, dir, "orders")
         .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
@@ -1581,6 +1631,38 @@ object SparkEntry {
         .select(col("node_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("node_id", "rank")
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // PageRank centrality over the k-NN graph — the diversity/quality
+      // weighting signal graph-based corpus pruning consumes (rank a
+      // document by how central its embedding neighborhood is). INTEGER-
+      // scaled exact arithmetic (rank·10^12 longs, floor divisions):
+      // every update is order-independent, so the 3-round fixpoint
+      // replays bit-identically in the oracle. One src-keyed join + one
+      // dst-keyed aggregation per round (the Pregel shape), nothing
+      // corpus-sized on the driver.
+      val edges = Similarity.knnGraph(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3, planes = 6, dim = 64)
+      graft.pipeline.GraphAnalytics.pageRank(edges, "node_id", "neighbor_id",
+          iters = 3)
+        .select(col("node").as("vec_id"), col("rank_scaled"))
+        .orderBy("vec_id")
+    }),
+
+    "embed_robust_scale" -> ((s, dir) => {
+      // robust per-dimension whitening (median/MAD — the RobustScaler
+      // shape): calibration from the FULL corpus as exact order
+      // statistics, output the scaled values of the first 50 vectors;
+      // (x − med)/mad is one exact IEEE subtraction + one correctly-
+      // rounded division ⇒ bit-identical external replay (a mean/std
+      // whitening could never gate: float sums are shuffle-order-
+      // dependent)
+      Similarity.robustScale(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .filter(col("id") < 50)
+        .select(col("id").as("vec_id"),
+          col("dim_idx").cast("long").as("dim_idx"), col("scaled"))
+        .orderBy("vec_id", "dim_idx")
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -3013,6 +3095,37 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus != 'F'
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "w3_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS mov_sum,
+        |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
+        |         / COUNT(*) OVER w AS mov_avg,
+        |       COUNT(*) OVER w AS n_win
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q6_date_range" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS cnt,
         |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -3457,6 +3570,38 @@ object SparkEntry {
          |  FROM cand)
          |SELECT node_id, neighbor_id, rank FROM ranked WHERE rank <= 3
          |ORDER BY node_id, rank""".stripMargin,
+
+    "graph_pagerank" -> pageRankOracle,
+
+    "embed_robust_scale" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |vals AS (
+        |  SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim_idx,
+        |         unnest(v) AS x FROM e),
+        |cm AS (SELECT dim_idx, x, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+        |cw AS (SELECT dim_idx, x,
+        |         SUM(c) OVER (PARTITION BY dim_idx ORDER BY x) AS cum,
+        |         SUM(c) OVER (PARTITION BY dim_idx) AS n
+        |       FROM cm),
+        |med AS (SELECT dim_idx, MIN(x) AS med FROM cw
+        |        WHERE cum >= GREATEST(1, CEIL(n * 0.5)) GROUP BY 1),
+        |dev AS (SELECT v.vec_id, v.dim_idx, v.x, m.med,
+        |               ABS(v.x - m.med) AS dv
+        |        FROM vals v JOIN med m USING (dim_idx)),
+        |dm AS (SELECT dim_idx, dv, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+        |dw AS (SELECT dim_idx, dv,
+        |         SUM(c) OVER (PARTITION BY dim_idx ORDER BY dv) AS cum,
+        |         SUM(c) OVER (PARTITION BY dim_idx) AS n
+        |       FROM dm),
+        |mad AS (SELECT dim_idx, MIN(dv) AS mad FROM dw
+        |        WHERE cum >= GREATEST(1, CEIL(n * 0.5)) GROUP BY 1)
+        |SELECT d.vec_id, d.dim_idx,
+        |       CASE WHEN a.mad = 0 THEN 0.0
+        |            ELSE (d.x - d.med) / a.mad END AS scaled
+        |FROM dev d JOIN mad a USING (dim_idx)
+        |WHERE d.vec_id < 50
+        |ORDER BY vec_id, dim_idx""".stripMargin,
 
     "dedup_substring" ->
       """WITH w0 AS (
@@ -4924,6 +5069,52 @@ object SparkEntry {
     (0 until planes).map { p =>
       s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("\n     + ")
+
+  /** Replay of graph_pagerank: the ann_knn_graph edge chain, then the
+    * 3-round integer-scaled fixpoint unrolled CTE-for-iteration. Every
+    * operation is integer multiply/add/floor-division ('//' ≡ Spark's
+    * 'div' on nonnegative longs) and every aggregate is CAST back to
+    * BIGINT (DuckDB SUM(BIGINT) is HUGEINT — the r5 hasher incident). */
+  private def pageRankOracle: String = {
+    val scale = pipeline.GraphAnalytics.PageRankScale
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT n.node,
+         |    ${scale * 15L} // ((SELECT n FROM nn) * 100)
+         |    + (85 * COALESCE(s.m, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.neighbor_id AS nid,
+         |           CAST(SUM(p.r // d.outdeg) AS BIGINT) AS m
+         |    FROM edges e JOIN $prev p ON e.node_id = p.node
+         |                 JOIN deg d ON e.node_id = d.node_id
+         |    GROUP BY 1) s ON n.node = s.nid)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, v, ${bucketSql(6)} AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+       |         ${cosSql("a.v", "b.v")} AS sim
+       |  FROM bkt a JOIN bkt b ON a.vec_id != b.vec_id
+       |  WHERE bit_count(xor(CAST(a.bucket AS BIGINT),
+       |                      CAST(b.bucket AS BIGINT))) <= 1),
+       |rankedg AS (
+       |  SELECT node_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY node_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand),
+       |edges AS (SELECT node_id, neighbor_id FROM rankedg WHERE rank <= 3),
+       |nodes AS (SELECT node_id AS node FROM
+       |  (SELECT node_id FROM edges UNION SELECT neighbor_id FROM edges)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT node_id, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, $scale // (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", "r1")},
+       |${iter("r1", "r2")},
+       |${iter("r2", "r3")}
+       |SELECT node AS vec_id, r AS rank_scaled FROM r3
+       |ORDER BY vec_id""".stripMargin
+  }
 
   private def annLshOracle: String = {
     val bucketExpr = bucketSql(4)

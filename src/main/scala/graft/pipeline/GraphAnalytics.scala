@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge tables — the consumer of [[Similarity.knnGraph]]:
+  * centrality scoring for corpus diversity pruning / graph-based quality
+  * weighting (rank a document by how central its embedding neighborhood is).
+  *
+  * Everything here is INTEGER-scaled exact arithmetic: ranks are carried as
+  * `rank · scale` longs and every update is integer multiply / add / floor
+  * division — order-independent, so the iterative fixpoint replays
+  * bit-identically in any engine (a float PageRank's per-node sums depend on
+  * shuffle order and can never hash-match an oracle).
+  */
+object GraphAnalytics {
+
+  /** Rank mass carried per unit — 10^12 gives ~12 significant digits while
+    * keeping every intermediate (dampNum · incomingSum ≤ 85 · scale) far
+    * inside a signed 64-bit long. */
+  val PageRankScale: Long = 1000000000000L
+
+  /** PageRank over a directed edge table, `iters` synchronous iterations.
+    *
+    * Semantics (the no-dangling-redistribution variant):
+    *   r₀(v)   = scale div N                      for every node v
+    *   rᵢ₊₁(u) = (scale·(dampDen−dampNum)) div (N·dampDen)
+    *           + (dampNum · Σ_{v→u} (rᵢ(v) div outdeg(v))) div dampDen
+    * Nodes = distinct(src) ∪ distinct(dst). A dangling node (no out-edges)
+    * receives rank but contributes none — its mass leaks, which only
+    * rescales the relative ordering the score is used for. On a
+    * [[Similarity.knnGraph]] edge set there are no dangling nodes at all:
+    * the Hamming-1 probe ball is symmetric, so any id that appears as a
+    * neighbor also emitted out-edges of its own.
+    *
+    * Scale shape: the Pregel loop — per iteration ONE src-keyed join
+    * shipping ranks to edges and ONE dst-keyed aggregation of contributions
+    * (shuffle ∝ |edges|, state ∝ |nodes|); `iters` is a small constant, the
+    * DAG stays lazy (no per-round action), and nothing corpus-sized ever
+    * reaches the driver. At 1000 executors both shuffles hash-partition on
+    * the node key; a skewed in-degree hub lands on AQE's skew-split path.
+    *
+    * Output: (node LONG, rank_scaled LONG) — rank_scaled = rank · scale,
+    * floor-truncated. Σ rank_scaled ≤ scale (truncation only loses mass).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, scale: Long = PageRankScale,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping $dampNum/$dampDen must lie in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // one-row node count, broadcast onto every rank row (the repo's 1-row
+    // crossJoin(broadcast) idiom) — N never touches the driver
+    val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
+    val withDeg = e.join(outdeg, "src")
+    var ranks = nodes.crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$scale div n_nodes").as("r"), col("n_nodes"))
+    val baseExpr =
+      expr(s"(${scale * (dampDen - dampNum)}) div (n_nodes * $dampDen)")
+    for (_ <- 1 to iters) {
+      val contrib = withDeg
+        .join(ranks.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+      val incoming = contrib.groupBy("dst").agg(sum("c").as("m"))
+      ranks = ranks.select("node", "n_nodes")
+        .join(incoming, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (baseExpr +
+            expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
+            .as("r"),
+          col("n_nodes"))
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+}

@@ -220,6 +220,44 @@ object Similarity {
     corpus.select(col("id"), array(codes.toIndexedSeq: _*).as("codes"))
   }
 
+  /** Robust per-dimension whitening (sklearn RobustScaler shape): center
+    * by the per-dimension MEDIAN, scale by the per-dimension MAD (median
+    * absolute deviation) — the embedding-normalization step before cosine
+    * dedup / ANN when the corpus carries outlier vectors that would wreck
+    * mean/std calibration.
+    *
+    * Medians are EXACT lower order statistics via [[Stats.groupQuantiles]]
+    * (q(0.5) = smallest value whose cumulative count reaches ceil(n/2)) —
+    * order-independent selections, so unlike a mean/std whitening (whose
+    * float sums are shuffle-order-dependent) every output replays
+    * bit-identically in an external engine: (x − med) is one exact IEEE
+    * subtraction and /mad one correctly-rounded division. A constant
+    * dimension (mad = 0) scales to 0 rather than dividing by zero.
+    *
+    * Scale note: the exact median windows sort |corpus| values per
+    * dimension (dim-way parallelism) — the honest exact formulation this
+    * operator's oracle requires. A 100 TB deployment swaps the stats pass
+    * for [[Stats.sampleQuantiles]] (deterministic bottom-k sample, bounded
+    * state) feeding the SAME dim-sized broadcast join + projection —
+    * the per-row scaling path is identical either way.
+    *
+    * Output: (id, dim_idx INT 0-based, scaled DOUBLE). */
+  def robustScale(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vals = df.select(col(idCol).as("id"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+    val med = Stats.groupQuantiles(vals, "d", col("x"), Seq(0.5))
+      .select(col("d"), col("q").as("med"))
+    // stats tables are dim-sized — broadcast; the corpus never shuffles
+    val dev = vals.join(broadcast(med), "d")
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = Stats.groupQuantiles(dev, "d", col("dev"), Seq(0.5))
+      .select(col("d"), col("q").as("mad"))
+    dev.join(broadcast(mad), "d")
+      .select(col("id"), col("d").as("dim_idx"),
+        when(col("mad") === 0d, lit(0d))
+          .otherwise((col("x") - col("med")) / col("mad")).as("scaled"))
+  }
+
   /** Sign-bit bucket of a vector under `planes` random hyperplanes. */
   def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
     (0 until planes).map { p =>

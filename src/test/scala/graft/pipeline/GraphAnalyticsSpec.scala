@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** GraphAnalytics.pageRank — integer-scaled exact PageRank. The reference
+  * is an independent driver-side fold over the same integer recurrence, so
+  * the distributed result must match it EXACTLY (no tolerance). */
+class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
+  import spark.implicits._
+
+  private val Scale = GraphAnalytics.PageRankScale
+
+  /** Driver-side replay of the documented recurrence. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val incoming = edges
+        .map { case (s, d) => d -> r(s) / outdeg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = nodes.map(v =>
+        v -> (Scale * 15L / (n * 100L) + 85L * incoming.getOrElse(v, 0L) / 100L)
+      ).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    GraphAnalytics.pageRank(
+        edges.toDF("src", "dst"), "src", "dst", iters = iters)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+
+  describe("pageRank") {
+    val triangle = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+
+    it("matches the driver-side integer recurrence exactly (3 iters)") {
+      run(triangle, 3) shouldBe reference(triangle, 3)
+    }
+
+    it("matches on a graph with an in-degree-0 source and a dangling sink") {
+      // 4 only emits, 5 only receives (dangling: its mass leaks)
+      val g = Seq((1L, 2L), (2L, 1L), (4L, 1L), (1L, 5L))
+      run(g, 3) shouldBe reference(g, 3)
+      // the dangling sink is still ranked (received mass + base)
+      run(g, 1).keySet should contain(5L)
+    }
+
+    it("total scaled mass never exceeds scale (floor truncation only loses)") {
+      val r = run(triangle, 3)
+      r.values.sum should be <= Scale
+      // and stays within 1% of it on a leak-free graph (every node emits)
+      r.values.sum should be >= (Scale * 99L / 100L)
+    }
+
+    it("a symmetric cycle ranks uniformly at every iteration count") {
+      val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+      val r = run(cycle, 2)
+      r.values.toSet.size shouldBe 1
+      r(1L) shouldBe Scale / 3 +- 1 // fixpoint of the uniform start
+    }
+
+    it("is deterministic across runs") {
+      run(triangle, 3) shouldBe run(triangle, 3)
+    }
+
+    it("rejects a zero-iteration or out-of-range damping request") {
+      an[IllegalArgumentException] should be thrownBy
+        GraphAnalytics.pageRank(triangle.toDF("src", "dst"), "src", "dst",
+          iters = 0)
+      an[IllegalArgumentException] should be thrownBy
+        GraphAnalytics.pageRank(triangle.toDF("src", "dst"), "src", "dst",
+          iters = 1, dampNum = 100, dampDen = 100)
+    }
+  }
+
+  describe("robustScale") {
+    it("centers by the lower median and scales by the MAD, exactly") {
+      // dim 0 values: 1, 2, 4, 8 -> n=4, median = value at ceil(2) = 2;
+      // deviations |x-2|: 1, 0, 2, 6 -> MAD = value at ceil(2) = 1
+      // dim 1 is constant -> mad 0 -> scaled 0
+      val df = Seq(
+        (1L, Seq(1.0f, 7.0f)), (2L, Seq(2.0f, 7.0f)),
+        (3L, Seq(4.0f, 7.0f)), (4L, Seq(8.0f, 7.0f))).toDF("id", "vec")
+      val got = Similarity.robustScale(df, "id", "vec")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap
+      got((1L, 0)) shouldBe -1.0
+      got((2L, 0)) shouldBe 0.0
+      got((3L, 0)) shouldBe 2.0
+      got((4L, 0)) shouldBe 6.0
+      Seq(1L, 2L, 3L, 4L).foreach(id => got((id, 1)) shouldBe 0.0)
+    }
+
+    it("odd count: median is the middle order statistic") {
+      val df = Seq((1L, Seq(10.0f)), (2L, Seq(30.0f)), (3L, Seq(20.0f)))
+        .toDF("id", "vec")
+      // median 20 (ceil(1.5)=2nd), deviations 10,10,0 -> MAD = 10
+      val got = Similarity.robustScale(df, "id", "vec")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      got(1L) shouldBe -1.0
+      got(2L) shouldBe 1.0
+      got(3L) shouldBe 0.0
+    }
+  }
+}
