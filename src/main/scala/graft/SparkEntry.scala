@@ -939,6 +939,45 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "w4_rank_family" -> ((s, dir) => {
+      // the remaining rank-function family in one gate: dense_rank,
+      // percent_rank, ntile, cume_dist over a UNIQUE ordering (price
+      // ties broken by key, so every rank is deterministic; with a
+      // unique ordering percent_rank and cume_dist reduce to single
+      // IEEE divisions of exact integer positions — engine-identical)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").filter(pmod(col("o_custkey"), lit(20)) === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prank"),
+          ntile(4).over(w).cast("long").as("ntile4"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
+
+    "e12_gap_fill" -> ((s, dir) => {
+      // calendar gap-fill: per-type daily event counts with missing days
+      // zero-filled over each type's own [min, max] day span — the
+      // scaffold every time-series model consumes (a bare groupBy emits
+      // no row for an empty day). Day numbers are exact integer division
+      // of epoch ms; the scaffold is a span-bounded per-type sequence()
+      // explode, counts join back on (type, day)
+      val ev = events(s, dir)
+        .select(col("event_type"), expr("ts_ms div 86400000").as("day_no"))
+      val counts = ev.groupBy("event_type", "day_no")
+        .agg(count(lit(1)).as("c"))
+      val spans = ev.groupBy("event_type")
+        .agg(min("day_no").as("d0"), max("day_no").as("d1"))
+      spans.select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day_no"))
+        .join(counts, Seq("event_type", "day_no"), "left")
+        .select(col("event_type"), col("day_no"),
+          coalesce(col("c"), lit(0L)).as("cnt"))
+        .orderBy("event_type", "day_no")
+    }),
+
     "q6_date_range" -> ((s, dir) => {
       t(s, dir, "orders")
         .filter(col("o_orderdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
@@ -1498,6 +1537,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
+    "dedup_containment" -> ((s, dir) => {
+      // asymmetric containment (overlap coefficient): the doc-inside-doc
+      // signal Jaccard dilutes — integer threshold test so the pair set
+      // is engine-exact, one IEEE division for the reported score
+      Dedup.containmentPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, pct = 80)
+        .select(col("id_a"), col("id_b"), col("containment"))
+        .orderBy("id_a", "id_b")
     }),
 
     "dedup_clusters" -> ((s, dir) => {
@@ -3126,6 +3175,32 @@ object SparkEntry {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "w4_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |       DENSE_RANK() OVER w AS drnk,
+        |       PERCENT_RANK() OVER w AS prank,
+        |       NTILE(4) OVER w AS ntile4,
+        |       CUME_DIST() OVER w AS cdist
+        |FROM orders WHERE o_custkey % 20 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "e12_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_ms(ts) // 86400000 AS day_no
+        |  FROM events),
+        |counts AS (SELECT event_type, day_no, COUNT(*) AS c
+        |           FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT event_type, MIN(day_no) AS d0, MAX(day_no) AS d1
+        |          FROM ev GROUP BY 1),
+        |scaffold AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day_no
+        |             FROM spans)
+        |SELECT s.event_type, s.day_no,
+        |       CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
+        |FROM scaffold s LEFT JOIN counts c USING (event_type, day_no)
+        |ORDER BY event_type, day_no""".stripMargin,
+
     "q6_date_range" ->
       """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS cnt,
         |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
@@ -3352,6 +3427,29 @@ object SparkEntry {
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle,
+
+    // brute-force containment ground truth: candidates-from-shared-shingles
+    // is exactly the inter > 0 pair set, so the full cross check replays
+    // the candidate path; integer threshold, one division for the score
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_distinct([array_to_string(t[i:i+2], ' ')
+        |                             FOR i IN range(1, len(t) - 1)])
+        |         ELSE [array_to_string(t, ' ')] END AS s
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.s, b.s)) AS inter,
+        |         LEAST(len(a.s), len(b.s)) AS min_sz
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / min_sz AS containment
+        |FROM pairs
+        |WHERE inter > 0 AND inter * 100 >= min_sz * 80
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_minhash_lsh" -> jaccardOracle,
 
     // CDC replay: same injected shifted copies, same md5-boundary rule,

@@ -392,6 +392,32 @@ object Dedup {
     verifyJaccard(sharedShingleCandidates(sh, maxShingleFreq), sh, threshold)
   }
 
+  /** Asymmetric CONTAINMENT (overlap-coefficient) near-dup pairs:
+    * containment = |A∩B| / min(|A|,|B|) over distinct n-gram shingle
+    * sets — the doc-inside-doc signal Jaccard dilutes (a page embedded
+    * verbatim in a 100× larger page has Jaccard ≈ 0.01 but containment
+    * 1.0; this is the gate that catches boilerplate-wrapped copies and
+    * quote-heavy near-dups). Candidates from shared shingles (the same
+    * pruned merge-hinted path as [[ngramJaccardPairs]] — work ∝ shingle
+    * collisions, never corpus²). The threshold test is INTEGER
+    * (100·|∩| ≥ pct·min) so pair-set membership is engine-exact; the
+    * reported score is one IEEE division of those exact integers. */
+  def containmentPairs(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, pct: Int = 80,
+      maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
+    sharedShingleCandidates(sh, maxShingleFreq)
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("min_sz", least(size(col("sh_a")), size(col("sh_b"))))
+      .filter(col("inter") * 100 >= col("min_sz") * pct)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("min_sz")).as("containment"))
+  }
+
   /** md5-derived 60-bit token hash: the first 15 hex chars of md5(token)
     * parsed as an integer. Slower than xxhash64 but reproducible in any
     * engine with an md5() (DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT) —

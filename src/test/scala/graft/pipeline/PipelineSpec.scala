@@ -190,6 +190,42 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       lsh shouldBe exact
     }
 
+    "containment catches a doc embedded in a much larger doc that Jaccard misses" in {
+      import spark.implicits._
+      val small = "alpha beta gamma delta epsilon zeta"
+      val filler = (1 to 60).map(i => s"tok$i").mkString(" ")
+      val df = Seq(
+        (1L, small),                    // the contained page
+        (2L, s"$filler $small"),        // wrapped verbatim in 10x boilerplate
+        (3L, "unrelated words entirely different content here")
+      ).toDF("doc_id", "text")
+      val cont = Dedup.containmentPairs(df, "text", "doc_id", n = 3, pct = 80)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // every 3-shingle of doc 1 appears in doc 2 => containment 1.0
+      cont.keySet shouldBe Set((1L, 2L))
+      cont((1L, 2L)) shouldBe 1.0
+      // while Jaccard on the same pair is far below any dedup threshold
+      val jac = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        n = 3, threshold = 0.5).collect()
+      jac shouldBe empty
+    }
+
+    "containment threshold is the exact integer predicate" in {
+      import spark.implicits._
+      // doc 4 has 5 shingles, 4 of which appear in doc 5: 4*100 >= 5*80
+      // holds exactly at the boundary; doc 6 shares 3 of 5: below
+      val df = Seq(
+        (4L, "a b c d e f g"),            // shingles: abc bcd cde def efg
+        (5L, "a b c d e f x"),            // shares abc bcd cde def (4 of 5)
+        (6L, "a b c d e x y")             // shares abc bcd cde     (3 of 5)
+      ).toDF("doc_id", "text")
+      val got = Dedup.containmentPairs(df, "text", "doc_id", n = 3, pct = 80)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      got.keySet should contain((4L, 5L))   // 0.8 passes (>=)
+      got.keySet should not contain ((4L, 6L)) // 0.6 fails
+      got((4L, 5L)) shouldBe 0.8
+    }
+
     "incremental dedup = cross-corpus subset of the exact pair set, oriented batch→corpus" in {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)
