@@ -46,7 +46,8 @@ object Bench {
     "stat_unpivot",
     "graph_pagerank", "embed_robust_scale", "q4_order_priority",
     "q13_customer_distribution", "w3_moving_avg",
-    "dedup_containment", "w4_rank_family", "e12_gap_fill")
+    "dedup_containment", "w4_rank_family", "e12_gap_fill",
+    "stat_winsorize", "src_bucketed_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2155,6 +2155,68 @@ object SparkEntry {
         .orderBy("lang", "p")
     }),
 
+    "stat_winsorize" -> ((s, dir) => {
+      // quantile clipping (winsorization): per-lang token counts clamped
+      // into [q05, q95] of their own language — the outlier-clamp step
+      // before a length feature feeds a model. Exact discrete quantiles
+      // (groupQuantiles), group-sized broadcast bounds, shuffle-free
+      // clamp projection; integers end-to-end
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("raw_tokens"))
+      graft.pipeline.Stats.winsorize(docs, "lang", col("raw_tokens"),
+          pLo = 0.05, pHi = 0.95)
+        .select(col("doc_id"), col("lang"), col("raw_tokens"),
+          col("winsorized"))
+        .orderBy("doc_id")
+    }),
+
+    "src_bucketed_join" -> ((s, dir) => {
+      // co-located bucketed join ON the oracle board: both sides written
+      // bucketBy(16) on the join key once (memoized setup — the 100 TB
+      // bargain: one bucketed write buys every later join/agg on that
+      // key), then orders⋈customer + the per-customer aggregate plan
+      // ZERO Exchange (asserted below); bucketing must not change a
+      // single value, so the oracle replays the plain join on raw tables
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+      prepared(s, s"bucketed:$dir") {
+        // clear BOTH layers: the in-memory catalog dies with the JVM but
+        // the warehouse directory survives — a stale location blocks
+        // saveAsTable even in Overwrite mode (BucketedStoreSpec's lesson)
+        for (name <- Seq(s"b_orders$tag", s"b_customer$tag")) {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+        graft.sources.BucketedStore.write(
+          t(s, dir, "orders"), s"b_orders$tag", "o_custkey", 16)
+        graft.sources.BucketedStore.write(
+          t(s, dir, "customer").select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment")), s"b_customer$tag", "o_custkey", 16)
+      }
+      // group by the RAW bucket-key attribute: an aliased grouping
+      // expression defeats the planner's partitioning-subset check and
+      // reintroduces the exchange the layout paid to remove
+      val agg = graft.sources.BucketedStore
+        .colocatedJoin(s, s"b_orders$tag", s"b_customer$tag", "o_custkey")
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          decAsDouble(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DecimalType(38, 2))).as("total"))
+      // ban SHUFFLE exchanges only (ShuffleExchangeExec renders as bare
+      // "Exchange …"): at gate scale the planner rightly broadcasts the
+      // small dim side — a BroadcastExchange moves no fact rows and the
+      // aggregate still reuses the bucketed partitioning; at corpus scale
+      // the same layout serves the zero-shuffle sort-merge join
+      require(!"(?<!Broadcast)Exchange".r
+          .findFirstIn(agg.queryExecution.executedPlan.toString).isDefined,
+        "bucketed join + bucket-key aggregate must plan zero shuffle Exchange")
+      agg.select(col("o_custkey").as("custkey"),
+          col("c_mktsegment").as("mktsegment"),
+          col("n_orders"), col("total"))
+        .orderBy("custkey")
+    }),
+
     "stat_rollup" -> ((s, dir) => {
       // hierarchical corpus report in ONE pass: per (lang, source), per
       // lang, and grand total via ROLLUP — integer aggregates only, so
@@ -4063,6 +4125,40 @@ object SparkEntry {
         |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY b, doc_id) AS rn
         |      FROM ev)
         |SELECT doc_id, h FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "stat_winsorize" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, lang,
+        |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                   ELSE $WsTokensSql END AS BIGINT) AS raw_tokens
+        |  FROM documents),
+        |counts AS (
+        |  SELECT lang, raw_tokens AS v, COUNT(*) AS c FROM base GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v,
+        |         SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+        |         SUM(c) OVER (PARTITION BY lang) AS n
+        |  FROM counts),
+        |qs AS (
+        |  SELECT lang, p, MIN(v) AS q
+        |  FROM cum CROSS JOIN
+        |    (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS p) ps
+        |  WHERE cum >= greatest(1, ceil(n * p))
+        |  GROUP BY 1, 2),
+        |lo AS (SELECT lang, q AS qlo FROM qs WHERE p = 0.05::DOUBLE),
+        |hi AS (SELECT lang, q AS qhi FROM qs WHERE p = 0.95::DOUBLE)
+        |SELECT b.doc_id, b.lang, b.raw_tokens,
+        |       LEAST(GREATEST(b.raw_tokens, lo.qlo), hi.qhi) AS winsorized
+        |FROM base b JOIN lo USING (lang) JOIN hi USING (lang)
+        |ORDER BY doc_id""".stripMargin,
+
+    "src_bucketed_join" ->
+      """SELECT o_custkey AS custkey, c_mktsegment AS mktsegment,
+        |       COUNT(*) AS n_orders,
+        |       CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY custkey""".stripMargin,
 
     "stat_quantiles" ->
       s"""WITH counts AS (

@@ -191,6 +191,41 @@ object Dedup {
       .distinct()
   }
 
+  /** Co-shingle pair table WITH exact intersection counts:
+    * (id_a, id_b, inter, sz_a, sz_b) for every pair sharing ≥ 1 shingle.
+    * Shingle sets are DISTINCT per doc, so each shared shingle joins to
+    * exactly one row — the per-pair row count IS |A∩B|, and the pair
+    * aggregation replaces [[sharedShingleCandidates]]' distinct at the
+    * same shuffle width. Set sizes ride back on two NARROW (id, |sh|)
+    * merge joins; the shingle ARRAYS never cross a second shuffle and no
+    * per-pair array_intersect runs (the verifyJaccard shape re-ships
+    * corpus-sized arrays twice — right for sparse LSH candidates where
+    * the arrays are the only intersection source, wasteful for the full
+    * co-shingle scan where the join already counted it). */
+  private def coShingleCounts(
+      shingled: DataFrame, maxShingleFreq: Option[Int]): DataFrame = {
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("s")).hint("merge")
+    val pruned = maxShingleFreq match {
+      case Some(m) =>
+        val freq = exploded.groupBy("s").count().filter(col("count") <= m).hint("merge")
+        exploded.join(freq.select("s"), Seq("s"), "left_semi")
+      case None => exploded
+    }
+    // hint both sides (the prune node doesn't carry the hint through —
+    // see sharedShingleCandidates)
+    val pairs = pruned.hint("merge").alias("a")
+      .join(pruned.hint("merge").alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = shingled.select(col("id"), size(col("sh")).as("sz"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
+        .hint("merge"), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
+        .hint("merge"), "id_b")
+  }
+
   /** Exact Jaccard verification of candidate pairs: join each side's
     * shingle set back in (only for candidates — linear in candidate
     * count), compute |∩| / |∪|. */
@@ -389,7 +424,11 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
-    verifyJaccard(sharedShingleCandidates(sh, maxShingleFreq), sh, threshold)
+    coShingleCounts(sh, maxShingleFreq)
+      .withColumn("jaccard",
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Asymmetric CONTAINMENT (overlap-coefficient) near-dup pairs:
@@ -407,12 +446,8 @@ object Dedup {
       n: Int = 3, pct: Int = 80,
       maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
-    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
-    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
-    sharedShingleCandidates(sh, maxShingleFreq)
-      .join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("min_sz", least(size(col("sh_a")), size(col("sh_b"))))
+    coShingleCounts(sh, maxShingleFreq)
+      .withColumn("min_sz", least(col("sz_a"), col("sz_b")))
       .filter(col("inter") * 100 >= col("min_sz") * pct)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("min_sz")).as("containment"))

@@ -51,6 +51,29 @@ object Stats {
       .agg(min(col("__v")).as("q"))
   }
 
+  /** Per-group winsorization (quantile clipping — the outlier-clamp step
+    * before length/score features feed a model): every value is clamped
+    * into [q(pLo), q(pHi)] of its OWN group, quantiles as the exact
+    * discrete order statistics of [[groupQuantiles]]. The quantile table
+    * is group-sized and broadcast; the data pass is a shuffle-free
+    * least/greatest projection, so the corpus never shuffles. Integer
+    * inputs stay integer end-to-end — engine-exact by construction.
+    * Output: the input row plus `winsorized`. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"pLo $pLo must be < pHi $pHi")
+    val v = df.withColumn("__v", valueCol)
+    val qs = groupQuantiles(v, groupCol, col("__v"), Seq(pLo, pHi))
+    val lo = qs.filter(col("p") === pLo)
+      .select(col(groupCol), col("q").as("__lo"))
+    val hi = qs.filter(col("p") === pHi)
+      .select(col(groupCol), col("q").as("__hi"))
+    v.join(broadcast(lo), groupCol).join(broadcast(hi), groupCol)
+      .withColumn("winsorized",
+        least(greatest(col("__v"), col("__lo")), col("__hi")))
+      .drop("__v", "__lo", "__hi")
+  }
+
   /** Top-k most frequent whitespace tokens with exact counts (heavy
     * hitters). explode → two-phase count (map-side combine absorbs the
     * token skew: each task pre-folds its own 'the's) → global top-k via

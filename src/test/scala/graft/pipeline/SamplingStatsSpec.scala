@@ -41,6 +41,34 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.winsorize" - {
+    "clamps into each group's own exact [q(pLo), q(pHi)]" in {
+      import spark.implicits._
+      // group g: 1..21 → qLo = ceil(21·0.05) = 2nd smallest = 2,
+      // qHi = ceil(21·0.95) = 20th = 20 (both as the SAME IEEE double
+      // products any replaying engine computes).
+      // group c is constant: lo = hi, everything clamps to the constant.
+      val df = (1 to 21).map(v => ("g", v.toLong))
+        .++(Seq(("c", 7L), ("c", 7L))).toDF("grp", "v")
+      val got = Stats.winsorize(df, "grp", col("v"), 0.05, 0.95)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      got(("g", 1L)) shouldBe 2L   // below qLo -> clamped up
+      got(("g", 2L)) shouldBe 2L
+      got(("g", 20L)) shouldBe 20L
+      got(("g", 21L)) shouldBe 20L // above qHi -> clamped down
+      got(("g", 10L)) shouldBe 10L // interior untouched
+      got(("c", 7L)) shouldBe 7L
+    }
+
+    "rejects an inverted quantile pair" in {
+      import spark.implicits._
+      val df = Seq(("g", 1L)).toDF("grp", "v")
+      an[IllegalArgumentException] should be thrownBy
+        Stats.winsorize(df, "grp", col("v"), 0.9, 0.1)
+    }
+  }
+
   "Stats.groupQuantiles" - {
     "matches the definition q(p) = min{v : |x <= v| >= ceil(p*n)}" in {
       import spark.implicits._
