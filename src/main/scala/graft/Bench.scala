@@ -47,7 +47,8 @@ object Bench {
     "graph_pagerank", "embed_robust_scale", "q4_order_priority",
     "q13_customer_distribution", "w3_moving_avg",
     "dedup_containment", "w4_rank_family", "e12_gap_fill",
-    "stat_winsorize", "src_bucketed_join")
+    "stat_winsorize", "src_bucketed_join", "st18_stream_static_join",
+    "stat_grouping_sets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

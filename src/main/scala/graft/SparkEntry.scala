@@ -1159,6 +1159,37 @@ object SparkEntry {
       s.read.parquet(s"$base/out").orderBy("click_id", "view_id")
     }),
 
+    "st18_stream_static_join" -> ((s, dir) => {
+      // stream-STATIC enrichment join under a REAL micro-batch executor:
+      // the static dimension (per-type counts — a catalog dimension
+      // table in production) sits in parquet and joins into every
+      // micro-batch with NO streaming state (stateless per-row
+      // enrichment, the most common production streaming shape after
+      // aggregation); the final table is independent of the trigger
+      // split, which is exactly what the batch oracle replays
+      val base = scratchDir(s, "st18", dir)
+      val ev = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"))
+      ev.groupBy("event_type").agg(count(lit(1)).as("type_cnt"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/dim")
+      ev.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      ev.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(s"$base/in")
+      val dim = s.read.parquet(s"$base/dim")
+      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val q = stream.filter(col("user_id") < 20)
+        .join(broadcast(dim), "event_type")
+        .select("event_id", "event_type", "type_cnt")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").orderBy("event_id")
+    }),
+
     "st12_stream_hll" -> ((s, dir) => {
       // always-on distinct counting: per-source HLL registers maintained
       // across micro-batches (flatMapGroupsWithState state = 2^6 bytes +
@@ -2240,6 +2271,23 @@ object SparkEntry {
         .agg(grouping_id().cast("long").as("gid"),
           count(lit(1)).as("docs"),
           max(col("n_chars")).cast("long").as("max_chars"))
+        .orderBy(col("lang").asc_nulls_first,
+          col("source").asc_nulls_first, col("gid"))
+    }),
+
+    "stat_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS — the asymmetric general form cube/rollup can't
+      // express: exactly ((lang, source), (source), ()) in ONE
+      // expand+aggregate pass (the UNION-ALL formulation is three full
+      // corpus scans at 100 TB); grouping_id disambiguates rolled-up
+      // NULLs from data NULLs, as in stat_cube
+      t(s, dir, "documents")
+        .groupingSets(
+          Seq(Seq(col("lang"), col("source")), Seq(col("source")), Seq()),
+          col("lang"), col("source"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("docs"),
+          sum(col("n_chars")).cast("long").as("chars"))
         .orderBy(col("lang").asc_nulls_first,
           col("source").asc_nulls_first, col("gid"))
     }),
@@ -4185,6 +4233,21 @@ object SparkEntry {
         |  MAX(n_chars) AS max_chars
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin,
+
+    "st18_stream_static_join" ->
+      """WITH dim AS (
+        |  SELECT event_type, COUNT(*) AS type_cnt FROM events GROUP BY 1)
+        |SELECT event_id, event_type, type_cnt
+        |FROM events JOIN dim USING (event_type)
+        |WHERE user_id < 20 ORDER BY event_id""".stripMargin,
+
+    "stat_grouping_sets" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY GROUPING SETS ((lang, source), (source), ())
+        |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, gid""".stripMargin,
 
     "stat_cube" ->
       """SELECT lang, source,
