@@ -243,8 +243,14 @@ object Similarity {
     *
     * Output: (id, dim_idx INT 0-based, scaled DOUBLE). */
   def robustScale(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    // persist is load-bearing (the minhashDedupPairs precedent): the
+    // exploded (id, dim, x) table feeds THREE branches (median pass,
+    // deviation pass, final projection) — uncached, the scan + explode
+    // runs three times; the result is lazy and caller-consumed, so no
+    // safe unpersist point exists here
     val vals = df.select(col(idCol).as("id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
+      .persist()
     val med = Stats.groupQuantiles(vals, "d", col("x"), Seq(0.5))
       .select(col("d"), col("q").as("med"))
     // stats tables are dim-sized — broadcast; the corpus never shuffles
