@@ -2238,9 +2238,11 @@ object SparkEntry {
       // "Exchange …"): at gate scale the planner rightly broadcasts the
       // small dim side — a BroadcastExchange moves no fact rows and the
       // aggregate still reuses the bucketed partitioning; at corpus scale
-      // the same layout serves the zero-shuffle sort-merge join
-      require(!"(?<!Broadcast)Exchange".r
-          .findFirstIn(agg.queryExecution.executedPlan.toString).isDefined,
+      // the same layout serves the zero-shuffle sort-merge join. The
+      // letter lookbehind also clears ReusedExchange, whose inner
+      // "Exchange" a Broadcast-only lookbehind would flag (review)
+      require("(?<![A-Za-z])Exchange".r
+          .findFirstIn(agg.queryExecution.executedPlan.toString).isEmpty,
         "bucketed join + bucket-key aggregate must plan zero shuffle Exchange")
       agg.select(col("o_custkey").as("custkey"),
           col("c_mktsegment").as("mktsegment"),

@@ -165,26 +165,35 @@ object Dedup {
       .distinct()
   }
 
-  /** Candidate pairs sharing at least one shingle — deterministic and
-    * complete for Jaccard > 0 (used as the exact-oracle path). At scale,
-    * `maxShingleFreq` drops stop-shingles whose buckets would explode
-    * quadratically (a shingle shared by m docs contributes m² pairs);
-    * prefer [[lshCandidatePairs]] beyond ~10⁶ docs. */
-  def sharedShingleCandidates(
-      shingled: DataFrame, maxShingleFreq: Option[Int] = None): DataFrame = {
-    // merge hints: every side here is corpus-sized (see lshCandidatePairs
-    // — the static size estimate under a shingle projection is ~1000× low,
-    // and a mis-planned broadcast of an exploded shingle table is fatal)
+  /** Shared candidate-generation prologue: the exploded (id, shingle)
+    * table, optionally pruned of stop-shingles occurring in more than
+    * `maxShingleFreq` docs (a shingle shared by m docs contributes m²
+    * pairs). Merge hints throughout: every side here is corpus-sized
+    * (see lshCandidatePairs — the static size estimate under a shingle
+    * projection is ~1000× low, and a mis-planned broadcast of an
+    * exploded shingle table is fatal); callers must RE-hint before
+    * joining — the optional left-semi prune node between the hinted
+    * `exploded` and a downstream join does not carry the hint through
+    * (same trap substringDupPairs hit — a corpus-sized BuildRight). */
+  private def prunedExplodedShingles(
+      shingled: DataFrame, maxShingleFreq: Option[Int]): DataFrame = {
     val exploded = shingled.select(col("id"), explode(col("sh")).as("s")).hint("merge")
-    val pruned = maxShingleFreq match {
+    maxShingleFreq match {
       case Some(m) =>
         val freq = exploded.groupBy("s").count().filter(col("count") <= m).hint("merge")
         exploded.join(freq.select("s"), Seq("s"), "left_semi")
       case None => exploded
     }
-    // hint the join sides too: the optional left-semi prune node between
-    // the hinted `exploded` and this join does not carry the hint through
-    // (same trap substringDupPairs hit — a corpus-sized BuildRight)
+  }
+
+  /** Candidate pairs sharing at least one (surviving) shingle —
+    * deterministic and complete for Jaccard > 0 (used as the
+    * exact-oracle path). At scale, `maxShingleFreq` drops stop-shingles
+    * from CANDIDATE GENERATION only — verification still sees full
+    * shingle sets; prefer [[lshCandidatePairs]] beyond ~10⁶ docs. */
+  def sharedShingleCandidates(
+      shingled: DataFrame, maxShingleFreq: Option[Int] = None): DataFrame = {
+    val pruned = prunedExplodedShingles(shingled, maxShingleFreq)
     pruned.hint("merge").alias("a").join(pruned.hint("merge").alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -201,18 +210,15 @@ object Dedup {
     * per-pair array_intersect runs (the verifyJaccard shape re-ships
     * corpus-sized arrays twice — right for sparse LSH candidates where
     * the arrays are the only intersection source, wasteful for the full
-    * co-shingle scan where the join already counted it). */
-  private def coShingleCounts(
-      shingled: DataFrame, maxShingleFreq: Option[Int]): DataFrame = {
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("s")).hint("merge")
-    val pruned = maxShingleFreq match {
-      case Some(m) =>
-        val freq = exploded.groupBy("s").count().filter(col("count") <= m).hint("merge")
-        exploded.join(freq.select("s"), Seq("s"), "left_semi")
-      case None => exploded
-    }
-    // hint both sides (the prune node doesn't carry the hint through —
-    // see sharedShingleCandidates)
+    * co-shingle scan where the join already counted it).
+    *
+    * UNPRUNED ONLY: under a stop-shingle prune the joined row count is
+    * |A∩B minus pruned shingles| — a numerator that no longer matches
+    * the full-set sizes — so pruned callers must take the
+    * candidates + full-array verify path instead (review finding,
+    * round 9). */
+  private def coShingleCounts(shingled: DataFrame): DataFrame = {
+    val pruned = prunedExplodedShingles(shingled, None)
     val pairs = pruned.hint("merge").alias("a")
       .join(pruned.hint("merge").alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -424,11 +430,19 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.5,
       maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
-    coShingleCounts(sh, maxShingleFreq)
-      .withColumn("jaccard",
-        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    maxShingleFreq match {
+      // a stop-shingle prune must not distort the SCORE (full-set
+      // Jaccard on pruned candidates is the documented contract), so
+      // the pruned path verifies against the full arrays
+      case Some(_) =>
+        verifyJaccard(sharedShingleCandidates(sh, maxShingleFreq), sh, threshold)
+      case None =>
+        coShingleCounts(sh)
+          .withColumn("jaccard",
+            col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
   }
 
   /** Asymmetric CONTAINMENT (overlap-coefficient) near-dup pairs:
@@ -446,9 +460,24 @@ object Dedup {
       n: Int = 3, pct: Int = 80,
       maxShingleFreq: Option[Int] = None): DataFrame = {
     val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
-    coShingleCounts(sh, maxShingleFreq)
+    val counted = maxShingleFreq match {
+      // same contract as ngramJaccardPairs: a stop-shingle prune scopes
+      // CANDIDATE GENERATION only — the score always uses full sets
+      case Some(_) =>
+        val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
+        val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
+        sharedShingleCandidates(sh, maxShingleFreq)
+          .join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+            size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
+      case None => coShingleCounts(sh)
+    }
+    counted
       .withColumn("min_sz", least(col("sz_a"), col("sz_b")))
-      .filter(col("inter") * 100 >= col("min_sz") * pct)
+      // long arithmetic: an INT min_sz·pct overflows past ~27M shingles
+      // (ANSI mode would kill the job on one pathological blob)
+      .filter(col("inter") * 100 >= col("min_sz").cast("long") * pct)
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / col("min_sz")).as("containment"))
   }

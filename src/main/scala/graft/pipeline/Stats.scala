@@ -65,13 +65,18 @@ object Stats {
     val v = df.withColumn("__v", valueCol)
     val qs = groupQuantiles(v, groupCol, col("__v"), Seq(pLo, pHi))
     val lo = qs.filter(col("p") === pLo)
-      .select(col(groupCol), col("q").as("__lo"))
+      .select(col(groupCol).as("__glo"), col("q").as("__lo"))
     val hi = qs.filter(col("p") === pHi)
-      .select(col(groupCol), col("q").as("__hi"))
-    v.join(broadcast(lo), groupCol).join(broadcast(hi), groupCol)
+      .select(col(groupCol).as("__ghi"), col("q").as("__hi"))
+    // null-SAFE left joins: a NULL group key is data, not absence — an
+    // equi join would silently drop those rows (review finding, round 9);
+    // a group with no non-null values has no quantile row and its rows
+    // pass through with winsorized = null
+    v.join(broadcast(lo), col(groupCol) <=> col("__glo"), "left")
+      .join(broadcast(hi), col(groupCol) <=> col("__ghi"), "left")
       .withColumn("winsorized",
         least(greatest(col("__v"), col("__lo")), col("__hi")))
-      .drop("__v", "__lo", "__hi")
+      .drop("__v", "__lo", "__hi", "__glo", "__ghi")
   }
 
   /** Top-k most frequent whitespace tokens with exact counts (heavy

@@ -226,6 +226,30 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got((4L, 5L)) shouldBe 0.8
     }
 
+    "a stop-shingle prune scopes candidates only — the score is full-set Jaccard" in {
+      import spark.implicits._
+      // shingle "x y z" occurs in 5 docs (> m=4) and is pruned from
+      // candidate generation; docs 1 and 2 still pair via their rarer
+      // shared shingles, and the SCORE must count the pruned shingle in
+      // both |∩| and |∪| (3/5 = 0.6, not the hybrid 2/(4+4-2) = 0.33)
+      val df = Seq(
+        (1L, "x y z a b c"), (2L, "x y z a b d"),
+        (3L, "x y z q1 q2 q3"), (4L, "x y z r1 r2 r3"),
+        (5L, "x y z s1 s2 s3")).toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+          n = 3, threshold = 0.5, maxShingleFreq = Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      got.keySet shouldBe Set((1L, 2L))
+      got((1L, 2L)) shouldBe 0.6 // 3 shared of (4 + 4 - 3) full-set
+      // containment under the same prune: full-set intersection too
+      val cont = Dedup.containmentPairs(df, "text", "doc_id",
+          n = 3, pct = 60, maxShingleFreq = Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      cont((1L, 2L)) shouldBe 0.75 // 3 of min(4, 4)
+    }
+
     "incremental dedup = cross-corpus subset of the exact pair set, oriented batch→corpus" in {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs.filter(col("doc_id") % 2 === 1)

@@ -67,6 +67,21 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       an[IllegalArgumentException] should be thrownBy
         Stats.winsorize(df, "grp", col("v"), 0.9, 0.1)
     }
+
+    "a NULL group key is data, not absence — its rows clamp within their own group" in {
+      import spark.implicits._
+      // null group gets its own quantile bounds; an equi join would
+      // silently drop these rows (review finding, round 9)
+      val df = ((1 to 21).map(v => (null.asInstanceOf[String], v.toLong))
+        :+ ("g", 5L)).toDF("grp", "v")
+      val got = Stats.winsorize(df, "grp", col("v"), 0.05, 0.95).collect()
+      got.length shouldBe 22 // every input row survives
+      val nullRows = got.filter(_.isNullAt(0))
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      nullRows(1L) shouldBe 2L   // clamped inside the NULL group's bounds
+      nullRows(21L) shouldBe 20L
+      got.filter(!_.isNullAt(0)).map(r => r.getLong(2)).toSeq shouldBe Seq(5L)
+    }
   }
 
   "Stats.groupQuantiles" - {
