@@ -48,7 +48,7 @@ object Bench {
     "q13_customer_distribution", "w3_moving_avg",
     "dedup_containment", "w4_rank_family", "e12_gap_fill",
     "stat_winsorize", "src_bucketed_join", "st18_stream_static_join",
-    "stat_grouping_sets")
+    "stat_grouping_sets", "s2_asof_scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

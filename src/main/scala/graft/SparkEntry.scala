@@ -558,6 +558,40 @@ object SparkEntry {
       q.rows.select(col("item_id"), decAsDouble(col("d0")).as("acctbal"))
     }),
 
+    "s2_asof_scan" -> ((s, dir) => {
+      import s.implicits._
+      // TIME TRAVEL over the revisioned content log: the same collection
+      // scanned live AND as of the pre-patch revision cutoff — the
+      // snapshot-read capability the revision model buys (superseded
+      // rows survive until compaction, as in the reference's Cassandra
+      // log). asOf is a log filter BELOW the latest-revision window,
+      // landing on the scan next to the partition pruning
+      val sup = t(s, dir, "supplier")
+      val puts = sup.select(
+        col("s_suppkey").cast("long").as("seq"), lit("PUT").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        to_json(struct(col("s_acctbal").as("acctbal"))).as("body")).as[WriteOp]
+      val r1 = emptyStore(s).applyOps(puts)
+      val st1 = HyperStorage(s, r1.log.persist())
+      val patches = sup.filter(col("s_suppkey") <= 20).select(
+        (col("s_suppkey") + 1000).cast("long").as("seq"),
+        lit("PATCH").as("method"),
+        concat(lit("suppliers~/"), col("s_suppkey").cast("string")).as("path"),
+        to_json(struct((col("s_acctbal") + 10000).as("acctbal"))).as("body"))
+        .as[WriteOp]
+      // the pre-patch snapshot cutoff is the collection revision after
+      // the PUT batch — read through the engine's own static-revision API
+      val cut = st1.revisionOf("suppliers~")
+      val st = HyperStorage(s, st1.applyOps(patches).log.persist())
+      val now = st.query("suppliers~", size = Int.MaxValue, skipMax = -1)
+        .rows.select(col("item_id"),
+          j("body", "acctbal").cast("double").as("acctbal_now"))
+      val v1 = st.asOf(cut).query("suppliers~", size = Int.MaxValue, skipMax = -1)
+        .rows.select(col("item_id"),
+          j("body", "acctbal").cast("double").as("acctbal_v1"))
+      now.join(v1, "item_id").orderBy("item_id")
+    }),
+
     "m8_index_maintenance" -> ((s, dir) => {
       import s.implicits._
       val sup = t(s, dir, "supplier")
@@ -3092,6 +3126,13 @@ object SparkEntry {
         |FROM customer
         |WHERE c_acctbal > 0 AND c_mktsegment = 'BUILDING'
         |ORDER BY c_acctbal, item_id LIMIT 10""".stripMargin,
+
+    "s2_asof_scan" ->
+      """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,
+        |       CASE WHEN s_suppkey <= 20 THEN s_acctbal + 10000
+        |            ELSE s_acctbal END AS acctbal_now,
+        |       s_acctbal AS acctbal_v1
+        |FROM supplier ORDER BY item_id""".stripMargin,
 
     "m8_index_maintenance" ->
       """SELECT CAST(s_suppkey AS VARCHAR) AS item_id,

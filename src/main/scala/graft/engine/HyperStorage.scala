@@ -145,6 +145,35 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
   private def latestFor(uri: String): DataFrame =
     Content.latestRows(log.filter(uriPruner(uri) && col("document_uri") === uri))
 
+  /** Time-travel view, COLLECTION-revision cutoff: every read — get,
+    * query, pagination, static row — sees the state as of collection
+    * revision `maxRevision` inclusive. Revisions are monotone per
+    * collection (each write bumps the static revision and stamps the
+    * row with it — the reference's model), so within a collection this
+    * is a CONSISTENT snapshot: exactly the first `maxRevision` writes.
+    * Across collections each counter runs independently; for a
+    * wall-clock-consistent cross-collection point use [[asOfTime]].
+    * The revision model keeps superseded rows until compaction (as the
+    * reference's Cassandra log does, scheme.cql revision column), so
+    * the snapshot read is just a log filter — and it lands BELOW the
+    * latest-revision window on every path, i.e. directly on the scan
+    * next to the URI/partition pruning predicates. Writes through a
+    * snapshot view are not meaningful; use the live storage. */
+  def asOf(maxRevision: Long): HyperStorage =
+    new HyperStorage(spark, log.filter(col("revision") <= maxRevision),
+      uriPruner)
+
+  /** Time-travel view, CHRONOLOGICAL cutoff: the state as of wall-clock
+    * `millis` inclusive — rows written by later batches (their
+    * `modified_at` batch timestamp) do not exist for it. A consistent
+    * cross-document snapshot when batch timestamps are monotone, which
+    * the write path guarantees per storage lineage. Same scan-level
+    * filter shape as [[asOf]]. */
+  def asOfTime(millis: Long): HyperStorage =
+    new HyperStorage(spark,
+      log.filter(col("modified_at") <= timestamp_millis(lit(millis))),
+      uriPruner)
+
   /** S1 point get: document (itemId="") or collection item. Deleted
     * documents / items of deleted collections are invisible. */
   def get(path: String): Option[Row] = getDF(path).collect().headOption

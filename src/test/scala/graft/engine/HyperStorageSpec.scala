@@ -48,6 +48,46 @@ class HyperStorageSpec extends AnyFreeSpec with Matchers with SparkFixture {
       ts(HyperStorage(spark, r3.log), "a") shouldBe ((1000L, 3000L))
     }
 
+    "asOf reads the state as of a collection-revision cutoff (time travel)" in {
+      // writes stamp the monotone collection revision: a=1, b=2, a=3,
+      // delete-b=4 — asOf(k) is exactly the first k writes
+      val r = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PUT", "docs~/b", """{"y":1}"""),
+        WriteOp(3, "PUT", "docs~/a", """{"x":2}"""),
+        WriteOp(4, "DELETE", "docs~/b", null)))
+      val st = HyperStorage(spark, r.log)
+      // live: a at its second write, b tombstoned
+      bodies(st, "docs~") shouldBe Map("a" -> """{"x":2,"id":"a"}""")
+      val v2 = st.asOf(2)
+      bodies(v2, "docs~") shouldBe Map(
+        "a" -> """{"x":1,"id":"a"}""", "b" -> """{"y":1,"id":"b"}""")
+      v2.revisionOf("docs~") shouldBe 2
+      // the cutoff hides the tombstone (write 4), not just superseded
+      // bodies (write 3)
+      v2.get("docs~/b").isDefined shouldBe true
+      st.get("docs~/b").isDefined shouldBe false
+      // after only write 1, b does not exist yet
+      bodies(st.asOf(1), "docs~") shouldBe Map("a" -> """{"x":1,"id":"a"}""")
+      // asOf(0): nothing exists at revision <= 0
+      a[NotFound] should be thrownBy st.asOf(0).query("docs~")
+    }
+
+    "asOfTime reads the chronological state at a batch-timestamp cutoff" in {
+      val r1 = store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}""")), batchTsMillis = 1000L)
+      val r2 = HyperStorage(spark, r1.log).applySeq(Seq(
+        WriteOp(2, "PUT", "docs~/a", """{"x":2}"""),
+        WriteOp(3, "PUT", "late~/c", """{"z":1}""")), batchTsMillis = 2000L)
+      val st = HyperStorage(spark, r2.log)
+      bodies(st, "docs~")("a") shouldBe """{"x":2,"id":"a"}"""
+      val t1 = st.asOfTime(1000L)
+      bodies(t1, "docs~")("a") shouldBe """{"x":1,"id":"a"}"""
+      // chronological: late~ was created by the SECOND batch and is
+      // invisible at t=1000 even though its row is revision 1
+      a[NotFound] should be thrownBy t1.query("late~")
+    }
+
     "PATCH merges shallowly and null-deletes" in {
       val r = store.applySeq(Seq(
         WriteOp(1, "PUT", "docs~/a", """{"text1":"abc","text2":"klmn"}"""),
