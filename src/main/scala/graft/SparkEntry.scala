@@ -1604,6 +1604,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      // prefix-filtered set-similarity join (AllPairs/ppjoin): LOSSLESS
+      // candidate pruning for Jaccard >= t — candidates come only from
+      // collisions among each set's rarest |s|−⌈t·|s|⌉+1 shingles, yet
+      // the gate verifies the output equals the BRUTE-FORCE ground
+      // truth (the oracle is the same full cross check the unfiltered
+      // path gates against)
+      Dedup.ngramJaccardPairsPrefix(t(s, dir, "documents"), "text",
+          "doc_id", n = 3, threshold = 0.9)
+        .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
+    }),
+
     "dedup_containment" -> ((s, dir) => {
       // asymmetric containment (overlap coefficient): the doc-inside-doc
       // signal Jaccard dilutes — integer threshold test so the pair set
@@ -3580,6 +3592,10 @@ object SparkEntry {
         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" -> jaccardOracle,
+    // the prefix-filtered path must reproduce the brute-force ground
+    // truth EXACTLY — losslessness is what the gate verifies; t = 0.9
+    // is the technique's regime (prefix ≈ 10% of each set)
+    "dedup_jaccard_prefix" -> jaccardOracleAt("0.9"),
 
     // brute-force containment ground truth: candidates-from-shared-shingles
     // is exactly the inter > 0 pair set, so the full cross check replays
@@ -6073,8 +6089,13 @@ object SparkEntry {
     sb.toString
   }
 
-  private def jaccardOracle: String =
-    """WITH toks AS (
+  private def jaccardOracle: String = jaccardOracleAt("0.5")
+
+  /** Brute-force Jaccard ground truth at a threshold; the threshold
+    * routes through a VARCHAR cast (bare DuckDB literals are DECIMAL,
+    * and DECIMAL→DOUBLE is not correctly rounded — the r6 lesson). */
+  private def jaccardOracleAt(threshold: String): String =
+    s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (
       |  SELECT doc_id,
@@ -6090,6 +6111,7 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT id_a, id_b FROM pairs
       |WHERE inter > 0
-      |  AND CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5
+      |  AND CAST(inter AS DOUBLE) / (la + lb - inter)
+      |      >= CAST('$threshold' AS DOUBLE)
       |ORDER BY id_a, id_b""".stripMargin
 }

@@ -232,6 +232,44 @@ object Dedup {
         .hint("merge"), "id_b")
   }
 
+  /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/ppjoin candidate
+    * pruning, Bayardo et al. WWW'07; Chaudhuri et al. ICDE'06): for
+    * Jaccard(A,B) ≥ t we must have |A∩B| ≥ ⌈t·|A|⌉, so under ANY common
+    * total order of shingles the first |A| − ⌈t·|A|⌉ + 1 shingles of A
+    * and the corresponding prefix of B must share an element — pairs
+    * can be generated from PREFIX collisions only, LOSSLESSLY. Ordering
+    * by global rarity (document frequency ASC, shingle ASC) makes those
+    * prefixes the rarest shingles, so candidate volume collapses
+    * against the all-shared-shingle join while the OUTPUT is provably
+    * identical to [[ngramJaccardPairs]] — the candidate generator for
+    * high thresholds at corpus scale (t = 0.8 keeps ~20% of each set's
+    * shingles as prefix). Costs one extra df aggregate + one id-keyed
+    * window over the exploded table; verification joins the full
+    * shingle arrays exactly as the unfiltered path does. */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(df, textCol, idCol, n).persist() // see minhashDedupPairs
+    // the set size rides the explode — a second count-over-partition
+    // window would re-aggregate what size(sh) already knows
+    val exploded = sh.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s")).hint("merge")
+    val dfreq = exploded.groupBy("s").agg(count(lit(1)).as("df")).hint("merge")
+    val byDoc = Window.partitionBy("id").orderBy("df", "s")
+    val prefix = exploded.hint("merge").join(dfreq, "s")
+      .withColumn("rnk", row_number().over(byDoc))
+      // prefix length |s| − ⌈t·|s|⌉ + 1; ceil on the same IEEE product
+      // any replaying engine computes
+      .filter(col("rnk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select(col("id"), col("s"))
+    val cand = prefix.hint("merge").alias("a")
+      .join(prefix.hint("merge").alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(cand, sh, threshold)
+  }
+
   /** Exact Jaccard verification of candidate pairs: join each side's
     * shingle set back in (only for candidates — linear in candidate
     * count), compute |∩| / |∪|. */

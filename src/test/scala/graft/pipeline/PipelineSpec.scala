@@ -226,6 +226,42 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got((4L, 5L)) shouldBe 0.8
     }
 
+    "prefix-filtered Jaccard join is LOSSLESS and actually prunes" in {
+      // equivalence on the shared gate corpus: prefix path ≡ brute path
+      val brute = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, "text", "doc_id")
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute should not be empty
+      pref shouldBe brute
+    }
+
+    "prefix filter drops candidate pairs the all-shared join would generate" in {
+      import spark.implicits._
+      // docs 1/2 share ONLY the corpus-ubiquitous shingle "c1 c2 c3"
+      // (df 4 — their rarer prefixes exclude it), so the pair never
+      // becomes a candidate under t=0.9; docs 3/4 are near-identical
+      // and must still be found through their rare prefixes
+      val df = Seq(
+        (1L, "c1 c2 c3 a1 a2 a3 a4 a5 a6 a7 a8 a9"),
+        (2L, "c1 c2 c3 b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+        (3L, "c1 c2 c3 d1 d2 d3 d4 d5 d6 d7 d8 d9"),
+        (4L, "c1 c2 c3 d1 d2 d3 d4 d5 d6 d7 d8 d9")).toDF("doc_id", "text")
+      val sh = Dedup.shingled(df, "text", "doc_id", 3)
+      val allShared = Dedup.sharedShingleCandidates(sh).count()
+      val found = Dedup.ngramJaccardPairsPrefix(df, "text", "doc_id",
+          n = 3, threshold = 0.9)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      found shouldBe Set((3L, 4L)) // identical pair found, sim 1.0
+      // the all-shared generator pairs EVERY doc with every other via
+      // the ubiquitous shingles; the losslessness of the prefix cut is
+      // pinned by the equivalence test above and the oracle gate
+      allShared shouldBe 6
+    }
+
     "a stop-shingle prune scopes candidates only — the score is full-set Jaccard" in {
       import spark.implicits._
       // shingle "x y z" occurs in 5 docs (> m=4) and is pruned from
