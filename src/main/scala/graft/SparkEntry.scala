@@ -1604,6 +1604,26 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "dedup_fuzzy_keys" -> ((s, dir) => {
+      // fuzzy key matching (entity resolution): deterministic single-
+      // char-deletion typos injected on every 5th key (+1000000 ids),
+      // recovered via q-gram-blocked candidates + ONE exact integer
+      // Levenshtein per candidate; the oracle replays injection,
+      // blocking, prune and the identical DP distance
+      val base = t(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("k"))
+        .filter(length(col("k")) === 24)
+      val typos = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          concat(
+            expr("substring(k, 1, cast(doc_id % 20 as int))"),
+            expr("substring(k, cast(doc_id % 20 as int) + 2, 24)")).as("k2"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("k2").as("k"))
+      Dedup.fuzzyKeyPairs(base.unionByName(typos), "k", "doc_id",
+          maxEdits = 1, q = 4, maxGramFreq = Some(100))
+        .orderBy("id_a", "id_b")
+    }),
+
     "dedup_jaccard_prefix" -> ((s, dir) => {
       // prefix-filtered set-similarity join (AllPairs/ppjoin): LOSSLESS
       // candidate pruning for Jaccard >= t — candidates come only from
@@ -3596,6 +3616,32 @@ object SparkEntry {
     // truth EXACTLY — losslessness is what the gate verifies; t = 0.9
     // is the technique's regime (prefix ≈ 10% of each set)
     "dedup_jaccard_prefix" -> jaccardOracleAt("0.9"),
+
+    "dedup_fuzzy_keys" ->
+      """WITH base AS (
+        |  SELECT doc_id, substring(text, 1, 24) AS k FROM documents
+        |  WHERE lang = 'en' AND length(substring(text, 1, 24)) = 24),
+        |typo0 AS (
+        |  SELECT doc_id,
+        |         substring(k, 1, CAST(doc_id % 20 AS INT)) ||
+        |         substring(k, CAST(doc_id % 20 AS INT) + 2, 24) AS k2
+        |  FROM base WHERE doc_id % 5 = 0),
+        |typos AS (SELECT doc_id + 1000000 AS doc_id, k2 AS k FROM typo0),
+        |ak AS (SELECT * FROM base UNION ALL SELECT * FROM typos),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [substring(k, p, 4) FOR p IN range(1, len(k) - 4 + 2)])) AS g
+        |  FROM ak WHERE len(k) >= 4),
+        |f AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 100),
+        |gg AS (SELECT doc_id, grams.g FROM grams JOIN f USING (g)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(levenshtein(ka.k, kb.k) AS BIGINT) AS dist
+        |FROM cand JOIN ak ka ON cand.id_a = ka.doc_id
+        |          JOIN ak kb ON cand.id_b = kb.doc_id
+        |WHERE levenshtein(ka.k, kb.k) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // brute-force containment ground truth: candidates-from-shared-shingles
     // is exactly the inter > 0 pair set, so the full cross check replays

@@ -520,6 +520,50 @@ object Dedup {
         (col("inter").cast("double") / col("min_sz")).as("containment"))
   }
 
+  /** Fuzzy KEY matching (entity resolution): pairs of rows whose key
+    * strings are within `maxEdits` Levenshtein distance — the
+    * typo-tolerant join record linkage runs on names/titles/urls.
+    * Candidates come from shared character q-grams (the q-gram lemma:
+    * one edit destroys at most q grams, so keys with more than
+    * q·maxEdits grams and distance ≤ maxEdits still share one);
+    * `maxGramFreq` drops boilerplate grams carried by too many keys
+    * (shared-prefix key formats would pair everything) — that prune
+    * trades recall exactly like substringDupPairs' window prune and is
+    * replayed by the oracle. Verification is ONE exact integer
+    * Levenshtein per candidate — the classic DP distance both engines
+    * implement identically, so the whole operator is SQL-replayable.
+    * Work ∝ gram collisions, never corpus². */
+  def fuzzyKeyPairs(df: DataFrame, keyCol: String, idCol: String,
+      maxEdits: Int = 1, q: Int = 4,
+      maxGramFreq: Option[Int] = None): DataFrame = {
+    val keyed = df.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .persist() // see minhashDedupPairs
+    // kernel grams are DISTINCT per key (CharWindows contract)
+    val grams = keyed.select(col("id"),
+        explode(graft.functions.TextFunctions.char_windows(col("k"), q, 1))
+          .as("g"))
+      .hint("merge")
+    val pruned = maxGramFreq match {
+      case Some(m) =>
+        val freq = grams.groupBy("g").count().filter(col("count") <= m).hint("merge")
+        grams.join(freq.select("g"), Seq("g"), "left_semi")
+      case None => grams
+    }
+    // re-hint both sides (the prune node drops the hint — see
+    // prunedExplodedShingles)
+    val cand = pruned.hint("merge").alias("a")
+      .join(pruned.hint("merge").alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val ka = keyed.select(col("id").as("id_a"), col("k").as("k_a")).hint("merge")
+    val kb = keyed.select(col("id").as("id_b"), col("k").as("k_b")).hint("merge")
+    cand.join(ka, "id_a").join(kb, "id_b")
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= maxEdits)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** md5-derived 60-bit token hash: the first 15 hex chars of md5(token)
     * parsed as an integer. Slower than xxhash64 but reproducible in any
     * engine with an md5() (DuckDB: ('0x'||substr(md5(t),1,15))::BIGINT) —

@@ -226,6 +226,40 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got((4L, 5L)) shouldBe 0.8
     }
 
+    "fuzzy key matching recovers deletion/substitution typos within maxEdits" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "albert einstein physics"),
+        (2L, "albert einstein physic"),   // one deletion  -> dist 1
+        (3L, "albert einstein phxsics"),  // one substitution -> dist 1
+        (4L, "marie curie chemistry"),    // unrelated
+        (5L, "albert einstein history")   // shares grams, dist > 1
+      ).toDF("id", "key")
+      val got = Dedup.fuzzyKeyPairs(df, "key", "id", maxEdits = 1, q = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      got.keySet shouldBe Set((1L, 2L), (1L, 3L))
+      got((1L, 2L)) shouldBe 1L
+      got((1L, 3L)) shouldBe 1L
+      // 2 vs 3: deletion + substitution stack to distance 2 — excluded
+    }
+
+    "fuzzy key gram prune drops boilerplate-format pairs, replayably" in {
+      import spark.implicits._
+      // every key shares the format prefix; with the prefix grams pruned
+      // (freq > 2) only the genuinely-close pair survives blocking
+      val df = Seq(
+        (1L, "ITEM-00001 widget alpha"),
+        (2L, "ITEM-00001 widget alphb"),
+        (3L, "ITEM-00002 gizmos delta"),
+        (4L, "ITEM-00003 sprocket rho")
+      ).toDF("id", "key")
+      val got = Dedup.fuzzyKeyPairs(df, "key", "id",
+          maxEdits = 1, q = 4, maxGramFreq = Some(2))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe Set((1L, 2L))
+    }
+
     "prefix-filtered Jaccard join is LOSSLESS and actually prunes" in {
       // equivalence on the shared gate corpus: prefix path ≡ brute path
       val brute = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
