@@ -1604,6 +1604,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b")).orderBy("id_a", "id_b")
     }),
 
+    "graph_knn_components" -> ((s, dir) => {
+      // connected components over the k-NN graph — the cluster structure
+      // SemDeDup pruning and diversity sampling consume; min-label
+      // propagation (O(diameter) shuffle rounds, duplicateClusters),
+      // isolated vectors are their own component
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, planes = 6, dim = 64)
+        .select(col("node_id").as("id_a"), col("neighbor_id").as("id_b"))
+      val comp = Dedup.duplicateClusters(edges)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("cluster_id", "component_id")
+      emb.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("component_id"), col("vec_id")).as("component_id"))
+        .orderBy("vec_id")
+    }),
+
     "dedup_fuzzy_keys" -> ((s, dir) => {
       // fuzzy key matching (entity resolution): deterministic single-
       // char-deletion typos injected on every 5th key (+1000000 ids),
@@ -3886,6 +3905,8 @@ object SparkEntry {
 
     "graph_pagerank" -> pageRankOracle,
 
+    "graph_knn_components" -> knnComponentsOracle,
+
     "embed_robust_scale" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -5477,6 +5498,40 @@ object SparkEntry {
        |SELECT node AS vec_id, r AS rank_scaled FROM r3
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** Replay of graph_knn_components: the knn edge chain, symmetrized,
+    * then the transitive closure as a recursive CTE with min-label
+    * components; isolated vectors coalesce to themselves. */
+  private def knnComponentsOracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, v, ${bucketSql(6)} AS bucket FROM e),
+       |cand AS (
+       |  SELECT a.vec_id AS node_id, b.vec_id AS neighbor_id,
+       |         ${cosSql("a.v", "b.v")} AS sim
+       |  FROM bkt a JOIN bkt b ON a.vec_id != b.vec_id
+       |  WHERE bit_count(xor(CAST(a.bucket AS BIGINT),
+       |                      CAST(b.bucket AS BIGINT))) <= 1),
+       |rankedg AS (
+       |  SELECT node_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY node_id
+       |                            ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM cand),
+       |kedges AS (SELECT node_id, neighbor_id FROM rankedg WHERE rank <= 3),
+       |edges AS (
+       |  SELECT node_id AS a, neighbor_id AS b FROM kedges
+       |  UNION SELECT neighbor_id, node_id FROM kedges),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT x.id, e2.b FROM reach x JOIN edges e2 ON x.r = e2.a),
+       |lbl AS (SELECT id, LEAST(id, MIN(r)) AS component_id
+       |        FROM reach GROUP BY id)
+       |SELECT emb.vec_id,
+       |       COALESCE(l.component_id, emb.vec_id) AS component_id
+       |FROM embeddings emb LEFT JOIN lbl l ON emb.vec_id = l.id
+       |ORDER BY vec_id""".stripMargin
 
   private def annLshOracle: String = {
     val bucketExpr = bucketSql(4)
