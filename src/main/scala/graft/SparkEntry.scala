@@ -4319,11 +4319,15 @@ object SparkEntry {
         |    (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS p) ps
         |  WHERE cum >= greatest(1, ceil(n * p))
         |  GROUP BY 1, 2),
-        |lo AS (SELECT lang, q AS qlo FROM qs WHERE p = 0.05::DOUBLE),
-        |hi AS (SELECT lang, q AS qhi FROM qs WHERE p = 0.95::DOUBLE)
+        |lo AS (SELECT lang AS glo, q AS qlo FROM qs WHERE p = 0.05::DOUBLE),
+        |hi AS (SELECT lang AS ghi, q AS qhi FROM qs WHERE p = 0.95::DOUBLE)
         |SELECT b.doc_id, b.lang, b.raw_tokens,
-        |       LEAST(GREATEST(b.raw_tokens, lo.qlo), hi.qhi) AS winsorized
-        |FROM base b JOIN lo USING (lang) JOIN hi USING (lang)
+        |       CASE WHEN b.raw_tokens IS NULL THEN NULL
+        |            ELSE LEAST(GREATEST(b.raw_tokens, qlo), qhi)
+        |       END AS winsorized
+        |FROM base b
+        |LEFT JOIN lo ON b.lang IS NOT DISTINCT FROM lo.glo
+        |LEFT JOIN hi ON b.lang IS NOT DISTINCT FROM hi.ghi
         |ORDER BY doc_id""".stripMargin,
 
     "src_bucketed_join" ->

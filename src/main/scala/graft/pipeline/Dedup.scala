@@ -176,14 +176,37 @@ object Dedup {
     * `exploded` and a downstream join does not carry the hint through
     * (same trap substringDupPairs hit — a corpus-sized BuildRight). */
   private def prunedExplodedShingles(
-      shingled: DataFrame, maxShingleFreq: Option[Int]): DataFrame = {
-    val exploded = shingled.select(col("id"), explode(col("sh")).as("s")).hint("merge")
-    maxShingleFreq match {
+      shingled: DataFrame, maxShingleFreq: Option[Int]): DataFrame =
+    freqPruned(
+      shingled.select(col("id"), explode(col("sh")).as("s")).hint("merge"),
+      "s", maxShingleFreq)
+
+  /** The frequency prune itself, generic over the token column — shared
+    * by the shingle paths and [[fuzzyKeyPairs]]' gram blocking so the
+    * hint-trap-sensitive prune join lives in exactly one place. */
+  private def freqPruned(exploded: DataFrame, tokenCol: String,
+      maxFreq: Option[Int]): DataFrame =
+    maxFreq match {
       case Some(m) =>
-        val freq = exploded.groupBy("s").count().filter(col("count") <= m).hint("merge")
-        exploded.join(freq.select("s"), Seq("s"), "left_semi")
+        val freq = exploded.groupBy(tokenCol).count()
+          .filter(col("count") <= m).hint("merge")
+        exploded.join(freq.select(tokenCol), Seq(tokenCol), "left_semi")
       case None => exploded
     }
+
+  /** Full-set intersection counts for CANDIDATE pairs: join each side's
+    * shingle array back in and count |A∩B| exactly — the per-candidate
+    * verify shape ([[verifyJaccardBetween]]'s core), exposed as counts
+    * so score definitions other than Jaccard (containment etc.) reuse
+    * the same merge-hinted double join instead of hand-rolling the
+    * broadcast-trap-sensitive shape. */
+  private def fullSetCounts(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
+    val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
+    candidates.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
   }
 
   /** Candidate pairs sharing at least one (surviving) shingle —
@@ -502,13 +525,7 @@ object Dedup {
       // same contract as ngramJaccardPairs: a stop-shingle prune scopes
       // CANDIDATE GENERATION only — the score always uses full sets
       case Some(_) =>
-        val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a")).hint("merge")
-        val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b")).hint("merge")
-        sharedShingleCandidates(sh, maxShingleFreq)
-          .join(a, "id_a").join(b, "id_b")
-          .select(col("id_a"), col("id_b"),
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
-            size(col("sh_a")).as("sz_a"), size(col("sh_b")).as("sz_b"))
+        fullSetCounts(sharedShingleCandidates(sh, maxShingleFreq), sh)
       case None => coShingleCounts(sh)
     }
     counted
@@ -543,12 +560,7 @@ object Dedup {
         explode(graft.functions.TextFunctions.char_windows(col("k"), q, 1))
           .as("g"))
       .hint("merge")
-    val pruned = maxGramFreq match {
-      case Some(m) =>
-        val freq = grams.groupBy("g").count().filter(col("count") <= m).hint("merge")
-        grams.join(freq.select("g"), Seq("g"), "left_semi")
-      case None => grams
-    }
+    val pruned = freqPruned(grams, "g", maxGramFreq)
     // re-hint both sides (the prune node drops the hint — see
     // prunedExplodedShingles)
     val cand = pruned.hint("merge").alias("a")

@@ -69,13 +69,16 @@ object Stats {
     val hi = qs.filter(col("p") === pHi)
       .select(col(groupCol).as("__ghi"), col("q").as("__hi"))
     // null-SAFE left joins: a NULL group key is data, not absence — an
-    // equi join would silently drop those rows (review finding, round 9);
-    // a group with no non-null values has no quantile row and its rows
-    // pass through with winsorized = null
+    // equi join would silently drop those rows (review finding, round 9).
+    // A NULL input VALUE stays null: Spark's least/greatest SKIP nulls,
+    // so without the guard a null value would come out as the low bound —
+    // a fabricated feature (second review finding). A non-null value
+    // always has bounds (its group then has ≥ 1 non-null value).
     v.join(broadcast(lo), col(groupCol) <=> col("__glo"), "left")
       .join(broadcast(hi), col(groupCol) <=> col("__ghi"), "left")
       .withColumn("winsorized",
-        least(greatest(col("__v"), col("__lo")), col("__hi")))
+        when(col("__v").isNull, lit(null))
+          .otherwise(least(greatest(col("__v"), col("__lo")), col("__hi"))))
       .drop("__v", "__lo", "__hi", "__glo", "__ghi")
   }
 

@@ -68,6 +68,17 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         Stats.winsorize(df, "grp", col("v"), 0.9, 0.1)
     }
 
+    "a NULL input value stays NULL — least/greatest must not fabricate the low bound" in {
+      import spark.implicits._
+      val df = ((1 to 21).map(v => ("g", Some(v.toLong)))
+        :+ ("g", Option.empty[Long])).toDF("grp", "v")
+      val got = Stats.winsorize(df, "grp", col("v"), 0.05, 0.95).collect()
+      got.length shouldBe 22
+      val nullRow = got.filter(_.isNullAt(1))
+      nullRow.length shouldBe 1
+      nullRow.head.isNullAt(2) shouldBe true // not clamped to q05 = 2
+    }
+
     "a NULL group key is data, not absence — its rows clamp within their own group" in {
       import spark.implicits._
       // null group gets its own quantile bounds; an equi join would
