@@ -68,6 +68,24 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
       run(triangle, 3) shouldBe run(triangle, 3)
     }
 
+    it("matches the driver recurrence on seeded random graphs (incl. hubs and sinks)") {
+      // deterministic LCG — no Math.random in specs; graphs include
+      // self-avoiding duplicates-allowed edges, hub skew, and sinks
+      def lcg(seed: Long): Iterator[Long] =
+        Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+      for (seed <- Seq(7L, 41L, 1009L)) {
+        val rnd = lcg(seed)
+        val edges = (1 to 60).map { _ =>
+          val a = math.floorMod(rnd.next(), 25L) + 1L
+          val b = math.floorMod(rnd.next(), 25L) + 1L
+          (a, if (a == b) math.floorMod(b, 24L) + 2L else b) // no self-loop
+        }.distinct
+        withClue(s"seed $seed: ") {
+          run(edges, 3) shouldBe reference(edges, 3)
+        }
+      }
+    }
+
     it("rejects a zero-iteration or out-of-range damping request") {
       an[IllegalArgumentException] should be thrownBy
         GraphAnalytics.pageRank(triangle.toDF("src", "dst"), "src", "dst",
