@@ -2885,11 +2885,26 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
-    "mm_decode_stub" -> ((s, dir) => {
-      val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.decodeStub(s, media)
-        .select(col("media_id"), col("decoded_ok"),
-          element_at(col("features"), 1).as("f0"))
+    "mm_decode" -> ((s, dir) => {
+      // REAL codec round trip: encode one deterministic PNG per document
+      // on the executors (JDK ImageIO), decode the compressed bytes back
+      // to pixels, reduce to geometry + exact per-channel means — the
+      // oracle replays the congruence pixel function in pure SQL
+      val media = Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeImages(media)
+        .select(col("media_id"), col("decoded_ok"), col("width"),
+          col("height"), col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    "mm_resize" -> ((s, dir) => {
+      // decode → nearest-neighbor 2× downsample → re-encode PNG → decode
+      // again; output pixel (x,y) = source pixel (2x,2y), so the resized
+      // geometry and channel means replay exactly in the oracle
+      val media = Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeImages(Multimodal.resizeImages(media, factor = 2))
+        .select(col("media_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("media_id")
     }),
 
@@ -5354,10 +5369,40 @@ object SparkEntry {
         |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
 
-    "mm_decode_stub" ->
-      """SELECT doc_id AS media_id, TRUE AS decoded_ok,
-        |       CAST(strlen(text) AS DOUBLE) AS f0
-        |FROM documents ORDER BY media_id""".stripMargin,
+    // decode replay: the synthetic image's pixel (x,y) channels are
+    // linear congruences mod 256 of (doc_id, x, y) with per-id geometry
+    // W = 4 + id%5, H = 4 + id%3 — sums are exact BIGINTs, one final
+    // division to DOUBLE on both sides (same IEEE rounding)
+    "mm_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, x.range AS x, y.range AS y
+        |  FROM documents
+        |  CROSS JOIN range(8) x CROSS JOIN range(6) y
+        |  WHERE x.range < 4 + doc_id % 5 AND y.range < 4 + doc_id % 3)
+        |SELECT doc_id AS media_id, TRUE AS decoded_ok,
+        |  CAST(4 + doc_id % 5 AS INT) AS width,
+        |  CAST(4 + doc_id % 3 AS INT) AS height,
+        |  CAST(sum((7*doc_id + 3*x + 5*y) % 256) AS DOUBLE) / count(*) AS mean_r,
+        |  CAST(sum((11*doc_id + 5*x + 7*y) % 256) AS DOUBLE) / count(*) AS mean_g,
+        |  CAST(sum((13*doc_id + 9*x + 2*y) % 256) AS DOUBLE) / count(*) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // resize replay: kept pixels are the source's even coordinates
+    // (nearest-neighbor, top-left anchor), so the resized means are the
+    // same congruence summed over (2x, 2y)
+    "mm_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id, 2*x.range AS x, 2*y.range AS y
+        |  FROM documents
+        |  CROSS JOIN range(4) x CROSS JOIN range(3) y
+        |  WHERE 2*x.range < 4 + doc_id % 5 AND 2*y.range < 4 + doc_id % 3)
+        |SELECT doc_id AS media_id,
+        |  CAST((4 + doc_id % 5 + 1) // 2 AS INT) AS width,
+        |  CAST((4 + doc_id % 3 + 1) // 2 AS INT) AS height,
+        |  CAST(sum((7*doc_id + 3*x + 5*y) % 256) AS DOUBLE) / count(*) AS mean_r,
+        |  CAST(sum((11*doc_id + 5*x + 7*y) % 256) AS DOUBLE) / count(*) AS mean_g,
+        |  CAST(sum((13*doc_id + 9*x + 2*y) % 256) AS DOUBLE) / count(*) AS mean_b
+        |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """SELECT media_id, frame_idx FROM (

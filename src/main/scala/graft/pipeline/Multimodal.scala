@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus decode / feature-extract /
   * frame-sample stages.
   *
-  * The Spark-side plumbing (schema, partitioning, batch-shaped decode via
-  * mapPartitions, frame explode) is real and tested; the DECODE KERNEL
-  * ITSELF IS A STUB — this container has no image/audio codecs, so
-  * [[decodeStub]] computes deterministic fake "features" (byte histogram
-  * moments) where a real deployment would call the codec. The stub is the
-  * only piece to swap. */
+  * The image path is REAL end-to-end on the JDK's own codecs
+  * (`javax.imageio`, no extra dependency): [[syntheticPng]] encodes true
+  * PNG blobs on the executors, [[decodeImages]] decodes any
+  * PNG/JPEG/BMP/GIF blob back to pixels and reduces them to features, and
+  * [[resizeImages]] decodes, nearest-neighbor-resamples and re-encodes.
+  * All three run in mapPartitions so per-batch codec setup (ImageIO cache
+  * off, reader reuse) amortizes across rows — the same batch shape a
+  * vectorized video/audio codec would need. */
 object Multimodal {
 
   val mediaSchema: StructType = StructType(Seq(
@@ -57,13 +59,13 @@ object Multimodal {
         substring(col("media"), col("frame_idx") * chunkBytes + 1, lit(chunkBytes)))
   }
 
-  /** Resize stage STUB: byte-stride subsampling stands in for pixel
-    * resampling (a real impl decodes, resamples, re-encodes). Keeps the
-    * schema/partitioning contract of a resize: same rows, smaller blobs,
-    * meta rewritten. The stride runs in the codegen'd
-    * [[graft.functions.ByteStride]] kernel — one linear copy per blob
-    * (the previous HOF fold was interpreted AND quadratic in blob size). */
-  def resizeStub(df: DataFrame, factor: Int): DataFrame = {
+  /** Byte-stride subsampling over opaque (non-image) blobs — keeps the
+    * schema/partitioning contract of a downsample (same rows, smaller
+    * blobs, meta rewritten) for media kinds the JDK has no codec for
+    * (audio/video). The stride runs in the codegen'd
+    * [[graft.functions.ByteStride]] kernel — one linear copy per blob.
+    * For images use [[resizeImages]], which resamples real pixels. */
+  def byteSubsample(df: DataFrame, factor: Int): DataFrame = {
     df.withColumn("media",
         graft.functions.ByteStrideFunctions.byte_stride(col("media"), factor))
       .withColumn("meta", struct(
@@ -128,31 +130,149 @@ object Multimodal {
         col("nf_a"), col("nf_b"), col("jaccard"))
   }
 
-  /** Batch-shaped decode: mapPartitions so a real codec could amortize
-    * per-batch setup (model load, decoder context) across rows — the shape
-    * a vectorized decode needs. STUB kernel: deterministic byte-histogram
-    * moments instead of pixels. */
-  def decodeStub(spark: SparkSession, df: DataFrame): DataFrame = {
+  // ---- real image codec path (JDK javax.imageio — no extra deps) -------
+
+  /** Deterministic pixel function shared by [[syntheticPng]] and the
+    * DuckDB oracle replay: channel values of pixel (x, y) of image `id`
+    * are linear congruences mod 256, so any SQL engine can recompute the
+    * exact per-image channel sums the decoder must recover. Width/height
+    * vary per id so the decoder can't fake a fixed geometry. */
+  private[pipeline] def synthW(id: Long): Int = (4 + Math.floorMod(id, 5L)).toInt
+  private[pipeline] def synthH(id: Long): Int = (4 + Math.floorMod(id, 3L)).toInt
+  private[pipeline] def synthR(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(7L * id + 3L * x + 5L * y, 256L).toInt
+  private[pipeline] def synthG(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(11L * id + 5L * x + 7L * y, 256L).toInt
+  private[pipeline] def synthB(id: Long, x: Int, y: Int): Int =
+    Math.floorMod(13L * id + 9L * x + 2L * y, 256L).toInt
+
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image fixture: one REAL (losslessly decodable) PNG per input row,
+    * pixels from the deterministic congruence above — encoded with the
+    * JDK's PNG writer on the executors, never on the driver. Gives every
+    * downstream decode stage true compressed image bytes whose expected
+    * features an oracle can replay exactly. */
+  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
+      rows.map { row =>
+        val id = row.getLong(0)
+        val w = synthW(id); val h = synthH(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y,
+              (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, encodePng(img), Row("image/png", w, h, 0))
+      }
+    }(enc)
+  }
+
+  /** Real batch-shaped image decode: `javax.imageio` reads each blob
+    * (PNG/JPEG/BMP/GIF — whatever the JDK's registry handles) back to
+    * pixels and reduces them to typed features: geometry plus per-channel
+    * means (exact integer sums, one final division). Undecodable or null
+    * blobs yield `decoded_ok = false` with null features instead of
+    * failing the job — at 100 TB some fraction of a crawl is always
+    * corrupt. mapPartitions so codec setup is per-batch, not per-row. */
+  def decodeImages(df: DataFrame): DataFrame = {
     val outSchema = df.schema
       .add("decoded_ok", BooleanType)
-      .add("features", ArrayType(DoubleType))
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("mean_r", DoubleType)
+      .add("mean_g", DoubleType)
+      .add("mean_b", DoubleType)
     val enc = RowEncoder.encoderFor(outSchema)
     val mediaIdx = df.schema.fieldIndex("media")
     df.mapPartitions { rows =>
-      // per-partition setup happens once (real impl: decoder init here)
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
-        val feats: Array[Double] =
-          if (bytes == null) Array.empty
-          else {
-            // STUB: moments of the byte distribution, deterministic
-            val n = bytes.length.toDouble
-            val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
-            val m2 = if (n == 0) 0.0
-              else bytes.map(b => math.pow((b & 0xff) - mean, 2)).sum / n
-            Array(n, mean, math.sqrt(m2))
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          Row.fromSeq(row.toSeq ++ Seq(false, null, null, null, null, null))
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
           }
-        Row.fromSeq(row.toSeq :+ (bytes != null) :+ feats.toSeq)
+          val n = (w.toLong * h).toDouble
+          Row.fromSeq(row.toSeq ++ Seq(true, w, h, sr / n, sg / n, sb / n))
+        }
+      }
+    }(enc)
+  }
+
+  /** Real image resize: decode → nearest-neighbor downsample (output
+    * pixel (x, y) = input pixel (x·factor, y·factor), so the resampled
+    * image is exactly oracle-replayable) → re-encode PNG. Same rows out
+    * as in; undecodable blobs pass through unchanged with their original
+    * meta. Nearest-neighbor is chosen over area-averaging deliberately:
+    * it is the only kernel whose output pixels are exact integers an
+    * independent engine can recompute, which is what the correctness gate
+    * needs — swapping in `AffineTransformOp.TYPE_BILINEAR` is one line. */
+  def resizeImages(df: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val enc = RowEncoder.encoderFor(df.schema)
+    val mediaIdx = df.schema.fieldIndex("media")
+    val metaIdx = df.schema.fieldIndex("meta")
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val img =
+          if (bytes == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+        if (img == null) row
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val ow = (w + factor - 1) / factor; val oh = (h + factor - 1) / factor
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) {
+              out.setRGB(x, y, img.getRGB(x * factor, y * factor) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val meta = row.getAs[Row](metaIdx)
+          val vals = row.toSeq.toArray
+          vals(mediaIdx) = encodePng(out)
+          vals(metaIdx) = Row(meta.get(0), ow, oh, meta.get(3))
+          Row.fromSeq(vals.toIndexedSeq)
+        }
       }
     }(enc)
   }

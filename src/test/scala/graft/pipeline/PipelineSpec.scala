@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.SparkFixture
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.freespec.AnyFreeSpec
 import org.scalatest.matchers.should.Matchers
@@ -822,22 +823,59 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       Multimodal.frameSample(df, chunkBytes = 64).count() shouldBe 0
     }
 
-    "resizeStub shrinks blobs by the stride factor" in {
+    "byteSubsample shrinks opaque blobs by the stride factor" in {
       import spark.implicits._
       val df = Multimodal.fromText(Seq((1L, "abcdefgh")).toDF("id", "t"), "id", "t")
-      val out = Multimodal.resizeStub(df, factor = 2).collect()(0)
+      val out = Multimodal.byteSubsample(df, factor = 2).collect()(0)
       new String(out.getAs[Array[Byte]]("media")) shouldBe "aceg"
     }
 
-    "decodeStub emits deterministic moments with real partitioning" in {
+    "syntheticPng encodes real PNGs that decodeImages recovers exactly" in {
+      import spark.implicits._
+      val ids = Seq(0L, 1L, 7L, 123L)
+      val media = Multimodal.syntheticPng(ids.toDF("id"), "id").repartition(3)
+      // the blobs really are PNG (magic bytes), not a fake container
+      media.collect().foreach { r =>
+        val b = r.getAs[Array[Byte]]("media")
+        (b(0) & 0xff, b(1), b(2), b(3)) shouldBe ((0x89, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      }
+      val got = Multimodal.decodeImages(media).collect()
+        .map(r => r.getAs[Long]("media_id") -> r).toMap
+      ids.foreach { id =>
+        val r = got(id)
+        r.getAs[Boolean]("decoded_ok") shouldBe true
+        val w = Multimodal.synthW(id); val h = Multimodal.synthH(id)
+        r.getAs[Int]("width") shouldBe w
+        r.getAs[Int]("height") shouldBe h
+        val expR = (for { y <- 0 until h; x <- 0 until w }
+          yield Multimodal.synthR(id, x, y).toLong).sum.toDouble / (w * h)
+        r.getAs[Double]("mean_r") shouldBe expR
+      }
+    }
+
+    "decodeImages flags undecodable blobs instead of failing" in {
       import spark.implicits._
       val df = Multimodal.fromText(
-        Seq((1L, "abc")).toDF("id", "t"), "id", "t").repartition(3)
-      val r = Multimodal.decodeStub(spark, df).collect()(0)
-      r.getAs[Boolean]("decoded_ok") shouldBe true
-      val feats = r.getSeq[Double](r.fieldIndex("features"))
-      feats(0) shouldBe 3.0
-      feats(1) shouldBe (('a' + 'b' + 'c') / 3.0)
+        Seq((1L, "this is not an image")).toDF("id", "t"), "id", "t")
+      val r = Multimodal.decodeImages(df).collect()(0)
+      r.getAs[Boolean]("decoded_ok") shouldBe false
+      r.isNullAt(r.fieldIndex("width")) shouldBe true
+    }
+
+    "resizeImages nearest-neighbor samples even source coordinates" in {
+      import spark.implicits._
+      val id = 6L // W=5, H=4 → resized 3×2
+      val media = Multimodal.syntheticPng(Seq(id).toDF("id"), "id")
+      val r = Multimodal.decodeImages(Multimodal.resizeImages(media, 2))
+        .collect()(0)
+      r.getAs[Int]("width") shouldBe 3
+      r.getAs[Int]("height") shouldBe 2
+      val kept = for { y <- Seq(0, 2); x <- Seq(0, 2, 4) }
+        yield Multimodal.synthG(id, x, y).toLong
+      r.getAs[Double]("mean_g") shouldBe kept.sum.toDouble / kept.size
+      // resize rewrites meta geometry too
+      val meta = Multimodal.resizeImages(media, 2).collect()(0).getAs[Row]("meta")
+      (meta.getAs[Int]("width"), meta.getAs[Int]("height")) shouldBe ((3, 2))
     }
 
     "frameDedup pairs identical blobs, position-free, boilerplate-capped" in {
