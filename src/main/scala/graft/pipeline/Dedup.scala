@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Whitespace tokens. */
+  /** Default occupancy bound above which bucket-group pair expansion
+    * falls back to the spillable join shape (see [[bucketPairs]]): 10⁴
+    * members ≈ 1 MB of signature structs per aggregation buffer — far
+    * under executor memory, far above any honest near-dup bucket. */
+  val DefaultMaxBucket: Int = 10000
+
   def tokens(text: Column): Column = split(text, " ")
 
   /** Spread a narrow input across the cluster before CPU-heavy per-row
@@ -139,29 +145,63 @@ object Dedup {
       .hint("merge")
   }
 
+  /** Memory-bounded bucket→pair expansion shared by every bucket-group
+    * dedup shape ([[lshCandidatePairs]], [[simhashPairs]],
+    * [[minhashEstimates]]). Input: one row per bucket member with the
+    * bucket key columns plus a `m` member struct whose first field is
+    * `id`; output: (a, b) member-struct pairs with a.id < b.id, exactly
+    * the within-bucket cross pairs.
+    *
+    * Two shapes, split by OCCUPANCY, both fed from ONE reused exchange on
+    * the bucket key (a spillable window count decides the route):
+    *  - c ≤ maxBucket: bucket-group + in-row pair expansion — one
+    *    collect_list buffer per bucket, but now PROVABLY bounded at
+    *    maxBucket members, and the groupBy rides the window's exchange
+    *    (no extra shuffle).
+    *  - c > maxBucket (a mega-bucket: mass-duplicated content, the skew
+    *    case): fall back to a merge self-join on the bucket key, whose
+    *    match-group buffers (ExternalAppendOnlyUnsafeRowArray) SPILL —
+    *    the c² pair volume is inherent to LSH in any shape, but no
+    *    single aggregation buffer ever holds a mega-bucket's members.
+    * Semantics are identical on both routes, so the split is invisible
+    * to callers; [[lshBandStats]] remains the pre-flight occupancy
+    * report for sizing maxBucket. */
+  private def bucketPairs(rows: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val keys = keyCols.map(col)
+    val sized = rows.withColumn("__c",
+      count(lit(1)).over(Window.partitionBy(keys: _*)))
+    val small = sized
+      .filter(col("__c") > 1 && col("__c") <= maxBucket)
+      .groupBy(keys: _*).agg(collect_list(col("m")).as("ms"))
+      .select(explode(col("ms")).as("a"), col("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+    val megaRows = sized.filter(col("__c") > maxBucket)
+      .select(keys :+ col("m"): _*)
+    // merge hint on BOTH sides: a mega bucket is huge at runtime however
+    // small the static estimate looks — never a broadcast build side
+    val mega = megaRows.alias("x").hint("merge")
+      .join(megaRows.alias("y").hint("merge"), keyCols)
+      .select(col("x.m").as("a"), col("y.m").as("b"))
+    small.select(col("a"), col("b")).unionByName(mega)
+      .filter(col("a.id") < col("b.id"))
+  }
+
   /** LSH candidate pairs: docs colliding on any full band are candidates.
-    * The band join is a shuffle on (band_index, band_hash) — bucket-local,
-    * never all-pairs. */
+    * The band shuffle is on (band_index, band_hash) — bucket-local, never
+    * all-pairs — and pair expansion goes through [[bucketPairs]]: the
+    * in-row bucket-group shape up to `maxBucket` members, the spillable
+    * join shape above it, so a mega-bucket (mass-duplicated content)
+    * degrades to disk instead of blowing an aggregation buffer. */
   def lshCandidatePairs(
-      df: DataFrame, idCol: String, sigCol: String, bands: Int, k: Int): DataFrame = {
-    // bucket-group + in-row pair expansion instead of a banded self-join:
-    // one shuffle on (band, bh) + the pair-dedup shuffle, vs the
-    // sort-merge self-join's two corpus-sized sorts. Pair volume is
-    // collision-bounded identically in both shapes (c members ⇒ c² pairs
-    // either way). Memory tradeoff, stated honestly: a bucket's id list
-    // lives in ONE aggregation buffer and cannot spill, where the
-    // self-join's buffered match group (ExternalAppendOnlyUnsafeRowArray)
-    // could — the c² pair EXPLOSION kills both shapes, but a mega-bucket
-    // alone only kills this one. Mega-buckets mean mass-duplicated
-    // content: run exactSurvivors first (the standard pipeline order) and
-    // dry-run occupancy with lshBandStats before a full-corpus pass.
+      df: DataFrame, idCol: String, sigCol: String, bands: Int, k: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val banded = bandedSignatures(df, idCol, sigCol, bands, k)
-    banded
-      .groupBy("band", "bh").agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
+    bucketPairs(
+      banded.select(col("band"), col("bh"), struct(col("id")).as("m")),
+      Seq("band", "bh"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 
@@ -635,7 +675,8 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, bands: Int = 4, width: Int = 64,
-      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
+      tokenHash: Column => Column = xxhash64(_),
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(width % bands == 0, s"width $width not divisible by bands $bands")
     val bits = width / bands
     // tokens explode BEFORE hashing, so the token hash runs codegen'd on
@@ -649,21 +690,17 @@ object Dedup {
         shiftright(col("sig"), b * bits)
           .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
     }
-    // bucket-group + in-row pair expansion (the lshCandidatePairs shape —
-    // see there for the non-spillable-bucket tradeoff and its guards):
-    // each band row carries (id, sig) into its bucket, pairs explode
-    // inside the bucket with the Hamming distance computed where the pair
-    // is born, and the cross-band dedup rides the final aggregate — no
-    // self-join, no persist barrier (every intermediate is single-use)
-    val pairs = withSig
-      .select(explode(array(bandCols: _*)).as("b"),
-        struct(col("id"), col("sig")).as("m"))
-      .select(col("b.band").as("band"), col("b.bh").as("bh"), col("m"))
-      .groupBy("band", "bh").agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")) > 1)
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    // occupancy-split bucket expansion ([[bucketPairs]] — bounded
+    // aggregation buffers, spillable mega-bucket fallback): each band row
+    // carries (id, sig) into its bucket, the Hamming distance is computed
+    // where the pair is born, and the cross-band dedup rides the final
+    // aggregate — no persist barrier (every intermediate is single-use)
+    val pairs = bucketPairs(
+      withSig
+        .select(explode(array(bandCols: _*)).as("b"),
+          struct(col("id"), col("sig")).as("m"))
+        .select(col("b.band").as("band"), col("b.bh").as("bh"), col("m")),
+      Seq("band", "bh"), maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
     pairs.groupBy("id_a", "id_b")
@@ -844,7 +881,8 @@ object Dedup {
     * Output: (id_a, id_b, matches, est_jaccard), candidates only.
     * Pure lazy DAG — no caches to own (every intermediate is single-use). */
   def minhashEstimates(df: DataFrame, idCol: String, textCol: Column,
-      shingleN: Int, k: Int, bands: Int): DataFrame = {
+      shingleN: Int, k: Int, bands: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(k % bands == 0, s"signature width $k not divisible by bands $bands")
     // THREE shuffles end to end: signature aggregate, band-bucket
     // aggregate, pair dedup. Candidates come from grouping the banded
@@ -854,21 +892,18 @@ object Dedup {
     // two corpus-sized signature re-joins (plus the self-join's two
     // sort-merge sorts) are gone. Bucket membership is collision-bounded
     // exactly like the join formulation (a bucket of c near-identical
-    // docs yields c² pairs in EITHER shape), but the bucket's member list
-    // (k longs each here) occupies one non-spillable aggregation buffer —
-    // see lshCandidatePairs for the tradeoff; exact-dedup first and the
-    // lshBandStats occupancy dry-run are the mega-bucket guards.
+    // docs yields c² pairs in EITHER shape), and the expansion goes
+    // through [[bucketPairs]]' occupancy split: collect_list buffers are
+    // bounded at maxBucket members (k longs each), mega-buckets take the
+    // spillable join route instead.
     val sig = md5Signatures(df, idCol, textCol, shingleN, k)
     val member = struct(col("id") +: (0 until k).map(i => col(s"__m$i")): _*)
-    val buckets = sigBands(sig, k, bands)
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), member.as("m"))
-      .groupBy("band", "key").agg(collect_list(col("m")).as("ms"))
-      .filter(size(col("ms")) > 1)
     val matches = sigAgreement("a", "b", k)
-    val pairs = buckets
-      .select(explode(col("ms")).as("a"), col("ms"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    val pairs = bucketPairs(
+      sigBands(sig, k, bands)
+        .select(col("bk.band").as("band"), col("bk.key").as("key"),
+          member.as("m")),
+      Seq("band", "key"), maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         matches.as("matches"))
     // a pair colliding in several bands carries the same matches value in

@@ -84,6 +84,43 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
+    "mega-bucket occupancy split: join fallback is exact and pair-complete" in {
+      import spark.implicits._
+      // adversarial skew: one LSH bucket with 10⁴ members (a mass-
+      // duplicated doc, every signature identical). Under the default
+      // bucket-group shape this was ONE non-spillable collect_list buffer
+      // holding all 10⁴ members; with the occupancy split (maxBucket=64)
+      // no aggregation buffer ever holds more than 64 — the mega bucket
+      // routes through the spillable merge join — and the pair set is
+      // bit-identical: all C(10⁴,2) pairs, none dropped, none invented.
+      val n = 10000
+      val sigs = spark.range(n).select(col("id"),
+        array(lit(7L), lit(11L), lit(13L), lit(17L)).as("sig"))
+      val cnt = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 2, k = 4,
+        maxBucket = 64).count()
+      cnt shouldBe n.toLong * (n - 1) / 2
+    }
+
+    "mega-bucket split: both routes agree on a mixed-skew corpus" in {
+      import spark.implicits._
+      // 60 copies of one doc (mega bucket under maxBucket=8) + near-dups
+      // + disjoint docs: force the join route and compare against the
+      // pure bucket-group route — identical pairs, matches, estimates.
+      val rows = (1L to 60L).map(i => (i, "alpha beta gamma delta epsilon zeta")) ++
+        Seq((100L, "alpha beta gamma delta eta theta"),
+            (101L, "iota kappa lambda mu nu xi"),
+            (102L, "iota kappa lambda mu nu xi"))
+      val df = rows.toDF("doc_id", "text")
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id_a", "id_b").collect().map(_.toSeq).toSeq
+      canon(Dedup.minhashEstimates(df, "doc_id", col("text"), 3, 8, 4,
+          maxBucket = 8)) shouldBe
+        canon(Dedup.minhashEstimates(df, "doc_id", col("text"), 3, 8, 4))
+      canon(Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3,
+          maxBucket = 8)) shouldBe
+        canon(Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3))
+    }
+
     "lshBandStats: identical docs share every bucket, occupancy algebra exact" in {
       import spark.implicits._
       // two identical docs + one unrelated (no shared shingles): in EVERY
