@@ -1815,6 +1815,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      // PageRank with uniform dangling-mass redistribution on an edge
+      // table WITH sinks: customer → its nation, nation → its region
+      // (region nodes emit nothing). The per-round dangling sum is one
+      // BIGINT aggregate and its per-node share a floor division, so the
+      // 4-round fixpoint stays integer-exact and replays bit-identically
+      val custE = t(s, dir, "customer").select(
+        (col("c_custkey").cast("long") + lit(100000L)).as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      val natE = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("src"),
+        (col("n_regionkey").cast("long") + lit(900000L)).as("dst"))
+      graft.pipeline.GraphAnalytics.pageRank(custE.unionByName(natE),
+          "src", "dst", iters = 4, danglingRedistribution = true)
+        .select(col("node"), col("rank_scaled"))
+        .orderBy("node")
+    }),
+
     "embed_robust_scale" -> ((s, dir) => {
       // robust per-dimension whitening (median/MAD — the RobustScaler
       // shape): calibration from the FULL corpus as exact order
@@ -3919,6 +3937,7 @@ object SparkEntry {
          |ORDER BY node_id, rank""".stripMargin,
 
     "graph_pagerank" -> pageRankOracle,
+    "graph_pagerank_dangling" -> pageRankDanglingOracle,
 
     "graph_knn_components" -> knnComponentsOracle,
 
@@ -5546,6 +5565,51 @@ object SparkEntry {
        |${iter("r2", "r3")}
        |SELECT node AS vec_id, r AS rank_scaled FROM r3
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Replay of graph_pagerank_dangling: the customer→nation→region edge
+    * table (regions are sinks), 4 rounds of the integer recurrence WITH
+    * uniform dangling-mass redistribution — each round adds one BIGINT
+    * dangling sum and a floor per-node share. Every CTE level is
+    * MATERIALIZED: r{i-1} is referenced twice per round (g{i} and r{i}),
+    * so plain CTE inlining would duplicate the chain 2^n times. */
+  private def pageRankDanglingOracle: String = {
+    val scale = pipeline.GraphAnalytics.PageRankScale
+    def iter(prev: String, i: Int): String =
+      s"""g$i AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT)
+         |         // (SELECT n FROM nn) AS g
+         |  FROM $prev p JOIN dang ON p.node = dang.node),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    ${scale * 15L} // ((SELECT n FROM nn) * 100)
+         |    + (85 * (COALESCE(s.m, 0) + (SELECT g FROM g$i))) // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS nid, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS m
+         |    FROM edges e JOIN $prev p ON e.src = p.node
+         |                 JOIN deg d ON e.src = d.src
+         |    GROUP BY 1) s ON n.node = s.nid)""".stripMargin
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT CAST(c_custkey AS BIGINT) + 100000 AS src,
+       |         CAST(c_nationkey AS BIGINT) AS dst FROM customer
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT),
+       |         CAST(n_regionkey AS BIGINT) + 900000 FROM nation),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |dang AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, $scale // (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)},
+       |${iter("r3", 4)}
+       |SELECT node, r AS rank_scaled FROM r4 ORDER BY node""".stripMargin
   }
 
   /** Replay of graph_knn_components: the knn edge chain, symmetrized,

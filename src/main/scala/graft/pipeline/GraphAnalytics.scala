@@ -22,33 +22,46 @@ object GraphAnalytics {
 
   /** PageRank over a directed edge table, `iters` synchronous iterations.
     *
-    * Semantics (the no-dangling-redistribution variant):
+    * Semantics:
     *   r₀(v)   = scale div N                      for every node v
     *   rᵢ₊₁(u) = (scale·(dampDen−dampNum)) div (N·dampDen)
-    *           + (dampNum · Σ_{v→u} (rᵢ(v) div outdeg(v))) div dampDen
+    *           + (dampNum · (Σ_{v→u} (rᵢ(v) div outdeg(v)) + gᵢ)) div dampDen
+    * where gᵢ = (Σ_{dangling v} rᵢ(v)) div N when
+    * `danglingRedistribution` is on and 0 otherwise.
     * Nodes = distinct(src) ∪ distinct(dst). A dangling node (no out-edges)
-    * receives rank but contributes none — its mass leaks, which only
-    * rescales the relative ordering the score is used for. On a
-    * [[Similarity.knnGraph]] edge set there are no dangling nodes at all:
-    * the Hamming-1 probe ball is symmetric, so any id that appears as a
-    * neighbor also emitted out-edges of its own.
+    * receives rank but contributes none; with redistribution OFF its mass
+    * leaks, which only rescales the relative ordering — the right default
+    * for [[Similarity.knnGraph]] edge sets, which have no dangling nodes
+    * at all (the Hamming-1 probe ball is symmetric, so any id appearing
+    * as a neighbor also emitted out-edges). On ARBITRARY edge tables with
+    * sinks, turn redistribution ON for the standard uniform-teleport
+    * treatment — still all-integer (one extra BIGINT sum + floor share
+    * per round), so it stays bit-replayable in any engine.
     *
     * Scale shape: the Pregel loop — per iteration ONE src-keyed join
     * shipping ranks to edges and ONE dst-keyed aggregation of contributions
-    * (shuffle ∝ |edges|, state ∝ |nodes|); `iters` is a small constant, the
-    * DAG stays lazy (no per-round action), and nothing corpus-sized ever
-    * reaches the driver. At 1000 executors both shuffles hash-partition on
-    * the node key; a skewed in-degree hub lands on AQE's skew-split path.
+    * (shuffle ∝ |edges|, state ∝ |nodes|); the dangling sum is a one-row
+    * aggregate broadcast back onto rank rows (nothing corpus-sized on the
+    * driver). At 1000 executors both shuffles hash-partition on the node
+    * key; a skewed in-degree hub lands on AQE's skew-split path. Every
+    * `checkpointEvery` rounds the rank frame is localCheckpoint'ed, so
+    * the logical plan stays O(checkpointEvery) deep however large `iters`
+    * is — without it the per-round join/agg unrolls into a plan whose
+    * optimization time grows superlinearly (the duplicateClusters lesson).
     *
     * Output: (node LONG, rank_scaled LONG) — rank_scaled = rank · scale,
     * floor-truncated. Σ rank_scaled ≤ scale (truncation only loses mass).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, scale: Long = PageRankScale,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100,
+      danglingRedistribution: Boolean = false,
+      checkpointEvery: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen,
       s"damping $dampNum/$dampDen must lie in (0, 1)")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
@@ -58,22 +71,42 @@ object GraphAnalytics {
     // crossJoin(broadcast) idiom) — N never touches the driver
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
     val withDeg = e.join(outdeg, "src")
+    // dangling node set: receives rank, emits none. Derived once; tiny
+    // relative to edges, and only consumed under redistribution.
+    val dangling = nodes.join(outdeg.select(col("src").as("node")),
+      Seq("node"), "left_anti")
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$scale div n_nodes").as("r"), col("n_nodes"))
     val baseExpr =
       expr(s"(${scale * (dampDen - dampNum)}) div (n_nodes * $dampDen)")
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
       val incoming = contrib.groupBy("dst").agg(sum("c").as("m"))
-      ranks = ranks.select("node", "n_nodes")
+      val withShare =
+        if (!danglingRedistribution)
+          ranks.select("node", "n_nodes").withColumn("g", lit(0L))
+        else {
+          // one-row dangling-mass sum, floored to the per-node share and
+          // broadcast onto every rank row — same idiom as n_nodes
+          val d1 = ranks.join(dangling, "node")
+            .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+          ranks.select("node", "n_nodes").crossJoin(broadcast(d1))
+            .withColumn("g", expr("dang div n_nodes")).drop("dang")
+        }
+      ranks = withShare
         .join(incoming, col("node") === col("dst"), "left")
         .select(col("node"),
           (baseExpr +
-            expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT))) div $dampDen"))
+            expr(s"($dampNum * (coalesce(m, CAST(0 AS BIGINT)) + g))" +
+              s" div $dampDen"))
             .as("r"),
           col("n_nodes"))
+      // truncate lineage on long runs; skip the final round (the caller's
+      // action materializes it) and short runs (pure lazy DAG preserved)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }

@@ -14,7 +14,8 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
   private val Scale = GraphAnalytics.PageRankScale
 
   /** Driver-side replay of the documented recurrence. */
-  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      dangling: Boolean = false): Map[Long, Long] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
     val n = nodes.size.toLong
     val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
@@ -23,16 +24,21 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
       val incoming = edges
         .map { case (s, d) => d -> r(s) / outdeg(s) }
         .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      val g = if (!dangling) 0L
+        else nodes.filterNot(outdeg.contains).map(r).sum / n
       r = nodes.map(v =>
-        v -> (Scale * 15L / (n * 100L) + 85L * incoming.getOrElse(v, 0L) / 100L)
+        v -> (Scale * 15L / (n * 100L) +
+          85L * (incoming.getOrElse(v, 0L) + g) / 100L)
       ).toMap
     }
     r
   }
 
-  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+  private def run(edges: Seq[(Long, Long)], iters: Int,
+      dangling: Boolean = false): Map[Long, Long] =
     GraphAnalytics.pageRank(
-        edges.toDF("src", "dst"), "src", "dst", iters = iters)
+        edges.toDF("src", "dst"), "src", "dst", iters = iters,
+        danglingRedistribution = dangling)
       .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
 
   describe("pageRank") {
@@ -84,6 +90,47 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
           run(edges, 3) shouldBe reference(edges, 3)
         }
       }
+    }
+
+    it("dangling redistribution matches the recurrence and conserves mass") {
+      // star-into-sink: 1..4 → 5, 5 emits nothing. Without redistribution
+      // the sink's mass leaks every round; with it, total scaled mass
+      // stays within integer-floor loss of scale.
+      val g = Seq((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L), (1L, 2L))
+      run(g, 4, dangling = true) shouldBe reference(g, 4, dangling = true)
+      val withR = run(g, 4, dangling = true).values.sum
+      val withoutR = run(g, 4).values.sum
+      withR should be > withoutR // leaked mass really is put back
+      withR should be >= (Scale * 97L / 100L)
+      // seeded random graphs with sinks, redistribution on
+      def lcg(seed: Long): Iterator[Long] =
+        Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L).drop(1)
+      val rnd = lcg(97L)
+      val edges = (1 to 50).map { _ =>
+        val a = math.floorMod(rnd.next(), 20L) + 1L
+        val b = math.floorMod(rnd.next(), 30L) + 1L // dsts 21..30 are sinks
+        (a, if (a == b) b + 30L else b)
+      }.distinct
+      run(edges, 3, dangling = true) shouldBe
+        reference(edges, 3, dangling = true)
+    }
+
+    it("long runs checkpoint: plan depth is bounded at iters=20") {
+      val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      val df20 = GraphAnalytics.pageRank(g.toDF("src", "dst"), "src", "dst",
+        iters = 20, checkpointEvery = 5)
+      // lineage is truncated at the round-15 localCheckpoint: the final
+      // plan carries at most checkpointEvery rounds of join/agg, not 20
+      val lines20 = df20.queryExecution.optimizedPlan.treeString
+        .linesIterator.size
+      val df5 = GraphAnalytics.pageRank(g.toDF("src", "dst"), "src", "dst",
+        iters = 5, checkpointEvery = 100)
+      val lines5 = df5.queryExecution.optimizedPlan.treeString
+        .linesIterator.size
+      lines20 should be <= lines5
+      // and the checkpointed run still matches the exact recurrence
+      df20.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        reference(g, 20)
     }
 
     it("rejects a zero-iteration or out-of-range damping request") {
