@@ -243,22 +243,38 @@ object Similarity {
     *
     * Output: (id, dim_idx INT 0-based, scaled DOUBLE). */
   def robustScale(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    // persist is load-bearing (the minhashDedupPairs precedent): the
-    // exploded (id, dim, x) table feeds THREE branches (median pass,
-    // deviation pass, final projection) — uncached, the scan + explode
-    // runs three times; the result is lazy and caller-consumed, so no
-    // safe unpersist point exists here
     val vals = df.select(col(idCol).as("id"),
       posexplode(col(vecCol).cast("array<double>")).as(Seq("d", "x")))
-      .persist()
-    val med = Stats.groupQuantiles(vals, "d", col("x"), Seq(0.5))
-      .select(col("d"), col("q").as("med"))
-    // stats tables are dim-sized — broadcast; the corpus never shuffles
-    val dev = vals.join(broadcast(med), "d")
+    // Median AND MAD from one fused window chain — TWO shuffles end to
+    // end (the r9 shape ran two full groupQuantiles passes with join-backs
+    // and a persisted exploded corpus: 4 corpus-sized exchanges, 16 AQE
+    // stage jobs). Here: (1) the per-dimension value-count aggregate
+    // compresses the corpus to its value domain; (2) one repartition by
+    // dimension, inside which everything else happens as window
+    // expressions over the SAME partitioning — cumulative count sorted by
+    // value ⇒ median as a partition-wide min-over-threshold, deviations
+    // |x − med| per row (no join: med is a window column), cumulative
+    // count re-sorted by deviation ⇒ MAD the same way (RANGE frames make
+    // tied deviations cumulate together, identical to aggregating
+    // deviation counts first), and the dim-sized stats collapse via a
+    // groupBy that rides the window's exchange. The corpus never
+    // shuffles for scaling: the stats broadcast onto a column-pruned
+    // second scan. Same discrete order statistics as Stats.groupQuantiles
+    // (q(p) = min{v : cum ≥ max(1, ceil(p·n))}) — bit-replayable.
+    val wd = Window.partitionBy("d")
+    val half = (n: Column) => greatest(lit(1L), ceil(n * lit(0.5d)))
+    val stats = vals.filter(col("x").isNotNull)
+      .groupBy("d", "x").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(wd))
+      .withColumn("cum", sum("c").over(wd.orderBy("x")))
+      .withColumn("med",
+        min(when(col("cum") >= half(col("n")), col("x"))).over(wd))
       .withColumn("dev", abs(col("x") - col("med")))
-    val mad = Stats.groupQuantiles(dev, "d", col("dev"), Seq(0.5))
-      .select(col("d"), col("q").as("mad"))
-    dev.join(broadcast(mad), "d")
+      .withColumn("cumdev", sum("c").over(wd.orderBy("dev")))
+      .withColumn("mad",
+        min(when(col("cumdev") >= half(col("n")), col("dev"))).over(wd))
+      .groupBy("d").agg(first("med").as("med"), first("mad").as("mad"))
+    vals.join(broadcast(stats), "d")
       .select(col("id"), col("d").as("dim_idx"),
         when(col("mad") === 0d, lit(0d))
           .otherwise((col("x") - col("med")) / col("mad")).as("scaled"))

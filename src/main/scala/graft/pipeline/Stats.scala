@@ -36,19 +36,34 @@ object Stats {
     */
   def groupQuantiles(
       df: DataFrame, groupCol: String, valueCol: Column,
-      ps: Seq[Double]): DataFrame = {
-    val counts = df.select(col(groupCol), valueCol.as("__v"))
-      .filter(col("__v").isNotNull)
-      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c"))
+      ps: Seq[Double]): DataFrame =
+    groupQuantilesFromCounts(
+      df.select(col(groupCol), valueCol.as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as("__c")),
+      groupCol, "__v", "__c", ps)
+
+  /** [[groupQuantiles]] step 2-3 over an ALREADY-COMPRESSED
+    * (group, value, multiplicity) table — for callers that derive several
+    * quantile families from one value-count pass (robustScale's
+    * median-then-MAD chain: the deviation counts are a value-domain-sized
+    * regroup of the first pass's counts, so the corpus is scanned once,
+    * not once per statistic). Same discrete order-statistic semantics:
+    * q(p) = min{ v : cum(v) >= max(1, ceil(p·n)) }, nulls must already be
+    * gone, multiplicities must be positive. */
+  def groupQuantilesFromCounts(
+      counts: DataFrame, groupCol: String, valueCol: String,
+      countCol: String, ps: Seq[Double]): DataFrame = {
     val cum = counts
       .withColumn("__cum",
-        sum("__c").over(Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
-      .withColumn("__n", sum("__c").over(Window.partitionBy(col(groupCol))))
-    cum.select(col(groupCol), col("__v"), col("__cum"), col("__n"),
-        explode(array(ps.map(lit): _*)).as("p"))
+        sum(countCol).over(
+          Window.partitionBy(col(groupCol)).orderBy(col(valueCol))))
+      .withColumn("__n", sum(countCol).over(Window.partitionBy(col(groupCol))))
+    cum.select(col(groupCol), col(valueCol).as("__qv"), col("__cum"),
+        col("__n"), explode(array(ps.map(lit): _*)).as("p"))
       .filter(col("__cum") >= greatest(lit(1L), ceil(col("__n") * col("p"))))
       .groupBy(col(groupCol), col("p"))
-      .agg(min(col("__v")).as("q"))
+      .agg(min(col("__qv")).as("q"))
   }
 
   /** Per-group winsorization (quantile clipping — the outlier-clamp step
