@@ -723,12 +723,18 @@ object Dedup {
     * trades recall on shifted copies for a `width/stride`-factor cost
     * cut, the standard large-corpus setting).
     *
-    * Plan shape mirrors the other dedup self-joins: codegen'd
-    * [[graft.functions.CharWindows]] kernel → explode → optional
-    * ubiquitous-window pruning (windows in more than `maxDocsPerWindow`
-    * docs are boilerplate by definition and would square the join) →
-    * merge-hinted self-join on the window. Texts shorter than `width`
-    * emit no windows and drop out. */
+    * Plan shape: codegen'd [[graft.functions.CharWindows]] kernel →
+    * explode → ONE exchange on the window, inside which a spillable
+    * window count serves as BOTH the boilerplate prune (windows in more
+    * than `maxDocsPerWindow` docs would square the pair volume — dropped
+    * entirely, they're boilerplate by definition) and the bucket-size
+    * bound: the surviving buckets collect at most `maxDocsPerWindow` ids
+    * each and expand pairs in-row, and the pair aggregate is the second
+    * and final shuffle (the r9 shape paid a separate frequency
+    * aggregation plus two merge self-join sorts over 40-char string
+    * keys). Unpruned runs route through [[bucketPairs]] instead, whose
+    * occupancy split keeps aggregation buffers bounded. Texts shorter
+    * than `width` emit no windows and drop out. */
   def substringDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       width: Int, stride: Int,
@@ -736,23 +742,23 @@ object Dedup {
     val wins = rebalance(df).select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.char_windows(
           col(textCol), width, stride)).as("w"))
-      .hint("merge")
-    val pruned = maxDocsPerWindow match {
+    maxDocsPerWindow match {
       case Some(m) =>
         // kernel windows are distinct per doc ⇒ count == #docs carrying w
-        val freq = wins.groupBy("w").count().filter(col("count") <= m).hint("merge")
-        wins.join(freq.select("w"), Seq("w"), "left_semi")
-      case None => wins
+        wins
+          .withColumn("__c", count(lit(1)).over(Window.partitionBy("w")))
+          .filter(col("__c") > 1 && col("__c") <= m)
+          .groupBy("w").agg(collect_list(col("id")).as("ids"))
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      case None =>
+        bucketPairs(wins.select(col("w"), struct(col("id")).as("m")),
+            Seq("w"), DefaultMaxBucket)
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
     }
-    // hint the join SIDES, not just the pre-prune input: the left-semi
-    // prune node between the hinted `wins` and this join does not carry
-    // the strategy hint through, and the un-hinted side then planned as a
-    // corpus-sized broadcast (observed BuildRight over the full pruned
-    // window table — the collect-for-broadcast trap at scale)
-    pruned.hint("merge").alias("a").join(pruned.hint("merge").alias("b"),
-        col("a.w") === col("b.w") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
   }
 
   /** Exact dedup at NORMALIZED granularity with a QUALITY survivor

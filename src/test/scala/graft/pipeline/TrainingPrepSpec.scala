@@ -160,13 +160,15 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
-    "substringDupPairs: every join is sort-merge — no corpus broadcast" in {
+    "substringDupPairs (pruned): join-free — window exchange + pair agg only" in {
       val plan = Dedup.substringDupPairs(docs, "text", "doc_id", 40, 10,
           maxDocsPerWindow = Some(50))
         .queryExecution.executedPlan.toString
       withClue(plan) {
-        plan should not include "BroadcastHashJoin"
-        plan should include("SortMergeJoin")
+        // the prune count and the bounded bucket-group ride ONE exchange
+        // on the window; the pair aggregate is the only other shuffle
+        plan should not include "Join"
+        "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 2
       }
     }
 
