@@ -166,9 +166,15 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
   /** Time-travel view, CHRONOLOGICAL cutoff: the state as of wall-clock
     * `millis` inclusive — rows written by later batches (their
     * `modified_at` batch timestamp) do not exist for it. A consistent
-    * cross-document snapshot when batch timestamps are monotone, which
-    * the write path guarantees per storage lineage. Same scan-level
-    * filter shape as [[asOf]]. */
+    * cross-document snapshot ONLY when callers stamp their batches with
+    * monotone non-decreasing `batchTsMillis` ([[applyOps]]) — the write
+    * path stamps but does not enforce. In particular, batches left on
+    * applyOps' reproducibility default of 0L all collapse onto the
+    * epoch, and `asOfTime(0)` already sees every such write: a lineage
+    * meant for chronological time travel must pass explicit, increasing
+    * batch times. Same scan-level filter shape as [[asOf]]; for a
+    * per-collection snapshot independent of wall clocks use [[asOf]]'s
+    * revision cutoff. */
   def asOfTime(millis: Long): HyperStorage =
     new HyperStorage(spark,
       log.filter(col("modified_at") <= timestamp_millis(lit(millis))),
@@ -382,7 +388,12 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     * batch equivalent of the reference's per-write wall clock
     * (db/Db.scala:47-48, scheme.cql:8-9). Streaming callers pass the batch
     * time, like [[Ledger.fromFeed]]; the default keeps batch entries
-    * reproducible. */
+    * reproducible. Monotonicity across batches is the CALLER's contract:
+    * [[asOfTime]] snapshots are only chronological if successive batches
+    * pass non-decreasing explicit times (the 0L default collapses every
+    * default-stamped batch onto the epoch — fine for revision-based
+    * reads and [[asOf]], degenerate for asOfTime). Not enforced here:
+    * checking would cost a max-aggregate job over the log per batch. */
   def applyOps(ops: Dataset[WriteOp], batchTsMillis: Long = 0L): ApplyResult = {
     val sess = spark
     import sess.implicits._

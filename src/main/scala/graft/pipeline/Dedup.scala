@@ -321,9 +321,15 @@ object Dedup {
     val byDoc = Window.partitionBy("id").orderBy("df", "s")
     val prefix = exploded.hint("merge").join(dfreq, "s")
       .withColumn("rnk", row_number().over(byDoc))
-      // prefix length |s| − ⌈t·|s|⌉ + 1; ceil on the same IEEE product
-      // any replaying engine computes
-      .filter(col("rnk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      // prefix length |s| − m + 1 with m = floor(|s|·t), a CONSERVATIVE
+      // stand-in for the textbook m = ⌈t·|s|⌉: the IEEE product can land
+      // an ulp above an exactly-integer t·|s| (e.g. |s|·0.7 families),
+      // where ceil would round UP to m+1 and silently shorten the prefix
+      // below the lossless bound. floor of the same product is ≤ the
+      // exact ⌈t·|s|⌉ for every t in (0,1], so the prefix is at worst one
+      // element longer and the LOSSLESS guarantee holds for arbitrary
+      // thresholds, not just gate-safe ones.
+      .filter(col("rnk") <= col("sz") - floor(col("sz") * lit(threshold)) + 1)
       .select(col("id"), col("s"))
     val cand = prefix.hint("merge").alias("a")
       .join(prefix.hint("merge").alias("b"),

@@ -77,6 +77,14 @@ object Stats {
   def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo < pHi, s"pLo $pLo must be < pHi $pHi")
+    // staging columns are fixed names: an input that already carries one
+    // would be silently clobbered by withColumn and dropped from the
+    // output — fail loudly instead (public library entry point)
+    val staged = Seq("__v", "__lo", "__hi", "__glo", "__ghi")
+    val clash = df.columns.toSet.intersect(staged.toSet)
+    require(clash.isEmpty,
+      s"winsorize stages internals in ${staged.mkString("/")}; rename input " +
+        s"column(s) ${clash.mkString(", ")} before calling")
     val v = df.withColumn("__v", valueCol)
     val qs = groupQuantiles(v, groupCol, col("__v"), Seq(pLo, pHi))
     val lo = qs.filter(col("p") === pLo)
