@@ -1,0 +1,63 @@
+package graft.engine
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-session engine metrics — the repo's analog of the reference's
+  * metrics module (reference src/main/scala/eu/inn/hyperstorage/metrics/
+  * Metrics.scala, MetricsReporter.scala: named per-operation meters a
+  * reporter samples into rates). Counters here record ONLY numbers the
+  * query/write paths already compute as part of serving the request
+  * (static-aggregate row counts, planner decisions, guard activity) —
+  * neither recording nor reading a metric ever schedules a Spark job.
+  *
+  * Stable names:
+  *   - `query.selects`, `query.not_found`, `query.rows.scanned`,
+  *     `query.rows.accepted`, `query.rows.skipped` — primary-path
+  *     collection queries ([[HyperStorage.query]]); row counts come from
+  *     the piggybacked static aggregate (valid-tombstone-free case) or
+  *     the tombstone recount, so they are exact for the served query.
+  *   - `query.skip_guard.recount`, `query.skip_guard.boundary`,
+  *     `query.skip_guard.exceeded` — extra jobs / rejections on the
+  *     skipMax contract, the reference's skippedRows meter.
+  *   - `planner.selects`, `planner.source.primary`,
+  *     `planner.source.<indexId>`, `planner.pushdown.filters` — index
+  *     selection ([[graft.indexing.QueryPlanner]]'s de-facto EXPLAIN).
+  *   - `index.rows.scanned`, `index.rows.accepted`, `index.rows.skipped`
+  *     — index-served scans, when the residual guard measures them.
+  *   - `write.batches` — [[HyperStorage.applyOps]] invocations.
+  *
+  * Registries are keyed by SparkSession (process-wide rates, like the
+  * reference's registry); `reset()` scopes a measurement window. */
+object EngineMetrics {
+
+  final class Registry {
+    private val counters = new ConcurrentHashMap[String, LongAdder]()
+
+    def add(name: String, n: Long): Unit =
+      counters.computeIfAbsent(name, _ => new LongAdder).add(n)
+
+    def inc(name: String): Unit = add(name, 1L)
+
+    def get(name: String): Long = {
+      val a = counters.get(name)
+      if (a == null) 0L else a.sum()
+    }
+
+    /** Stable-ordered snapshot for reporting/diffing. */
+    def snapshot: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      counters.forEach((k, v) => b += k -> v.sum())
+      b.result()
+    }
+
+    def reset(): Unit = counters.clear()
+  }
+
+  private val bySession = new ConcurrentHashMap[SparkSession, Registry]()
+
+  def apply(spark: SparkSession): Registry =
+    bySession.computeIfAbsent(spark, _ => new Registry)
+}

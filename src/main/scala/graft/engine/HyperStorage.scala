@@ -267,11 +267,24 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       count(when(visNoTomb && rangeCond, 1L)),
       count(when(visNoTomb && rangeCond && pred.getOrElse(lit(true)), 1L))
     ).collect()(0)
-    if (r.isNullAt(0)) throw new NotFound(collectionUri)
+    val metrics = EngineMetrics(spark)
+    metrics.inc("query.selects")
+    if (r.isNullAt(0)) {
+      metrics.inc("query.not_found"); throw new NotFound(collectionUri)
+    }
     val staticRevision = r.getLong(0)
     val tombRev = if (r.isNullAt(1)) -1L else r.getLong(1)
     val maxLive = if (r.isNullAt(2)) -1L else r.getLong(2)
-    if (tombRev >= 0 && maxLive <= tombRev) throw new NotFound(collectionUri)
+    if (tombRev >= 0 && maxLive <= tombRev) {
+      metrics.inc("query.not_found"); throw new NotFound(collectionUri)
+    }
+    if (tombRev < 0) {
+      // guard counts from the piggybacked aggregate are exact here: the
+      // scanned/accepted/skipped triple costs nothing to publish
+      metrics.add("query.rows.scanned", r.getLong(3))
+      metrics.add("query.rows.accepted", r.getLong(4))
+      metrics.add("query.rows.skipped", r.getLong(3) - r.getLong(4))
+    }
 
     val items = latest.filter(visNoTomb && col("revision") > tombRev)
     val withRange = items.filter(rangeCond)
@@ -306,11 +319,18 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       val (total, kept) =
         if (tombRev < 0) (r.getLong(3), r.getLong(4))
         else {
+          metrics.inc("query.skip_guard.recount")
           val c = withRange.agg(count(lit(1)), count_if(pred.get)).collect()(0)
+          metrics.add("query.rows.scanned", c.getLong(0))
+          metrics.add("query.rows.accepted", c.getLong(1))
+          metrics.add("query.rows.skipped", c.getLong(0) - c.getLong(1))
           (c.getLong(0), c.getLong(1))
         }
       if (total - kept > skipMax) {
-        if (kept < target) throw new QuerySkippedRowsLimited(skipMax)
+        if (kept < target) {
+          metrics.inc("query.skip_guard.exceeded")
+          throw new QuerySkippedRowsLimited(skipMax)
+        }
         // boundary = item_id of the target-th accepted row in scan order;
         // skipped = rejected rows positioned before it
         val b = filtered.orderBy(idOrder).limit(math.min(target, Int.MaxValue).toInt)
@@ -321,9 +341,13 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
         // coalesce: a NULL predicate (missing field) REJECTS the row, so it
         // must count as skipped — bare !pred would drop it from the count
         // and let the guard pass where the total-kept precheck counted it
+        metrics.inc("query.skip_guard.boundary")
         val skipped = withRange
           .filter(!coalesce(pred.get, lit(false)) && before).count()
-        if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
+        if (skipped > skipMax) {
+          metrics.inc("query.skip_guard.exceeded")
+          throw new QuerySkippedRowsLimited(skipMax)
+        }
       }
     }
 
@@ -397,6 +421,7 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
   def applyOps(ops: Dataset[WriteOp], batchTsMillis: Long = 0L): ApplyResult = {
     val sess = spark
     import sess.implicits._
+    EngineMetrics(spark).inc("write.batches")
 
     val touched = ops.map(op => splitPath(op.path)._1).distinct()
       .toDF("document_uri")

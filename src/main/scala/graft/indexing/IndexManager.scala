@@ -312,10 +312,17 @@ object QueryPlanner {
     val predOk = coalesce(pred, lit(false))
     val c = pushed.agg(count(lit(1)), count_if(predOk)).collect()(0)
     val (total, kept) = (c.getLong(0), c.getLong(1))
+    val metrics = graft.engine.EngineMetrics(pushed.sparkSession)
+    metrics.add("index.rows.scanned", total)
+    metrics.add("index.rows.accepted", kept)
+    metrics.add("index.rows.skipped", total - kept)
     if (total - kept <= skipMax) return
     val exact = sort.isEmpty || (p.exactSortMatch && p.ckFields.nonEmpty)
     val target = if (exact) size.toLong else size.toLong + skipMax
-    if (kept < target) throw new QuerySkippedRowsLimited(skipMax)
+    if (kept < target) {
+      metrics.inc("query.skip_guard.exceeded")
+      throw new QuerySkippedRowsLimited(skipMax)
+    }
     val scan = scanOrder(d, exact && p.reversed)
     val order = orderCols(scan)
     // boundary = scan-order key of the target-th accepted row: TakeOrdered
@@ -341,7 +348,10 @@ object QueryPlanner {
       (eqPrefix :+ lt).reduce(_ && _)
     }.reduce(_ || _)
     val skipped = pushed.filter(!predOk && before).count()
-    if (skipped > skipMax) throw new QuerySkippedRowsLimited(skipMax)
+    if (skipped > skipMax) {
+      metrics.inc("query.skip_guard.exceeded")
+      throw new QuerySkippedRowsLimited(skipMax)
+    }
   }
 
   /** The index's physical scan order: its clustering columns in declared
@@ -415,6 +425,12 @@ object QueryPlanner {
       size: Int = HyperStorage.DefaultPageSize,
       skipMax: Int = HyperStorage.DefaultMaxSkippedRows): (QueryPlan, QueryResult) = {
     val p = plan(im, uri, filter, sort)
+    // the planner decision is the per-query EXPLAIN (returned as p); the
+    // metrics registry keeps the reference-style running meters of it
+    val metrics = graft.engine.EngineMetrics(im.storage.spark)
+    metrics.inc("planner.selects")
+    metrics.inc(s"planner.source.${p.source}")
+    metrics.add("planner.pushdown.filters", p.pushdown.size.toLong)
     if (p.source == "primary") {
       (p, im.storage.query(uri, filter, sort, size, skipMax = skipMax))
     } else {
