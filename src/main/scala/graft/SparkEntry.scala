@@ -2926,6 +2926,18 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "mm_audio_decode" -> ((s, dir) => {
+      // REAL audio codec round trip: encode one deterministic PCM-16 WAV
+      // per document on the executors (JDK javax.sound.sampled), decode
+      // the container back to samples, reduce to integer features —
+      // the oracle replays the congruence sample function in pure SQL
+      val media = Multimodal.syntheticWav(t(s, dir, "documents"), "doc_id")
+      Multimodal.decodeAudio(media)
+        .select(col("media_id"), col("decoded_ok"), col("n_samples"),
+          col("sample_rate"), col("sum_amp"), col("peak"))
+        .orderBy("media_id")
+    }),
+
     "mm_frames" -> ((s, dir) => {
       val media = Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text")
       Multimodal.frameSample(media, chunkBytes = 64)
@@ -5422,6 +5434,22 @@ object SparkEntry {
         |  CAST(sum((11*doc_id + 5*x + 7*y) % 256) AS DOUBLE) / count(*) AS mean_g,
         |  CAST(sum((13*doc_id + 9*x + 2*y) % 256) AS DOUBLE) / count(*) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // audio replay: PCM sample i of clip id is a congruence folded into
+    // signed 16-bit; counts/sums/peaks are exact integers on both sides
+    "mm_audio_decode" ->
+      """WITH sm AS (
+        |  SELECT doc_id, i.range AS i,
+        |         (1103515245*doc_id + 12345 + 2654435761*i.range) % 65536
+        |           - 32768 AS a
+        |  FROM documents CROSS JOIN range(49) i
+        |  WHERE i.range < 32 + doc_id % 17)
+        |SELECT doc_id AS media_id, TRUE AS decoded_ok,
+        |  CAST(32 + doc_id % 17 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sum(a) AS BIGINT) AS sum_amp,
+        |  CAST(max(abs(a)) AS INT) AS peak
+        |FROM sm GROUP BY doc_id ORDER BY media_id""".stripMargin,
 
     "mm_frames" ->
       """SELECT media_id, frame_idx FROM (

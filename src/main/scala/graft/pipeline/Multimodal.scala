@@ -230,6 +230,105 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real audio codec path (JDK javax.sound.sampled — no extra deps) -
+
+  /** Deterministic PCM sample function shared by [[syntheticWav]] and the
+    * oracle replay: sample i of clip `id` is a linear congruence folded
+    * into signed 16-bit range, sample count varies per id. */
+  private[pipeline] def synthSamples(id: Long): Int =
+    (32 + Math.floorMod(id, 17L)).toInt
+  private[pipeline] def synthAmp(id: Long, i: Int): Int =
+    (Math.floorMod(1103515245L * id + 12345L + 2654435761L * i, 65536L)
+      - 32768L).toInt
+
+  private val WavRate = 8000
+
+  /** Audio fixture: one REAL (losslessly decodable) WAV per input row —
+    * PCM signed 16-bit mono little-endian, samples from the congruence
+    * above, containerized by the JDK's own WAVE writer on the executors. */
+  def syntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    in.mapPartitions { rows =>
+      val fmt = new javax.sound.sampled.AudioFormat(
+        WavRate.toFloat, 16, 1, true, false) // signed, little-endian
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = synthSamples(id)
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val a = synthAmp(id, i)
+          pcm(2 * i) = (a & 0xff).toByte
+          pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, bos.toByteArray, Row("audio/wav", 0, 0, WavRate))
+      }
+    }(enc)
+  }
+
+  /** Real batch-shaped audio decode: `javax.sound.sampled` parses the
+    * container (WAV/AIFF/AU — the JDK registry), recovers the format and
+    * the PCM frames, and reduces them to typed features: sample count,
+    * sample rate, exact amplitude sum and peak (all integers — one
+    * aggregate-free projection, bit-replayable). Undecodable or null
+    * blobs yield `decoded_ok = false` with null features, like
+    * [[decodeImages]]. 16-bit PCM assumed for the amplitude features
+    * (everything else still reports geometry). */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded_ok", BooleanType)
+      .add("n_samples", LongType)
+      .add("sample_rate", IntegerType)
+      .add("sum_amp", LongType)
+      .add("peak", IntegerType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val ais =
+          if (bytes == null) null
+          else
+            try javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => null
+              case _: java.io.IOException => null
+            }
+        if (ais == null)
+          Row.fromSeq(row.toSeq ++ Seq(false, null, null, null, null))
+        else {
+          val fmt = ais.getFormat
+          val pcm = ais.readAllBytes()
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val n = pcm.length / math.max(1, bytesPerSample)
+          var sum = 0L; var peak = 0
+          if (fmt.getSampleSizeInBits == 16) {
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val lo = pcm(i) & 0xff
+              val hi = pcm(i + 1).toInt
+              val a = if (fmt.isBigEndian) ((pcm(i).toInt << 8) | (pcm(i + 1) & 0xff))
+                else ((hi << 8) | lo)
+              sum += a
+              if (math.abs(a) > peak) peak = math.abs(a)
+              i += 2
+            }
+          }
+          Row.fromSeq(row.toSeq ++ Seq(true, n.toLong,
+            math.round(fmt.getSampleRate), sum, peak))
+        }
+      }
+    }(enc)
+  }
+
   /** Real image resize: decode → nearest-neighbor downsample (output
     * pixel (x, y) = input pixel (x·factor, y·factor), so the resampled
     * image is exactly oracle-replayable) → re-encode PNG. Same rows out

@@ -899,6 +899,36 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       r.isNullAt(r.fieldIndex("width")) shouldBe true
     }
 
+    "syntheticWav encodes real WAVs that decodeAudio recovers exactly" in {
+      import spark.implicits._
+      val ids = Seq(0L, 5L, 42L)
+      val media = Multimodal.syntheticWav(ids.toDF("id"), "id").repartition(2)
+      media.collect().foreach { r => // RIFF container magic
+        new String(r.getAs[Array[Byte]]("media").take(4), "US-ASCII") shouldBe "RIFF"
+      }
+      val got = Multimodal.decodeAudio(media).collect()
+        .map(r => r.getAs[Long]("media_id") -> r).toMap
+      ids.foreach { id =>
+        val r = got(id)
+        r.getAs[Boolean]("decoded_ok") shouldBe true
+        val n = Multimodal.synthSamples(id)
+        r.getAs[Long]("n_samples") shouldBe n.toLong
+        r.getAs[Int]("sample_rate") shouldBe 8000
+        val amps = (0 until n).map(Multimodal.synthAmp(id, _))
+        r.getAs[Long]("sum_amp") shouldBe amps.map(_.toLong).sum
+        r.getAs[Int]("peak") shouldBe amps.map(math.abs).max
+      }
+    }
+
+    "decodeAudio flags non-audio blobs instead of failing" in {
+      import spark.implicits._
+      val df = Multimodal.fromText(
+        Seq((1L, "definitely not a wav file")).toDF("id", "t"), "id", "t")
+      val r = Multimodal.decodeAudio(df).collect()(0)
+      r.getAs[Boolean]("decoded_ok") shouldBe false
+      r.isNullAt(r.fieldIndex("n_samples")) shouldBe true
+    }
+
     "resizeImages nearest-neighbor samples even source coordinates" in {
       import spark.implicits._
       val id = 6L // W=5, H=4 → resized 3×2
