@@ -121,6 +121,22 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         canon(Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 3))
     }
 
+    "mega-bucket split: one band shuffle feeds both routes (AQE reuse)" in {
+      import spark.implicits._
+      // the occupancy split must not triple-scan the corpus: at runtime
+      // the mega-join's two sides resolve to ReusedExchange of the small
+      // route's single (band, bh) shuffle — the banding subtree runs once
+      val sigs = spark.range(200).select(col("id"),
+        array(lit(3L), lit(5L), lit(7L), lit(9L)).as("sig"))
+      val p = Dedup.lshCandidatePairs(sigs, "id", "sig", bands = 2, k = 4,
+        maxBucket = 16)
+      p.collect()
+      val plan = p.queryExecution.executedPlan.toString
+      withClue(plan) {
+        "ReusedExchange".r.findAllIn(plan).size should be >= 2
+      }
+    }
+
     "lshBandStats: identical docs share every bucket, occupancy algebra exact" in {
       import spark.implicits._
       // two identical docs + one unrelated (no shared shingles): in EVERY
