@@ -134,4 +134,38 @@ class ChangeFeedSpec extends AnyFreeSpec with Matchers with SparkFixture {
         Seq(1L, 2L, 3L)
     }
   }
+
+  "StreamingMetrics" - {
+    "meters triggers and input rows through a real micro-batch run" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val reg = graft.engine.EngineMetrics(spark)
+      reg.reset()
+      val listener = StreamingMetrics.attach(spark)
+      val source = MemoryStream[WriteOp]
+      val q = ChangeFeed.assignRevisions(source.toDS())
+        .writeStream.format("memory").queryName("metered")
+        .option("checkpointLocation", newCheckpoint())
+        .outputMode("append").start()
+      try {
+        source.addData(
+          WriteOp(1, "PUT", "m~/a", "{}"), WriteOp(2, "PUT", "m~/b", "{}"))
+        q.processAllAvailable()
+        source.addData(WriteOp(3, "PATCH", "m~/a", "{}"))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        // progress events post asynchronously on the listener bus —
+        // poll until the 3 input rows have landed (bounded wait)
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (reg.get("stream.rows") < 3L && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        spark.streams.removeListener(listener)
+      }
+      reg.get("stream.queries.started") shouldBe 1L
+      reg.get("stream.rows") shouldBe 3L
+      reg.get("stream.rows.metered") shouldBe 3L
+      reg.get("stream.triggers") should be >= 2L
+    }
+  }
 }
