@@ -127,6 +127,24 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Stats.groupQuantilesFromCounts" - {
+    "agrees with groupQuantiles when fed the value-count table" in {
+      import spark.implicits._
+      val df = Seq(("a", 7L), ("b", 1L), ("b", 1L), ("b", 2L), ("b", 9L))
+        .toDF("grp", "v")
+      val counts = df.groupBy(col("grp"), col("v").as("val"))
+        .agg(count(lit(1)).as("c"))
+      val fromCounts = Stats
+        .groupQuantilesFromCounts(counts, "grp", "val", "c", Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap
+      val direct = Stats.groupQuantiles(df, "grp", col("v"), Seq(0.5, 0.9))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap
+      fromCounts shouldBe direct
+    }
+  }
+
   "Stats.topTokens" - {
     "exact counts, deterministic tie-break on the token" in {
       import spark.implicits._
