@@ -17,8 +17,14 @@ import org.apache.spark.sql.SparkSession
   *   - `query.selects`, `query.not_found`, `query.rows.scanned`,
   *     `query.rows.accepted`, `query.rows.skipped` — primary-path
   *     collection queries ([[HyperStorage.query]]); row counts come from
-  *     the piggybacked static aggregate (valid-tombstone-free case) or
-  *     the tombstone recount, so they are exact for the served query.
+  *     the piggybacked static aggregate (tombstone-free case) or the
+  *     tombstone recount, so every published count is exact for the
+  *     served query. One honest gap: a tombstoned-then-repopulated
+  *     collection queried WITHOUT a filter publishes no row counts at
+  *     all (the piggybacked counts include pre-tombstone rows there, and
+  *     no recount runs when there is no predicate) — publishing nothing
+  *     beats publishing wrong numbers, and adding a count job just for
+  *     the meter would violate the zero-extra-jobs rule above.
   *   - `query.skip_guard.recount`, `query.skip_guard.boundary`,
   *     `query.skip_guard.exceeded` — extra jobs / rejections on the
   *     skipMax contract, the reference's skippedRows meter.
@@ -56,7 +62,14 @@ object EngineMetrics {
     def reset(): Unit = counters.clear()
   }
 
-  private val bySession = new ConcurrentHashMap[SparkSession, Registry]()
+  // weakly-keyed: a long-lived driver minting per-tenant sessions via
+  // spark.newSession() must not leak one Registry (and a strong session
+  // reference) per session forever. Collections.synchronizedMap overrides
+  // computeIfAbsent with the map lock since Java 8, so the get-or-create
+  // stays atomic.
+  private val bySession: java.util.Map[SparkSession, Registry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Registry]())
 
   def apply(spark: SparkSession): Registry =
     bySession.computeIfAbsent(spark, _ => new Registry)

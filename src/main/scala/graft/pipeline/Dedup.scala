@@ -167,8 +167,10 @@ object Dedup {
     * to callers; [[lshBandStats]] remains the pre-flight occupancy
     * report for sizing maxBucket. */
   private def bucketPairs(rows: DataFrame, keyCols: Seq[String],
-      maxBucket: Int): DataFrame = {
-    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+      maxBucket: Int, dropOversized: Boolean = false): DataFrame = {
+    // maxBucket = 1 is legal and yields no pairs (every multi-member
+    // bucket is oversized; with dropOversized they all prune away)
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
     val keys = keyCols.map(col)
     val sized = rows.withColumn("__c",
       count(lit(1)).over(Window.partitionBy(keys: _*)))
@@ -177,15 +179,24 @@ object Dedup {
       .groupBy(keys: _*).agg(collect_list(col("m")).as("ms"))
       .select(explode(col("ms")).as("a"), col("ms"))
       .select(col("a"), explode(col("ms")).as("b"))
-    val megaRows = sized.filter(col("__c") > maxBucket)
-      .select(keys :+ col("m"): _*)
-    // merge hint on BOTH sides: a mega bucket is huge at runtime however
-    // small the static estimate looks — never a broadcast build side
-    val mega = megaRows.alias("x").hint("merge")
-      .join(megaRows.alias("y").hint("merge"), keyCols)
-      .select(col("x.m").as("a"), col("y.m").as("b"))
-    small.select(col("a"), col("b")).unionByName(mega)
-      .filter(col("a.id") < col("b.id"))
+      .select(col("a"), col("b"))
+    // dropOversized: the caller treats over-occupied buckets as
+    // boilerplate to PRUNE (substring windows), not skew to spill —
+    // the plan stays join-free
+    val paired =
+      if (dropOversized) small
+      else {
+        val megaRows = sized.filter(col("__c") > maxBucket)
+          .select(keys :+ col("m"): _*)
+        // merge hint on BOTH sides: a mega bucket is huge at runtime
+        // however small the static estimate looks — never a broadcast
+        // build side
+        small.unionByName(
+          megaRows.alias("x").hint("merge")
+            .join(megaRows.alias("y").hint("merge"), keyCols)
+            .select(col("x.m").as("a"), col("y.m").as("b")))
+      }
+    paired.filter(col("a.id") < col("b.id"))
   }
 
   /** LSH candidate pairs: docs colliding on any full band are candidates.
@@ -744,27 +755,22 @@ object Dedup {
   def substringDupPairs(
       df: DataFrame, textCol: String, idCol: String,
       width: Int, stride: Int,
-      maxDocsPerWindow: Option[Int] = None): DataFrame = {
+      maxDocsPerWindow: Option[Int] = None,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val wins = rebalance(df).select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.char_windows(
           col(textCol), width, stride)).as("w"))
-    maxDocsPerWindow match {
-      case Some(m) =>
-        // kernel windows are distinct per doc ⇒ count == #docs carrying w
-        wins
-          .withColumn("__c", count(lit(1)).over(Window.partitionBy("w")))
-          .filter(col("__c") > 1 && col("__c") <= m)
-          .groupBy("w").agg(collect_list(col("id")).as("ids"))
-          .select(explode(col("ids")).as("id_a"), col("ids"))
-          .select(col("id_a"), explode(col("ids")).as("id_b"))
-          .filter(col("id_a") < col("id_b"))
-          .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      case None =>
-        bucketPairs(wins.select(col("w"), struct(col("id")).as("m")),
-            Seq("w"), DefaultMaxBucket)
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("shared"))
+      .select(col("w"), struct(col("id")).as("m"))
+    // kernel windows are distinct per doc ⇒ bucket size == #docs carrying
+    // the window, so maxDocsPerWindow doubles as the bucket bound; with a
+    // prune requested, over-occupied buckets DROP (boilerplate), without
+    // one they take bucketPairs' spillable join route at maxBucket
+    val pairs = maxDocsPerWindow match {
+      case Some(m) => bucketPairs(wins, Seq("w"), m, dropOversized = true)
+      case None => bucketPairs(wins, Seq("w"), maxBucket)
     }
+    pairs.groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
   }
 
   /** Exact dedup at NORMALIZED granularity with a QUALITY survivor

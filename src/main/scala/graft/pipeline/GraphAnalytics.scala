@@ -104,9 +104,15 @@ object GraphAnalytics {
             .as("r"),
           col("n_nodes"))
       // truncate lineage on long runs; skip the final round (the caller's
-      // action materializes it) and short runs (pure lazy DAG preserved)
+      // action materializes it) and short runs (pure lazy DAG preserved).
+      // eager = false: the plan is cut NOW (the wrapper replaces the
+      // lineage) but no job runs at DAG-construction time — an
+      // explain()-only caller never executes. Caveat for preemptible
+      // clusters: localCheckpoint blocks live on executors and are NOT
+      // recomputable once lineage is cut; with dynamic allocation / spot
+      // executors prefer a reliable checkpoint dir upstream of this loop.
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }

@@ -203,25 +203,35 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
-        val img =
+        // NonFatal, not just IOException: JDK codecs throw
+        // IllegalArgumentException / CMMException / array-bounds errors on
+        // malformed data — at crawl scale ANY per-blob failure must land
+        // in decoded_ok=false, never kill the task
+        val px =
           if (bytes == null) null
           else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
-        if (img == null)
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              if (img == null) null
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                // bulk getRGB: one color-model conversion pass, not one
+                // virtual call per pixel (12M calls on a 4000×3000 crawl
+                // image — the hot path the batch shape exists to serve)
+                (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+              }
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (px == null)
           Row.fromSeq(row.toSeq ++ Seq(false, null, null, null, null, null))
         else {
-          val w = img.getWidth; val h = img.getHeight
+          val (w, h, data) = px
           var sr = 0L; var sg = 0L; var sb = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-              x += 1
-            }
-            y += 1
+          var i = 0
+          while (i < data.length) {
+            val p = data(i)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            i += 1
           }
           val n = (w.toLong * h).toDouble
           Row.fromSeq(row.toSeq ++ Seq(true, w, h, sr / n, sg / n, sb / n))
@@ -293,20 +303,23 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
-        val ais =
+        // container parse AND frame read both inside the guard: a valid
+        // RIFF header over truncated data (the crawl norm) throws from
+        // readAllBytes, not from getAudioInputStream — and like the image
+        // path, NonFatal rather than IOException-only (codec internals
+        // throw unchecked exceptions on malformed chunks)
+        val parsed =
           if (bytes == null) null
           else
-            try javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(bytes))
-            catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => null
-              case _: java.io.IOException => null
-            }
-        if (ais == null)
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              (ais.getFormat, ais.readAllBytes())
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (parsed == null)
           Row.fromSeq(row.toSeq ++ Seq(false, null, null, null, null))
         else {
-          val fmt = ais.getFormat
-          val pcm = ais.readAllBytes()
+          val (fmt, pcm) = parsed
           val bytesPerSample = fmt.getSampleSizeInBits / 8
           val n = pcm.length / math.max(1, bytesPerSample)
           var sum = 0L; var peak = 0
@@ -346,26 +359,34 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
         val bytes = row.getAs[Array[Byte]](mediaIdx)
+        // NonFatal guard as in decodeImages (codec internals throw
+        // unchecked exceptions on malformed data); undecodable blobs pass
+        // through unchanged with their original meta
         val img =
           if (bytes == null) null
           else
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) row
         else {
           val w = img.getWidth; val h = img.getHeight
           val ow = (w + factor - 1) / factor; val oh = (h + factor - 1) / factor
-          val out = new java.awt.image.BufferedImage(
-            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          // bulk pixel transfer: one getRGB pass over the source, one
+          // setRGB pass over the target (no per-pixel virtual calls)
+          val src = img.getRGB(0, 0, w, h, null, 0, w)
+          val dst = new Array[Int](ow * oh)
           var y = 0
           while (y < oh) {
             var x = 0
             while (x < ow) {
-              out.setRGB(x, y, img.getRGB(x * factor, y * factor) & 0xffffff)
+              dst(y * ow + x) = src(y * factor * w + x * factor) & 0xffffff
               x += 1
             }
             y += 1
           }
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          out.setRGB(0, 0, ow, oh, dst, 0, ow)
           val meta = row.getAs[Row](metaIdx)
           val vals = row.toSeq.toArray
           vals(mediaIdx) = encodePng(out)

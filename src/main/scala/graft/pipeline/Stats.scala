@@ -77,10 +77,11 @@ object Stats {
   def winsorize(df: DataFrame, groupCol: String, valueCol: Column,
       pLo: Double, pHi: Double): DataFrame = {
     require(pLo < pHi, s"pLo $pLo must be < pHi $pHi")
-    // staging columns are fixed names: an input that already carries one
-    // would be silently clobbered by withColumn and dropped from the
-    // output — fail loudly instead (public library entry point)
-    val staged = Seq("__v", "__lo", "__hi", "__glo", "__ghi")
+    // staging columns (and the output column itself) are fixed names: an
+    // input that already carries one would be silently clobbered by
+    // withColumn and dropped from the output — fail loudly instead
+    // (public library entry point)
+    val staged = Seq("__v", "__lo", "__hi", "__glo", "__ghi", "winsorized")
     val clash = df.columns.toSet.intersect(staged.toSet)
     require(clash.isEmpty,
       s"winsorize stages internals in ${staged.mkString("/")}; rename input " +
