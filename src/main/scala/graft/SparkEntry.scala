@@ -2926,6 +2926,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "mm_image_dedup" -> ((s, dir) => {
+      // perceptual near-dup over REAL decoded pixels: every 7th document's
+      // image is re-posted under a new id (same pixel basis ⇒ the copy is
+      // a hamming-0 dup of its original); dHash-64 fingerprints from the
+      // decoded grid, banded Hamming-≤3 pairing through the occupancy
+      // split — the oracle brute-forces the same fingerprints
+      // analytically from the congruence pixel function
+      val base = t(s, dir, "documents").select(col("doc_id"))
+      val ids = base
+        .select(col("doc_id").as("media_id"), col("doc_id").as("basis"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("media_id"),
+            col("doc_id").as("basis")))
+      val media = Multimodal.syntheticPngNoisy(ids, "media_id",
+        basisCol = "basis")
+      Multimodal.imageDedupPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "mm_audio_decode" -> ((s, dir) => {
       // REAL audio codec round trip: encode one deterministic PCM-16 WAV
       // per document on the executors (JDK javax.sound.sampled), decode
@@ -5434,6 +5453,54 @@ object SparkEntry {
         |  CAST(sum((11*doc_id + 5*x + 7*y) % 256) AS DOUBLE) / count(*) AS mean_g,
         |  CAST(sum((13*doc_id + 9*x + 2*y) % 256) AS DOUBLE) / count(*) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // perceptual dedup replay: dHash grid coordinates are exact integer
+    // floors, luma the integer BT.601 combination of the congruence
+    // channels, the fingerprint two 32-bit-half BIGINTs (1<<63 overflows
+    // signed SQL), and the pair set BRUTE-FORCED — the banded Spark path
+    // must be lossless (pigeonhole), exactly like dedup_jaccard_prefix's
+    // ground-truth gate
+    "mm_image_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS basis FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |g AS (
+        |  SELECT media_id, basis, gi.range AS gi, gj.range AS gj,
+        |         (gi.range * (16 + basis % 7)) // 9 AS x,
+        |         (gj.range * (12 + basis % 5)) // 8 AS y
+        |  FROM ids CROSS JOIN range(9) gi CROSS JOIN range(8) gj),
+        |l AS (
+        |  SELECT media_id, gi, gj,
+        |    299*(((73*basis + 151*x + 37*y + 11)
+        |          * (73*basis + 151*x + 37*y + 11)) % 65536 // 256)
+        |  + 587*(((89*basis + 97*x + 131*y + 23)
+        |          * (89*basis + 97*x + 131*y + 23)) % 65536 // 256)
+        |  + 114*(((53*basis + 61*x + 113*y + 41)
+        |          * (53*basis + 61*x + 113*y + 41)) % 65536 // 256) AS luma
+        |  FROM g),
+        |setbits AS (
+        |  SELECT p.media_id, p.gj*8 + p.gi AS bitpos
+        |  FROM l p JOIN l q ON p.media_id = q.media_id
+        |        AND q.gj = p.gj AND q.gi = p.gi + 1
+        |  WHERE p.gi < 8 AND q.luma > p.luma),
+        |fp AS (
+        |  SELECT i.media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN bitpos < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(bitpos AS INT)) END), 0)
+        |      AS BIGINT) AS lo,
+        |    CAST(COALESCE(SUM(CASE WHEN bitpos >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(bitpos - 32 AS INT)) END), 0)
+        |      AS BIGINT) AS hi
+        |  FROM ids i LEFT JOIN setbits ON i.media_id = setbits.media_id
+        |  GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |       AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // audio replay: PCM sample i of clip id is a congruence folded into
     // signed 16-bit; counts/sums/peaks are exact integers on both sides

@@ -166,7 +166,7 @@ object Dedup {
     * Semantics are identical on both routes, so the split is invisible
     * to callers; [[lshBandStats]] remains the pre-flight occupancy
     * report for sizing maxBucket. */
-  private def bucketPairs(rows: DataFrame, keyCols: Seq[String],
+  private[pipeline] def bucketPairs(rows: DataFrame, keyCols: Seq[String],
       maxBucket: Int, dropOversized: Boolean = false): DataFrame = {
     // maxBucket = 1 is legal and yields no pairs (every multi-member
     // bucket is oversized; with dropOversized they all prune away)

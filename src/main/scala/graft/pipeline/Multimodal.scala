@@ -146,6 +146,56 @@ object Multimodal {
   private[pipeline] def synthB(id: Long, x: Int, y: Int): Int =
     Math.floorMod(13L * id + 9L * x + 2L * y, 256L).toInt
 
+  /** Noisy-fixture pixel function for the PERCEPTUAL-DEDUP gate: the
+    * linear congruence above is a degenerate dHash fixture (each
+    * channel's x-gradient is constant except at mod-256 wraps, so
+    * fingerprints collide massively); the middle-square mixer below is
+    * pseudo-random per pixel yet still one SQL expression —
+    * ((a·b + p·x + q·y + s)² mod 65536) div 256. Geometry 16-22 × 12-16
+    * so the 9×8 dHash grid samples distinct pixels. */
+  private[pipeline] def noisyW(id: Long): Int = (16 + Math.floorMod(id, 7L)).toInt
+  private[pipeline] def noisyH(id: Long): Int = (12 + Math.floorMod(id, 5L)).toInt
+  private[pipeline] def noisyChan(a: Long, p: Long, q: Long, s: Long)(
+      id: Long, x: Int, y: Int): Int = {
+    val v = a * id + p * x + q * y + s
+    (Math.floorMod(v * v, 65536L) / 256L).toInt
+  }
+  private[pipeline] val noisyR = noisyChan(73, 151, 37, 11) _
+  private[pipeline] val noisyG = noisyChan(89, 97, 131, 23) _
+  private[pipeline] val noisyB = noisyChan(53, 61, 113, 41) _
+
+  /** [[syntheticPng]]'s noisy sibling: real PNGs whose pixels come from
+    * the middle-square mixer — the fixture for perceptual-dedup gates,
+    * where fingerprint entropy matters. Same basis/id contract. */
+  def syntheticPngNoisy(df: DataFrame, idCol: String,
+      basisCol: String = null): DataFrame = {
+    val enc = RowEncoder.encoderFor(mediaSchema)
+    val basis = if (basisCol == null) idCol else basisCol
+    val in = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(basis).cast(LongType).as("__basis"))
+    in.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val mediaId = row.getLong(0)
+        val id = row.getLong(1)
+        val w = noisyW(id); val h = noisyH(id)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (noisyR(id, x, y) << 16) |
+              (noisyG(id, x, y) << 8) | noisyB(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        Row(mediaId, encodePng(img), Row("image/png", w, h, 0))
+      }
+    }(enc)
+  }
+
   private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(1024)
     javax.imageio.ImageIO.write(img, "png", bos)
@@ -156,14 +206,20 @@ object Multimodal {
     * pixels from the deterministic congruence above — encoded with the
     * JDK's PNG writer on the executors, never on the driver. Gives every
     * downstream decode stage true compressed image bytes whose expected
-    * features an oracle can replay exactly. */
-  def syntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    * features an oracle can replay exactly. `basisCol` (default: the id
+    * itself) feeds the pixel congruence, so planted duplicates — distinct
+    * media_ids sharing one pixel basis — are one select away. */
+  def syntheticPng(df: DataFrame, idCol: String,
+      basisCol: String = null): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    val basis = if (basisCol == null) idCol else basisCol
+    val in = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(basis).cast(LongType).as("__basis"))
     in.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
       rows.map { row =>
-        val id = row.getLong(0)
+        val mediaId = row.getLong(0)
+        val id = row.getLong(1) // pixel basis
         val w = synthW(id); val h = synthH(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -177,7 +233,7 @@ object Multimodal {
           }
           y += 1
         }
-        Row(id, encodePng(img), Row("image/png", w, h, 0))
+        Row(mediaId, encodePng(img), Row("image/png", w, h, 0))
       }
     }(enc)
   }
@@ -238,6 +294,117 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** dHash-64 perceptual fingerprint over REAL decoded pixels — the
+    * standard difference-hash: nearest-neighbor sample the image to a 9×8
+    * luma grid (grid point (i, j) reads source pixel
+    * (⌊i·W/9⌋, ⌊j·H/8⌋) — exact integer coordinates, so an oracle can
+    * replay the fingerprint analytically from a known pixel function),
+    * then bit (j·8 + i) = luma(i+1, j) > luma(i, j). Luma is the integer
+    * BT.601 combination 299·R + 587·G + 114·B (un-normalized — the
+    * comparison is scale-invariant and stays integer-exact).
+    *
+    * The 64 bits travel as TWO 32-bit-half BIGINTs (`lo` = bits 0..31,
+    * `hi` = bits 32..63): SQL engines reject `1 << 63` on signed 64-bit
+    * (DuckDB raises Out of Range), and two halves replay everywhere;
+    * Hamming distance is the sum of two bit_count(xor) terms.
+    *
+    * Output: input row + (decoded_ok, lo, hi); undecodable blobs flag
+    * false with null halves, like [[decodeImages]]. */
+  def imageDHash(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded_ok", BooleanType)
+      .add("lo", LongType)
+      .add("hi", LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val px =
+          if (bytes == null) null
+          else
+            try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              if (img == null) null
+              else (img.getWidth, img.getHeight,
+                img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+                  img.getWidth))
+            } catch { case scala.util.control.NonFatal(_) => null }
+        if (px == null)
+          Row.fromSeq(row.toSeq ++ Seq(false, null, null))
+        else {
+          val (w, h, data) = px
+          def luma(i: Int, j: Int): Int = {
+            val x = i * w / 9; val y = j * h / 8
+            val p = data(y * w + x)
+            299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff)
+          }
+          var lo = 0L; var hi = 0L
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              if (luma(i + 1, j) > luma(i, j)) {
+                val b = j * 8 + i
+                if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+              }
+              i += 1
+            }
+            j += 1
+          }
+          Row.fromSeq(row.toSeq ++ Seq(true, lo, hi))
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual image near-dup pairs: images whose dHash fingerprints
+    * differ in at most `maxHamming` of 64 bits — the multimodal
+    * counterpart of SimHash text dedup, over REAL decoded pixels (a
+    * re-encoded, slightly-filtered or resampled copy keeps most gradient
+    * bits; byte-level checksums see nothing). Candidates come from
+    * banding the 64 bits into `bands` exact chunks (pigeonhole: any pair
+    * within maxHamming ≤ bands−1 shares at least one whole band), pair
+    * expansion through [[Dedup.bucketPairs]]' occupancy split (bounded
+    * buffers, spillable mega-bucket fallback — a viral meme reposted 10⁶
+    * times is exactly a mega-bucket), verification is two integer
+    * bit_counts where the pair is born. Blobs never shuffle: fingerprints
+    * are 16 bytes/image computed in the scan stage.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def imageDedupPairs(df: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands")
+    require(64 % bands == 0, s"64 bits not divisible by $bands bands")
+    val bits = 64 / bands
+    val fps = imageDHash(df).filter(col("decoded_ok"))
+      .select(col("media_id").as("id"), col("lo"), col("hi"))
+    // band b covers bits [b·bits, (b+1)·bits) of the lo/hi pair; with
+    // bits ≤ 32 each band sits wholly inside one half
+    val bandCols = (0 until bands).map { b =>
+      val start = b * bits
+      val half = if (start < 32) col("lo") else col("hi")
+      struct(lit(b).as("band"),
+        shiftright(half, start % 32).bitwiseAND(lit((1L << bits) - 1))
+          .as("bh"))
+    }
+    val pairs = Dedup.bucketPairs(
+      fps.select(explode(array(bandCols: _*)).as("b"),
+          struct(col("id"), col("lo"), col("hi")).as("m"))
+        .select(col("b.band").as("band"), col("b.bh").as("bh"), col("m")),
+      Seq("band", "bh"), maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).as("hamming"))
+    pairs.groupBy("id_a", "id_b")
+      .agg(first(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   // ---- real audio codec path (JDK javax.sound.sampled — no extra deps) -

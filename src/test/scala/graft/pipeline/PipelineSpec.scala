@@ -915,6 +915,50 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       r.isNullAt(r.fieldIndex("width")) shouldBe true
     }
 
+    "imageDHash: identical pixels give identical fingerprints; dedup finds them" in {
+      import spark.implicits._
+      // planted copy: media 900 reuses media 3's pixel basis — a REAL
+      // decode round trip must land both on one fingerprint (hamming 0);
+      // unrelated bases almost surely differ in far more than 3 bits
+      val ids = Seq((3L, 3L), (5L, 5L), (900L, 3L))
+        .toDF("media_id", "basis")
+      val media = Multimodal.syntheticPng(ids, "media_id", basisCol = "basis")
+      val fps = Multimodal.imageDHash(media).collect()
+        .map(r => r.getAs[Long]("media_id") ->
+          ((r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+      fps(3L) shouldBe fps(900L)
+      val pairs = Multimodal.imageDedupPairs(media, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      pairs((3L, 900L)) shouldBe 0
+      // banded candidates are LOSSLESS vs brute force at maxHamming < bands
+      val brute = fps.toSeq.combinations(2).count { case Seq((_, a), (_, b)) =>
+        java.lang.Long.bitCount(a._1 ^ b._1) +
+          java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+      }
+      pairs.size shouldBe brute
+    }
+
+    "noisy fixture has fingerprint entropy: distinct bases, distinct hashes" in {
+      import spark.implicits._
+      // the linear-congruence fixture is DEGENERATE for dHash (constant
+      // channel gradients except at wraps — massive fp collisions); the
+      // middle-square fixture must separate every base here
+      val ids = (1L to 30L).map(i => (i, i)).toDF("media_id", "basis")
+      val fps = Multimodal.imageDHash(
+          Multimodal.syntheticPngNoisy(ids, "media_id", basisCol = "basis"))
+        .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toSet
+      fps.size shouldBe 30
+    }
+
+    "imageDHash flags undecodable blobs like the other codec paths" in {
+      import spark.implicits._
+      val df = Multimodal.fromText(
+        Seq((1L, "not an image at all")).toDF("id", "t"), "id", "t")
+      val r = Multimodal.imageDHash(df).collect()(0)
+      r.getAs[Boolean]("decoded_ok") shouldBe false
+      r.isNullAt(r.fieldIndex("lo")) shouldBe true
+    }
+
     "syntheticWav encodes real WAVs that decodeAudio recovers exactly" in {
       import spark.implicits._
       val ids = Seq(0L, 5L, 42L)
