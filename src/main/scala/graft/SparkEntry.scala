@@ -2945,6 +2945,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "mm_audio_dedup" -> ((s, dir) => {
+      // acoustic near-dup over REAL decoded PCM: every 9th document's
+      // clip re-posted under a new id; amplitude-gradient dHash from the
+      // decoded samples, banded Hamming-≤3 pairing, brute-force oracle
+      val base = t(s, dir, "documents").select(col("doc_id"))
+      val ids = base
+        .select(col("doc_id").as("media_id"), col("doc_id").as("basis"))
+        .unionByName(base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("media_id"),
+            col("doc_id").as("basis")))
+      val media = Multimodal.syntheticWav(ids, "media_id",
+        basisCol = "basis", noisy = true)
+      Multimodal.audioDedupPairs(media, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     "mm_audio_decode" -> ((s, dir) => {
       // REAL audio codec round trip: encode one deterministic PCM-16 WAV
       // per document on the executors (JDK javax.sound.sampled), decode
@@ -5494,6 +5510,40 @@ object SparkEntry {
         |      THEN (CAST(1 AS BIGINT) << CAST(bitpos - 32 AS INT)) END), 0)
         |      AS BIGINT) AS hi
         |  FROM ids i LEFT JOIN setbits ON i.media_id = setbits.media_id
+        |  GROUP BY 1)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |       AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // acoustic dedup replay: gradient bits compare the raw congruence
+    // values (the -32768 signed shift cancels in the comparison), packed
+    // into the same two 32-bit halves; pairs brute-forced as ground truth
+    "mm_audio_dedup" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS basis FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |cl AS (SELECT media_id, basis, 32 + basis % 17 AS n FROM ids),
+        |setbits AS (
+        |  SELECT media_id, i.range AS bitpos
+        |  FROM cl CROSS JOIN range(64) i
+        |  WHERE ((73*basis + 151*(((i.range+1)*n)//65) + 11)
+        |          * (73*basis + 151*(((i.range+1)*n)//65) + 11)) % 65536
+        |      > ((73*basis + 151*((i.range*n)//65) + 11)
+        |          * (73*basis + 151*((i.range*n)//65) + 11)) % 65536),
+        |fp AS (
+        |  SELECT c.media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN bitpos < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(bitpos AS INT)) END), 0)
+        |      AS BIGINT) AS lo,
+        |    CAST(COALESCE(SUM(CASE WHEN bitpos >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(bitpos - 32 AS INT)) END), 0)
+        |      AS BIGINT) AS hi
+        |  FROM cl c LEFT JOIN setbits ON c.media_id = setbits.media_id
         |  GROUP BY 1)
         |SELECT a.media_id AS id_a, b.media_id AS id_b,
         |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))

@@ -378,13 +378,22 @@ object Multimodal {
     *
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def imageDedupPairs(df: DataFrame, maxHamming: Int = 3, bands: Int = 4,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    hammingPairs64(imageDHash(df).filter(col("decoded_ok"))
+        .select(col("media_id").as("id"), col("lo"), col("hi")),
+      maxHamming, bands, maxBucket)
+
+  /** Banded Hamming-≤t pairing over split-64-bit fingerprints
+    * (id, lo, hi) — shared by the image and audio perceptual dedups.
+    * Pigeonhole (maxHamming < bands ⇒ some exact band shared) makes the
+    * banding LOSSLESS vs brute force; pair expansion goes through
+    * [[Dedup.bucketPairs]]' occupancy split. */
+  private def hammingPairs64(fps: DataFrame, maxHamming: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands")
     require(64 % bands == 0, s"64 bits not divisible by $bands bands")
     val bits = 64 / bands
-    val fps = imageDHash(df).filter(col("decoded_ok"))
-      .select(col("media_id").as("id"), col("lo"), col("hi"))
     // band b covers bits [b·bits, (b+1)·bits) of the lo/hi pair; with
     // bits ≤ 32 each band sits wholly inside one half
     val bandCols = (0 until bands).map { b =>
@@ -418,24 +427,40 @@ object Multimodal {
     (Math.floorMod(1103515245L * id + 12345L + 2654435761L * i, 65536L)
       - 32768L).toInt
 
+  /** Noisy-fixture sample function for the ACOUSTIC-DEDUP gate: the
+    * linear congruence above is a sawtooth mod 2^16 (the multiplier is
+    * linear mod 65536), so gradient fingerprints collide broadly; the
+    * middle-square mixer is pseudo-random per sample and still one SQL
+    * expression. */
+  private[pipeline] def synthAmpNoisy(id: Long, i: Int): Int = {
+    val v = 73L * id + 151L * i + 11L
+    (Math.floorMod(v * v, 65536L) - 32768L).toInt
+  }
+
   private val WavRate = 8000
 
   /** Audio fixture: one REAL (losslessly decodable) WAV per input row —
     * PCM signed 16-bit mono little-endian, samples from the congruence
-    * above, containerized by the JDK's own WAVE writer on the executors. */
-  def syntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    * above, containerized by the JDK's own WAVE writer on the executors.
+    * `basisCol` (default: the id) feeds the sample congruence, so planted
+    * duplicate clips are one select away (the [[syntheticPng]] contract). */
+  def syntheticWav(df: DataFrame, idCol: String,
+      basisCol: String = null, noisy: Boolean = false): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
-    val in = df.select(col(idCol).cast(LongType).as("media_id"))
+    val basis = if (basisCol == null) idCol else basisCol
+    val in = df.select(col(idCol).cast(LongType).as("media_id"),
+      col(basis).cast(LongType).as("__basis"))
     in.mapPartitions { rows =>
       val fmt = new javax.sound.sampled.AudioFormat(
         WavRate.toFloat, 16, 1, true, false) // signed, little-endian
       rows.map { row =>
-        val id = row.getLong(0)
+        val mediaId = row.getLong(0)
+        val id = row.getLong(1) // sample basis
         val n = synthSamples(id)
         val pcm = new Array[Byte](n * 2)
         var i = 0
         while (i < n) {
-          val a = synthAmp(id, i)
+          val a = if (noisy) synthAmpNoisy(id, i) else synthAmp(id, i)
           pcm(2 * i) = (a & 0xff).toByte
           pcm(2 * i + 1) = ((a >> 8) & 0xff).toByte
           i += 1
@@ -445,7 +470,7 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream(pcm.length + 64)
         javax.sound.sampled.AudioSystem.write(ais,
           javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        Row(id, bos.toByteArray, Row("audio/wav", 0, 0, WavRate))
+        Row(mediaId, bos.toByteArray, Row("audio/wav", 0, 0, WavRate))
       }
     }(enc)
   }
@@ -508,6 +533,76 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Acoustic dHash over REAL decoded samples — the audio sibling of
+    * [[imageDHash]]: nearest-neighbor sample the decoded 16-bit PCM clip
+    * at 65 exact integer positions x_i = ⌊i·n/65⌋ and set bit i iff
+    * s(x_{i+1}) > s(x_i) — a time-stretched or re-containerized copy of
+    * the same waveform keeps its amplitude-gradient signature where a
+    * byte checksum sees nothing. Same split-64-bit travel contract as
+    * the image hash. Output: input row + (decoded_ok, lo, hi). */
+  def audioDHash(df: DataFrame): DataFrame = {
+    val outSchema = df.schema
+      .add("decoded_ok", BooleanType)
+      .add("lo", LongType)
+      .add("hi", LongType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val mediaIdx = df.schema.fieldIndex("media")
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](mediaIdx)
+        val parsed =
+          if (bytes == null) null
+          else
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16) null
+              else (fmt.isBigEndian, ais.readAllBytes())
+            } catch { case scala.util.control.NonFatal(_) => null }
+        val samples: Array[Int] = parsed match {
+          case null => null
+          case (big: Boolean, pcm: Array[Byte]) if pcm.length >= 4 =>
+            val n = pcm.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              out(i) = if (big) ((pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff))
+                else ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+              i += 1
+            }
+            out
+          case _ => null
+        }
+        if (samples == null)
+          Row.fromSeq(row.toSeq ++ Seq(false, null, null))
+        else {
+          val n = samples.length
+          var lo = 0L; var hi = 0L
+          var i = 0
+          while (i < 64) {
+            val xa = i * n / 65; val xb = (i + 1) * n / 65
+            if (samples(xb) > samples(xa)) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Row.fromSeq(row.toSeq ++ Seq(true, lo, hi))
+        }
+      }
+    }(enc)
+  }
+
+  /** Perceptual audio near-dup pairs — [[imageDedupPairs]]' acoustic
+    * sibling: clips whose [[audioDHash]] fingerprints differ in at most
+    * `maxHamming` of 64 bits, banded lossless (pigeonhole), pair
+    * expansion through the occupancy split; blobs never shuffle. */
+  def audioDedupPairs(df: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    hammingPairs64(audioDHash(df).filter(col("decoded_ok"))
+        .select(col("media_id").as("id"), col("lo"), col("hi")),
+      maxHamming, bands, maxBucket)
 
   /** Real image resize: decode → nearest-neighbor downsample (output
     * pixel (x, y) = input pixel (x·factor, y·factor), so the resampled

@@ -980,6 +980,29 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       }
     }
 
+    "audioDHash: planted clip copies pair at hamming 0; entropy holds" in {
+      import spark.implicits._
+      val ids = ((1L to 25L).map(i => (i, i)) :+ ((900L, 4L)))
+        .toDF("media_id", "basis")
+      val media = Multimodal.syntheticWav(ids, "media_id",
+        basisCol = "basis", noisy = true)
+      val fps = Multimodal.audioDHash(media).collect()
+        .map(r => r.getAs[Long]("media_id") ->
+          ((r.getAs[Long]("lo"), r.getAs[Long]("hi")))).toMap
+      fps(900L) shouldBe fps(4L)
+      // distinct bases separate (pseudo-random sample gradients)
+      fps.values.toSet.size should be >= 24
+      val pairs = Multimodal.audioDedupPairs(media, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      pairs((4L, 900L)) shouldBe 0
+      // lossless vs driver-side brute force
+      val brute = fps.toSeq.combinations(2).count { case Seq((_, a), (_, b)) =>
+        java.lang.Long.bitCount(a._1 ^ b._1) +
+          java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+      }
+      pairs.size shouldBe brute
+    }
+
     "decodeAudio flags non-audio blobs instead of failing" in {
       import spark.implicits._
       val df = Multimodal.fromText(
