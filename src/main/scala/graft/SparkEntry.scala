@@ -2937,7 +2937,7 @@ object SparkEntry {
       val ids = base
         .select(col("doc_id").as("media_id"), col("doc_id").as("basis"))
         .unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("media_id"),
+          .select((-(col("doc_id") + lit(1L))).as("media_id"),
             col("doc_id").as("basis")))
       val media = Multimodal.syntheticPngNoisy(ids, "media_id",
         basisCol = "basis")
@@ -2953,7 +2953,7 @@ object SparkEntry {
       val ids = base
         .select(col("doc_id").as("media_id"), col("doc_id").as("basis"))
         .unionByName(base.filter(col("doc_id") % 9 === 0)
-          .select((col("doc_id") + lit(1000000L)).as("media_id"),
+          .select((-(col("doc_id") + lit(1L))).as("media_id"),
             col("doc_id").as("basis")))
       val media = Multimodal.syntheticWav(ids, "media_id",
         basisCol = "basis", noisy = true)
@@ -5480,7 +5480,7 @@ object SparkEntry {
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id AS basis FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  SELECT -(doc_id + 1), doc_id FROM documents
         |  WHERE doc_id % 7 = 0),
         |g AS (
         |  SELECT media_id, basis, gi.range AS gi, gj.range AS gj,
@@ -5525,7 +5525,7 @@ object SparkEntry {
       """WITH ids AS (
         |  SELECT doc_id AS media_id, doc_id AS basis FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, doc_id FROM documents
+        |  SELECT -(doc_id + 1), doc_id FROM documents
         |  WHERE doc_id % 9 = 0),
         |cl AS (SELECT media_id, basis, 32 + basis % 17 AS n FROM ids),
         |setbits AS (

@@ -164,29 +164,37 @@ object Multimodal {
   private[pipeline] val noisyG = noisyChan(89, 97, 131, 23) _
   private[pipeline] val noisyB = noisyChan(53, 61, 113, 41) _
 
-  /** [[syntheticPng]]'s noisy sibling: real PNGs whose pixels come from
-    * the middle-square mixer — the fixture for perceptual-dedup gates,
-    * where fingerprint entropy matters. Same basis/id contract. */
-  def syntheticPngNoisy(df: DataFrame, idCol: String,
-      basisCol: String = null): DataFrame = {
+  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1024)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** One render body for both synthetic-PNG fixtures: (id, basis) rows
+    * in, real executor-encoded PNGs out, pixels from the supplied
+    * geometry/channel functions of the basis. */
+  private def renderPng(df: DataFrame, idCol: String, basisCol: String,
+      wf: Long => Int, hf: Long => Int,
+      rf: (Long, Int, Int) => Int, gf: (Long, Int, Int) => Int,
+      bf: (Long, Int, Int) => Int): DataFrame = {
     val enc = RowEncoder.encoderFor(mediaSchema)
     val basis = if (basisCol == null) idCol else basisCol
     val in = df.select(col(idCol).cast(LongType).as("media_id"),
       col(basis).cast(LongType).as("__basis"))
     in.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
       rows.map { row =>
         val mediaId = row.getLong(0)
-        val id = row.getLong(1)
-        val w = noisyW(id); val h = noisyH(id)
+        val id = row.getLong(1) // pixel basis
+        val w = wf(id); val h = hf(id)
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            img.setRGB(x, y, (noisyR(id, x, y) << 16) |
-              (noisyG(id, x, y) << 8) | noisyB(id, x, y))
+            img.setRGB(x, y,
+              (rf(id, x, y) << 16) | (gf(id, x, y) << 8) | bf(id, x, y))
             x += 1
           }
           y += 1
@@ -194,12 +202,6 @@ object Multimodal {
         Row(mediaId, encodePng(img), Row("image/png", w, h, 0))
       }
     }(enc)
-  }
-
-  private def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(1024)
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
   }
 
   /** Image fixture: one REAL (losslessly decodable) PNG per input row,
@@ -210,33 +212,43 @@ object Multimodal {
     * itself) feeds the pixel congruence, so planted duplicates — distinct
     * media_ids sharing one pixel basis — are one select away. */
   def syntheticPng(df: DataFrame, idCol: String,
-      basisCol: String = null): DataFrame = {
-    val enc = RowEncoder.encoderFor(mediaSchema)
-    val basis = if (basisCol == null) idCol else basisCol
-    val in = df.select(col(idCol).cast(LongType).as("media_id"),
-      col(basis).cast(LongType).as("__basis"))
-    in.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // no temp-file spooling
-      rows.map { row =>
-        val mediaId = row.getLong(0)
-        val id = row.getLong(1) // pixel basis
-        val w = synthW(id); val h = synthH(id)
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            img.setRGB(x, y,
-              (synthR(id, x, y) << 16) | (synthG(id, x, y) << 8) | synthB(id, x, y))
-            x += 1
-          }
-          y += 1
+      basisCol: String = null): DataFrame =
+    renderPng(df, idCol, basisCol, synthW, synthH, synthR, synthG, synthB)
+
+  /** [[syntheticPng]]'s noisy sibling: real PNGs whose pixels come from
+    * the middle-square mixer — the fixture for perceptual-dedup gates,
+    * where fingerprint entropy matters. Same basis/id contract. */
+  def syntheticPngNoisy(df: DataFrame, idCol: String,
+      basisCol: String = null): DataFrame =
+    renderPng(df, idCol, basisCol, noisyW, noisyH, noisyR, noisyG, noisyB)
+
+  /** Decompression-bomb cap: decoded rasters above this pixel count are
+    * treated as undecodable BEFORE the int[w·h] raster is allocated —
+    * 64 Mpx ≈ 256 MB of packed ints, far above any legitimate training
+    * image and far below a crafted 25000² bomb's 2.5 GB. */
+  private[pipeline] val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  /** Guarded blob → (w, h, packed-RGB row-major raster) decode shared by
+    * every image path. Returns null for null/undecodable/oversized
+    * blobs. NonFatal, not IOException: JDK codecs throw
+    * IllegalArgumentException / CMMException / array-bounds errors on
+    * malformed data — at crawl scale ANY per-blob failure must land in
+    * decoded_ok=false, never kill the task. */
+  private def decodeRGB(bytes: Array[Byte]): (Int, Int, Array[Int]) =
+    if (bytes == null) null
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) null
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w.toLong * h > MaxDecodePixels) null
+          // bulk getRGB: one color-model conversion pass, not one
+          // virtual call per pixel (12M calls on a 4000×3000 image)
+          else (w, h, img.getRGB(0, 0, w, h, null, 0, w))
         }
-        Row(mediaId, encodePng(img), Row("image/png", w, h, 0))
-      }
-    }(enc)
-  }
+      } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Real batch-shaped image decode: `javax.imageio` reads each blob
     * (PNG/JPEG/BMP/GIF — whatever the JDK's registry handles) back to
@@ -258,26 +270,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](mediaIdx)
-        // NonFatal, not just IOException: JDK codecs throw
-        // IllegalArgumentException / CMMException / array-bounds errors on
-        // malformed data — at crawl scale ANY per-blob failure must land
-        // in decoded_ok=false, never kill the task
-        val px =
-          if (bytes == null) null
-          else
-            try {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              if (img == null) null
-              else {
-                val w = img.getWidth; val h = img.getHeight
-                // bulk getRGB: one color-model conversion pass, not one
-                // virtual call per pixel (12M calls on a 4000×3000 crawl
-                // image — the hot path the batch shape exists to serve)
-                (w, h, img.getRGB(0, 0, w, h, null, 0, w))
-              }
-            } catch { case scala.util.control.NonFatal(_) => null }
+        val px = decodeRGB(row.getAs[Array[Byte]](mediaIdx))
         if (px == null)
           Row.fromSeq(row.toSeq ++ Seq(false, null, null, null, null, null))
         else {
@@ -322,18 +315,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](mediaIdx)
-        val px =
-          if (bytes == null) null
-          else
-            try {
-              val img = javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              if (img == null) null
-              else (img.getWidth, img.getHeight,
-                img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
-                  img.getWidth))
-            } catch { case scala.util.control.NonFatal(_) => null }
+        val px = decodeRGB(row.getAs[Array[Byte]](mediaIdx))
         if (px == null)
           Row.fromSeq(row.toSeq ++ Seq(false, null, null))
         else {
@@ -411,9 +393,13 @@ object Multimodal {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
           bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).as("hamming"))
+      // threshold BEFORE the cross-band dedup: the distance is a pure
+      // function of the pair, so filtering first is semantically
+      // identical and the dedup shuffle carries only true near-dups
+      // (most band collisions are far pairs)
+      .filter(col("hamming") <= maxHamming)
     pairs.groupBy("id_a", "id_b")
       .agg(first(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
   }
 
   // ---- real audio codec path (JDK javax.sound.sampled — no extra deps) -
@@ -550,49 +536,61 @@ object Multimodal {
     val mediaIdx = df.schema.fieldIndex("media")
     df.mapPartitions { rows =>
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](mediaIdx)
-        val parsed =
-          if (bytes == null) null
-          else
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16) null
-              else (fmt.isBigEndian, ais.readAllBytes())
-            } catch { case scala.util.control.NonFatal(_) => null }
-        val samples: Array[Int] = parsed match {
-          case null => null
-          case (big: Boolean, pcm: Array[Byte]) if pcm.length >= 4 =>
-            val n = pcm.length / 2
-            val out = new Array[Int](n)
-            var i = 0
-            while (i < n) {
-              out(i) = if (big) ((pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff))
-                else ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
-              i += 1
-            }
-            out
-          case _ => null
-        }
+        val samples = decodePcm16(row.getAs[Array[Byte]](mediaIdx))
         if (samples == null)
           Row.fromSeq(row.toSeq ++ Seq(false, null, null))
         else {
           val n = samples.length
           var lo = 0L; var hi = 0L
-          var i = 0
-          while (i < 64) {
-            val xa = i * n / 65; val xb = (i + 1) * n / 65
-            if (samples(xb) > samples(xa)) {
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          // a clip too short to carry gradients (n < 2 — even n = 0) is
+          // still DECODED fine: decoded_ok stays true (decodeAudio
+          // agrees on the same blob) and it hashes to the all-zero
+          // fingerprint, the same convention a flat 1×1 image gets
+          if (n >= 2) {
+            var i = 0
+            while (i < 64) {
+              val xa = i * n / 65; val xb = (i + 1) * n / 65
+              if (samples(xb) > samples(xa)) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
             }
-            i += 1
           }
           Row.fromSeq(row.toSeq ++ Seq(true, lo, hi))
         }
       }
     }(enc)
   }
+
+  /** Guarded blob → signed 16-bit sample array decode shared by the
+    * acoustic paths: container parse AND frame read inside one NonFatal
+    * guard (a truncated RIFF header throws from the read, and codec
+    * internals throw unchecked exceptions), frame-length bomb cap before
+    * buffering, null for undecodable or non-16-bit blobs. */
+  private def decodePcm16(bytes: Array[Byte]): Array[Int] =
+    if (bytes == null) null
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) null
+        else if (ais.getFrameLength >= 0 &&
+          ais.getFrameLength * math.max(1, fmt.getFrameSize) > (1L << 30)) null
+        else {
+          val pcm = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          val n = pcm.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            out(i) = if (big) ((pcm(2 * i).toInt << 8) | (pcm(2 * i + 1) & 0xff))
+              else ((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff))
+            i += 1
+          }
+          out
+        }
+      } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Perceptual audio near-dup pairs — [[imageDedupPairs]]' acoustic
     * sibling: clips whose [[audioDHash]] fingerprints differ in at most
@@ -620,22 +618,13 @@ object Multimodal {
     df.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { row =>
-        val bytes = row.getAs[Array[Byte]](mediaIdx)
-        // NonFatal guard as in decodeImages (codec internals throw
-        // unchecked exceptions on malformed data); undecodable blobs pass
-        // through unchanged with their original meta
-        val img =
-          if (bytes == null) null
-          else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-            catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) row
+        // shared guarded decode (NonFatal + bomb cap); undecodable blobs
+        // pass through unchanged with their original meta
+        val px = decodeRGB(row.getAs[Array[Byte]](mediaIdx))
+        if (px == null) row
         else {
-          val w = img.getWidth; val h = img.getHeight
+          val (w, h, src) = px
           val ow = (w + factor - 1) / factor; val oh = (h + factor - 1) / factor
-          // bulk pixel transfer: one getRGB pass over the source, one
-          // setRGB pass over the target (no per-pixel virtual calls)
-          val src = img.getRGB(0, 0, w, h, null, 0, w)
           val dst = new Array[Int](ow * oh)
           var y = 0
           while (y < oh) {
