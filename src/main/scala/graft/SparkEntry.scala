@@ -75,6 +75,16 @@ object SparkEntry {
     prepCache.getOrElseUpdate(
       s"${System.identityHashCode(s)}:$key", build).asInstanceOf[T]
 
+  /** The deterministic-PNG media fixture shared by mm_decode and
+    * mm_resize: one congruence-pixel PNG per document, encoded once per
+    * (session, sf) and persisted — the PNG WRITER is scaffolding, the
+    * decode stages are the operators under measurement. The blobs are
+    * tiny (4-8 × 4-6 px ⇒ a few hundred bytes each). */
+  private def preparedPng(s: SparkSession, dir: String): DataFrame =
+    prepared(s, s"mmpng:$dir") {
+      Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id").persist()
+    }
+
   /** Decimal → double through the decimal's string rendering. Both Spark and
     * DuckDB parse decimal strings with correctly-rounded double conversion,
     * so the result is bit-identical on both sides — unlike a direct
@@ -1177,13 +1187,17 @@ object SparkEntry {
         .write.mode("append").parquet(s"$base/c")
       val vs = s.readStream.schema(s.read.parquet(s"$base/v").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/v")
-        .withWatermark("vts", "40 days")
       val cs = s.readStream.schema(s.read.parquet(s"$base/c").schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/c")
-        .withWatermark("cts", "40 days")
-      val q = cs.join(vs,
-          expr("c_user = v_user AND vts <= cts AND " +
-            "vts >= cts - INTERVAL 10 MINUTES"))
+      // the library operator owns the watermark/interval contract
+      // (Streams.intervalJoin — state ∝ rate × (delay + lookback));
+      // this REPLAY passes a full-span delay so nothing is ever late and
+      // the final table equals the batch join the oracle replays. The
+      // production contract (late rows dropped, state bounded) is
+      // spec-pinned in StreamsSpec with a tight delay.
+      val q = graft.streaming.Streams.intervalJoin(
+          vs, "vts", "40 days", cs, "cts", "40 days",
+          col("c_user") === col("v_user"), "10 minutes")
         .select("click_id", "view_id")
         .writeStream.format("parquet")
         .option("path", s"$base/out")
@@ -1931,6 +1945,68 @@ object SparkEntry {
             Similarity.trainPq(t(s, dir, "embeddings"), "vec_id", "embedding",
               m = 8, ncodes = 8, trainIters = 2)
           }))
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_pq_tables" -> ((s, dir) => {
+      // the production SERVING shape: the PQ index is a DURABLE parquet
+      // artifact — the code table and codebook are written once at
+      // index-build time (memoized like the index builds behind the scan
+      // entries) and every query batch READS them, so repeated batches
+      // over a static corpus never pay train or encode again — the
+      // minhashDedupAgainstTables pattern applied to ANN. Codes are exact
+      // ints and codeword doubles round-trip parquet bit-exactly, so the
+      // inline ann_pq oracle replays this entry unchanged (equivalence
+      // additionally spec-pinned through a real round trip).
+      val root = prepared(s, s"annpqtables:$dir") {
+        val out = scratchDir(s, "annpq_index", dir)
+        val book = prepared(s, s"pqbook:$dir:8:8:2") {
+          Similarity.trainPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+            m = 8, ncodes = 8, trainIters = 2)
+        }
+        Similarity.annPqEncodeTable(t(s, dir, "embeddings"), "vec_id",
+            "embedding", book)
+          .write.mode("overwrite").parquet(s"$out/codes")
+        Similarity.pqBookTable(s, book)
+          .write.mode("overwrite").parquet(s"$out/book")
+        out
+      }
+      val book = Similarity.pqBookFromTable(s.read.parquet(s"$root/book"))
+      Similarity.annPqTopKFromTable(s.read.parquet(s"$root/codes"),
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, book)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivfpq_tables" -> ((s, dir) => {
+      // the composed index as THREE durable parquet tables — codes
+      // (cid, id, k0..k7), coarse centroids, codebook; the query batch
+      // reads all three and computes only its own probes. Per-batch cost
+      // is independent of the corpus: no training rounds, no assignment
+      // scan, no encode — what a 100 TB serving deployment actually runs.
+      val root = prepared(s, s"annivfpqtables:$dir") {
+        val out = scratchDir(s, "annivfpq_index", dir)
+        val book = prepared(s, s"pqbook:$dir:8:8:2") {
+          Similarity.trainPq(t(s, dir, "embeddings"), "vec_id", "embedding",
+            m = 8, ncodes = 8, trainIters = 2)
+        }
+        val cents = Similarity.centroidTable(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nlist = 16)
+        Similarity.annIvfPqEncodeTable(t(s, dir, "embeddings"), "vec_id",
+            "embedding", book, cents)
+          .write.mode("overwrite").parquet(s"$out/codes")
+        cents.write.mode("overwrite").parquet(s"$out/centroids")
+        Similarity.pqBookTable(s, book)
+          .write.mode("overwrite").parquet(s"$out/book")
+        out
+      }
+      val book = Similarity.pqBookFromTable(s.read.parquet(s"$root/book"))
+      Similarity.annIvfPqTopKFromTables(
+          s.read.parquet(s"$root/codes"), s.read.parquet(s"$root/centroids"),
+          book, t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 10, k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
@@ -2907,8 +2983,11 @@ object SparkEntry {
       // REAL codec round trip: encode one deterministic PNG per document
       // on the executors (JDK ImageIO), decode the compressed bytes back
       // to pixels, reduce to geometry + exact per-channel means — the
-      // oracle replays the congruence pixel function in pure SQL
-      val media = Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id")
+      // oracle replays the congruence pixel function in pure SQL.
+      // The encoded-blob fixture is SETUP, not the operator: it is
+      // memoized + persisted once per (session, sf) and SHARED with
+      // mm_resize, so each entry times its decode, not the PNG writer.
+      val media = preparedPng(s, dir)
       Multimodal.decodeImages(media)
         .select(col("media_id"), col("decoded_ok"), col("width"),
           col("height"), col("mean_r"), col("mean_g"), col("mean_b"))
@@ -2918,8 +2997,9 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) => {
       // decode → nearest-neighbor 2× downsample → re-encode PNG → decode
       // again; output pixel (x,y) = source pixel (2x,2y), so the resized
-      // geometry and channel means replay exactly in the oracle
-      val media = Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id")
+      // geometry and channel means replay exactly in the oracle.
+      // Fixture shared with mm_decode (preparedPng).
+      val media = preparedPng(s, dir)
       Multimodal.decodeImages(Multimodal.resizeImages(media, factor = 2))
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
@@ -2939,8 +3019,13 @@ object SparkEntry {
         .unionByName(base.filter(col("doc_id") % 7 === 0)
           .select((-(col("doc_id") + lit(1L))).as("media_id"),
             col("doc_id").as("basis")))
-      val media = Multimodal.syntheticPngNoisy(ids, "media_id",
-        basisCol = "basis")
+      // the noisy-PNG encode is fixture setup — memoize + persist it so
+      // the entry times the perceptual dedup (decode → dHash → banded
+      // pairing), not the PNG writer
+      val media = prepared(s, s"mmpngnoisy7:$dir") {
+        Multimodal.syntheticPngNoisy(ids, "media_id",
+          basisCol = "basis").persist()
+      }
       Multimodal.imageDedupPairs(media, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -2955,8 +3040,11 @@ object SparkEntry {
         .unionByName(base.filter(col("doc_id") % 9 === 0)
           .select((-(col("doc_id") + lit(1L))).as("media_id"),
             col("doc_id").as("basis")))
-      val media = Multimodal.syntheticWav(ids, "media_id",
-        basisCol = "basis", noisy = true)
+      // WAV encode is fixture setup — memoized like mm_image_dedup's PNGs
+      val media = prepared(s, s"mmwavnoisy9:$dir") {
+        Multimodal.syntheticWav(ids, "media_id",
+          basisCol = "basis", noisy = true).persist()
+      }
       Multimodal.audioDedupPairs(media, maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -2965,8 +3053,11 @@ object SparkEntry {
       // REAL audio codec round trip: encode one deterministic PCM-16 WAV
       // per document on the executors (JDK javax.sound.sampled), decode
       // the container back to samples, reduce to integer features —
-      // the oracle replays the congruence sample function in pure SQL
-      val media = Multimodal.syntheticWav(t(s, dir, "documents"), "doc_id")
+      // the oracle replays the congruence sample function in pure SQL.
+      // WAV-encode fixture memoized (see mm_decode's preparedPng note).
+      val media = prepared(s, s"mmwav:$dir") {
+        Multimodal.syntheticWav(t(s, dir, "documents"), "doc_id").persist()
+      }
       Multimodal.decodeAudio(media)
         .select(col("media_id"), col("decoded_ok"), col("n_samples"),
           col("sample_rate"), col("sum_amp"), col("peak"))
@@ -3960,6 +4051,13 @@ object SparkEntry {
            |ORDER BY outlier_score DESC, vec_id LIMIT 25""".stripMargin),
     "ann_pq_topk" -> annPqOracle(m = 8, ncodes = 8, sub = 8, k = 5, iters = 2),
     "ann_ivfpq_topk" ->
+      annIvfPqOracle(nlist = 16, nprobe = 4, m = 8, ncodes = 8, sub = 8,
+        k = 5, iters = 2),
+    // the stored-table paths are bit-equivalent to the inline forms
+    // (integer codes; centroid/codeword doubles round-trip parquet
+    // exactly), so the same oracles replay them
+    "ann_pq_tables" -> annPqOracle(m = 8, ncodes = 8, sub = 8, k = 5, iters = 2),
+    "ann_ivfpq_tables" ->
       annIvfPqOracle(nlist = 16, nprobe = 4, m = 8, ncodes = 8, sub = 8,
         k = 5, iters = 2),
     "dedup_embedding_cosine_lsh" -> cosineLshPairsOracle,

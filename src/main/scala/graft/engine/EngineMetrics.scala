@@ -34,6 +34,17 @@ import org.apache.spark.sql.SparkSession
   *   - `index.rows.scanned`, `index.rows.accepted`, `index.rows.skipped`
   *     — index-served scans, when the residual guard measures them.
   *   - `write.batches` — [[HyperStorage.applyOps]] invocations.
+  *   - `write.ops.rejected` — per-op 404/409 outcomes, counted by an
+  *     accumulator riding applyOps' own fold (rejections never reach the
+  *     feed, so the publish meters can't see them).
+  *   - `feed.events.published` / `.put` / `.patch` / `.delete` /
+  *     `feed.events.completed` — the pipeline's delivery meters
+  *     ([[graft.streaming.FeedPipeline]]): published counts successful
+  *     sink sends (accumulators riding the publish itself), completed is
+  *     added only after the ledger completion markers commit — a crash
+  *     between publish and completion leaves published > completed,
+  *     which is exactly what recovery drains. At-least-once on batch
+  *     replay, like the delivery contract itself.
   *
   * Registries are keyed by SparkSession (process-wide rates, like the
   * reference's registry); `reset()` scopes a measurement window. */

@@ -115,7 +115,8 @@ private[engine] final case class ApplyOutcome(
   * Call [[release]] once the outputs are consumed (e.g. after write-back in
   * a foreachBatch loop) to drop the cached fold backing all three. */
 final case class ApplyResult(log: DataFrame, feed: DataFrame, rejected: DataFrame,
-    release: () => Unit = () => (), appended: DataFrame = null)
+    release: () => Unit = () => (), appended: DataFrame = null,
+    rejectedCount: () => Long = () => 0L)
 
 /** HyperStorage-on-Spark: the reference's query and mutation capabilities
   * over a content log DataFrame.
@@ -434,12 +435,23 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     val opsByUri = ops.groupByKey(op => splitPath(op.path)._1)
     val stateByUri = latest.groupByKey(_.document_uri)
 
+    // rejection meter: an ACCUMULATOR riding the fold's own execution —
+    // rejected ops never reach the feed (so the publish-side meters can't
+    // see them) and counting them any other way would schedule a job over
+    // `rejected`, which the pipeline never otherwise materializes. Final
+    // once the persisted fold materializes (the pipeline's localCheckpoint
+    // guarantees that before it reads the value); at-least-once under
+    // task retry / cache eviction, like any Spark meter.
+    val rejectedAcc = spark.sparkContext.longAccumulator("write.ops.rejected")
     // persisted: the three outputs (log/feed/rejected) would otherwise each
     // replay the whole per-key fold on every action
     val applied: Dataset[ApplyOutcome] =
       opsByUri.cogroup(stateByUri) { (uri, opIt, stateIt) =>
         applyForDocument(uri, opIt.toSeq.sortBy(_.seq), stateIt.toSeq,
-          batchTsMillis)
+          batchTsMillis).map { o =>
+          if (o.rejected.isDefined) rejectedAcc.add(1L)
+          o
+        }
       }.persist()
 
     val newRows = applied.flatMap(_.row).toDF()
@@ -451,7 +463,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
     ApplyResult(log.select(Content.schema.fieldNames.map(col): _*)
       .unionByName(newRows), feed, rejected,
       release = () => { applied.unpersist(); () },
-      appended = newRows)
+      appended = newRows,
+      rejectedCount = () => rejectedAcc.value)
   }
 
   /** Local convenience for small batches (tests / single-doc API). */

@@ -612,17 +612,23 @@ object Dedup {
       maxGramFreq: Option[Int] = None): DataFrame = {
     val keyed = df.select(col(idCol).as("id"), col(keyCol).as("k"))
       .persist() // see minhashDedupPairs
-    // kernel grams are DISTINCT per key (CharWindows contract)
-    val grams = keyed.select(col("id"),
+    // kernel grams are DISTINCT per key (CharWindows contract); the key
+    // LENGTH rides along so the candidate join can prefilter on it
+    val grams = keyed.select(col("id"), length(col("k")).as("len"),
         explode(graft.functions.TextFunctions.char_windows(col("k"), q, 1))
           .as("g"))
       .hint("merge")
     val pruned = freqPruned(grams, "g", maxGramFreq)
     // re-hint both sides (the prune node drops the hint — see
-    // prunedExplodedShingles)
+    // prunedExplodedShingles). The length prefilter is LOSSLESS:
+    // Levenshtein distance ≥ |len(a) − len(b)| (each edit changes the
+    // length by at most 1), so any pair it drops could never verify —
+    // and it runs as a codegen'd predicate inside the gram join, cutting
+    // candidates before the distinct shuffle and the Levenshtein DP.
     val cand = pruned.hint("merge").alias("a")
       .join(pruned.hint("merge").alias("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxEdits)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val ka = keyed.select(col("id").as("id_a"), col("k").as("k_a")).hint("merge")

@@ -233,21 +233,45 @@ object Multimodal {
     * blobs. NonFatal, not IOException: JDK codecs throw
     * IllegalArgumentException / CMMException / array-bounds errors on
     * malformed data — at crawl scale ANY per-blob failure must land in
-    * decoded_ok=false, never kill the task. */
+    * decoded_ok=false, never kill the task.
+    *
+    * The bomb cap is enforced from the HEADER, before any raster exists:
+    * `reader.getWidth(0)/getHeight(0)` parse only the size fields
+    * (PNG IHDR, JPEG SOF, BMP/GIF headers), so a crafted 25000² PNG is
+    * rejected for the cost of a few header bytes — `ImageIO.read` would
+    * have allocated its ~2.5 GB raster first and died with an OOM Error
+    * that NonFatal deliberately does not catch. Dimensions are re-checked
+    * on the decoded image (a lying header must not smuggle a bigger
+    * raster past the cap), and `getRGB` uses the decoded dimensions. */
   private def decodeRGB(bytes: Array[Byte]): (Int, Int, Array[Int]) =
     if (bytes == null) null
     else
       try {
-        val img = javax.imageio.ImageIO.read(
+        val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        if (img == null) null
-        else {
-          val w = img.getWidth; val h = img.getHeight
-          if (w.toLong * h > MaxDecodePixels) null
-          // bulk getRGB: one color-model conversion pass, not one
-          // virtual call per pixel (12M calls on a 4000×3000 image)
-          else (w, h, img.getRGB(0, 0, w, h, null, 0, w))
-        }
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers == null || !readers.hasNext) null
+          else {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis, true, true)
+              val hw = reader.getWidth(0); val hh = reader.getHeight(0)
+              if (hw <= 0 || hh <= 0 || hw.toLong * hh > MaxDecodePixels) null
+              else {
+                val img = reader.read(0)
+                if (img == null) null
+                else {
+                  val w = img.getWidth; val h = img.getHeight
+                  if (w.toLong * h > MaxDecodePixels) null
+                  // bulk getRGB: one color-model conversion pass, not one
+                  // virtual call per pixel (12M calls on a 4000×3000 image)
+                  else (w, h, img.getRGB(0, 0, w, h, null, 0, w))
+                }
+              }
+            } finally reader.dispose()
+          }
+        } finally iis.close()
       } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Real batch-shaped image decode: `javax.imageio` reads each blob
@@ -375,6 +399,13 @@ object Multimodal {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands")
     require(64 % bands == 0, s"64 bits not divisible by $bands bands")
+    // bands=1 would pass both checks (maxHamming=0), but its 64-bit band
+    // mask (1L << 64) - 1 is 0 on the JVM (shift mod 64) — every
+    // fingerprint would silently land in one mega-bucket and the banding
+    // would degenerate to an all-pairs join. bands >= 2 ⇔ bits <= 32,
+    // which is also what keeps each band inside one lo/hi half below.
+    require(bands >= 2, s"need bands >= 2 (got $bands): a single 64-bit " +
+      "band cannot be masked on the JVM and degenerates to all-pairs")
     val bits = 64 / bands
     // band b covers bits [b·bits, (b+1)·bits) of the lo/hi pair; with
     // bits ≤ 32 each band sits wholly inside one half
@@ -500,8 +531,8 @@ object Multimodal {
           val (fmt, pcm) = parsed
           val bytesPerSample = fmt.getSampleSizeInBits / 8
           val n = pcm.length / math.max(1, bytesPerSample)
-          var sum = 0L; var peak = 0
           if (fmt.getSampleSizeInBits == 16) {
+            var sum = 0L; var peak = 0
             var i = 0
             while (i + 1 < pcm.length) {
               val lo = pcm(i) & 0xff
@@ -512,9 +543,15 @@ object Multimodal {
               if (math.abs(a) > peak) peak = math.abs(a)
               i += 2
             }
-          }
-          Row.fromSeq(row.toSeq ++ Seq(true, n.toLong,
-            math.round(fmt.getSampleRate), sum, peak))
+            Row.fromSeq(row.toSeq ++ Seq(true, n.toLong,
+              math.round(fmt.getSampleRate), sum, peak))
+          } else
+            // non-16-bit PCM: geometry is real, amplitude features are
+            // NOT computed — emit null, never 0 (a zero sum_amp/peak is
+            // indistinguishable from a genuinely silent 16-bit clip, and
+            // decodePcm16/audioDHash flag the same blob unusable)
+            Row.fromSeq(row.toSeq ++ Seq(true, n.toLong,
+              math.round(fmt.getSampleRate), null, null))
         }
       }
     }(enc)

@@ -301,10 +301,41 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val centroids = corpus.orderBy("id").limit(nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    ivfSearch(df, idCol, vecCol, queryPred, k, nprobe, corpus, centroids)
+    ivfSearch(df, idCol, vecCol, queryPred, k, nprobe, corpus,
+      centroidTable(df, idCol, vecCol, nlist))
   }
+
+  /** Deterministic first-`nlist` coarse-centroid table (cid, cv, cnrm) —
+    * the STORABLE artifact form of [[annIvfTopK]]'s quantizer. Write it
+    * as parquet next to the assignment/code tables; doubles round-trip
+    * parquet bit-exactly, so a reloaded table probes identically. */
+  def centroidTable(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int): DataFrame =
+    prep(df, idCol, vecCol).orderBy("id").limit(nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+
+  /** The stored IVF-FLAT index: every corpus vector assigned to its
+    * nearest inverted list — one (cid, id, v, nrm) row per vector, the
+    * durable parquet artifact the serving path reads so repeated query
+    * batches over a static corpus never re-assign the corpus
+    * (the minhashDedupAgainstTables pattern applied to ANN; the
+    * reference's analog is its durable index tables — IndexStore). */
+  def annIvfAssignTable(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    centroidScored(prep(df, idCol, vecCol), centroids)
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("id"), col("v"), col("nrm"))
+
+  /** IVF-flat query batch over STORED tables: `assigned` and `centroids`
+    * are the parquet artifacts written at index-build time; only the
+    * query side is computed per batch. Identical results to
+    * [[annIvfTopK]]/[[annIvfTopKWithCentroids]] over the same quantizer
+    * (spec-pinned through a real parquet round trip). */
+  def annIvfTopKFromTables(assigned: DataFrame, centroids: DataFrame,
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame =
+    ivfRerank(assigned, ivfProbes(df, idCol, vecCol, queryPred, centroids,
+      nprobe), k)
 
   /** IVF with TRAINED coarse centroids: the same inverted-file search as
     * [[annIvfTopK]], but the quantizer is the deterministic k-medians
@@ -376,14 +407,26 @@ object Similarity {
   private def ivfSearch(
       df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
       k: Int, nprobe: Int, corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    def nearest(side: DataFrame, keep: Int): DataFrame =
-      centroidScored(side, centroids)
-        .filter(col("crn") <= keep)
-        .drop("cv", "cnrm", "csim", "crn")
-    val assigned = nearest(corpus, 1)
-    val probes = nearest(prep(df.filter(queryPred), idCol, vecCol), nprobe)
+    val assigned = centroidScored(corpus, centroids)
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("id"), col("v"), col("nrm"))
+    ivfRerank(assigned,
+      ivfProbes(df, idCol, vecCol, queryPred, centroids, nprobe), k)
+  }
+
+  /** Each query's `nprobe` nearest inverted lists — the per-batch query
+    * side shared by the inline and stored-table IVF paths. */
+  private def ivfProbes(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, centroids: DataFrame, nprobe: Int): DataFrame =
+    centroidScored(prep(df.filter(queryPred), idCol, vecCol), centroids)
+      .filter(col("crn") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("cid"))
+
+  /** Probed-list candidate join + exact rerank — the IVF-flat search
+    * core over an assignment table (inline-built or parquet-loaded). */
+  private def ivfRerank(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
     val cands = assigned.join(broadcast(probes),
         Seq("cid")).filter(col("id") =!= col("query_id"))
       .withColumn("sim", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
@@ -484,13 +527,41 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 8, ncodes: Int = 8,
       trainIters: Int = 2, trained: Option[PqBook] = None): DataFrame = {
+    val book = trained.getOrElse(
+      pqTrain(prep(df, idCol, vecCol), m, ncodes, trainIters))
+    pqAdcRank(annPqEncodeTable(df, idCol, vecCol, book),
+      pqQueries(df, idCol, vecCol, queryPred), book, k)
+  }
+
+  /** The stored PQ index: one (id, k0..k{m-1}) row per corpus vector —
+    * m small integer codes, vectors dropped. Written as parquet at
+    * index-build time (alongside [[pqBookTable]]); repeated query
+    * batches then read it via [[annPqTopKFromTable]] and never pay
+    * train or encode again — the production serving shape. Codes are
+    * exact integers, so the stored table ≡ the inline encode. */
+  def annPqEncodeTable(df: DataFrame, idCol: String, vecCol: String,
+      book: PqBook): DataFrame = {
     val corpus = prep(df, idCol, vecCol)
-    val book = trained.getOrElse(pqTrain(corpus, m, ncodes, trainIters))
-    // the stored index: id + m byte-sized codes, vectors dropped
-    val encoded = corpus.select(
-      col("id") +: (0 until m).map(j => pqEncode(book, j).as(s"k$j")): _*)
-    val queries = prep(df.filter(queryPred), idCol, vecCol)
+    corpus.select(
+      col("id") +: (0 until book.m).map(j => pqEncode(book, j).as(s"k$j")): _*)
+  }
+
+  /** PQ query batch over the STORED code table: only the query side is
+    * computed per batch; scoring is ADC against the (reloaded) book.
+    * Identical results to [[annPqTopK]] with the same book. */
+  def annPqTopKFromTable(codes: DataFrame, df: DataFrame, idCol: String,
+      vecCol: String, queryPred: Column, k: Int, book: PqBook): DataFrame =
+    pqAdcRank(codes, pqQueries(df, idCol, vecCol, queryPred), book, k)
+
+  private def pqQueries(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column): DataFrame =
+    prep(df.filter(queryPred), idCol, vecCol)
       .select(col("id").as("query_id"), col("v").as("qv"))
+
+  /** ADC scoring + per-query top-k over a code table (inline-built or
+    * parquet-loaded) — the PQ search core. */
+  private def pqAdcRank(encoded: DataFrame, queries: DataFrame,
+      book: PqBook, k: Int): DataFrame = {
     val scored = encoded.join(broadcast(queries), col("id") =!= col("query_id"))
       .withColumn("score", pqAdcScore(book))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
@@ -514,6 +585,33 @@ object Similarity {
   def trainPq(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ncodes: Int = 8, trainIters: Int = 2): PqBook =
     pqTrain(prep(df, idCol, vecCol), m, ncodes, trainIters)
+
+  /** The codebook as a STORABLE table — one (j, c, word) row per
+    * (subspace, code); write it as parquet next to the code table and
+    * reload with [[pqBookFromTable]]. Doubles round-trip parquet
+    * bit-exactly, so the reloaded book scores identically. */
+  def pqBookTable(spark: org.apache.spark.sql.SparkSession,
+      book: PqBook): DataFrame = {
+    import spark.implicits._
+    (for { j <- 0 until book.m; c <- 0 until book.ncodes }
+      yield (j, c, book.words(j)(c))).toDF("j", "c", "word")
+  }
+
+  /** Reload a stored codebook. The collect is MODEL-sized by
+    * construction (m × ncodes rows, like the driver-held book itself) —
+    * never corpus data. */
+  def pqBookFromTable(df: DataFrame): PqBook = {
+    val rows = df.select(col("j").cast("int"), col("c").cast("int"),
+      col("word").cast("array<double>")).collect()
+    require(rows.nonEmpty, "empty PQ book table")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ncodes = rows.map(_.getInt(1)).max + 1
+    val byJC = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    require(byJC.size == m * ncodes,
+      s"PQ book table is not a full m×ncodes grid: ${byJC.size} of ${m * ncodes}")
+    val words = (0 until m).map(j => (0 until ncodes).map(c => byJC((j, c))))
+    PqBook(m, ncodes, words.head.head.length, words)
+  }
 
   /** Seed = subvector slices of the first `ncodes` vectors in id order,
     * then `iters` joint Lloyd rounds over ALL m subspaces at once: ONE
@@ -620,28 +718,50 @@ object Similarity {
       queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
       m: Int = 8, ncodes: Int = 8, trainIters: Int = 2,
       trained: Option[PqBook] = None): DataFrame = {
-    val corpus = prep(df, idCol, vecCol)
-    val book = trained.getOrElse(pqTrain(corpus, m, ncodes, trainIters))
-    val centroids = corpus.orderBy("id").limit(nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
-    def nearest(side: DataFrame, keep: Int): DataFrame = {
-      val scored = side.join(broadcast(centroids))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
-      scored.withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("cv", "cnrm", "csim", "crn")
-    }
-    // the stored index: inverted-list id + m codes per vector
-    val encoded = nearest(corpus, 1).select(
-      col("cid") +: col("id") +:
-        (0 until m).map(j => pqEncode(book, j).as(s"k$j")): _*)
-    val probes = nearest(prep(df.filter(queryPred), idCol, vecCol), nprobe)
+    val book = trained.getOrElse(
+      pqTrain(prep(df, idCol, vecCol), m, ncodes, trainIters))
+    val centroids = centroidTable(df, idCol, vecCol, nlist)
+    ivfPqRerank(annIvfPqEncodeTable(df, idCol, vecCol, book, centroids),
+      ivfPqProbes(df, idCol, vecCol, queryPred, centroids, nprobe), book, k)
+  }
+
+  /** The stored IVF-PQ index: one (cid, id, k0..k{m-1}) row per corpus
+    * vector — inverted-list id + m small integer codes, vectors dropped.
+    * With [[centroidTable]] and [[pqBookTable]] this is the COMPLETE
+    * durable index (three parquet tables); query batches read them via
+    * [[annIvfPqTopKFromTables]] and never re-train, re-assign or
+    * re-encode the corpus. */
+  def annIvfPqEncodeTable(df: DataFrame, idCol: String, vecCol: String,
+      book: PqBook, centroids: DataFrame): DataFrame =
+    centroidScored(prep(df, idCol, vecCol), centroids)
+      .filter(col("crn") === 1)
+      .select(col("cid") +: col("id") +:
+        (0 until book.m).map(j => pqEncode(book, j).as(s"k$j")): _*)
+
+  /** IVF-PQ query batch over the STORED tables (codes + centroids, with
+    * the book reloaded via [[pqBookFromTable]]): only the query side is
+    * computed per batch. Identical results to [[annIvfPqTopK]] with the
+    * same artifacts (spec-pinned through a real parquet round trip). */
+  def annIvfPqTopKFromTables(index: DataFrame, centroids: DataFrame,
+      book: PqBook, df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame =
+    ivfPqRerank(index,
+      ivfPqProbes(df, idCol, vecCol, queryPred, centroids, nprobe), book, k)
+
+  private def ivfPqProbes(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, centroids: DataFrame, nprobe: Int): DataFrame =
+    centroidScored(prep(df.filter(queryPred), idCol, vecCol), centroids)
+      .filter(col("crn") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cid"))
-    // equi join on the probed list; each corpus vector lives in exactly
-    // one list and probes carry distinct cids, so no dedup is needed
-    // (same argument as annIvfTopK)
-    val scored = encoded.join(broadcast(probes), Seq("cid"))
+
+  /** Probed-list equi join + ADC scoring + per-query top-k — the IVF-PQ
+    * search core over a code table (inline-built or parquet-loaded).
+    * No dedup needed: each corpus vector lives in exactly one inverted
+    * list and a query's probes carry distinct cids (same argument as
+    * the IVF-flat rerank). */
+  private def ivfPqRerank(index: DataFrame, probes: DataFrame,
+      book: PqBook, k: Int): DataFrame = {
+    val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", pqAdcScore(book))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))

@@ -134,9 +134,27 @@ object Stats {
     * groups² rows per shingle, never |A|×|B| docs), so work stays ∝
     * shared-shingle collisions with no self-join and no sort exchange.
     * Integer counts; the containment divide is a single
-    * correctly-rounded IEEE op — engine-exact. */
+    * correctly-rounded IEEE op — engine-exact.
+    *
+    * The per-shingle `collect_set(group)` buffer is bounded ONLY by the
+    * group cardinality, so the "small by contract" assumption is
+    * ENFORCED, not assumed: a pre-flight distinct-count fails fast if
+    * `groupCol` exceeds `maxGroups` (the DSIR-bucket precedent,
+    * Sampling.dsirWeights) — a caller passing a high-cardinality column
+    * (doc ids, URLs) gets an immediate error instead of one viral
+    * shingle materializing a 10⁶-member set buffer mid-corpus. The
+    * pre-flight is one narrow-column scan with partial-agg distinct and
+    * an early-out limit — trivial next to the shingle explode. */
   def corpusOverlap(df: DataFrame, groupCol: String, textCol: String,
-      n: Int): DataFrame = {
+      n: Int, maxGroups: Int = 4096): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    val nGroups =
+      df.select(col(groupCol)).distinct().limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
+      s"corpusOverlap: '$groupCol' has more than $maxGroups distinct " +
+        s"groups — per-shingle group-set buffers would be unbounded. " +
+        s"Pass a coarse source/crawl column, or raise maxGroups " +
+        s"deliberately if the cardinality is truly bounded.")
     val byShingle = df.select(col(groupCol).as("g"),
         explode(Dedup.shingles(col(textCol), n)).as("s"))
       .groupBy("s").agg(collect_set(col("g")).as("gs"))

@@ -113,6 +113,14 @@ object FeedPipeline {
       // rows from the feed batch (delete-obsolete + reinsert), so
       // re-merging the identical batch rewrites the same result
       indexes.foreach(_.applyFeed(feed))
+      // write-path meters (the reference's per-operation meter set,
+      // metrics/Metrics.scala): every count RIDES work the batch already
+      // does — the rejection count is an accumulator inside applyOps'
+      // fold (final here: the localCheckpoint above materialized it) and
+      // the publish counts ride the sink sends — no metric schedules a
+      // job. At-least-once on batch replay, like the delivery itself.
+      val reg = EngineMetrics(s)
+      reg.add("write.ops.rejected", r.rejectedCount())
       // 3. ordered publish — an exception here fails the batch AFTER the
       // intent landed: recovery sees the incomplete transactions. The sink
       // resolves from Spark conf (spark.graft.feed.sink, see [[FeedSink]]):
@@ -120,13 +128,22 @@ object FeedPipeline {
       // zero code change here; unset keeps the caller's callback
       implicit val enc: org.apache.spark.sql.Encoder[FeedEvent] =
         Encoders.product[FeedEvent]
-      ChangeFeed.publishTo(feed.as[FeedEvent], FeedSink.resolve(s, send))
+      val pub = PublishMeters(s.sparkContext)
+      // the finally publishes whatever WAS sent even when the sink fails
+      // mid-batch — that divergence (published > completed, incomplete
+      // ledger rows) is exactly what recovery and the spec observe
+      try ChangeFeed.publishTo(feed.as[FeedEvent],
+        pub.wrap(FeedSink.resolve(s, send)))
+      finally pub.flushTo(reg)
       // 4. completion markers, APPENDED only after the publish succeeded
       // (append keeps intent rows intact; Ledger.current folds the pair)
       Ledger.fromFeed(feed, tsMillis).withColumn("completed", lit(true))
         .withColumn("batch", lit(tsMillis))
         .write.partitionBy("batch")
         .mode(SaveMode.Append).parquet(ledgerPath)
+      // one completion row per feed event landed above — the published
+      // total IS the completed total once step 4 commits
+      reg.add("feed.events.completed", pub.total.value)
       ()
     } finally r.release()
   }
@@ -139,4 +156,56 @@ object FeedPipeline {
   /** Per-partition checkpoint low-water marks over the folded ledger. */
   def checkpoints(spark: SparkSession, ledgerPath: String): DataFrame =
     Ledger.checkpoints(ledgerState(spark, ledgerPath))
+
+  /** Publish-side meter bundle: accumulators incremented executor-side
+    * AFTER each successful sink send (so the counts mean "delivered", not
+    * "attempted"), flushed into the session registry driver-side. Names:
+    * `feed.events.published` plus the per-method split
+    * `feed.events.put` / `feed.events.patch` / `feed.events.delete` —
+    * the apply-outcome mix of the batch (POSTs surface as feed:put with
+    * a generated id, so they count as puts, matching the feed
+    * contract). */
+  private[streaming] final case class PublishMeters(
+      total: org.apache.spark.util.LongAccumulator,
+      put: org.apache.spark.util.LongAccumulator,
+      patch: org.apache.spark.util.LongAccumulator,
+      delete: org.apache.spark.util.LongAccumulator) {
+
+    def wrap(inner: FeedSinkFactory): FeedSinkFactory = {
+      val (t, pu, pa, de) = (total, put, patch, delete)
+      new FeedSinkFactory {
+        def open(): FeedSink = {
+          val sink = inner.open()
+          new FeedSink {
+            def send(e: FeedEvent): Unit = {
+              sink.send(e)
+              t.add(1L)
+              e.method match {
+                case "feed:put"    => pu.add(1L)
+                case "feed:patch"  => pa.add(1L)
+                case "feed:delete" => de.add(1L)
+                case _             => ()
+              }
+            }
+            override def close(): Unit = sink.close()
+          }
+        }
+      }
+    }
+
+    def flushTo(reg: EngineMetrics.Registry): Unit = {
+      reg.add("feed.events.published", total.value)
+      reg.add("feed.events.put", put.value)
+      reg.add("feed.events.patch", patch.value)
+      reg.add("feed.events.delete", delete.value)
+    }
+  }
+
+  private[streaming] object PublishMeters {
+    def apply(sc: org.apache.spark.SparkContext): PublishMeters =
+      PublishMeters(sc.longAccumulator("feed.events.published"),
+        sc.longAccumulator("feed.events.put"),
+        sc.longAccumulator("feed.events.patch"),
+        sc.longAccumulator("feed.events.delete"))
+  }
 }

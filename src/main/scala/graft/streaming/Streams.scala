@@ -72,6 +72,38 @@ object Streams {
       .select(col(keyCol),
         col("w.start").as("session_start"), col("n_events"))
 
+  /** Stream-stream time-INTERVAL inner join — the correlation shape
+    * ("each click joins the same user's views from the preceding
+    * `lookback`") as a first-class operator with the PRODUCTION state
+    * contract in its signature, not buried in an assembly: each side
+    * declares its own watermark delay (its disorder bound), and the
+    * interval condition is what lets Spark's symmetric hash join EVICT —
+    * a left row is droppable once the right watermark passes
+    * leftTs + lookback, a right row once the left watermark passes its
+    * rightTs, so state ∝ rate × (delay + lookback), NEVER unbounded.
+    * Input rows older than their side's watermark are dropped before
+    * they join (the late-data contract; spec-pinned). Without the time
+    * bound a stream-stream inner join would have to retain both streams
+    * forever — the interval is not an optimization, it is what makes
+    * the join runnable at all at 100 TB.
+    *
+    * `keyCond` is the equality part (e.g. `col("c_user") ===
+    * col("v_user")`); `leftTsCol`/`rightTsCol` are event-time timestamp
+    * columns; `lookback` is a SQL interval body ("10 minutes"). The
+    * match window is leftTs ∈ [rightTs − lookback, rightTs]. Runs
+    * unchanged in batch mode (withWatermark is a no-op there), which is
+    * the oracle shape. */
+  def intervalJoin(
+      left: DataFrame, leftTsCol: String, leftDelay: String,
+      right: DataFrame, rightTsCol: String, rightDelay: String,
+      keyCond: Column, lookback: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, leftDelay)
+    val r = right.withWatermark(rightTsCol, rightDelay)
+    r.join(l, keyCond &&
+      col(leftTsCol) <= col(rightTsCol) &&
+      col(leftTsCol) >= col(rightTsCol) - expr(s"INTERVAL '$lookback'"))
+  }
+
   /** Dedup-on-arrival: emit only the FIRST document carrying each content
     * hash, across micro-batches — the streaming-ingest twin of
     * [[graft.pipeline.Dedup.exactSurvivors]]. State per key is one

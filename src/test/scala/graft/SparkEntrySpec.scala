@@ -23,6 +23,15 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
     "bench headline names resolve" in {
       Bench.headline.filterNot(SparkEntry.queries.contains) shouldBe empty
     }
+    "the registry never shrinks (entry-count tripwire)" in {
+      // Verify swallows a failed entry with a stderr line, and the
+      // driver's comparer would only show it as MISSING — this is the
+      // in-repo loud failure if an entry (or its oracle) is dropped by
+      // refactoring. Raise the floor when entries are ADDED; never
+      // lower it.
+      SparkEntry.queries.size should be >= 193
+      SparkEntry.oracleSql.size should be >= 193
+    }
     "entry() answers the smoke check (rows > 0 at sf0.001)" in {
       SparkEntry.entry(spark).count() should be > 0L
     }

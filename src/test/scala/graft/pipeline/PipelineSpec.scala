@@ -655,6 +655,57 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       plan should include("BroadcastHashJoin [cid")
     }
 
+    "stored-table ANN ≡ inline ANN through a real parquet round trip" in {
+      // the production serving shape (minhashDedupAgainstTables applied
+      // to ANN): codes/assignments/centroids/codebook persist as parquet
+      // at build time; the query path reads them and must return exactly
+      // the inline form's rows — integer codes and bit-exact double
+      // round-trips make this equality, not approximation
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ann-tables").toString
+      val book = Similarity.trainPq(emb, "vec_id", "embedding",
+        m = 8, ncodes = 8, trainIters = 2)
+      val cents = Similarity.centroidTable(emb, "vec_id", "embedding", 8)
+
+      Similarity.pqBookTable(spark, book)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      Similarity.annPqEncodeTable(emb, "vec_id", "embedding", book)
+        .write.mode("overwrite").parquet(s"$dir/pq")
+      Similarity.annIvfPqEncodeTable(emb, "vec_id", "embedding", book, cents)
+        .write.mode("overwrite").parquet(s"$dir/ivfpq")
+      Similarity.annIvfAssignTable(emb, "vec_id", "embedding", cents)
+        .write.mode("overwrite").parquet(s"$dir/ivf")
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+
+      val book2 = Similarity.pqBookFromTable(spark.read.parquet(s"$dir/book"))
+      book2 shouldBe book
+
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+      rows(Similarity.annPqTopKFromTable(spark.read.parquet(s"$dir/pq"),
+        emb, "vec_id", "embedding", col("vec_id") < 5, k = 4, book2)) shouldBe
+        rows(Similarity.annPqTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 4, m = 8, ncodes = 8,
+          trained = Some(book)))
+
+      rows(Similarity.annIvfPqTopKFromTables(
+        spark.read.parquet(s"$dir/ivfpq"), spark.read.parquet(s"$dir/cents"),
+        book2, emb, "vec_id", "embedding", col("vec_id") < 5,
+        k = 4, nprobe = 2)) shouldBe
+        rows(Similarity.annIvfPqTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 4, nlist = 8, nprobe = 2, m = 8,
+          ncodes = 8, trained = Some(book)))
+
+      rows(Similarity.annIvfTopKFromTables(
+        spark.read.parquet(s"$dir/ivf"), spark.read.parquet(s"$dir/cents"),
+        emb, "vec_id", "embedding", col("vec_id") < 5,
+        k = 4, nprobe = 2)) shouldBe
+        rows(Similarity.annIvfTopK(emb, "vec_id", "embedding",
+          col("vec_id") < 5, k = 4, nlist = 8, nprobe = 2))
+    }
+
     "IVF ANN achieves usable recall vs exact top-k and is deterministic" in {
       val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") < 10, 5)
         .select("query_id", "neighbor_id").collect()
@@ -915,6 +966,49 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       r.isNullAt(r.fieldIndex("width")) shouldBe true
     }
 
+    "decompression bomb is rejected from the HEADER, before any raster" in {
+      import spark.implicits._
+      // a syntactically valid PNG signature + IHDR declaring 10000×10000
+      // (100 Mpx > the 64 Mpx cap) with no pixel data at all: the
+      // header-first guard must reject on the declared dimensions — the
+      // old ImageIO.read path would have allocated the ~400 MB raster
+      // first (and a crafted 25000² bomb ~2.5 GB) before any check ran
+      def bombPng(w: Int, h: Int): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(Array[Byte](0x89.toByte, 'P', 'N', 'G',
+          0x0d, 0x0a, 0x1a, 0x0a))
+        val ihdr = java.nio.ByteBuffer.allocate(13)
+          .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+          .put(0.toByte).put(0.toByte).put(0.toByte).array()
+        val typ = "IHDR".getBytes("US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(typ); crc.update(ihdr)
+        bos.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+        bos.write(typ); bos.write(ihdr)
+        bos.write(java.nio.ByteBuffer.allocate(4)
+          .putInt(crc.getValue.toInt).array())
+        bos.toByteArray
+      }
+      val df = Seq((1L, bombPng(10000, 10000)))
+        .toDF("media_id", "media")
+      val r = Multimodal.decodeImages(df).collect()(0)
+      r.getAs[Boolean]("decoded_ok") shouldBe false
+      r.isNullAt(r.fieldIndex("width")) shouldBe true
+    }
+
+    "perceptual banding rejects bands < 2 (unmaskable 64-bit band)" in {
+      import spark.implicits._
+      // bands=1 passes the pigeonhole and divisibility checks but its
+      // band mask (1L << 64) − 1 is 0 on the JVM — every fingerprint
+      // would land in one mega-bucket (silent all-pairs degeneration)
+      val ids = Seq((1L, 1L)).toDF("media_id", "basis")
+      val media = Multimodal.syntheticPng(ids, "media_id", basisCol = "basis")
+      val ex = intercept[IllegalArgumentException] {
+        Multimodal.imageDedupPairs(media, maxHamming = 0, bands = 1)
+      }
+      ex.getMessage should include("bands >= 2")
+    }
+
     "imageDHash: identical pixels give identical fingerprints; dedup finds them" in {
       import spark.implicits._
       // planted copy: media 900 reuses media 3's pixel basis — a REAL
@@ -1010,6 +1104,31 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       val r = Multimodal.decodeAudio(df).collect()(0)
       r.getAs[Boolean]("decoded_ok") shouldBe false
       r.isNullAt(r.fieldIndex("n_samples")) shouldBe true
+    }
+
+    "decodeAudio: non-16-bit PCM keeps geometry, nulls amplitude features" in {
+      import spark.implicits._
+      // an 8-bit WAV decodes fine (geometry is real) but the amplitude
+      // reducer only understands 16-bit — it must emit NULL sum/peak,
+      // never 0 (a zero would be indistinguishable from genuine silence,
+      // and decodePcm16/audioDHash flag the same blob unusable)
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val pcm = Array.tabulate[Byte](40)(i => (i * 3 + 1).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val df = Seq((1L, bos.toByteArray)).toDF("media_id", "media")
+      val r = Multimodal.decodeAudio(df).collect()(0)
+      r.getAs[Boolean]("decoded_ok") shouldBe true
+      r.getAs[Long]("n_samples") shouldBe 40L
+      r.getAs[Int]("sample_rate") shouldBe 8000
+      r.isNullAt(r.fieldIndex("sum_amp")) shouldBe true
+      r.isNullAt(r.fieldIndex("peak")) shouldBe true
+      // ...and the acoustic-hash path refuses the same blob outright
+      val h = Multimodal.audioDHash(df).collect()(0)
+      h.getAs[Boolean]("decoded_ok") shouldBe false
     }
 
     "resizeImages nearest-neighbor samples even source coordinates" in {

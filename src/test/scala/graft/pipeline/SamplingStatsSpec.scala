@@ -181,6 +181,23 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         r.getDouble(6) shouldBe i.toDouble / (ta + tb - i)
       }
     }
+
+    "fails FAST on a high-cardinality group column (buffer guard)" in {
+      import spark.implicits._
+      // groupCol = the doc id itself: the per-shingle collect_set would be
+      // bounded only by corpus size — the guard must reject it up front
+      // (one narrow distinct scan), before any shingle ever explodes
+      val docsAsGroups = (1 to 6)
+        .map(i => (s"doc$i", "same shared text")).toDF("source", "text")
+      val ex = intercept[IllegalArgumentException] {
+        Stats.corpusOverlap(docsAsGroups, "source", "text", n = 2,
+          maxGroups = 5)
+      }
+      ex.getMessage should include("distinct groups")
+      // at-the-limit cardinality still works
+      Stats.corpusOverlap(docsAsGroups, "source", "text", n = 2,
+        maxGroups = 6).count() shouldBe 15 // all C(6,2) pairs share all
+    }
   }
 
   "Stats.tokenDrift" - {

@@ -96,6 +96,59 @@ class FeedPipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .map(_.getString(0)).toSeq shouldBe Seq("m2")
     }
 
+    "meters the write path exactly across a crash/replay run" in {
+      // the reference's per-operation meter set (metrics/Metrics.scala)
+      // across the full loop: applied-op mix, rejections, published vs
+      // completed — with the crash window visible as published > completed
+      import spark.implicits._
+      TestSink.reset()
+      val (storePath, ledgerPath, _) = paths()
+      val reg = EngineMetrics(spark)
+      reg.reset()
+
+      // batch 1: two PUTs apply, one PATCH of an absent item rejects (404)
+      FeedPipeline.runBatch(
+        Seq(WriteOp(1, "PUT", "c~/a", """{"x":1}"""),
+          WriteOp(2, "PUT", "c~/b", """{"x":2}"""),
+          WriteOp(3, "PATCH", "c~/zz", """{"y":1}""")).toDS(),
+        60000L, storePath, ledgerPath)(TestSink.send)
+      reg.get("write.batches") shouldBe 1
+      reg.get("write.ops.rejected") shouldBe 1
+      reg.get("feed.events.published") shouldBe 2
+      reg.get("feed.events.put") shouldBe 2
+      reg.get("feed.events.completed") shouldBe 2
+
+      // batch 2 crashes INSIDE the publish: nothing was delivered, so
+      // neither published nor completed moves — but the intent landed
+      // (recovery sees it) and the batch counter advanced
+      TestSink.failOn = Some("a")
+      intercept[Exception] {
+        FeedPipeline.runBatch(
+          Seq(WriteOp(4, "PATCH", "c~/a", """{"y":9}""")).toDS(),
+          120000L, storePath, ledgerPath)(TestSink.send)
+      }
+      reg.get("write.batches") shouldBe 2
+      reg.get("feed.events.published") shouldBe 2
+      reg.get("feed.events.completed") shouldBe 2
+      Ledger.recoveryWorkList(
+        FeedPipeline.ledgerState(spark, ledgerPath), 0L, 10L)
+        .count() shouldBe 1
+
+      // replay of the same batch drains the gap: published and completed
+      // converge, the patch shows up in the method mix, rejects unchanged
+      TestSink.failOn = None
+      FeedPipeline.runBatch(
+        Seq(WriteOp(4, "PATCH", "c~/a", """{"y":9}""")).toDS(),
+        120000L, storePath, ledgerPath)(TestSink.send)
+      reg.get("write.batches") shouldBe 3
+      reg.get("write.ops.rejected") shouldBe 1
+      reg.get("feed.events.published") shouldBe 3
+      reg.get("feed.events.put") shouldBe 2
+      reg.get("feed.events.patch") shouldBe 1
+      reg.get("feed.events.delete") shouldBe 0
+      reg.get("feed.events.completed") shouldBe 3
+    }
+
     "crash between publish and completion: incomplete ledger, clean replay" in {
       implicit val sql = spark.sqlContext
       import spark.implicits._

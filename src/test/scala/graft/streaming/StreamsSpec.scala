@@ -87,6 +87,74 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Streams.intervalJoin" - {
+    // geometry: lookback 60 s, both delays 10 s. Batch 1 pushes both
+    // sides' max event time to t=2000 ⇒ global watermark 1990 for
+    // batch 2. The batch-2 click at t=1970 is LATE (< 1990): in batch
+    // mode it matches the t=1945 view, in streaming it must be dropped
+    // before it joins — the production contract the 40-day replay bound
+    // in st11 deliberately bypasses.
+    "drops late rows beyond the watermark and evicts state" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val vsrc = MemoryStream[(Long, Long, Long)] // (view_id, user, sec)
+      val csrc = MemoryStream[(Long, Long, Long)] // (click_id, user, sec)
+      val views = vsrc.toDS().toDF("view_id", "v_user", "vsec")
+        .select(col("view_id"), col("v_user"),
+          timestamp_seconds(col("vsec")).as("vts"))
+      val clicks = csrc.toDS().toDF("click_id", "c_user", "csec")
+        .select(col("click_id"), col("c_user"),
+          timestamp_seconds(col("csec")).as("cts"))
+      val joined = Streams.intervalJoin(
+          views, "vts", "10 seconds", clicks, "cts", "10 seconds",
+          col("c_user") === col("v_user"), "1 minute")
+        .select("click_id", "view_id")
+      val q = joined.writeStream.format("memory").queryName("ij")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ij").toString)
+        .start()
+      try {
+        vsrc.addData((100L, 1L, 1000L), (300L, 3L, 1945L), (900L, 9L, 2000L))
+        csrc.addData((110L, 1L, 1010L), (910L, 9L, 2000L))
+        q.processAllAvailable()
+        // late click (u3, t=1970) — dropped; on-time click (u9, t=2005)
+        // still matches the u9 view held in state
+        csrc.addData((310L, 3L, 1970L), (920L, 9L, 2005L))
+        q.processAllAvailable()
+        val got = spark.table("ij").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got shouldBe Set((110L, 100L), (910L, 900L), (920L, 900L))
+        // state is BOUNDED: rows behind the watermark/interval horizon
+        // are evicted (the t=1000 view and t=1010 click), so the store
+        // holds strictly fewer rows than arrived
+        val stateRows = q.lastProgress.stateOperators
+          .map(_.numRowsTotal).sum
+        stateRows should be < 7L
+      } finally q.stop()
+    }
+
+    "batch mode equals the full interval join (oracle shape)" in {
+      import spark.implicits._
+      val views = Seq((100L, 1L, 1000L), (300L, 3L, 1945L), (900L, 9L, 2000L))
+        .toDF("view_id", "v_user", "vsec")
+        .select(col("view_id"), col("v_user"),
+          timestamp_seconds(col("vsec")).as("vts"))
+      val clicks = Seq((110L, 1L, 1010L), (910L, 9L, 2000L),
+          (310L, 3L, 1970L), (920L, 9L, 2005L))
+        .toDF("click_id", "c_user", "csec")
+        .select(col("click_id"), col("c_user"),
+          timestamp_seconds(col("csec")).as("cts"))
+      val got = Streams.intervalJoin(
+          views, "vts", "10 seconds", clicks, "cts", "10 seconds",
+          col("c_user") === col("v_user"), "1 minute")
+        .select("click_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch sees the (310, 300) pair streaming correctly drops as late
+      got shouldBe Set((110L, 100L), (910L, 900L), (920L, 900L),
+        (310L, 300L))
+    }
+  }
+
   "Streams.dedupFirstArrival" - {
     "keeps the first arrival per hash across batches, min id within one" in {
       implicit val sql = spark.sqlContext
