@@ -1238,6 +1238,80 @@ object SparkEntry {
       s.read.parquet(s"$base/out").orderBy("event_id")
     }),
 
+    "st19_stream_outer_join" -> ((s, dir) => {
+      // funnel-drop analysis as a streaming LEFT-OUTER interval join:
+      // every click emits — joined to same-user views in [click−10min,
+      // click], or with a null view once the watermark PROVES no view
+      // can still arrive (Streams.intervalJoin joinType=left_outer).
+      // Unlike st11's full-span replay bound, the delay here is a REAL
+      // 1-minute disorder bound (state ∝ rate × 11 min): the input
+      // files split CHRONOLOGICALLY (nothing is ever late) and one
+      // far-future sentinel row per stream closes every real window —
+      // the no-data micro-batch after the sentinel trigger flushes the
+      // held outer rows, so the final table equals the batch left join
+      // the oracle replays. Null view_ids coalesce to −1 on both sides
+      // (a nullable int column would float-ify in the driver comparer).
+      val base = scratchDir(s, "st19", dir)
+      val ev = events(s, dir)
+        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ets").as("vts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ets").as("cts"))
+      val mm = ev.agg(min("ets"), max("ets")).collect()(0)
+      val midMs =
+        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+      val sentMs = mm.getTimestamp(1).getTime + 100L * 24 * 3600 * 1000
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def writeChrono(df: DataFrame, tsCol: String, sub: String,
+          sentinel: DataFrame): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
+        def files(): Set[org.apache.hadoop.fs.Path] =
+          fs.listStatus(p).map(_.getPath).filterNot(q =>
+            q.getName.startsWith("_") || q.getName.startsWith(".")).toSet
+        df.filter(col(tsCol) <= timestamp_millis(lit(midMs)))
+          .coalesce(1).write.mode("append").parquet(p.toString)
+        val b1 = files()
+        df.filter(col(tsCol) > timestamp_millis(lit(midMs)))
+          .coalesce(1).write.mode("append").parquet(p.toString)
+        val b2 = files() -- b1
+        sentinel.coalesce(1).write.mode("append").parquet(p.toString)
+        val b3 = files() -- b1 -- b2
+        // FileStreamSource orders by mtime only — pin distinct mtimes so
+        // the chronological split IS the trigger order (the st16 idiom)
+        val t0 = System.currentTimeMillis()
+        b1.foreach(q => fs.setTimes(q, t0 - 180000L, -1L))
+        b2.foreach(q => fs.setTimes(q, t0 - 120000L, -1L))
+        b3.foreach(q => fs.setTimes(q, t0 - 60000L, -1L))
+      }
+      writeChrono(views, "vts", "v", s.range(1).select(
+        lit(-1L).as("view_id"), lit(-1L).as("v_user"),
+        timestamp_millis(lit(sentMs)).as("vts")))
+      writeChrono(clicks, "cts", "c", s.range(1).select(
+        lit(-1L).as("click_id"), lit(-1L).as("c_user"),
+        timestamp_millis(lit(sentMs)).as("cts")))
+      val vs = s.readStream.schema(s.read.parquet(s"$base/v").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/v")
+      val cs = s.readStream.schema(s.read.parquet(s"$base/c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/c")
+      val q = graft.streaming.Streams.intervalJoin(
+          vs, "vts", "1 minute", cs, "cts", "1 minute",
+          col("c_user") === col("v_user"), "10 minutes",
+          joinType = "left_outer")
+        .select(col("click_id"),
+          coalesce(col("view_id"), lit(-1L)).as("view_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(s"$base/out").filter(col("click_id") >= 0)
+        .orderBy("click_id", "view_id")
+    }),
+
     "st12_stream_hll" -> ((s, dir) => {
       // always-on distinct counting: per-source HLL registers maintained
       // across micro-batches (flatMapGroupsWithState state = 2^6 bytes +
@@ -3634,6 +3708,20 @@ object SparkEntry {
         |  WHERE event_type = 'click')
         |SELECT c.click_id, v.view_id
         |FROM c JOIN v ON c.user_id = v.user_id
+        | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 10 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
+
+    // the streamed left-outer table equals the batch left join: real
+    // watermark (1 min), chronological triggers, sentinel-closed windows
+    "st19_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS vts FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT c.click_id, COALESCE(v.view_id, -1) AS view_id
+        |FROM c LEFT JOIN v ON c.user_id = v.user_id
         | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 10 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
 

@@ -92,16 +92,31 @@ object Streams {
     * columns; `lookback` is a SQL interval body ("10 minutes"). The
     * match window is leftTs ∈ [rightTs − lookback, rightTs]. Runs
     * unchanged in batch mode (withWatermark is a no-op there), which is
-    * the oracle shape. */
+    * the oracle shape.
+    *
+    * `joinType`: "inner" (default), or "left_outer" for the
+    * probe-retaining form — every RIGHT row is emitted, with nulls on
+    * the left columns when no left row fell in its window ("clicks that
+    * converted from no view" / funnel-drop analysis). The outer row is
+    * NOT emitted on arrival: the runtime holds it until the watermark
+    * closes its match window (leftWatermark > rightTs — no earlier
+    * view can still arrive), then emits the null-joined row exactly
+    * once — so outer results are eventually identical to the batch
+    * left join, at the cost of watermark-delayed emission. Same state
+    * bound as the inner form. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String, leftDelay: String,
       right: DataFrame, rightTsCol: String, rightDelay: String,
-      keyCond: Column, lookback: String): DataFrame = {
+      keyCond: Column, lookback: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = left.withWatermark(leftTsCol, leftDelay)
     val r = right.withWatermark(rightTsCol, rightDelay)
     r.join(l, keyCond &&
       col(leftTsCol) <= col(rightTsCol) &&
-      col(leftTsCol) >= col(rightTsCol) - expr(s"INTERVAL '$lookback'"))
+      col(leftTsCol) >= col(rightTsCol) - expr(s"INTERVAL '$lookback'"),
+      joinType)
   }
 
   /** Dedup-on-arrival: emit only the FIRST document carrying each content

@@ -704,6 +704,28 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         k = 4, nprobe = 2)) shouldBe
         rows(Similarity.annIvfTopK(emb, "vec_id", "embedding",
           col("vec_id") < 5, k = 4, nlist = 8, nprobe = 2))
+
+      // index MAINTENANCE is append-only: a new batch encoded against
+      // the FROZEN artifacts (book + centroids) appends to the stored
+      // code table, and the union equals a one-shot full encode — the
+      // per-batch cost is the batch, never the corpus
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val fresh = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.annIvfPqEncodeTable(old, "vec_id", "embedding", book, cents)
+        .write.mode("overwrite").parquet(s"$dir/inc")
+      Similarity.annIvfPqEncodeTable(fresh, "vec_id", "embedding", book, cents)
+        .write.mode("append").parquet(s"$dir/inc")
+      val appended = spark.read.parquet(s"$dir/inc")
+      val full = spark.read.parquet(s"$dir/ivfpq")
+      appended.count() shouldBe full.count()
+      appended.exceptAll(full).count() shouldBe 0L
+      // ...and the query path over the appended table is unchanged
+      rows(Similarity.annIvfPqTopKFromTables(appended,
+        spark.read.parquet(s"$dir/cents"), book2, emb, "vec_id",
+        "embedding", col("vec_id") < 5, k = 4, nprobe = 2)) shouldBe
+        rows(Similarity.annIvfPqTopKFromTables(full,
+          spark.read.parquet(s"$dir/cents"), book2, emb, "vec_id",
+          "embedding", col("vec_id") < 5, k = 4, nprobe = 2))
     }
 
     "IVF ANN achieves usable recall vs exact top-k and is deterministic" in {

@@ -133,6 +133,48 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
 
+    "left_outer emits unmatched probe rows once the watermark closes them" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val vsrc = MemoryStream[(Long, Long, Long)]
+      val csrc = MemoryStream[(Long, Long, Long)]
+      val views = vsrc.toDS().toDF("view_id", "v_user", "vsec")
+        .select(col("view_id"), col("v_user"),
+          timestamp_seconds(col("vsec")).as("vts"))
+      val clicks = csrc.toDS().toDF("click_id", "c_user", "csec")
+        .select(col("click_id"), col("c_user"),
+          timestamp_seconds(col("csec")).as("cts"))
+      val joined = Streams.intervalJoin(
+          views, "vts", "10 seconds", clicks, "cts", "10 seconds",
+          col("c_user") === col("v_user"), "1 minute",
+          joinType = "left_outer")
+        .select("click_id", "view_id")
+      val q = joined.writeStream.format("memory").queryName("ijo")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ijo").toString)
+        .start()
+      try {
+        // u2's click (t=1005) has no view; u3's click sits at t=1998,
+        // inside the final watermark horizon — its window never closes
+        vsrc.addData((100L, 1L, 1000L), (900L, 9L, 2000L))
+        csrc.addData((110L, 1L, 1010L), (210L, 2L, 1005L),
+          (910L, 9L, 2000L), (930L, 3L, 1998L))
+        q.processAllAvailable()
+        csrc.addData((920L, 9L, 2005L))
+        q.processAllAvailable()
+        val got = spark.table("ijo").collect()
+          .map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+        // u2's null-joined row emitted exactly once, AFTER the watermark
+        // (1990) proved no view can still match it; u3's click is STILL
+        // HELD (1998 ≥ watermark — a matching view could yet arrive):
+        // outer rows emit on watermark closure, never on arrival
+        got shouldBe Set((110L, Some(100L)), (910L, Some(900L)),
+          (920L, Some(900L)), (210L, None))
+        got.map(_._1) should not contain 930L
+      } finally q.stop()
+    }
+
     "batch mode equals the full interval join (oracle shape)" in {
       import spark.implicits._
       val views = Seq((100L, 1L, 1000L), (300L, 3L, 1945L), (900L, 9L, 2000L))
