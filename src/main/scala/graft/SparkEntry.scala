@@ -1167,28 +1167,35 @@ object SparkEntry {
       // in production (state ∝ rate × disorder bound); the replay uses a
       // full-span bound so NOTHING is ever late and the final table is
       // exactly the batch join — which is what the oracle replays.
-      // Event time = µs timestamps derived from the normalized ns longs
+      // Event time = µs timestamps derived from the normalized ns longs.
+      // Input chunks are SETUP (identical every call) — built once per
+      // (session, sf); the streaming run gets fresh out/ckpt dirs so the
+      // micro-batch executor replays fully each call.
+      val inBase = prepared(s, s"st11in:$dir") {
+        val b = scratchDir(s, "st11in", dir)
+        val ev = events(s, dir)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ets").as("vts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ets").as("cts"))
+        views.filter(col("view_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$b/v")
+        views.filter(col("view_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(s"$b/v")
+        clicks.filter(col("click_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(s"$b/c")
+        clicks.filter(col("click_id") % 2 === 1).coalesce(1)
+          .write.mode("append").parquet(s"$b/c")
+        b
+      }
       val base = scratchDir(s, "st11", dir)
-      val ev = events(s, dir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          col("ets").as("vts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          col("ets").as("cts"))
-      views.filter(col("view_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(s"$base/v")
-      views.filter(col("view_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(s"$base/v")
-      clicks.filter(col("click_id") % 2 === 0).coalesce(1)
-        .write.mode("append").parquet(s"$base/c")
-      clicks.filter(col("click_id") % 2 === 1).coalesce(1)
-        .write.mode("append").parquet(s"$base/c")
-      val vs = s.readStream.schema(s.read.parquet(s"$base/v").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/v")
-      val cs = s.readStream.schema(s.read.parquet(s"$base/c").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/c")
+      val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
+      val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
       // the library operator owns the watermark/interval contract
       // (Streams.intervalJoin — state ∝ rate × (delay + lookback));
       // this REPLAY passes a full-span delay so nothing is ever late and
@@ -1251,52 +1258,61 @@ object SparkEntry {
       // held outer rows, so the final table equals the batch left join
       // the oracle replays. Null view_ids coalesce to −1 on both sides
       // (a nullable int column would float-ify in the driver comparer).
-      val base = scratchDir(s, "st19", dir)
-      val ev = events(s, dir)
-        .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-      val views = ev.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          col("ets").as("vts"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          col("ets").as("cts"))
-      val mm = ev.agg(min("ets"), max("ets")).collect()(0)
-      val midMs =
-        (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
-      val sentMs = mm.getTimestamp(1).getTime + 100L * 24 * 3600 * 1000
-      val fs = new org.apache.hadoop.fs.Path(base)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def writeChrono(df: DataFrame, tsCol: String, sub: String,
-          sentinel: DataFrame): Unit = {
-        val p = new org.apache.hadoop.fs.Path(s"$base/$sub")
-        def files(): Set[org.apache.hadoop.fs.Path] =
-          fs.listStatus(p).map(_.getPath).filterNot(q =>
-            q.getName.startsWith("_") || q.getName.startsWith(".")).toSet
-        df.filter(col(tsCol) <= timestamp_millis(lit(midMs)))
-          .coalesce(1).write.mode("append").parquet(p.toString)
-        val b1 = files()
-        df.filter(col(tsCol) > timestamp_millis(lit(midMs)))
-          .coalesce(1).write.mode("append").parquet(p.toString)
-        val b2 = files() -- b1
-        sentinel.coalesce(1).write.mode("append").parquet(p.toString)
-        val b3 = files() -- b1 -- b2
-        // FileStreamSource orders by mtime only — pin distinct mtimes so
-        // the chronological split IS the trigger order (the st16 idiom)
-        val t0 = System.currentTimeMillis()
-        b1.foreach(q => fs.setTimes(q, t0 - 180000L, -1L))
-        b2.foreach(q => fs.setTimes(q, t0 - 120000L, -1L))
-        b3.foreach(q => fs.setTimes(q, t0 - 60000L, -1L))
+      // Input chunks are SETUP (identical every call) — built once per
+      // (session, sf), like st11's; fresh out/ckpt per call below.
+      val inBase = prepared(s, s"st19in:$dir") {
+        val b = scratchDir(s, "st19in", dir)
+        val ev = events(s, dir)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ets").as("vts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ets").as("cts"))
+        val mm = ev.agg(min("ets"), max("ets")).collect()(0)
+        val midMs =
+          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+        val sentMs = mm.getTimestamp(1).getTime + 100L * 24 * 3600 * 1000
+        val fs = new org.apache.hadoop.fs.Path(b)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def writeChrono(df: DataFrame, tsCol: String, sub: String,
+            sentinel: DataFrame): Unit = {
+          val p = new org.apache.hadoop.fs.Path(s"$b/$sub")
+          def files(): Set[org.apache.hadoop.fs.Path] =
+            fs.listStatus(p).map(_.getPath).filterNot(q =>
+              q.getName.startsWith("_") || q.getName.startsWith(".")).toSet
+          df.filter(col(tsCol) <= timestamp_millis(lit(midMs)))
+            .coalesce(1).write.mode("append").parquet(p.toString)
+          val b1 = files()
+          // the sentinel RIDES in the second chunk: the watermark is the
+          // per-batch max event time, so batch 2 processes the late-half
+          // rows on time (late = vs batch 1's watermark) AND advances the
+          // watermark past every real window — one trigger cheaper than
+          // a separate sentinel file, identical final table
+          df.filter(col(tsCol) > timestamp_millis(lit(midMs)))
+            .unionByName(sentinel)
+            .coalesce(1).write.mode("append").parquet(p.toString)
+          val b2 = files() -- b1
+          // FileStreamSource orders by mtime only — pin distinct mtimes
+          // so the chronological split IS the trigger order (st16 idiom)
+          val t0 = System.currentTimeMillis()
+          b1.foreach(q => fs.setTimes(q, t0 - 120000L, -1L))
+          b2.foreach(q => fs.setTimes(q, t0 - 60000L, -1L))
+        }
+        writeChrono(views, "vts", "v", s.range(1).select(
+          lit(-1L).as("view_id"), lit(-1L).as("v_user"),
+          timestamp_millis(lit(sentMs)).as("vts")))
+        writeChrono(clicks, "cts", "c", s.range(1).select(
+          lit(-1L).as("click_id"), lit(-1L).as("c_user"),
+          timestamp_millis(lit(sentMs)).as("cts")))
+        b
       }
-      writeChrono(views, "vts", "v", s.range(1).select(
-        lit(-1L).as("view_id"), lit(-1L).as("v_user"),
-        timestamp_millis(lit(sentMs)).as("vts")))
-      writeChrono(clicks, "cts", "c", s.range(1).select(
-        lit(-1L).as("click_id"), lit(-1L).as("c_user"),
-        timestamp_millis(lit(sentMs)).as("cts")))
-      val vs = s.readStream.schema(s.read.parquet(s"$base/v").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/v")
-      val cs = s.readStream.schema(s.read.parquet(s"$base/c").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/c")
+      val base = scratchDir(s, "st19", dir)
+      val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
+      val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
       val q = graft.streaming.Streams.intervalJoin(
           vs, "vts", "1 minute", cs, "cts", "1 minute",
           col("c_user") === col("v_user"), "10 minutes",
