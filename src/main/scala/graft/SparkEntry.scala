@@ -2109,6 +2109,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      // Gopher within-doc repetition gates: duplicate-bigram fraction,
+      // top-bigram character dominance, duplicate pseudo-paragraph
+      // fraction — catches template spam / generation loops exact dedup
+      // can't see. One shuffle-free codegen'd kernel pass per row; a
+      // synthetic looped document (-1) is injected on BOTH sides so
+      // every gate provably fires
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+          concat(lit("begin "), repeat(lit("spam loop "), 40), lit("end"))
+            .as("text")))
+      TextAnalysis.repetitionStats(docs, "doc_id", col("text"),
+          n = 2, chunkWords = 8)
+        .orderBy("doc_id")
+    }),
+
     "text_quality" -> ((s, dir) => {
       TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -4382,6 +4398,60 @@ object SparkEntry {
         |            ELSE $WsTokensSql END AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // top gram ties break (cnt DESC, gram ASC) — the kernel's contract;
+    // docs with < 2 tokens have zero grams and 0.0 fractions both sides
+    "text_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT -1, 'begin ' || repeat('spam loop ', 40) || 'end'),
+        |toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |         length(text) AS len FROM d),
+        |g AS (
+        |  SELECT doc_id, len,
+        |    CASE WHEN len(t) >= 2
+        |         THEN [array_to_string(t[i:i+1], ' ')
+        |               FOR i IN range(1, len(t))]
+        |         ELSE [] END AS grams,
+        |    [array_to_string(t[8*i+1 : 8*i+8], ' ')
+        |     FOR i IN range(0, CAST(ceil(len(t) / 8.0) AS INT))] AS chunks
+        |  FROM toks),
+        |gc AS (
+        |  SELECT doc_id, gram, COUNT(*) AS cnt
+        |  FROM g, UNNEST(grams) AS u(gram)
+        |  GROUP BY doc_id, gram),
+        |r AS (
+        |  SELECT doc_id, cnt, length(gram) AS gchars,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |            ORDER BY cnt DESC, gram ASC) AS rn
+        |  FROM gc),
+        |a AS (
+        |  -- SUM over BIGINT is HUGEINT in DuckDB (float-ifies in the
+        |  -- driver comparer) — pin it back to BIGINT
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total_grams,
+        |         COUNT(*) AS distinct_grams
+        |  FROM gc GROUP BY doc_id),
+        |top AS (SELECT doc_id, cnt AS top_cnt, gchars FROM r WHERE rn = 1)
+        |SELECT g.doc_id,
+        |  COALESCE(a.total_grams, 0) AS total_grams,
+        |  COALESCE(a.distinct_grams, 0) AS distinct_grams,
+        |  CASE WHEN a.total_grams > 0
+        |       THEN CAST('1' AS DOUBLE) - CAST(a.distinct_grams AS DOUBLE)
+        |              / CAST(a.total_grams AS DOUBLE)
+        |       ELSE CAST('0' AS DOUBLE) END AS dup_gram_frac,
+        |  CASE WHEN g.len > 0 AND top.top_cnt IS NOT NULL
+        |       THEN CAST(top.top_cnt * top.gchars AS DOUBLE)
+        |              / CAST(g.len AS DOUBLE)
+        |       ELSE CAST('0' AS DOUBLE) END AS top_gram_frac,
+        |  CASE WHEN len(g.chunks) > 0
+        |       THEN CAST('1' AS DOUBLE)
+        |              - CAST(len(list_distinct(g.chunks)) AS DOUBLE)
+        |              / CAST(len(g.chunks) AS DOUBLE)
+        |       ELSE CAST('0' AS DOUBLE) END AS dup_chunk_frac
+        |FROM g LEFT JOIN a USING (doc_id) LEFT JOIN top USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""SELECT doc_id,

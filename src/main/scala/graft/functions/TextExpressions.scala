@@ -95,6 +95,46 @@ object TextKernels {
       toks.length.toLong, counts.size.toLong, top.toLong))
   }
 
+  /** Single-pass per-document word n-gram REPETITION statistics over
+    * single-space tokens: `[totalGrams, distinctGrams, topCount,
+    * topGramChars]` — grams are space-joined adjacent n-token windows
+    * WITH multiplicity (repetition counting needs repeats, unlike
+    * [[wordShingles]]' set). `topCount` is the most frequent gram's
+    * count; among equal counts the lexicographically SMALLEST gram is
+    * the top (deterministic, so `topGramChars` — its codepoint length —
+    * replays in SQL via ORDER BY cnt DESC, gram ASC). The Gopher
+    * duplicate-n-gram gates (dup-gram fraction, top-gram character
+    * dominance) derive from these four numbers per ROW, shuffle-free —
+    * never an explode→groupBy(doc, gram)→re-groupBy(doc) double
+    * shuffle of the whole grammed corpus. Texts with fewer than n
+    * tokens yield [0, 0, 0, 0]. */
+  def ngramStats(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(Space, -1)
+    val total = toks.length - n + 1
+    if (total <= 0)
+      new GenericArrayData(Array[Any](0L, 0L, 0L, 0L))
+    else {
+      val counts = new java.util.HashMap[UTF8String, Integer]()
+      var top: UTF8String = null
+      var topC = 0
+      var i = 0
+      while (i < total) {
+        val g = UTF8String.concatWs(Space,
+          JArrays.copyOfRange(toks, i, i + n): _*)
+        val c: Int = counts.merge(g, 1, (a: Integer, b: Integer) => a + b)
+        // incremental (count DESC, gram ASC) argmax: a strictly higher
+        // count always wins; at the current max, the smaller gram wins —
+        // equivalent to the final-counts ordering because counts only grow
+        if (c > topC || (c == topC && g.compareTo(top) < 0)) {
+          top = g; topC = c
+        }
+        i += 1
+      }
+      new GenericArrayData(Array[Any](total.toLong, counts.size.toLong,
+        topC.toLong, top.numChars().toLong))
+    }
+  }
+
   /** Distinct fixed-width character windows sampled every `stride`
     * characters, first-occurrence order — the unit of exact-substring
     * (memorized-span) duplicate detection. Exact value parity with
@@ -446,6 +486,28 @@ case class TokenStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): TokenStats = copy(child = c)
 }
 
+/** Codegen'd word n-gram repetition stats (see [[TextKernels.ngramStats]]).
+  * NULL text ⇒ NULL stats. */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n-gram width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngram_stats expects a string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(text: Any): Any =
+    TextKernels.ngramStats(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextKernels.ngramStats($t, $n)")
+
+  override protected def withNewChildInternal(c: Expression): NgramStats =
+    copy(child = c)
+}
+
 /** Codegen'd non-overlapping word chunks (see [[TextKernels.wordChunks]]).
   * NULL text ⇒ NULL chunk list. */
 case class WordChunks(child: Expression, w: Int) extends UnaryExpression {
@@ -536,4 +598,7 @@ object TextFunctions {
     * codegen'd, shuffle-free. */
   def token_stats(text: Column): Column =
     Bridge.column(TokenStats(Bridge.expression(text)))
+
+  def ngram_stats(text: Column, n: Int): Column =
+    Bridge.column(NgramStats(Bridge.expression(text), n))
 }

@@ -122,6 +122,53 @@ object TextAnalysis {
   def tokenStats(text: Column): Column =
     graft.functions.TextFunctions.token_stats(text)
 
+  /** Gopher-style WITHIN-document repetition gates — the rule family
+    * that catches template spam and generation loops exact dedup can't
+    * see (the document is unique; its CONTENT repeats itself):
+    *
+    *   - `dup_gram_frac`  = 1 − distinct/total word n-grams (with
+    *     multiplicity — a doc that is one phrase looped scores → 1)
+    *   - `top_gram_frac`  = characters covered by the single most
+    *     frequent n-gram (count × its codepoint length) / total chars —
+    *     the "fraction of characters in the most common n-gram" gate
+    *   - `dup_chunk_frac` = 1 − distinct/total over `chunkWords`-word
+    *     pseudo-paragraphs ([[graft.functions.TextKernels.wordChunks]]
+    *     — the duplicate-line gate for corpora without real line
+    *     structure; swap in a real line split when one exists)
+    *
+    * One shuffle-free codegen'd projection per row: the n-gram counting
+    * runs in the [[graft.functions.TextKernels.ngramStats]] kernel
+    * (total/distinct/top-count/top-chars in one pass — never an
+    * explode→groupBy(doc,gram)→re-groupBy(doc) double shuffle of the
+    * grammed corpus), the chunk fraction is array builtins. Fractions
+    * are single correctly-rounded IEEE divisions of exact integers (plus
+    * one exact 1−x), so every value replays bit-identically in SQL; the
+    * top gram ties break to the lexicographically smallest gram, making
+    * `top_gram_frac` deterministic (ORDER BY cnt DESC, gram ASC in the
+    * oracle). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: Column,
+      n: Int = 2, chunkWords: Int = 8): DataFrame = {
+    val st = graft.functions.TextFunctions.ngram_stats(textCol, n)
+    val ch = graft.functions.TextFunctions.word_chunks(textCol, chunkWords)
+    df.select(col(idCol), st.as("__st"), ch.as("__ch"),
+        length(textCol).cast("long").as("__len"))
+      .select(col(idCol),
+        element_at(col("__st"), 1).as("total_grams"),
+        element_at(col("__st"), 2).as("distinct_grams"),
+        when(element_at(col("__st"), 1) > 0,
+          lit(1.0) - element_at(col("__st"), 2).cast("double") /
+            element_at(col("__st"), 1).cast("double"))
+          .otherwise(lit(0.0)).as("dup_gram_frac"),
+        when(col("__len") > 0,
+          (element_at(col("__st"), 3) * element_at(col("__st"), 4))
+            .cast("double") / col("__len").cast("double"))
+          .otherwise(lit(0.0)).as("top_gram_frac"),
+        when(size(col("__ch")) > 0,
+          lit(1.0) - size(array_distinct(col("__ch"))).cast("double") /
+            size(col("__ch")).cast("double"))
+          .otherwise(lit(0.0)).as("dup_chunk_frac"))
+  }
+
   /** Demo weights for [[classifierScore]] — dyadic rationals over the
     * feature vector [bias, totalTokens, distinctTokens, topTokenCount,
     * stopwordHits(en), chars]: reward vocabulary breadth and natural-

@@ -193,6 +193,61 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "TextAnalysis.repetitionStats" - {
+    "hand-computed Gopher repetition gates, tie-break, short-doc zeroes" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, "a b a b a b"), // bigrams: "a b"×3, "b a"×2
+        (2L, "z y z x"),     // all bigrams unique; tie → smallest gram
+        (3L, "one")          // < 2 tokens: zero grams, zero fractions
+      ).toDF("id", "text")
+      val got = TextAnalysis.repetitionStats(df, "id", col("text"),
+          n = 2, chunkWords = 2)
+        .collect().map(r => r.getLong(0) -> r).toMap
+
+      val a = got(1L)
+      a.getLong(1) shouldBe 5L // total bigrams
+      a.getLong(2) shouldBe 2L // distinct
+      a.getDouble(3) shouldBe (1.0 - 2.0 / 5.0) // dup_gram_frac
+      // top gram "a b" (cnt 3, 3 chars) over len 11
+      a.getDouble(4) shouldBe (3.0 * 3.0 / 11.0)
+      // 2-word chunks: ["a b","a b","a b"] → 1 distinct of 3
+      a.getDouble(5) shouldBe (1.0 - 1.0 / 3.0)
+
+      val b = got(2L)
+      b.getLong(1) shouldBe 3L
+      b.getLong(2) shouldBe 3L
+      b.getDouble(3) shouldBe 0.0
+      // all counts tie at 1 → lexicographically smallest bigram "y z"
+      // (3 chars) wins; len("z y z x") = 7
+      b.getDouble(4) shouldBe (3.0 / 7.0)
+      // chunks ["z y","z x"] — distinct
+      b.getDouble(5) shouldBe 0.0
+
+      val c = got(3L)
+      c.getLong(1) shouldBe 0L
+      c.getLong(2) shouldBe 0L
+      c.getDouble(3) shouldBe 0.0
+      c.getDouble(4) shouldBe 0.0
+      c.getDouble(5) shouldBe 0.0
+    }
+
+    "a looped document maxes the gates a unique-text corpus passes" in {
+      import spark.implicits._
+      val df = Seq(
+        (1L, ("spam loop " * 40).trim),
+        (2L, "every word here is different from the others entirely")
+      ).toDF("id", "text")
+      val got = TextAnalysis.repetitionStats(df, "id", col("text"),
+          n = 2, chunkWords = 4)
+        .collect().map(r => r.getLong(0) -> r).toMap
+      got(1L).getDouble(3) should be > 0.9  // dup_gram_frac → 1
+      got(1L).getDouble(5) should be > 0.8  // dup_chunk_frac → 1
+      got(2L).getDouble(3) shouldBe 0.0
+      got(2L).getDouble(5) shouldBe 0.0
+    }
+  }
+
   "TextAnalysis.topTerms" - {
     "ranks by tf desc, then rarity (df asc), then token asc" in {
       import spark.implicits._
