@@ -2109,7 +2109,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    "text_repetition" -> ((s, dir) => {
+    "text_ngram_repetition" -> ((s, dir) => {
       // Gopher within-doc repetition gates: duplicate-bigram fraction,
       // top-bigram character dominance, duplicate pseudo-paragraph
       // fraction — catches template spam / generation loops exact dedup
@@ -4401,7 +4401,8 @@ object SparkEntry {
 
     // top gram ties break (cnt DESC, gram ASC) — the kernel's contract;
     // docs with < 2 tokens have zero grams and 0.0 fractions both sides
-    "text_repetition" ->
+    // (the token-level sibling gates live under `text_repetition`)
+    "text_ngram_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
