@@ -173,6 +173,48 @@ class TextExpressionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
     Option(n.head.get(0)) shouldBe None
   }
 
+  "NgramStats matches the explode+window formulation (corpus + edges)" in {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F} // size/length shadow scalatest
+    (2 to 3).foreach { n =>
+      Seq(docs, edge).foreach { df =>
+        val toks = split(col("text"), " ", -1)
+        val grams = when(F.size(toks) >= n,
+          transform(sequence(lit(0), F.size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("count").desc, col("g").asc)
+        val viaShuffle = df
+          .select(col("doc_id"), explode(grams).as("g"))
+          .groupBy("doc_id", "g").count()
+          .withColumn("rn", row_number().over(w))
+          .groupBy("doc_id").agg(
+            sum("count").as("total"), count(lit(1)).as("distinct"),
+            max(when(col("rn") === 1, col("count"))).as("top"),
+            max(when(col("rn") === 1, F.length(col("g"))))
+              .cast("long").as("topchars"))
+        val st = TextFunctions.ngram_stats(col("text"), n)
+        val viaKernel = df.select(col("doc_id"),
+          element_at(st, 1).as("total"), element_at(st, 2).as("distinct"),
+          element_at(st, 3).as("top"), element_at(st, 4).as("topchars"))
+        withClue(s"n=$n:") {
+          viaKernel.filter(col("total") > 0).collect().toSeq should
+            contain theSameElementsAs viaShuffle.collect().toSeq
+          // the rows the shuffle form drops (fewer than n tokens) are
+          // exactly the kernel's all-zero rows
+          viaKernel.filter(col("total") === 0).count() shouldBe
+            (df.count() - viaShuffle.count())
+        }
+      }
+    }
+    // NULL text => NULL stats
+    import spark.implicits._
+    val nul = Seq((1L, Option.empty[String])).toDF("doc_id", "text")
+      .select(TextFunctions.ngram_stats(col("text"), 2)).collect()
+    Option(nul.head.get(0)) shouldBe None
+  }
+
   "redactPii replaces every email/phone/ip occurrence and nothing else" in {
     import spark.implicits._
     val df = Seq(

@@ -726,6 +726,16 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         rows(Similarity.annIvfPqTopKFromTables(full,
           spark.read.parquet(s"$dir/cents"), book2, emb, "vec_id",
           "embedding", col("vec_id") < 5, k = 4, nprobe = 2))
+
+      // plan shape on the STORED path: the query probes broadcast and
+      // the code table streams — never the reverse, whatever the file
+      // stats of a small local index suggest (at scale the code table
+      // is the corpus)
+      val tPlan = Similarity.annIvfPqTopKFromTables(full,
+        spark.read.parquet(s"$dir/cents"), book2, emb, "vec_id",
+        "embedding", col("vec_id") < 5, k = 4, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      tPlan should include("BroadcastHashJoin [cid")
     }
 
     "IVF ANN achieves usable recall vs exact top-k and is deterministic" in {
