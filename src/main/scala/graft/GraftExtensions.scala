@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, CmsCounters, DotProduct, EwmaArray, HllRegisters, TokenStats, WordPairs, WordShingles}
+import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, CmsCounters, DotProduct, EwmaArray, HllRegisters, NgramStats, TokenStats, WordPairs, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -22,6 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   SELECT word_shingles(text, 3)           -- distinct word n-grams
   *   SELECT char_windows(text, 40, 10)       -- stride-sampled char windows
   *   SELECT token_stats(text)                -- [total, distinct, top]
+  *   SELECT ngram_stats(text, 2)             -- [total, distinct, top,
+  *                                           --  top-gram chars] (Gopher
+  *                                           --  repetition gates)
   *   SELECT word_pairs(text)                 -- adjacent bigrams, repeats kept
   *   SELECT bitset_contains(bits, pos)       -- O(1) Bloom-bit probe
   */
@@ -75,6 +78,10 @@ object GraftFunctions {
       (FunctionIdentifier("token_stats"),
         info("token_stats", classOf[TokenStats]),
         arity("token_stats", 1)(args => TokenStats(args(0)))),
+      (FunctionIdentifier("ngram_stats"),
+        info("ngram_stats", classOf[NgramStats]),
+        arity("ngram_stats", 2)(args =>
+          NgramStats(args(0), intLit(args(1), "ngram_stats n")))),
       (FunctionIdentifier("word_pairs"),
         info("word_pairs", classOf[WordPairs]),
         arity("word_pairs", 1)(args => WordPairs(args(0)))),

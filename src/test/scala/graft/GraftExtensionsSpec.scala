@@ -34,6 +34,12 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect()(0).getSeq[Long](0) shouldBe Seq(3L, 2L, 2L)
       spark.sql("SELECT word_pairs('a b a b') AS p")
         .collect()(0).getSeq[String](0) shouldBe Seq("a b", "b a", "a b")
+      // bigrams of "a b a b a b": "a b"×3, "b a"×2 → top "a b" (3 chars)
+      spark.sql("SELECT ngram_stats('a b a b a b', 2) AS g")
+        .collect()(0).getSeq[Long](0) shouldBe Seq(5L, 2L, 3L, 3L)
+      // fewer than n tokens → all-zero stats
+      spark.sql("SELECT ngram_stats('one', 2) AS g")
+        .collect()(0).getSeq[Long](0) shouldBe Seq(0L, 0L, 0L, 0L)
       // bit 9 = second byte, lsb+1: 0x0002
       spark.sql("SELECT bitset_contains(X'0002', 9L) AS b")
         .collect()(0).getBoolean(0) shouldBe true
