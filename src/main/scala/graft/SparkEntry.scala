@@ -1727,6 +1727,25 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "graph_components_star" -> ((s, dir) => {
+      // the SAME component structure via alternating large-star/small-star
+      // rounds (O(log² n) regardless of diameter — the extreme-scale path
+      // where label propagation's O(diameter) loop is the bottleneck);
+      // gated against the identical transitive-closure oracle
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, planes = 6, dim = 64)
+        .select(col("node_id").as("id_a"), col("neighbor_id").as("id_b"))
+      val comp = Dedup.duplicateClustersStar(edges)
+        .withColumnRenamed("id", "vec_id")
+        .withColumnRenamed("cluster_id", "component_id")
+      emb.select(col("vec_id"))
+        .join(comp, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("component_id"), col("vec_id")).as("component_id"))
+        .orderBy("vec_id")
+    }),
+
     "dedup_fuzzy_keys" -> ((s, dir) => {
       // fuzzy key matching (entity resolution): deterministic single-
       // char-deletion typos injected on every 5th key (+1000000 ids),
@@ -2373,6 +2392,24 @@ object SparkEntry {
       // query terms' postings, corpus stats are one broadcast row
       graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
           col("text"), terms = Seq("spark", "customer", "window"), topK = 10)
+        .orderBy("rank")
+    }),
+
+    "rag_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval: BM25 lexical top-20 + dense cosine top-20
+      // (query vector 7), fused by reciprocal rank — only RANKS enter
+      // the formula, so the two retrievers' incomparable score scales
+      // never meet; the fusion join is candidate-sized (the retrievers
+      // already did the corpus-scale work)
+      val lex = graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"),
+          "doc_id", col("text"), terms = Seq("spark", "customer", "window"),
+          topK = 20)
+        .select(col("doc_id"), col("rank"))
+      val den = Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") === 7, k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(lex, den), Seq("doc_id"),
+          c = 60, topK = 10)
         .orderBy("rank")
     }),
 
@@ -4205,6 +4242,9 @@ object SparkEntry {
     "graph_pagerank_dangling" -> pageRankDanglingOracle,
 
     "graph_knn_components" -> knnComponentsOracle,
+    // same closure oracle: the star algorithm must land the identical
+    // component minima the label-propagation entry lands
+    "graph_components_star" -> knnComponentsOracle,
 
     "embed_robust_scale" ->
       """WITH e AS (
@@ -4567,6 +4607,42 @@ object SparkEntry {
 
     "text_bm25_batch" -> graft.pipeline.Retrieval.bm25BatchOracleSql(
       "documents", "doc_id", BatchQueries, topK = 5),
+
+    // RRF: the full bm25 oracle nests as a derived table (lexical
+    // ranks), the dense ranks replay Spark's exact cosine expression
+    // (cosSql), and each fused term is one IEEE division of exact
+    // integers folded lex-then-dense — the entry's association
+    "rag_rrf_fusion" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id, rank FROM (
+         |${graft.pipeline.Retrieval.bm25OracleSql(
+             "documents", "doc_id", Seq("spark", "customer", "window"),
+             topK = 20)})),
+         |e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sims AS (
+         |  SELECT c.vec_id AS doc_id, ${cosSql("q.v", "c.v")} AS sim
+         |  FROM e q JOIN e c ON q.vec_id = 7 AND c.vec_id != 7),
+         |den AS (
+         |  SELECT doc_id, rank FROM (
+         |    SELECT doc_id,
+         |           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id)
+         |                AS BIGINT) AS rank
+         |    FROM sims) WHERE rank <= 20),
+         |ids AS (SELECT doc_id FROM lex UNION SELECT doc_id FROM den),
+         |scored AS (
+         |  SELECT ids.doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / (60 + lex.rank), CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / (60 + den.rank), CAST(0 AS DOUBLE))
+         |      AS rrf_score
+         |  FROM ids LEFT JOIN lex USING (doc_id) LEFT JOIN den USING (doc_id)),
+         |ranked AS (
+         |  SELECT doc_id, rrf_score,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id)
+         |              AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rrf_score, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // same typographic injection as the entry (chr codes: 8220/8221 curly
     // double quotes, 8216/8217 curly singles, 8211/8212 dashes, 160 NBSP,

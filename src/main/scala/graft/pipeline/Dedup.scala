@@ -541,6 +541,79 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating large-star/small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the extreme-scale upgrade path [[duplicateClusters]] documents.
+    * Same contract: input pair columns `id_a`/`id_b`, output
+    * (id, cluster_id = component min) covering every id in some pair.
+    *
+    * Why a second algorithm: min-label propagation runs O(component
+    * diameter) rounds — fine for near-dup graphs (tiny diameters), fatal
+    * for path-shaped components (a 10⁶-long chain = 10⁶ shuffle rounds).
+    * Star rounds contract EVERY node toward its neighborhood minimum
+    * simultaneously, converging in O(log² n) rounds regardless of
+    * diameter, and each round is the same bounded shape: one
+    * symmetrize-free groupBy-min + one shuffle join on the edge table
+    * (work ∝ |E|, driver sees only counts). Edges stay CANONICAL
+    * (u = min endpoint) throughout, so large-star needs the symmetrized
+    * view only inside its per-round aggregate, never materialized.
+    *
+    * Termination is the star property checked DIRECTLY (no node is both
+    * a parent and a child, and every child has exactly one parent) — a
+    * connected edge set that is a union of depth-1 stars is a single
+    * star rooted at its component min, so the check certifies the
+    * answer rather than trusting a fixed-point argument. Lineage is cut
+    * per round with localCheckpoint, superseded blocks released eagerly
+    * (the [[duplicateClusters]] discipline). */
+  def duplicateClustersStar(pairs: DataFrame): DataFrame = {
+    var edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint()
+    var done = edges.isEmpty
+    var round = 0
+    while (!done) {
+      round += 1
+      // O(log² n) is ~64 rounds at any physical scale; past that the
+      // input violated the algorithm's preconditions — fail loudly
+      // instead of looping the cluster forever
+      require(round <= 64, s"star components did not converge in $round rounds")
+      // large-star: each node links its LARGER neighbors to the min of
+      // its closed neighborhood. m <= u < v, so (m, v) is born canonical.
+      val sym = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v"))
+        .distinct()
+      // small-star: each node folds its SMALLER neighbors (and itself)
+      // onto the min of that set. Canonical edges already point small:
+      // group by the high endpoint v, m = min of its low neighbors.
+      val minsS = large.groupBy("v").agg(min("u").as("m"))
+      val attachLow = large.join(minsS, Seq("v"))
+        .filter(col("u") =!= col("m"))
+        .select(col("m").as("u"), col("u").as("v")) // m < u: canonical
+      val attachHigh = minsS.select(col("m").as("u"), col("v"))
+      val next = attachLow.unionByName(attachHigh)
+        .distinct().localCheckpoint()
+      // star property: parents never appear as children, one parent per
+      // child — certifies next IS the answer (roots = component minima)
+      val mixed = next.select(col("u").as("x"))
+        .intersect(next.select(col("v").as("x"))).limit(1).count()
+      val multi = next.groupBy("v").count()
+        .filter(col("count") > 1).limit(1).count()
+      done = mixed == 0 && multi == 0
+      edges.unpersist()
+      edges = next
+    }
+    edges.select(col("v").as("id"), col("u").as("cluster_id"))
+      .unionByName(
+        edges.select(col("u").as("id"), col("u").as("cluster_id")).distinct())
+  }
+
   /** Deterministic exact near-dup pairs (oracle path): all pairs with
     * n-gram Jaccard >= threshold via the shared-shingle candidate join. */
   def ngramJaccardPairs(

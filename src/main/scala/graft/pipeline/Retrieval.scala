@@ -493,4 +493,46 @@ object Retrieval {
        |FROM final
        |ORDER BY score DESC, id LIMIT $topK""".stripMargin
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): fuse N ranked
+    * lists into one consensus ranking — the standard hybrid-retrieval
+    * combiner (BM25 lexical + dense ANN) RAG pipelines run, robust to
+    * incomparable score scales because only RANKS enter the formula:
+    * `score(d) = Σ_lists 1/(c + rank_l(d))`, a document absent from a
+    * list contributing exactly 0.0.
+    *
+    * Every input carries columns `keys :+ rank` (the last key is the
+    * document id; any leading keys identify the query for batch fusion).
+    * Hash-replayability: each term is one IEEE division of exact
+    * integers and the terms fold LEFT-TO-RIGHT in list order — an oracle
+    * replays the identical association.
+    *
+    * Shape at 100 TB: the inputs are per-query top-N tables (bounded by
+    * construction — the retrievers did the corpus-scale work), so the id
+    * union and the N left joins are candidate-sized, never corpus-sized;
+    * the final rank is a per-query window over ≤ N·topN rows. */
+  def rrfFuse(lists: Seq[DataFrame], keys: Seq[String], c: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(keys.nonEmpty, "need at least the document id key")
+    require(c >= 1, s"rrf constant must be positive (got $c)")
+    val named = lists.zipWithIndex.map { case (l, i) =>
+      l.select(keys.map(col) :+ col("rank").cast("long").as(s"__r$i"): _*)
+    }
+    val ids = named.map(_.select(keys.map(col): _*))
+      .reduce(_ unionByName _).distinct()
+    val joined = named.foldLeft(ids)((acc, l) => acc.join(l, keys, "left_outer"))
+    val score = lists.indices.map { i =>
+      coalesce(lit(1.0) / (lit(c.toLong) + col(s"__r$i")), lit(0.0))
+    }.reduceLeft(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val queryKeys = keys.dropRight(1)
+    val w = (if (queryKeys.isEmpty) Window.partitionBy()
+             else Window.partitionBy(queryKeys.map(col): _*))
+      .orderBy(col("rrf_score").desc, col(keys.last))
+    joined.withColumn("rrf_score", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(keys.map(col) :+ col("rrf_score") :+ col("rank"): _*)
+  }
 }

@@ -228,6 +228,29 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got shouldBe Set((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
     }
 
+    "star components match label propagation on chains, stars and random graphs" in {
+      import spark.implicits._
+      // a LONG PATH is label propagation's worst case (O(diameter)
+      // rounds) and the reason the star algorithm exists — include one
+      // outright, plus seeded random graphs with singleton-free shapes
+      val path = (0L until 17L).sliding(2).map(s => (s(0), s(1))).toSeq
+      val rnd = new scala.util.Random(7)
+      val random = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val dup = Seq((9L, 3L), (3L, 9L), (9L, 3L)) // duplicates + both orders
+      for (pairSeq <- Seq(path, random, dup, path ++ random)) {
+        val pairs = pairSeq.toDF("id_a", "id_b")
+        val viaStar = Dedup.duplicateClustersStar(pairs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val viaLabels = Dedup.duplicateClusters(pairs).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        viaStar shouldBe viaLabels
+      }
+      // empty pair table: no spin, empty output
+      Dedup.duplicateClustersStar(
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() shouldBe 0L
+    }
+
     "exact duplicate pairs point at the canonical" in {
       import spark.implicits._
       val df = Seq((1L, "aa"), (3L, "aa"), (2L, "bb")).toDF("doc_id", "text")

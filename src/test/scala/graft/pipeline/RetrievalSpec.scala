@@ -357,4 +357,40 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .as[String].head() shouldBe t1
     }
   }
+
+  "Retrieval.rrfFuse" - {
+    "hand-computed fusion: both-list docs beat single-list docs, absent = 0" in {
+      val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+      val den = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+      val got = Retrieval.rrfFuse(Seq(lex, den), Seq("doc_id"), c = 60)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val score = got.map(t => t._1 -> t._2).toMap
+      score(20L) shouldBe (1.0 / 62 + 1.0 / 61)
+      score(10L) shouldBe (1.0 / 61) // absent from dense: exactly zero added
+      score(40L) shouldBe (1.0 / 62)
+      score(30L) shouldBe (1.0 / 63)
+      // doc 20 is in BOTH lists: fusion puts it first despite rank 2 lexically
+      got.sortBy(_._3).map(_._1).toSeq shouldBe Seq(20L, 10L, 40L, 30L)
+    }
+
+    "equal scores tie-break by ascending doc id" in {
+      val a = Seq((7L, 1L), (3L, 2L)).toDF("doc_id", "rank")
+      val b = Seq((3L, 1L), (7L, 2L)).toDF("doc_id", "rank")
+      val got = Retrieval.rrfFuse(Seq(a, b), Seq("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      got.toSeq.sortBy(_._2) shouldBe Seq((3L, 1L), (7L, 2L)) // same score
+    }
+
+    "batch fusion partitions ranks per query key" in {
+      val a = Seq((1L, 10L, 1L), (2L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+      val b = Seq((1L, 11L, 1L), (2L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
+      val got = Retrieval.rrfFuse(Seq(a, b), Seq("query_id", "doc_id"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+      // q1: docs 10 and 11 each appear in one list at rank 1 — equal
+      // scores, ascending doc id breaks the tie WITHIN query 1 only
+      got((1L, 10L)) shouldBe 1L
+      got((1L, 11L)) shouldBe 2L
+      got((2L, 10L)) shouldBe 1L // q2: doc 10 in both lists, rank 1
+    }
+  }
 }
