@@ -1702,6 +1702,18 @@ object SparkEntry {
         .select(col("doc_id"), col("copies")).orderBy("doc_id")
     }),
 
+    "dedup_soft_weights" -> ((s, dir) => {
+      // soft dedup: keep every copy, weight it 1/copies so duplicated
+      // content's total training mass is one copy — every third doc is
+      // re-injected (+1000000 ids) and both the original and the clone
+      // must carry copies=2, weight=0.5
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val doubled = docs.unionByName(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.softDedupWeights(doubled, "text", "doc_id").orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
           n = 3, threshold = 0.5)
@@ -1983,6 +1995,19 @@ object SparkEntry {
           col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    "ann_recall" -> ((s, dir) => {
+      // the index-tuning loop's feedback metric: recall@5 of the IVF
+      // search (nlist=16, nprobe=4) against brute-force cosine — per
+      // query an integer hit count and one exact division; both inputs
+      // are the same ranked lists their own entries gate
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      val approx = Similarity.annIvfTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4)
+      Similarity.recallAtK(approx, exact, k = 5).orderBy("query_id")
     }),
 
     "ann_ivf_trained_topk" -> ((s, dir) => {
@@ -3932,6 +3957,20 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS doc_id, CAST(2 * COUNT(*) AS BIGINT) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
+    // same re-injection as the entry; copies per TEXT equivalence class
+    // (sha-256 keying and text equality partition rows identically),
+    // weight = one double division of the exact integer count
+    "dedup_soft_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+        |counts AS (
+        |  SELECT text, CAST(COUNT(*) AS BIGINT) AS copies FROM d GROUP BY text)
+        |SELECT d.doc_id, counts.copies,
+        |       CAST(1 AS DOUBLE) / counts.copies AS weight
+        |FROM d JOIN counts USING (text) ORDER BY doc_id""".stripMargin,
+
     // survivor-policy replay: same injected ASCII perturbation, same
     // normalization fingerprint, longest-then-min-id via a window (the
     // Spark side rides max_by on (len, −id) — same total order)
@@ -4417,20 +4456,26 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
-    "ann_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sims AS (
-        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |         list_cosine_similarity(q.v, c.v) AS sim
-        |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id,
-        |         ROW_NUMBER() OVER (PARTITION BY query_id
-        |                            ORDER BY sim DESC, neighbor_id) AS rank
-        |  FROM sims)
-        |SELECT query_id, neighbor_id, rank FROM ranked
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_cosine_topk" -> annCosineOracle,
+
+    // recall@5 of the IVF index against brute force: both ranked lists
+    // replay via their own entries' oracles (nested derived tables),
+    // hits is an integer intersection count, recall one IEEE division
+    "ann_recall" ->
+      s"""WITH approx AS (
+         |  SELECT query_id, neighbor_id FROM ($annIvfOracle)),
+         |exact AS (
+         |  SELECT query_id, neighbor_id FROM ($annCosineOracle)),
+         |hits AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM approx JOIN exact USING (query_id, neighbor_id)
+         |  GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM exact)
+         |SELECT qs.query_id, COALESCE(hits.hits, CAST(0 AS BIGINT)) AS hits,
+         |       CAST(COALESCE(hits.hits, CAST(0 AS BIGINT)) AS DOUBLE) / 5
+         |         AS recall
+         |FROM qs LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,
@@ -6195,6 +6240,23 @@ object SparkEntry {
   /** Replay of the IVF-flat search: deterministic centroids (first nlist
     * vectors in id order), nearest-centroid assignment with centroid-id
     * tie-break, nprobe probing, exact re-rank. */
+  /** Brute-force cosine top-5 for query vectors 0-9 — the exact-search
+    * baseline (ann_cosine_topk) and the ground-truth side of ann_recall. */
+  private def annCosineOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sims AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         list_cosine_similarity(q.v, c.v) AS sim
+      |  FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |                            ORDER BY sim DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, rank FROM ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   private def annIvfOracle: String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

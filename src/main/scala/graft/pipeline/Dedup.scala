@@ -77,6 +77,30 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min("__min_id").as(idCol), sum("__cnt").as("copies"))
 
+  /** Duplicate-aware soft dedup (the SoftDeDup alternative to dropping):
+    * every row is KEPT but carries a sampling weight `1/copies`, so each
+    * duplicated content's total training mass equals one copy — the
+    * gentler curve when hard dedup would throw away formatting/metadata
+    * variation the trainer wants. Output: (id, copies, weight); weight is
+    * one IEEE division of the exact integer count.
+    *
+    * Shape at 100 TB: the per-content count is the salted two-phase
+    * aggregate ([[exactSurvivorsSalted]] — a 10⁹-copy pathological key
+    * collapses map-side), and the join back to rows is hash-keyed (AQE
+    * splits any residual skew). For NEAR-dup soft weights, feed
+    * [[duplicateClusters]] output instead: weight by cluster size. */
+  def softDedupWeights(df: DataFrame, textCol: String, idCol: String,
+      salts: Int = 64): DataFrame = {
+    val keyed = df.select(col(idCol), sha2(col(textCol), 256).as("__k"))
+    val counts = keyed
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts)))
+      .groupBy("__k", "__salt").agg(count(lit(1)).as("__c"))
+      .groupBy("__k").agg(sum("__c").as("copies"))
+    keyed.join(counts, Seq("__k"))
+      .select(col(idCol), col("copies"),
+        (lit(1.0) / col("copies")).as("weight"))
+  }
+
   /** Exact-duplicate pairs (dup → canonical), for delete lists. */
   def exactDuplicatePairs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy("content_hash").orderBy(col(idCol))

@@ -796,4 +796,29 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
   }
+
+  /** Recall@k of an approximate neighbor list against the exact one —
+    * THE evaluation every ANN deployment runs before trusting an index
+    * (tune nlist/nprobe/planes until recall clears the bar, then ship).
+    * Both inputs carry (queryCol, idCol) rows — the top-k tables the
+    * search operators emit; output one row per exact-side query:
+    * (query, hits, recall = hits/k). Queries the approximate side missed
+    * entirely score 0, not absent.
+    *
+    * Exact arithmetic: hits is an integer intersection count, recall one
+    * IEEE division by the literal k. Shape at scale: both inputs are
+    * per-query top-k tables (bounded by construction), so the membership
+    * join and per-query counts are candidate-sized — the corpus-scale
+    * work already happened inside the search operators. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "neighbor_id"): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val hits = approx.select(col(queryCol), col(idCol))
+      .join(exact.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(queryCol).agg(count(lit(1)).as("hits"))
+    exact.select(col(queryCol)).distinct()
+      .join(hits, Seq(queryCol), "left_outer")
+      .select(col(queryCol), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall", col("hits").cast("double") / k)
+  }
 }

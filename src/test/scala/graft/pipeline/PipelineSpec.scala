@@ -251,6 +251,17 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() shouldBe 0L
     }
 
+    "soft dedup weights: every copy kept, mass sums to one per content" in {
+      import spark.implicits._
+      val df = Seq((1L, "aa"), (3L, "aa"), (7L, "aa"), (2L, "bb"))
+        .toDF("doc_id", "text")
+      val got = Dedup.softDedupWeights(df, "text", "doc_id").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      got shouldBe Map(
+        1L -> ((3L, 1.0 / 3)), 3L -> ((3L, 1.0 / 3)), 7L -> ((3L, 1.0 / 3)),
+        2L -> ((1L, 1.0)))
+    }
+
     "exact duplicate pairs point at the canonical" in {
       import spark.implicits._
       val df = Seq((1L, "aa"), (3L, "aa"), (2L, "bb")).toDF("doc_id", "text")
@@ -465,6 +476,20 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
   }
 
   "Similarity" - {
+    "recallAtK: hand-computed hits, zero-hit queries present, extras ignored" in {
+      import spark.implicits._
+      val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
+          (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L), (2L, 24L))
+        .toDF("query_id", "neighbor_id")
+      // q1: 3 of 5 right (99 is a miss that must not count);
+      // q2: nothing returned at all — still a row, recall 0.0
+      val approx = Seq((1L, 10L), (1L, 12L), (1L, 14L), (1L, 99L), (1L, 98L))
+        .toDF("query_id", "neighbor_id")
+      val got = Similarity.recallAtK(approx, exact, k = 5).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      got shouldBe Map(1L -> ((3L, 0.6)), 2L -> ((0L, 0.0)))
+    }
+
     "randomProjection equals driver-side dots against the same planes" in {
       val got = Similarity.randomProjection(emb, "vec_id", "embedding", k = 4)
         .collect().map(r => r.getLong(0) ->
