@@ -2420,6 +2420,43 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "text_bm25_tables" -> ((s, dir) => {
+      // lexical retrieval's SERVING shape: the inverted index is three
+      // durable parquet tables (postings, doclens, stats) written once
+      // at build time — query batches read term-pruned postings and
+      // never re-tokenize the corpus; exact integers throughout, so the
+      // inline text_bm25 oracle replays this entry unchanged
+      val root = prepared(s, s"bm25tables:$dir") {
+        val out = scratchDir(s, "bm25_index", dir)
+        val (postings, doclens, stats) = graft.pipeline.Retrieval
+          .bm25IndexTables(t(s, dir, "documents"), "doc_id", col("text"))
+        postings.write.mode("overwrite").parquet(s"$out/postings")
+        doclens.write.mode("overwrite").parquet(s"$out/doclens")
+        stats.write.mode("overwrite").parquet(s"$out/stats")
+        out
+      }
+      graft.pipeline.Retrieval.bm25TopKFromTables(
+          s.read.parquet(s"$root/postings"), s.read.parquet(s"$root/doclens"),
+          s.read.parquet(s"$root/stats"), "doc_id",
+          terms = Seq("spark", "customer", "window"), topK = 10)
+        .orderBy("rank")
+    }),
+
+    "rag_hard_negatives" -> ((s, dir) => {
+      // contrastive-training negative mining: depth-20 BM25 candidates
+      // per query, anti-joined against the known-positive table (every
+      // doc is a positive for query doc_id % 7 + 1), re-ranked by
+      // retriever order and cut to 5 negatives per query
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val queriesDf = BatchQueries.toDF("query_id", "term")
+      val positives = docs.select(
+        (col("doc_id") % 7 + 1).as("query_id"), col("doc_id"))
+      graft.pipeline.Retrieval.hardNegatives(docs, "doc_id", col("text"),
+          queriesDf, positives, topK = 5, depth = 20)
+        .orderBy("query_id", "neg_rank")
+    }),
+
     "rag_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval: BM25 lexical top-20 + dense cosine top-20
       // (query vector 7), fused by reciprocal rank — only RANKS enter
@@ -4650,8 +4687,29 @@ object SparkEntry {
     "text_bm25" -> graft.pipeline.Retrieval.bm25OracleSql(
       "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
 
+    // the stored-index path must land the inline path's exact rows
+    "text_bm25_tables" -> graft.pipeline.Retrieval.bm25OracleSql(
+      "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
+
     "text_bm25_batch" -> graft.pipeline.Retrieval.bm25BatchOracleSql(
       "documents", "doc_id", BatchQueries, topK = 5),
+
+    // depth-20 batch retrieval nested as a derived table; the positive
+    // set (query_id = doc_id % 7 + 1) becomes a NOT predicate, negatives
+    // re-numbered by retriever rank (unique per query — engine-exact)
+    "rag_hard_negatives" ->
+      s"""WITH cand AS (
+         |  SELECT query_id, doc_id, score, rank FROM (
+         |${graft.pipeline.Retrieval.bm25BatchOracleSql(
+             "documents", "doc_id", BatchQueries, topK = 20)})),
+         |neg AS (
+         |  SELECT query_id, doc_id, score,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |                                 ORDER BY rank) AS BIGINT)
+         |           AS neg_rank
+         |  FROM cand WHERE NOT (doc_id % 7 + 1 = query_id))
+         |SELECT query_id, doc_id, score, neg_rank FROM neg
+         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
 
     // RRF: the full bm25 oracle nests as a derived table (lexical
     // ranks), the dense ranks replay Spark's exact cosine expression

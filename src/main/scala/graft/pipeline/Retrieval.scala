@@ -494,6 +494,108 @@ object Retrieval {
        |ORDER BY score DESC, id LIMIT $topK""".stripMargin
   }
 
+  /** The inverted index as DURABLE parquet artifacts — the
+    * index-as-stored-table discipline the ANN family follows
+    * (annPqEncodeTable / minhashDedupAgainstTables), applied to lexical
+    * retrieval: (postings, doclens, stats) tables written once at
+    * index-build time; [[bm25TopKFromTables]] then serves query batches
+    * whose cost is postings-pruned and independent of the corpus text —
+    * no re-tokenization, no corpus re-scan. Postings carry exact integer
+    * (term, id, tf); doclens the same token counts [[bm25TopK]] computes;
+    * stats one (n, sumdl) row — so the stored path scores BIT-IDENTICALLY
+    * to the inline path. */
+  def bm25IndexTables(df: DataFrame, idCol: String, textCol: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(textCol).cast("long").as("dl"),
+      textCol.as("__text"))
+    val postings = base
+      .select(col("id"), explode(split(col("__text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "id").agg(count(lit(1)).as("tf"))
+    val doclens = base.select(col("id"), col("dl"))
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    (postings, doclens, stats)
+  }
+
+  /** BM25 over the STORED index: the scan touches only the query terms'
+    * postings (an `isin` filter that reaches the parquet scan — at scale,
+    * term-partitioned postings prune to the touched terms' files), global
+    * stats are one stored row, dfs are candidate-bounded counts. Score
+    * expression, fold order, tie-break and rank derivation are the same
+    * code path as [[bm25TopK]] — identical results with the same index. */
+  def bm25TopKFromTables(postings: DataFrame, doclens: DataFrame,
+      stats: DataFrame, idCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    require(terms.nonEmpty, "query must have at least one term")
+    val distinctTerms = terms.distinct
+    val slot = terms.map(distinctTerms.indexOf(_))
+    // an EMPTY corpus writes (n=0, sumdl=NULL) — coalesce before the read
+    val st = stats
+      .select(col("n").cast("long"),
+        coalesce(col("sumdl"), lit(0L)).cast("long")).collect()(0)
+    val (n, sumdl) = (st.getLong(0), st.getLong(1))
+    val none = postings.filter(lit(false))
+      .select(col("id").as(idCol), lit(0.0).as("score"), lit(0L).as("rank"))
+    if (n == 0L) return none
+    val pruned = postings.filter(col("term").isin(distinctTerms: _*))
+    // per-term document frequencies: a candidate-bounded aggregate (one
+    // row per term in the query, collected as k longs — model-sized)
+    val dfAggs = distinctTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df$i")
+    }
+    val dfRow = pruned.agg(dfAggs.head, dfAggs.tail: _*).collect()(0)
+    val dfs = distinctTerms.indices.map(i => dfRow.getLong(i))
+    // candidate docs = docs holding at least one query-term posting;
+    // fold the postings to one tf column per distinct term
+    val tfAggs = distinctTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf$i")
+    }
+    val cand = pruned.groupBy("id").agg(tfAggs.head, tfAggs.tail: _*)
+      .join(doclens, Seq("id"))
+    val score = terms.indices.map { i =>
+      partialScore(col(s"__tf${slot(i)}"), lit(dfs(slot(i))),
+        col("dl"), lit(n), lit(sumdl), k1, b)
+    }.reduceLeft(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = cand.select(col("id").as(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol)))
+        .cast("long"))
+  }
+
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-ranked BM25 candidates that are NOT known positives — the
+    * lexically-confusable documents a retriever must learn to push
+    * below the true answers. `positives` carries (query_id, idCol)
+    * pairs; depth > topK overfetches so filtered positives don't
+    * starve the negative list.
+    *
+    * Shape at 100 TB: the corpus-scale work is [[bm25BatchTopK]]
+    * (candidate generation inside the scan); the positive filter is a
+    * left-anti hash join between two query-bounded tables, and the
+    * re-rank is a per-query window over ≤ depth rows. The negative
+    * rank re-numbers by the RETRIEVER's rank (unique per query), so
+    * output order is engine-exact. */
+  def hardNegatives(df: DataFrame, idCol: String, textCol: Column,
+      queries: DataFrame, positives: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      topK: Int = 10, depth: Int = 50): DataFrame = {
+    require(depth >= topK,
+      s"depth ($depth) must be >= topK ($topK) — the overfetch absorbs positives")
+    val cands = bm25BatchTopK(df, idCol, textCol, queries, k1, b, depth)
+    val negs = cands.join(
+      positives.select(col("query_id"), col(idCol)),
+      Seq("query_id", idCol), "left_anti")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("rank"))
+    negs.withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= topK)
+      .select(col("query_id"), col(idCol), col("score"), col("neg_rank"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): fuse N ranked
     * lists into one consensus ranking — the standard hybrid-retrieval
     * combiner (BM25 lexical + dense ANN) RAG pipelines run, robust to

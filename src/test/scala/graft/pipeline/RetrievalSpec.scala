@@ -358,6 +358,63 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Retrieval.bm25IndexTables" - {
+    "the stored-index path equals the inline path through a parquet round trip" in {
+      val terms = Seq("the", "data", "the") // repeated term exercises slots
+      val inline = Retrieval.bm25TopK(docs, "doc_id", col("text"), terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val out = java.nio.file.Files.createTempDirectory("bm25idx").toString
+      val (p, d, st) = Retrieval.bm25IndexTables(docs, "doc_id", col("text"))
+      p.write.mode("overwrite").parquet(s"$out/postings")
+      d.write.mode("overwrite").parquet(s"$out/doclens")
+      st.write.mode("overwrite").parquet(s"$out/stats")
+      val stored = Retrieval.bm25TopKFromTables(
+          spark.read.parquet(s"$out/postings"),
+          spark.read.parquet(s"$out/doclens"),
+          spark.read.parquet(s"$out/stats"), "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      inline should not be empty
+      stored.toSeq shouldBe inline.toSeq // scores bit-equal, same order
+    }
+
+    "empty corpus index serves an empty result, not an exception" in {
+      val none = docs.filter(lit(false))
+      val (p, d, st) = Retrieval.bm25IndexTables(none, "doc_id", col("text"))
+      Retrieval.bm25TopKFromTables(p, d, st, "doc_id", Seq("spark"))
+        .count() shouldBe 0L
+    }
+  }
+
+  "Retrieval.hardNegatives" - {
+    "positives drop out and negatives renumber in retriever order" in {
+      // single-term BM25 at equal dl ranks by tf: 1 > 2 > 3; doc 4 is
+      // never a candidate (no query term)
+      val df = Seq(
+        (1L, "spark spark spark pad pad"),
+        (2L, "spark spark other pad pad"),
+        (3L, "spark other other pad pad"),
+        (4L, "other other other pad pad")
+      ).toDF("doc_id", "text")
+      val queries = Seq((1L, "spark")).toDF("query_id", "term")
+      val positives = Seq((1L, 1L)).toDF("query_id", "doc_id")
+      val got = Retrieval.hardNegatives(df, "doc_id", col("text"),
+          queries, positives, topK = 2, depth = 3)
+        .select("query_id", "doc_id", "neg_rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // top-ranked doc 1 is a known positive: doc 2 becomes negative #1
+      got.toSeq.sortBy(_._3) shouldBe Seq((1L, 2L, 1L), (1L, 3L, 2L))
+    }
+
+    "depth below topK is rejected (the overfetch contract)" in {
+      val df = Seq((1L, "spark")).toDF("doc_id", "text")
+      val q = Seq((1L, "spark")).toDF("query_id", "term")
+      val p = Seq.empty[(Long, Long)].toDF("query_id", "doc_id")
+      an[IllegalArgumentException] should be thrownBy
+        Retrieval.hardNegatives(df, "doc_id", col("text"), q, p,
+          topK = 5, depth = 3)
+    }
+  }
+
   "Retrieval.rrfFuse" - {
     "hand-computed fusion: both-list docs beat single-list docs, absent = 0" in {
       val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
