@@ -1739,6 +1739,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "graph_triangles" -> ((s, dir) => {
+      // exact per-node triangle counts over the k-NN graph — the local
+      // clustering signal next to PageRank centrality; degree-ordered
+      // orientation bounds wedge volume at scale, counts are exact
+      // integers; isolated vectors count zero
+      val emb = t(s, dir, "embeddings")
+      val edges = Similarity.knnGraph(emb, "vec_id", "embedding",
+          k = 3, planes = 6, dim = 64)
+        .select(col("node_id").as("id_a"), col("neighbor_id").as("id_b"))
+      val tri = graft.pipeline.GraphAnalytics.trianglesPerNode(edges)
+        .withColumnRenamed("node", "vec_id")
+      emb.select(col("vec_id"))
+        .join(tri, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"))
+        .orderBy("vec_id")
+    }),
+
     "graph_components_star" -> ((s, dir) => {
       // the SAME component structure via alternating large-star/small-star
       // rounds (O(log² n) regardless of diameter — the extreme-scale path
@@ -2418,6 +2436,36 @@ object SparkEntry {
       graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
           col("text"), terms = Seq("spark", "customer", "window"), topK = 10)
         .orderBy("rank")
+    }),
+
+    "rag_ndcg" -> ((s, dir) => {
+      // graded retrieval quality: nDCG@5 with binary relevance (the
+      // hard-negatives positive set) — DCG folds literal discounts
+      // left-to-right, ideal DCG is a prefix-sum literal, one division
+      val docs = t(s, dir, "documents")
+      val cands = graft.pipeline.Retrieval.bm25BatchTopKLocal(docs,
+        "doc_id", col("text"), BatchQueries, topK = 5)
+      val qrels = docs.select(
+        (col("doc_id") % 7 + 1).as("query_id"), col("doc_id"))
+      graft.pipeline.Retrieval.ndcgAtK(cands, qrels, k = 5)
+        .orderBy("query_id")
+    }),
+
+    "rag_mrr" -> ((s, dir) => {
+      // retrieval-quality gate: reciprocal rank of the first relevant
+      // result per query (relevance = the hard-negatives positive set);
+      // queries whose candidates hold no positive emit rr = 0.0 with a
+      // −1 sentinel rank (nullable ints float-ify in the driver comparer)
+      val docs = t(s, dir, "documents")
+      val cands = graft.pipeline.Retrieval.bm25BatchTopKLocal(docs,
+        "doc_id", col("text"), BatchQueries, topK = 5)
+      val qrels = docs.select(
+        (col("doc_id") % 7 + 1).as("query_id"), col("doc_id"))
+      graft.pipeline.Retrieval.reciprocalRank(cands, qrels, k = 5)
+        .select(col("query_id"),
+          coalesce(col("first_rel_rank"), lit(-1L)).as("first_rel_rank"),
+          col("rr"))
+        .orderBy("query_id")
     }),
 
     "text_bm25_tables" -> ((s, dir) => {
@@ -4321,6 +4369,7 @@ object SparkEntry {
     // same closure oracle: the star algorithm must land the identical
     // component minima the label-propagation entry lands
     "graph_components_star" -> knnComponentsOracle,
+    "graph_triangles" -> knnTrianglesOracle,
 
     "embed_robust_scale" ->
       """WITH e AS (
@@ -4693,6 +4742,68 @@ object SparkEntry {
 
     "text_bm25_batch" -> graft.pipeline.Retrieval.bm25BatchOracleSql(
       "documents", "doc_id", BatchQueries, topK = 5),
+
+    // nDCG@5 replay: the SAME Scala-computed discount/prefix-sum doubles
+    // as the entry, embedded through VARCHAR casts (correctly-rounded
+    // literal path); term sums are exact (one nonzero per rank), the
+    // DCG fold and the final division share the entry's association
+    "rag_ndcg" -> {
+      val (discs, idcgs) = graft.pipeline.Retrieval.dcgDiscounts(5)
+      def dl(d: Double) = s"CAST('${d.toString}' AS DOUBLE)"
+      val termSelects = (1 to 5).map { i =>
+        s"SUM(CASE WHEN rank = $i AND rel = 1 THEN ${dl(discs(i - 1))} " +
+          s"ELSE CAST(0 AS DOUBLE) END) AS t$i"
+      }.mkString(",\n         ")
+      val idcgCase = (1 to 5).map { j =>
+        s"WHEN $j THEN ${dl(idcgs(j - 1))}"
+      }.mkString(" ")
+      s"""WITH cand AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |${graft.pipeline.Retrieval.bm25BatchOracleSql(
+             "documents", "doc_id", BatchQueries, topK = 5)})),
+         |qr AS (SELECT doc_id % 7 + 1 AS query_id, doc_id FROM documents),
+         |marked AS (
+         |  SELECT c.query_id, c.rank,
+         |         CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+         |  FROM cand c LEFT JOIN qr
+         |    ON qr.query_id = c.query_id AND qr.doc_id = c.doc_id),
+         |terms AS (
+         |  SELECT query_id,
+         |         $termSelects
+         |  FROM marked GROUP BY 1),
+         |rc AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS r
+         |       FROM qr GROUP BY 1),
+         |f AS (
+         |  SELECT t.query_id,
+         |         (((((CAST(0 AS DOUBLE) + t1) + t2) + t3) + t4) + t5)
+         |           AS dcg,
+         |         LEAST(COALESCE(rc.r, CAST(0 AS BIGINT)), 5) AS rk
+         |  FROM terms t LEFT JOIN rc USING (query_id))
+         |SELECT query_id, dcg,
+         |       CASE WHEN rk = 0 THEN CAST(0 AS DOUBLE)
+         |            ELSE dcg / (CASE rk $idcgCase END) END AS ndcg
+         |FROM f ORDER BY query_id""".stripMargin
+    },
+
+    // first-relevant rank per query from the nested batch oracle; the
+    // positive set is the same doc_id % 7 + 1 predicate; rr is one IEEE
+    // division, missing-positive queries carry the -1 sentinel
+    "rag_mrr" ->
+      s"""WITH cand AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |${graft.pipeline.Retrieval.bm25BatchOracleSql(
+             "documents", "doc_id", BatchQueries, topK = 5)})),
+         |rel AS (
+         |  SELECT query_id, MIN(rank) AS first_rel_rank FROM cand
+         |  WHERE doc_id % 7 + 1 = query_id GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM cand)
+         |SELECT qs.query_id,
+         |       COALESCE(rel.first_rel_rank, CAST(-1 AS BIGINT))
+         |         AS first_rel_rank,
+         |       COALESCE(CAST(1 AS DOUBLE) / rel.first_rel_rank,
+         |                CAST(0 AS DOUBLE)) AS rr
+         |FROM qs LEFT JOIN rel USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // depth-20 batch retrieval nested as a derived table; the positive
     // set (query_id = doc_id % 7 + 1) becomes a NOT predicate, negatives
@@ -6212,8 +6323,10 @@ object SparkEntry {
   /** Replay of graph_knn_components: the knn edge chain, symmetrized,
     * then the transitive closure as a recursive CTE with min-label
     * components; isolated vectors coalesce to themselves. */
-  private def knnComponentsOracle: String =
-    s"""WITH RECURSIVE e AS (
+  /** The k-NN edge derivation (k=3, 6 planes) shared by the components
+    * and triangle-count oracles — ends in `kedges` (node_id, neighbor_id). */
+  private def knnEdgeCtes: String =
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |bkt AS (
        |  SELECT vec_id, v, ${bucketSql(6)} AS bucket FROM e),
@@ -6228,7 +6341,10 @@ object SparkEntry {
        |         ROW_NUMBER() OVER (PARTITION BY node_id
        |                            ORDER BY sim DESC, neighbor_id) AS rank
        |  FROM cand),
-       |kedges AS (SELECT node_id, neighbor_id FROM rankedg WHERE rank <= 3),
+       |kedges AS (SELECT node_id, neighbor_id FROM rankedg WHERE rank <= 3)""".stripMargin
+
+  private def knnComponentsOracle: String =
+    s"""WITH RECURSIVE $knnEdgeCtes,
        |edges AS (
        |  SELECT node_id AS a, neighbor_id AS b FROM kedges
        |  UNION SELECT neighbor_id, node_id FROM kedges),
@@ -6241,6 +6357,31 @@ object SparkEntry {
        |SELECT emb.vec_id,
        |       COALESCE(l.component_id, emb.vec_id) AS component_id
        |FROM embeddings emb LEFT JOIN lbl l ON emb.vec_id = l.id
+       |ORDER BY vec_id""".stripMargin
+
+  /** Per-node triangle counts over the same k-NN edge set: canonical
+    * undirected edges, each triangle enumerated once from its min-id
+    * corner (the SET of triangles is orientation-independent, so this
+    * replays the degree-ordered Spark enumeration exactly). */
+  private def knnTrianglesOracle: String =
+    s"""WITH $knnEdgeCtes,
+       |ce AS (
+       |  SELECT DISTINCT LEAST(node_id, neighbor_id) AS u,
+       |         GREATEST(node_id, neighbor_id) AS v
+       |  FROM kedges WHERE node_id != neighbor_id),
+       |tri AS (
+       |  SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM ce a JOIN ce b ON a.u = b.u AND a.v < b.v
+       |  JOIN ce c ON c.u = a.v AND c.v = b.v),
+       |corners AS (
+       |  SELECT x FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri),
+       |cnt AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS triangles
+       |        FROM corners GROUP BY 1)
+       |SELECT emb.vec_id,
+       |       COALESCE(cnt.triangles, CAST(0 AS BIGINT)) AS triangles
+       |FROM embeddings emb LEFT JOIN cnt ON emb.vec_id = cnt.x
        |ORDER BY vec_id""".stripMargin
 
   private def annLshOracle: String = {

@@ -624,12 +624,17 @@ object Dedup {
       val next = attachLow.unionByName(attachHigh)
         .distinct().localCheckpoint()
       // star property: parents never appear as children, one parent per
-      // child — certifies next IS the answer (roots = component minima)
-      val mixed = next.select(col("u").as("x"))
-        .intersect(next.select(col("v").as("x"))).limit(1).count()
-      val multi = next.groupBy("v").count()
-        .filter(col("count") > 1).limit(1).count()
-      done = mixed == 0 && multi == 0
+      // child — certifies next IS the answer (roots = component minima).
+      // Both conditions fold into ONE shuffle aggregate over the edge
+      // endpoints (a per-node parent flag + child count), not an
+      // intersect-plus-groupBy pair of jobs.
+      val offenders = next
+        .select(col("u").as("x"), lit(1L).as("p"), lit(0L).as("c"))
+        .unionByName(
+          next.select(col("v").as("x"), lit(0L).as("p"), lit(1L).as("c")))
+        .groupBy("x").agg(max("p").as("p"), sum("c").as("c"))
+        .filter((col("p") === 1 && col("c") > 0) || col("c") > 1)
+      done = offenders.limit(1).count() == 0
       edges.unpersist()
       edges = next
     }

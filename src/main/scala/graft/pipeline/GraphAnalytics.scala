@@ -116,4 +116,59 @@ object GraphAnalytics {
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Exact triangle count per node over an undirected pair graph — the
+    * local-clustering signal (how knit a document's neighborhood is)
+    * diversity pruning and community-shape diagnostics read next to
+    * PageRank centrality. Input pair columns `id_a`/`id_b` (direction
+    * and duplicates ignored); output (node, triangles) covering every
+    * node in some edge, zero-triangle nodes included. All counts are
+    * exact integers — the enumeration replays in any engine.
+    *
+    * Shape at scale: the standard DEGREE-ORDERED orientation (each edge
+    * points from its lower-(degree, id) endpoint), so every triangle is
+    * enumerated exactly once from its lowest corner and wedge volume is
+    * Σ outdeg² with outdeg ≤ O(√|E|) — the hub that breaks the naive
+    * id-ordered join (a 10⁶-degree node would explode 10¹² wedges)
+    * contributes only edges pointed AT it. Three hash-keyed joins, no
+    * cartesian; per-node counts are one aggregate. */
+  def trianglesPerNode(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(least(col("id_a"), col("id_b")).as("u"),
+        greatest(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = edges.select(col("u").as("x"))
+      .unionByName(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    // orient by (degree, id): src = the lower endpoint in that order
+    val dir = edges
+      .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // wedges: unordered out-neighbor pairs of each source corner, closed
+    // against the canonical edge set (w1 < w2 ⇒ the closing edge is
+    // exactly the canonical (w1, w2) row)
+    val wedges = dir.alias("a")
+      .join(dir.alias("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .select(col("a.src").as("corner"),
+        col("a.dst").as("w1"), col("b.dst").as("w2"))
+    val tris = wedges.join(edges,
+      wedges("w1") === edges("u") && wedges("w2") === edges("v"))
+      .select(col("corner"), col("w1"), col("w2"))
+    val counts = tris.select(col("corner").as("x"))
+      .unionByName(tris.select(col("w1").as("x")))
+      .unionByName(tris.select(col("w2").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("triangles"))
+    deg.select(col("x").as("node"))
+      .join(counts.withColumnRenamed("x", "node"), Seq("node"), "left_outer")
+      .select(col("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

@@ -596,6 +596,77 @@ object Retrieval {
       .select(col("query_id"), col(idCol), col("score"), col("neg_rank"))
   }
 
+  /** DCG rank discounts 1/log2(i+1) for i = 1..k and their LEFT-FOLDED
+    * prefix sums (the ideal-DCG values for 1..k relevant results). Both
+    * [[ndcgAtK]] and its oracle embed these exact doubles as literals —
+    * the transcendental is computed ONCE here, never re-derived by an
+    * engine, so the score replays bit-identically (the VARCHAR-cast
+    * literal discipline). */
+  def dcgDiscounts(k: Int): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val d = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    (d.toIndexedSeq, d.scanLeft(0.0)(_ + _).drop(1).toIndexedSeq)
+  }
+
+  /** Per-query nDCG@k with binary relevance — the graded companion to
+    * [[reciprocalRank]]: DCG folds the per-rank discount terms
+    * left-to-right (each term is a literal from [[dcgDiscounts]] or
+    * exact 0.0, so the fold is hash-replayable); ideal DCG is the
+    * prefix-sum literal at min(|qrels_q|, k); nDCG is one IEEE
+    * division. Queries with no relevant docs at all score 0.0; queries
+    * absent from `ranked` are absent (the retriever never saw them).
+    *
+    * Shape at scale: candidate-bounded joins and a per-query aggregate
+    * over ≤ k rows — the corpus work happened in the retriever. */
+  def ndcgAtK(ranked: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val (discs, idcgs) = dcgDiscounts(k)
+    val marked = ranked.filter(col("rank") <= k)
+      .join(qrels.select(col(queryCol), col(idCol))
+          .withColumn("__rel", lit(1)),
+        Seq(queryCol, idCol), "left_outer")
+    val termCols = (1 to k).map { i =>
+      sum(when(col("rank") === i && col("__rel") === 1, lit(discs(i - 1)))
+        .otherwise(lit(0.0))).as(s"__t$i")
+    }
+    val agg = marked.groupBy(queryCol).agg(termCols.head, termCols.tail: _*)
+    val dcg = (1 to k).map(i => col(s"__t$i")).foldLeft(lit(0.0))(_ + _)
+    val rcounts = qrels.groupBy(queryCol).agg(count(lit(1)).as("__r"))
+    val idcg = (1 to k).foldLeft(
+        when(col("__rk") === 0L, lit(Double.NaN))) { (acc, j) =>
+      acc.when(col("__rk") === j.toLong, lit(idcgs(j - 1)))
+    }
+    agg.join(rcounts, Seq(queryCol), "left_outer")
+      .withColumn("__rk", least(coalesce(col("__r"), lit(0L)), lit(k.toLong)))
+      .withColumn("dcg", dcg)
+      .withColumn("ndcg",
+        when(col("__rk") === 0L, lit(0.0)).otherwise(col("dcg") / idcg))
+      .select(col(queryCol), col("dcg"), col("ndcg"))
+  }
+
+  /** Per-query reciprocal rank — the MRR building block (the retrieval
+    * quality gate next to [[graft.pipeline.Similarity.recallAtK]]'s ANN
+    * recall): for each query in `ranked`, the rank of the FIRST relevant
+    * result within the top k and its reciprocal; queries with no
+    * relevant hit in the top k emit (null, 0.0), queries with no
+    * candidates at all are absent (the retriever never saw them).
+    * `rr` is one IEEE division of an exact integer — hash-replayable;
+    * callers average it per slice as a final bounded aggregate.
+    *
+    * Shape at 100 TB: `ranked` is a per-query top-k table (bounded);
+    * the qrels join and per-query min are candidate-sized. */
+  def reciprocalRank(ranked: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive (got $k)")
+    val rel = ranked.filter(col("rank") <= k)
+      .join(qrels.select(col(queryCol), col(idCol)), Seq(queryCol, idCol))
+      .groupBy(queryCol).agg(min("rank").as("first_rel_rank"))
+    ranked.select(col(queryCol)).distinct()
+      .join(rel, Seq(queryCol), "left_outer")
+      .select(col(queryCol), col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)).as("rr"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): fuse N ranked
     * lists into one consensus ranking — the standard hybrid-retrieval
     * combiner (BM25 lexical + dense ANN) RAG pipelines run, robust to

@@ -172,4 +172,27 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
       got(3L) shouldBe 0.0
     }
   }
+
+  describe("trianglesPerNode") {
+    it("K4, a tailed triangle, and a triangle-free square") {
+      // K4 on 1-4: every node is in C(3,2)=3 triangles
+      val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+        .toDF("id_a", "id_b")
+      GraphAnalytics.trianglesPerNode(k4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+      // triangle 1-2-3 with tail 3-4: tail node sees none; duplicate
+      // and reversed edges must not double-count
+      val tailed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (3L, 4L))
+        .toDF("id_a", "id_b")
+      GraphAnalytics.trianglesPerNode(tailed).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L)
+      // 4-cycle without diagonals: zero triangles everywhere
+      val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+        .toDF("id_a", "id_b")
+      GraphAnalytics.trianglesPerNode(square).collect()
+        .map(r => r.getLong(1)).sum shouldBe 0L
+    }
+  }
 }

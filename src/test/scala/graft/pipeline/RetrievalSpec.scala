@@ -415,6 +415,54 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Retrieval.ndcgAtK" - {
+    "hand-computed binary nDCG; all-relevant prefix is exactly 1.0" in {
+      val ranked = Seq(
+        (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // rel at ranks 1, 3
+        (2L, 20L, 1L), (2L, 21L, 2L),                // rel at ranks 1, 2
+        (3L, 30L, 1L)                                // no rel anywhere
+      ).toDF("query_id", "doc_id", "rank")
+      val qrels = Seq((1L, 10L), (1L, 12L),
+        (2L, 20L), (2L, 21L), (2L, 99L)).toDF("query_id", "doc_id")
+      val (d, idcg) = Retrieval.dcgDiscounts(5)
+      val got = Retrieval.ndcgAtK(ranked, qrels, k = 5).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+      // same left fold as the operator: ((((0+t1)+t2)+t3)+t4)+t5
+      val dcg1 = Seq(d(0), 0.0, d(2), 0.0, 0.0).foldLeft(0.0)(_ + _)
+      got(1L) shouldBe ((dcg1, dcg1 / idcg(1))) // R=2 -> idcg at 2
+      val dcg2 = Seq(d(0), d(1), 0.0, 0.0, 0.0).foldLeft(0.0)(_ + _)
+      // q2: every retrieved rank is relevant and R=3 caps idcg at 3 —
+      // but only 2 candidates exist, so dcg = prefix(2) < idcg(3)
+      got(2L) shouldBe ((dcg2, dcg2 / idcg(2)))
+      got(3L) shouldBe ((0.0, 0.0))
+      // a query whose top-k is ENTIRELY relevant with R >= k scores
+      // exactly 1.0 (identical fold association on both sides)
+      val perfect = (1 to 5).map(i => (9L, i.toLong + 100, i.toLong))
+        .toDF("query_id", "doc_id", "rank")
+      val pq = (1 to 9).map(i => (9L, i.toLong + 100)).toDF("query_id", "doc_id")
+      Retrieval.ndcgAtK(perfect, pq, k = 5).collect()(0).getDouble(2) shouldBe 1.0
+    }
+  }
+
+  "Retrieval.reciprocalRank" - {
+    "first relevant rank per query, zero for no hit, cutoff respected" in {
+      val ranked = Seq(
+        (1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L), // q1: rel at rank 2
+        (2L, 20L, 1L), (2L, 21L, 2L),                // q2: no rel at all
+        (3L, 30L, 1L), (3L, 31L, 6L)                 // q3: rel only PAST k
+      ).toDF("query_id", "doc_id", "rank")
+      val qrels = Seq((1L, 11L), (1L, 12L), (3L, 31L), (9L, 99L))
+        .toDF("query_id", "doc_id")
+      val got = Retrieval.reciprocalRank(ranked, qrels, k = 5).collect()
+        .map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2)))).toMap
+      got(1L) shouldBe ((Some(2L), 0.5)) // min of ranks 2 and 3
+      got(2L) shouldBe ((None, 0.0))
+      got(3L) shouldBe ((None, 0.0))     // rank 6 is beyond k=5
+      got.keySet shouldBe Set(1L, 2L, 3L) // qrels-only query 9 absent
+    }
+  }
+
   "Retrieval.rrfFuse" - {
     "hand-computed fusion: both-list docs beat single-list docs, absent = 0" in {
       val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
