@@ -194,5 +194,13 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
       GraphAnalytics.trianglesPerNode(square).collect()
         .map(r => r.getLong(1)).sum shouldBe 0L
     }
+
+    it("plans hash joins only — no cartesian wedge explosion") {
+      val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      val plan = GraphAnalytics.trianglesPerNode(edges)
+        .queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
   }
 }

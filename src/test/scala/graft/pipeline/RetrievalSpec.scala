@@ -486,6 +486,15 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got.toSeq.sortBy(_._2) shouldBe Seq((3L, 1L), (7L, 2L)) // same score
     }
 
+    "fusion plans equi-joins only (candidate lists never cross-join)" in {
+      val a = Seq((10L, 1L)).toDF("doc_id", "rank")
+      val b = Seq((11L, 1L)).toDF("doc_id", "rank")
+      val plan = Retrieval.rrfFuse(Seq(a, b), Seq("doc_id"))
+        .queryExecution.executedPlan.toString
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+    }
+
     "batch fusion partitions ranks per query key" in {
       val a = Seq((1L, 10L, 1L), (2L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
       val b = Seq((1L, 11L, 1L), (2L, 10L, 1L)).toDF("query_id", "doc_id", "rank")
