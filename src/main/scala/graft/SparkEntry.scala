@@ -2015,6 +2015,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "rag_mmr" -> ((s, dir) => {
+      // diversified retrieval: MMR-greedy pick of 5 from each query's
+      // 20 nearest — near-duplicate passages stop crowding out coverage;
+      // the sequential greedy runs per query as a bounded typed kernel,
+      // queries parallelize, and the dyadic λ=½ keeps every step an
+      // exact IEEE op the chained-CTE oracle replays
+      Similarity.mmrRerank(t(s, dir, "embeddings"), "vec_id", "embedding",
+          col("vec_id") < 3, poolK = 20, outK = 5)
+        .orderBy("query_id", "mmr_rank")
+    }),
+
     "ann_recall" -> ((s, dir) => {
       // the index-tuning loop's feedback metric: recall@5 of the IVF
       // search (nlist=16, nprobe=4) against brute-force cosine — per
@@ -4370,6 +4381,7 @@ object SparkEntry {
     // component minima the label-propagation entry lands
     "graph_components_star" -> knnComponentsOracle,
     "graph_triangles" -> knnTrianglesOracle,
+    "rag_mmr" -> mmrOracle(queryMax = 3, poolK = 20, outK = 5),
 
     "embed_robust_scale" ->
       """WITH e AS (
@@ -6439,6 +6451,75 @@ object SparkEntry {
   /** Replay of the IVF-flat search: deterministic centroids (first nlist
     * vectors in id order), nearest-centroid assignment with centroid-id
     * tie-break, nprobe probing, exact re-rank. */
+  /** MMR replay: exact-cosine pool (top poolK per query, the cosSql
+    * expression Spark's cosineTopK evaluates), then outK chained greedy
+    * steps — each step's max-sim aggregate, ½-scaled combination and
+    * (mmr DESC, id) argmax reproduce the flatMapGroups kernel's exact
+    * arithmetic. Every level is MATERIALIZED (each sel/cand table is
+    * referenced by three successors — plain CTE inlining would blow up
+    * 3^outK, the BPE-oracle lesson). */
+  private def mmrOracle(queryMax: Int, poolK: Int, outK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e
+         |      WHERE vec_id < $queryMax),
+         |pool AS MATERIALIZED (
+         |  SELECT query_id, id, rel, v FROM (
+         |    SELECT q.query_id, c.vec_id AS id,
+         |           ${cosSql("q.qv", "c.v")} AS rel, c.v,
+         |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |             ORDER BY ${cosSql("q.qv", "c.v")} DESC, c.vec_id) AS rn
+         |    FROM q JOIN e c ON c.vec_id != q.query_id)
+         |  WHERE rn <= $poolK),
+         |pick1 AS MATERIALIZED (
+         |  SELECT query_id, id, v,
+         |         0.5 * rel - 0.5 * CAST(0 AS DOUBLE) AS mmr,
+         |         CAST(1 AS BIGINT) AS r
+         |  FROM (SELECT pool.*, ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY 0.5 * rel - 0.5 * CAST(0 AS DOUBLE) DESC, id)
+         |          AS rn
+         |        FROM pool) WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT query_id, id, v FROM pick1),
+         |""".stripMargin)
+    for (t <- 2 to outK) {
+      val prev = t - 1
+      sb.append(
+        s"""cand$t AS MATERIALIZED (
+           |  SELECT pool.* FROM pool
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel$prev s
+           |                    WHERE s.query_id = pool.query_id
+           |                      AND s.id = pool.id)),
+           |ms$t AS MATERIALIZED (
+           |  SELECT c.query_id, c.id, MAX(${cosSql("c.v", "s.v")}) AS m
+           |  FROM cand$t c JOIN sel$prev s ON s.query_id = c.query_id
+           |  GROUP BY 1, 2),
+           |pick$t AS MATERIALIZED (
+           |  SELECT query_id, id, v, mmr, CAST($t AS BIGINT) AS r FROM (
+           |    SELECT c.query_id, c.id, c.v,
+           |           0.5 * c.rel - 0.5 * ms$t.m AS mmr,
+           |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+           |             ORDER BY 0.5 * c.rel - 0.5 * ms$t.m DESC, c.id)
+           |             AS rn
+           |    FROM cand$t c JOIN ms$t ON ms$t.query_id = c.query_id
+           |                           AND ms$t.id = c.id)
+           |  WHERE rn = 1),
+           |sel$t AS MATERIALIZED (
+           |  SELECT * FROM sel$prev
+           |  UNION ALL SELECT query_id, id, v FROM pick$t),
+           |""".stripMargin)
+    }
+    val picks = (1 to outK).map(t =>
+      s"SELECT query_id, id, r, mmr FROM pick$t").mkString("\n  UNION ALL ")
+    sb.append(
+      s"""allp AS (
+         |  $picks)
+         |SELECT query_id, id AS neighbor_id, r AS mmr_rank, mmr AS mmr_score
+         |FROM allp ORDER BY query_id, mmr_rank""".stripMargin)
+    sb.toString
+  }
+
   /** Brute-force cosine top-5 for query vectors 0-9 — the exact-search
     * baseline (ann_cosine_topk) and the ground-truth side of ann_recall. */
   private def annCosineOracle: String =

@@ -797,6 +797,96 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"), col("rank"), col("sim"))
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell/Goldstein) — the RAG
+    * diversification step: greedily pick `outK` of the query's `poolK`
+    * nearest candidates, each pick maximizing
+    * `mmr = ½·rel − ½·max_{s∈selected} cos(c, s)` (first pick: the max-sim
+    * term is exactly 0.0) — near-duplicate passages stop crowding out
+    * coverage. λ is fixed at the dyadic ½ so every arithmetic step is an
+    * exact-input IEEE op and the whole selection replays in an oracle.
+    *
+    * Greedy selection is inherently sequential PER QUERY, so it runs as
+    * a typed flatMapGroups kernel over each query's candidate group —
+    * bounded at poolK rows by construction (the corpus-scale work
+    * happened in [[cosineTopK]]); queries parallelize across the
+    * cluster. The kernel's arithmetic mirrors the engine expression
+    * exactly: float-derived products are exact, so the sequential dot
+    * fold, `sqrt·sqrt` denominator and ½-scaled combination are
+    * bit-identical to the SQL replay; ties break to the smallest id
+    * (ascending scan with strict improvement). Zero-norm vectors are the
+    * caller's contract (their cosine is NaN in ANY engine).
+    *
+    * Output: (query_id, neighbor_id, mmr_rank, mmr_score). */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, poolK: Int = 20, outK: Int = 5): DataFrame = {
+    require(outK >= 1 && outK <= poolK,
+      s"need 1 <= outK ($outK) <= poolK ($poolK)")
+    val pool = cosineTopK(df, idCol, vecCol, queryPred, poolK)
+    val withVec = pool.join(
+      df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv")),
+      Seq("neighbor_id"))
+    val sess = df.sparkSession
+    import sess.implicits._
+    withVec
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        col("sim").cast("double"), col("__nv").cast("array<float>"))
+      .as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Double, Array[Float])]) =>
+        val cands = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        val n = cands.length
+        val chosen = new Array[Boolean](n)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        var r = 1
+        while (r <= math.min(outK, n)) {
+          var bi = -1
+          var bs = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!chosen(i)) {
+              // max-sim to the already-selected set; exactly 0.0 when
+              // nothing is selected yet (the documented first-pick form)
+              var ms = 0.0
+              if (sel.nonEmpty) {
+                ms = Double.NegativeInfinity
+                sel.foreach { s =>
+                  val c = cosExact(cands(i)._3, s)
+                  if (c > ms) ms = c
+                }
+              }
+              val mmr = 0.5 * cands(i)._2 - 0.5 * ms
+              // strict improvement + ascending-id scan = ties to min id
+              if (mmr > bs) { bs = mmr; bi = i }
+            }
+            i += 1
+          }
+          chosen(bi) = true
+          sel += cands(bi)._3
+          res += ((q, cands(bi)._1, r.toLong, bs))
+          r += 1
+        }
+        res
+      }
+      .toDF("query_id", "neighbor_id", "mmr_rank", "mmr_score")
+  }
+
+  /** Cosine of two float vectors with the ENGINE's exact association:
+    * sequential product-sum folds (each float×float product is exact, so
+    * this equals both the codegen'd kernel and DuckDB's fused
+    * list_dot_product), then dot / (√aa · √bb). */
+  private def cosExact(a: Array[Float], b: Array[Float]): Double = {
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < a.length) {
+      ab += a(i).toDouble * b(i)
+      aa += a(i).toDouble * a(i)
+      bb += b(i).toDouble * b(i)
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
   /** Recall@k of an approximate neighbor list against the exact one —
     * THE evaluation every ANN deployment runs before trusting an index
     * (tune nlist/nprobe/planes until recall clears the bar, then ship).

@@ -476,6 +476,37 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
   }
 
   "Similarity" - {
+    "mmrRerank: diversity outranks a crowded near-duplicate" in {
+      import spark.implicits._
+      // query at 45°; candidates at 11.5° (closest), 0° (crowded by the
+      // first pick) and 90° (diverse). Pure relevance orders b, a, c;
+      // MMR must order b, c, a — the 90° vector's low max-sim beats the
+      // 0° vector's higher relevance after b is selected
+      val df = Seq(
+        (1L, Seq(1.0f, 0.0f)),           // a: 0°
+        (2L, Seq(0.98f, 0.2f)),          // b: ~11.5° — top relevance
+        (3L, Seq(0.0f, 1.0f)),           // c: 90° — diverse
+        (9L, Seq(0.70710678f, 0.70710678f)) // the query, 45°
+      ).toDF("vec_id", "embedding")
+      val got = Similarity.mmrRerank(df, "vec_id", "embedding",
+          col("vec_id") === 9, poolK = 3, outK = 3)
+        .orderBy("mmr_rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      got.map(_._1).toSeq shouldBe Seq(2L, 3L, 1L)
+      got.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
+      // first pick's score is exactly half its relevance (max-sim = 0)
+      val relB = {
+        val q = Array(0.70710678f, 0.70710678f); val b = Array(0.98f, 0.2f)
+        var ab = 0.0; var aa = 0.0; var bb = 0.0
+        for (i <- 0 to 1) {
+          ab += q(i).toDouble * b(i); aa += q(i).toDouble * q(i)
+          bb += b(i).toDouble * b(i)
+        }
+        ab / (math.sqrt(aa) * math.sqrt(bb))
+      }
+      got(0)._3 shouldBe 0.5 * relB - 0.5 * 0.0
+    }
+
     "recallAtK: hand-computed hits, zero-hit queries present, extras ignored" in {
       import spark.implicits._
       val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L),
