@@ -1,7 +1,7 @@
 package graft
 
 import graft.engine.{JsonMergePatch, JsonNullStrip}
-import graft.functions.{BitsetContains, BottomKDistinct, CharWindows, CmsCounters, DotProduct, EwmaArray, HllRegisters, NgramStats, TokenStats, WordPairs, WordShingles}
+import graft.functions.{BitsetContains, BottomKDistinct, BottomKPairs, CdcChunks, CharWindows, CmsCounters, DotProduct, EwmaArray, HllRegisters, NgramStats, SeqSum, TermCounts, TokenStats, WordChunks, WordPairs, WordShingles}
 import graft.hql.{FieldResolver, Translator}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,6 +27,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *                                           --  repetition gates)
   *   SELECT word_pairs(text)                 -- adjacent bigrams, repeats kept
   *   SELECT bitset_contains(bits, pos)       -- O(1) Bloom-bit probe
+  *   SELECT word_chunks(text, 120)           -- fixed-width word chunks
+  *   SELECT cdc_chunks(text, 6)              -- content-defined chunking
+  *   SELECT term_counts(text, array('a','b'))-- per-term tf vector (BM25)
+  *   SELECT seq_sum(xs)                      -- left-to-right double fold
+  *                                           -- (order-pinned, replayable)
+  *
+  * plus the sketch aggregates: bottom_k_distinct (KMV), bottom_k_pairs
+  * (KMV with payload), hll_registers, cms_counters, and ewma(xs, alpha).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -107,7 +115,26 @@ object GraftFunctions {
         info("cms_counters", classOf[CmsCounters]),
         arity("cms_counters", 3)(args =>
           CmsCounters(args(0), intLit(args(1), "cms_counters d"),
-            intLit(args(2), "cms_counters wlog")))))
+            intLit(args(2), "cms_counters wlog")))),
+      (FunctionIdentifier("word_chunks"),
+        info("word_chunks", classOf[WordChunks]),
+        arity("word_chunks", 2)(args =>
+          WordChunks(args(0), intLit(args(1), "word_chunks width")))),
+      (FunctionIdentifier("cdc_chunks"),
+        info("cdc_chunks", classOf[CdcChunks]),
+        arity("cdc_chunks", 2)(args =>
+          CdcChunks(args(0), intLit(args(1), "cdc_chunks maskBits")))),
+      (FunctionIdentifier("term_counts"),
+        info("term_counts", classOf[TermCounts]),
+        arity("term_counts", 2)(args =>
+          TermCounts(args(0), stringArrayLit(args(1), "term_counts terms")))),
+      (FunctionIdentifier("seq_sum"),
+        info("seq_sum", classOf[SeqSum]),
+        arity("seq_sum", 1)(args => SeqSum(args(0)))),
+      (FunctionIdentifier("bottom_k_pairs"),
+        info("bottom_k_pairs", classOf[BottomKPairs]),
+        arity("bottom_k_pairs", 3)(args =>
+          BottomKPairs(args(0), args(1), intLit(args(2), "bottom_k_pairs k")))))
 
   /** Kernel size parameters fix the generated code, so they must be
     * plan-time literals. */
@@ -115,6 +142,21 @@ object GraftFunctions {
     case Literal(i: Int, org.apache.spark.sql.types.IntegerType) => i
     case _ => throw new IllegalArgumentException(
       s"$what expects a literal integer, got $e")
+  }
+
+  /** The kernel's term lookup is compiled at plan time, so the term list
+    * must be a literal array (`array('a','b')` folds to one). */
+  private def stringArrayLit(e: Expression, what: String): Seq[String] = e match {
+    case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+        org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+      a.toArray[UTF8String](StringType).map(_.toString).toSeq
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+        if children.forall(_.isInstanceOf[Literal]) =>
+      children.map { case Literal(s: UTF8String, StringType) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"$what expects string literals, got $other") }
+    case _ => throw new IllegalArgumentException(
+      s"$what expects a literal string array, got $e")
   }
 
   private def doubleLit(e: Expression, what: String): Double = e match {

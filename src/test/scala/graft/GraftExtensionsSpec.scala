@@ -85,6 +85,31 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       regs.foreach(_.getSeq[Int](1).length shouldBe 16)
     }
 
+    "round-11 additions: chunking, term counts, seq_sum, bottom_k_pairs" in {
+      GraftFunctions.register(spark)
+      // word_chunks: fixed-width word windows
+      spark.sql("SELECT word_chunks('a b c d e', 2) AS c")
+        .collect()(0).getSeq[String](0) shouldBe Seq("a b", "c d", "e")
+      // term_counts: tf vector in the literal-array term order
+      spark.sql("SELECT term_counts('a b a c', array('a', 'c')) AS tc")
+        .collect()(0).getSeq[Long](0) shouldBe Seq(2L, 1L)
+      // seq_sum: the order-pinned left fold
+      spark.sql("SELECT seq_sum(array(1.0d, 2.0d, 4.0d)) AS s")
+        .collect()(0).getDouble(0) shouldBe 7.0
+      // cdc_chunks are word runs: space-joining them restores the input
+      spark.sql("SELECT concat_ws(' ', cdc_chunks('hello world chunk me', 3)) AS r")
+        .collect()(0).getString(0) shouldBe "hello world chunk me"
+      // bottom_k_pairs: payloads of the k hash-smallest rows, hash order
+      spark.sql(
+        """SELECT bottom_k_pairs(CAST(x AS BIGINT), CAST(x * 10 AS DOUBLE), 2)
+          |         AS p
+          |FROM VALUES (9),(1),(5) AS t(x)""".stripMargin)
+        .collect()(0).getSeq[Double](0) shouldBe Seq(10.0, 50.0)
+      // the term list must be a literal array
+      an[Exception] should be thrownBy
+        spark.sql("SELECT term_counts('a', array(concat('a','b')))").collect()
+    }
+
     "kernel size parameters must be plan-time literals" in {
       GraftFunctions.register(spark)
       an[Exception] should be thrownBy
