@@ -2026,6 +2026,19 @@ object SparkEntry {
         .orderBy("query_id", "mmr_rank")
     }),
 
+    "ann_ivfpq_residual" -> ((s, dir) => {
+      // FAISS-default residual IVF-PQ: codes quantize v − centroid
+      // (float-quantized residuals keep every product exact), score is
+      // the inner-product expansion q·c + ADC — the higher-recall form
+      // at identical index storage
+      Similarity.annIvfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
+          "embedding", col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4,
+          m = 8, ncodes = 8, trainIters = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "ann_recall" -> ((s, dir) => {
       // the index-tuning loop's feedback metric: recall@5 of the IVF
       // search (nlist=16, nprobe=4) against brute-force cosine — per
@@ -4382,6 +4395,8 @@ object SparkEntry {
     "graph_components_star" -> knnComponentsOracle,
     "graph_triangles" -> knnTrianglesOracle,
     "rag_mmr" -> mmrOracle(queryMax = 3, poolK = 20, outK = 5),
+    "ann_ivfpq_residual" -> annIvfPqResidualOracle(nlist = 16, nprobe = 4,
+      m = 8, ncodes = 8, sub = 8, k = 5, iters = 2),
 
     "embed_robust_scale" ->
       """WITH e AS (
@@ -6602,17 +6617,18 @@ object SparkEntry {
     * (subspace, code, position) — the same recipe as the kmedians oracle —
     * with empty cells COALESCE'd to the previous codeword. Yields `cbf`
     * (j, c, w). */
-  private def pqTrainSql(m: Int, ncodes: Int, sub: Int, iters: Int): String = {
+  private def pqTrainSql(m: Int, ncodes: Int, sub: Int, iters: Int,
+      src: String = "e"): String = {
     val sb = new StringBuilder
     sb.append(
       s"""cb0 AS (
          |  SELECT t.j, r.c, r.v[t.j * $sub + 1 : (t.j + 1) * $sub] AS w
          |  FROM (SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS c, v
-         |        FROM (SELECT * FROM e ORDER BY vec_id LIMIT $ncodes)) r,
+         |        FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $ncodes)) r,
          |       UNNEST(generate_series(0, ${m - 1})) AS t(j)),
          |subv AS (
-         |  SELECT e.vec_id, t.j, e.v[t.j * $sub + 1 : (t.j + 1) * $sub] AS s
-         |  FROM e, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
+         |  SELECT $src.vec_id, t.j, $src.v[t.j * $sub + 1 : (t.j + 1) * $sub] AS s
+         |  FROM $src, UNNEST(generate_series(0, ${m - 1})) AS t(j)),
          |""".stripMargin)
     for (i <- 1 to iters) {
       val prev = s"cb${i - 1}"
@@ -6651,20 +6667,21 @@ object SparkEntry {
     * per-subspace L2-argmin encode CTEs (enc0..enc{m-1} + the joined
     * `enc`), the per-subspace codebook joins, and the left-associated ADC
     * score expression. */
-  private def pqEncSql(m: Int, ncodes: Int, sub: Int, iters: Int): String = {
+  private def pqEncSql(m: Int, ncodes: Int, sub: Int, iters: Int,
+      src: String = "e"): String = {
     val encCtes = (0 until m).map { j =>
-      val s = pqSl("e.v", j, sub)
+      val s = pqSl(s"$src.v", j, sub)
       s"""enc$j AS (SELECT vec_id, c AS k$j FROM (
-         |  SELECT e.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |  SELECT $src.vec_id, cb.c, ROW_NUMBER() OVER (PARTITION BY $src.vec_id
          |    ORDER BY (list_dot_product($s, $s)
          |              - 2 * list_dot_product($s, cb.w))
          |             + list_dot_product(cb.w, cb.w) ASC, cb.c) AS rn
-         |  FROM e CROSS JOIN (SELECT c, w FROM cbf WHERE j = $j) cb)
+         |  FROM $src CROSS JOIN (SELECT c, w FROM cbf WHERE j = $j) cb)
          |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val encJoin = (1 until m)
       .map(j => s"JOIN enc$j USING (vec_id)").mkString(" ")
-    s"""${pqTrainSql(m, ncodes, sub, iters)},
+    s"""${pqTrainSql(m, ncodes, sub, iters, src)},
        |$encCtes,
        |enc AS (SELECT * FROM enc0 $encJoin)""".stripMargin
   }
@@ -6701,6 +6718,48 @@ object SparkEntry {
   /** IVF-PQ replay: the IVF assign/probe CTEs composed with the PQ
     * train/encode CTEs; candidates come from the probed inverted lists and
     * are scored by the same ADC expression. */
+  /** Residual IVF-PQ replay: the same coarse assignment as the raw
+    * oracle, then residuals `v − cv` (double subtraction, FLOAT
+    * round-trip — the entry's exactness quantization), the PQ chain
+    * retargeted at the residual CTE, and the score as
+    * `q·c + (ADC fold)` with the parenthesization matching the entry's
+    * `qc + reduceLeft` association. */
+  private def annIvfPqResidualOracle(nlist: Int, nprobe: Int, m: Int,
+      ncodes: Int, sub: Int, k: Int, iters: Int): String = {
+    val dim = m * sub
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT $nlist),
+       |cscored AS (
+       |  SELECT e.vec_id, e.v, c.cid, c.cv,
+       |         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |            ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.cid) AS crn
+       |  FROM e CROSS JOIN c),
+       |assign AS (SELECT vec_id, v, cid, cv FROM cscored WHERE crn = 1),
+       |re AS (
+       |  SELECT vec_id,
+       |         CAST(CAST([v[i] - cv[i] FOR i IN range(1, ${dim + 1})]
+       |              AS FLOAT[]) AS DOUBLE[]) AS v
+       |  FROM assign),
+       |qprobe AS (SELECT vec_id AS query_id, v AS qv, cid,
+       |                  list_dot_product(v, cv) AS qc
+       |           FROM cscored WHERE vec_id < 10 AND crn <= $nprobe),
+       |${pqEncSql(m, ncodes, sub, iters, src = "re")},
+       |scored AS (
+       |  SELECT qp.query_id, a.vec_id AS id,
+       |         qp.qc + (${pqScoreSql(m, sub, "qp.qv")}) AS score
+       |  FROM qprobe qp JOIN assign a
+       |    ON a.cid = qp.cid AND a.vec_id != qp.query_id
+       |  JOIN enc ON enc.vec_id = a.vec_id ${pqCbJoins(m)}),
+       |ranked AS (
+       |  SELECT query_id, id AS neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY score DESC, id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank FROM ranked
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   private def annIvfPqOracle(nlist: Int, nprobe: Int, m: Int, ncodes: Int,
       sub: Int, k: Int, iters: Int): String =
     s"""WITH e AS (

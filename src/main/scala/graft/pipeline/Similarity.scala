@@ -708,9 +708,9 @@ object Similarity {
     * Deterministic like its parents: coarse centroids are the first
     * `nlist` vectors in id order; codebooks seed from the first `ncodes`
     * and train with `trainIters` median-update Lloyd rounds (see
-    * [[annPqTopK]]). Codes quantize RAW vectors (classic
-    * IVF-PQ encodes residuals v − centroid; that refinement plugs into
-    * the same shape at the cost of per-list codebooks in the oracle).
+    * [[annPqTopK]]). Codes quantize RAW vectors here; the classic
+    * residual refinement (v − centroid through a shared codebook, the
+    * FAISS default) is [[annIvfPqResidualTopK]].
     * Approximate on two axes: list pruning loses cross-list neighbors,
     * quantization can reorder near-ties. */
   def annIvfPqTopK(
@@ -723,6 +723,54 @@ object Similarity {
     val centroids = centroidTable(df, idCol, vecCol, nlist)
     ivfPqRerank(annIvfPqEncodeTable(df, idCol, vecCol, book, centroids),
       ivfPqProbes(df, idCol, vecCol, queryPred, centroids, nprobe), book, k)
+  }
+
+  /** RESIDUAL IVF-PQ (the FAISS `by_residual` default): the shared
+    * product quantizer encodes `v − centroid(v)` instead of the raw
+    * vector — residuals concentrate near zero, so the same codebook
+    * budget spends its codewords on the part of the vector the coarse
+    * quantizer didn't already explain (higher recall at identical
+    * storage). Scoring uses the inner-product expansion
+    * `q·(c + r̂) = q·c + ADC(q, codes)` — one exact dot per probed list
+    * plus the standard ADC fold, so cross-list candidates stay
+    * comparable.
+    *
+    * Replay discipline: residuals are FLOAT-quantized after the double
+    * subtraction (double-sub is one correctly-rounded IEEE op; the float
+    * round-trip makes every downstream product EXACT again — the same
+    * trick that keeps all PQ arithmetic FMA-safe in any engine), and the
+    * codebook trains on those quantized residuals with the deterministic
+    * seed/median rounds of [[trainPq]].
+    *
+    * Same scale shape as [[annIvfPqTopK]]: stored structure per vector
+    * is (cid, m codes), candidates equi-join on probed list ids, queries
+    * broadcast, corpus never shuffles. */
+  def annIvfPqResidualTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2): DataFrame = {
+    val centroids = centroidTable(df, idCol, vecCol, nlist)
+    val assigned = centroidScored(prep(df, idCol, vecCol), centroids)
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b)
+          .cast("array<float>").cast("array<double>").as("rv"))
+    val book = trainPq(assigned, "id", "rv", m, ncodes, trainIters)
+    val indexed = annPqEncodeTable(assigned, "id", "rv", book)
+      .join(assigned.select(col("id"), col("cid")), Seq("id"))
+    val probes = centroidScored(prep(df.filter(queryPred), idCol, vecCol),
+        centroids)
+      .filter(col("crn") <= nprobe)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("cid"),
+        dot(col("v"), col("cv")).as("qc"))
+    val scored = indexed.join(broadcast(probes), Seq("cid"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", col("qc") + pqAdcScore(book))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("rank"), col("score"))
   }
 
   /** The stored IVF-PQ index: one (cid, id, k0..k{m-1}) row per corpus

@@ -476,6 +476,28 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
   }
 
   "Similarity" - {
+    "residual IVF-PQ: exactly-representable residuals score as true dots" in {
+      import spark.implicits._
+      // one list (centroid = vector 0), residuals take exactly the two
+      // seed values per subspace (zero and rA) — the codebook reproduces
+      // them bit-exactly, so q·c + ADC equals the TRUE inner product
+      // q·v for every candidate (all values dyadic ⇒ exact arithmetic)
+      val c = Seq(1.0f, 0f, 0f, 0f)
+      val vA = Seq(1.5f, 0f, 0.25f, 0f) // c + rA, rA nonzero in BOTH subspaces
+      val df = Seq(
+        (0L, c), (1L, vA), (2L, vA), (3L, c),
+        (9L, Seq(0.5f, 0.25f, 0.125f, 1.0f))
+      ).toDF("vec_id", "embedding")
+      val got = Similarity.annIvfPqResidualTopK(df, "vec_id", "embedding",
+          col("vec_id") === 9, k = 4, nlist = 1, nprobe = 1,
+          m = 2, ncodes = 2, trainIters = 2)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getDouble(3)))
+      got.map(_._1).toSeq shouldBe Seq(1L, 2L, 0L, 3L) // ties → id order
+      // q·(c+rA) = .75 + .03125 = 0.78125; q·c = 0.5 — exact doubles
+      got.map(_._2).toSeq shouldBe Seq(0.78125, 0.78125, 0.5, 0.5)
+    }
+
     "mmrRerank: diversity outranks a crowded near-duplicate" in {
       import spark.implicits._
       // query at 45°; candidates at 11.5° (closest), 0° (crowded by the
