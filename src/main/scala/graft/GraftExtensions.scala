@@ -149,7 +149,15 @@ object GraftFunctions {
   private def stringArrayLit(e: Expression, what: String): Seq[String] = e match {
     case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
         org.apache.spark.sql.types.ArrayType(StringType, _)) =>
-      a.toArray[UTF8String](StringType).map(_.toString).toSeq
+      // a folded array literal can carry null elements (array('a', NULL)
+      // constant-folds before reaching this branch) — raise the same
+      // clean IllegalArgumentException the CreateArray branch does
+      // instead of an opaque NPE from the UTF8String map
+      a.toArray[UTF8String](StringType).map { u =>
+        if (u == null) throw new IllegalArgumentException(
+          s"$what expects non-null string literals")
+        u.toString
+      }.toSeq
     case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
         if children.forall(_.isInstanceOf[Literal]) =>
       children.map { case Literal(s: UTF8String, StringType) => s.toString

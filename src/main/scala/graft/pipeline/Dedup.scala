@@ -538,6 +538,22 @@ object Dedup {
     * Input columns `id_a`/`id_b`; output (id, cluster_id), covering only
     * ids that appear in some pair — callers left-join their full table
     * and coalesce to the row's own id (singleton clusters). */
+  /** Release the executor block store backing a `localCheckpoint()`ed
+    * frame. `df.unpersist()` is a cache-manager uncache and does NOT
+    * touch local-checkpoint RDD blocks (they were persisted at the RDD
+    * layer, not registered with the CacheManager) — without this the
+    * iterative loops below hold O(rounds) superseded table copies on
+    * executors until the ContextCleaner GCs the RDD references. Non-
+    * LogicalRDD plans (a frame that was never checkpointed) are a no-op,
+    * and the release is async (blocking = false) — the loop never waits
+    * on block removal. */
+  private[pipeline] def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -558,7 +574,7 @@ object Dedup {
         .filter(col("cluster_id") =!= col("prev")).count()
       // release the superseded round's checkpoint blocks NOW — without
       // this, executors hold O(rounds) full label-table copies until GC
-      labels.unpersist()
+      releaseLocalCheckpoint(labels)
       labels = next
     }
     edges.unpersist()
@@ -635,7 +651,7 @@ object Dedup {
         .groupBy("x").agg(max("p").as("p"), sum("c").as("c"))
         .filter((col("p") === 1 && col("c") > 0) || col("c") > 1)
       done = offenders.limit(1).count() == 0
-      edges.unpersist()
+      releaseLocalCheckpoint(edges)
       edges = next
     }
     edges.select(col("v").as("id"), col("u").as("cluster_id"))

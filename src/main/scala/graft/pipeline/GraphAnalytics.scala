@@ -39,10 +39,13 @@ object GraphAnalytics {
     * per round), so it stays bit-replayable in any engine.
     *
     * Scale shape: the Pregel loop — per iteration ONE src-keyed join
-    * shipping ranks to edges and ONE dst-keyed aggregation of contributions
-    * (shuffle ∝ |edges|, state ∝ |nodes|); the dangling sum is a one-row
-    * aggregate broadcast back onto rank rows (nothing corpus-sized on the
-    * driver). At 1000 executors both shuffles hash-partition on the node
+    * shipping ranks to edges and ONE dst-keyed aggregation of
+    * contributions (shuffle ∝ |edges|, state ∝ |nodes|); under
+    * redistribution the dangling ranks ride the SAME aggregate under a
+    * null dst key, and the one-row mass extraction re-reads that
+    * aggregate's exchange before broadcasting the floor share onto rank
+    * rows (nothing corpus-sized on the driver, no extra shuffle for the
+    * sinks). At 1000 executors both shuffles hash-partition on the node
     * key; a skewed in-degree hub lands on AQE's skew-split path. Every
     * `checkpointEvery` rounds the rank frame is localCheckpoint'ed, so
     * the logical plan stays O(checkpointEvery) deep however large `iters`
@@ -71,38 +74,56 @@ object GraphAnalytics {
     // crossJoin(broadcast) idiom) — N never touches the driver
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
     val withDeg = e.join(outdeg, "src")
-    // dangling node set: receives rank, emits none. Derived once; tiny
-    // relative to edges, and only consumed under redistribution.
-    val dangling = nodes.join(outdeg.select(col("src").as("node")),
-      Seq("node"), "left_anti")
-    var ranks = nodes.crossJoin(broadcast(n1))
-      .select(col("node"), expr(s"$scale div n_nodes").as("r"), col("n_nodes"))
+    // the dangling FLAG (no out-edges: receives rank, emits none) is
+    // static per node, so it rides the rank frame as a boolean from the
+    // start — the per-round dangling mass is then a filter over rows the
+    // round touches anyway, not a separate node-keyed join against a
+    // dangling table (the r11 shape paid one extra shuffle join + one
+    // extra aggregate pass per round for it)
+    var ranks = nodes
+      .join(outdeg.select(col("src").as("node"), lit(false).as("__o")),
+        Seq("node"), "left")
+      .crossJoin(broadcast(n1))
+      .select(col("node"), expr(s"$scale div n_nodes").as("r"),
+        col("n_nodes"), coalesce(col("__o"), lit(true)).as("dang"))
     val baseExpr =
       expr(s"(${scale * (dampDen - dampNum)}) div (n_nodes * $dampDen)")
     for (i <- 1 to iters) {
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("r")), "src")
         .select(col("dst"), expr("r div outdeg").as("c"))
-      val incoming = contrib.groupBy("dst").agg(sum("c").as("m"))
-      val withShare =
+      // under redistribution the dangling ranks fold through the SAME
+      // dst-keyed aggregate as the edge contributions, keyed by a null
+      // dst no real node can carry — ONE shuffle computes both the
+      // per-node incoming mass and the global dangling mass (the r11
+      // verdict's "agg + join + agg" collapsed into the contribution
+      // round); the one-row mass extraction below re-reads that
+      // aggregate's exchange, it does not re-run the pass
+      val withDang =
+        if (!danglingRedistribution) contrib
+        else contrib.unionByName(ranks.filter(col("dang"))
+          .select(lit(null).cast("long").as("dst"), col("r").as("c")))
+      val agg = withDang.groupBy("dst").agg(sum("c").as("m"))
+      val shared =
         if (!danglingRedistribution)
-          ranks.select("node", "n_nodes").withColumn("g", lit(0L))
+          ranks.select("node", "n_nodes", "dang").withColumn("g", lit(0L))
         else {
-          // one-row dangling-mass sum, floored to the per-node share and
-          // broadcast onto every rank row — same idiom as n_nodes
-          val d1 = ranks.join(dangling, "node")
-            .agg(coalesce(sum("r"), lit(0L)).as("dang"))
-          ranks.select("node", "n_nodes").crossJoin(broadcast(d1))
-            .withColumn("g", expr("dang div n_nodes")).drop("dang")
+          // aggregate-of-aggregate: always exactly one row, even when no
+          // dangling node exists (the null-dst group is simply absent)
+          val d1 = agg.agg(coalesce(
+            sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
+          ranks.select("node", "n_nodes", "dang").crossJoin(broadcast(d1))
+            .withColumn("g", expr("dm div n_nodes")).drop("dm")
         }
-      ranks = withShare
-        .join(incoming, col("node") === col("dst"), "left")
+      ranks = shared
+        .join(agg.filter(col("dst").isNotNull),
+          col("node") === col("dst"), "left")
         .select(col("node"),
           (baseExpr +
             expr(s"($dampNum * (coalesce(m, CAST(0 AS BIGINT)) + g))" +
               s" div $dampDen"))
             .as("r"),
-          col("n_nodes"))
+          col("n_nodes"), col("dang"))
       // truncate lineage on long runs; skip the final round (the caller's
       // action materializes it) and short runs (pure lazy DAG preserved).
       // eager = false: the plan is cut NOW (the wrapper replaces the

@@ -639,6 +639,21 @@ object Multimodal {
         .select(col("media_id").as("id"), col("lo"), col("hi")),
       maxHamming, bands, maxBucket)
 
+  /** Banded near-dup pairing over a STORED fingerprint table (id, lo,
+    * hi) — the serving shape for both perceptual dedups: at 100 TB the
+    * decode + dHash pass runs ONCE at ingest (16 bytes per asset) and is
+    * written as a durable parquet artifact next to the blobs; every
+    * later dedup sweep (new batch vs corpus, re-tuned maxHamming) reads
+    * the fingerprints and never touches a codec again — the
+    * index-as-stored-table discipline of [[graft.pipeline.Similarity]]'s
+    * ANN tables applied to media. Fingerprints are exact integers, so
+    * the stored path pairs identically to [[imageDedupPairs]] /
+    * [[audioDedupPairs]] over the same assets. */
+  def fingerprintDedupPairs(fps: DataFrame, maxHamming: Int = 3,
+      bands: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    hammingPairs64(fps.select(col("id"), col("lo"), col("hi")),
+      maxHamming, bands, maxBucket)
+
   /** Real image resize: decode → nearest-neighbor downsample (output
     * pixel (x, y) = input pixel (x·factor, y·factor), so the resampled
     * image is exactly oracle-replayable) → re-encode PNG. Same rows out

@@ -530,22 +530,27 @@ object Retrieval {
     require(terms.nonEmpty, "query must have at least one term")
     val distinctTerms = terms.distinct
     val slot = terms.map(distinctTerms.indexOf(_))
-    // an EMPTY corpus writes (n=0, sumdl=NULL) — coalesce before the read
-    val st = stats
-      .select(col("n").cast("long"),
-        coalesce(col("sumdl"), lit(0L)).cast("long")).collect()(0)
-    val (n, sumdl) = (st.getLong(0), st.getLong(1))
+    val pruned = postings.filter(col("term").isin(distinctTerms: _*))
+    // ONE blocking action for everything global: the per-term document
+    // frequencies (a candidate-bounded aggregate, k longs — model-sized)
+    // cross-joined with the one-row stored stats row — a serving-path
+    // query batch pays one driver round trip, not two. Every sum is
+    // coalesced: an all-miss term set aggregates zero rows to NULLs, and
+    // an EMPTY corpus writes (n=0, sumdl=NULL).
+    val dfAggs = distinctTerms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, 1L).otherwise(0L)), lit(0L))
+        .as(s"__df$i")
+    }
+    val gRow = pruned.agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(broadcast(stats.select(col("n").cast("long").as("__n"),
+        coalesce(col("sumdl"), lit(0L)).cast("long").as("__sumdl"))))
+      .collect()(0)
+    val dfs = distinctTerms.indices.map(i => gRow.getLong(i))
+    val n = gRow.getLong(distinctTerms.size)
+    val sumdl = gRow.getLong(distinctTerms.size + 1)
     val none = postings.filter(lit(false))
       .select(col("id").as(idCol), lit(0.0).as("score"), lit(0L).as("rank"))
     if (n == 0L) return none
-    val pruned = postings.filter(col("term").isin(distinctTerms: _*))
-    // per-term document frequencies: a candidate-bounded aggregate (one
-    // row per term in the query, collected as k longs — model-sized)
-    val dfAggs = distinctTerms.zipWithIndex.map { case (t, i) =>
-      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df$i")
-    }
-    val dfRow = pruned.agg(dfAggs.head, dfAggs.tail: _*).collect()(0)
-    val dfs = distinctTerms.indices.map(i => dfRow.getLong(i))
     // candidate docs = docs holding at least one query-term posting;
     // fold the postings to one tf column per distinct term
     val tfAggs = distinctTerms.zipWithIndex.map { case (t, i) =>
@@ -564,6 +569,66 @@ object Retrieval {
     ranked.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol)))
         .cast("long"))
+  }
+
+  /** Batched BM25 over the STORED index — [[bm25TopKFromTables]]' query-
+    * table twin and the mining-scale serving shape the r11 review named:
+    * thousands of eval queries against a static corpus, per batch
+    * touching only the query terms' postings (the `isin` prune that
+    * reaches the parquet scan; term-partitioned postings prune to the
+    * touched terms' files at scale) — the corpus text is never
+    * re-tokenized, never re-scanned. Scoring is the row formulation of
+    * [[bm25BatchTopKLocal]]: per-(query, doc) partials joined from the
+    * pruned postings, folded in canonical UTF-8 term order from a 0.0
+    * seed via the codegen'd SeqSum kernel — and a term absent from a
+    * candidate doc contributes exactly +0.0 in the inline fold, so
+    * skipping its (absent) posting row changes no bit: stored ≡ inline,
+    * spec-pinned through a real parquet round trip.
+    *
+    * Output: (query_id, idCol, score, rank), rank 1..topK per query by
+    * (score DESC, id). Queries whose terms occur nowhere yield no rows,
+    * like the inline batch paths. */
+  def bm25BatchTopKFromTables(postings: DataFrame, doclens: DataFrame,
+      stats: DataFrame, idCol: String, queries: Seq[(Long, String)],
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "query table must be non-empty")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qpairs = queries.distinct
+    val termList = qpairs.map(_._2).distinct
+    val st = stats
+      .select(col("n").cast("long"),
+        coalesce(col("sumdl"), lit(0L)).cast("long")).collect()(0)
+    val (n, sumdl) = (st.getLong(0), st.getLong(1))
+    val none = postings.filter(lit(false))
+      .select(lit(0L).as("query_id"), col("id").as(idCol),
+        lit(0.0).as("score"), lit(0L).as("rank"))
+    if (n == 0L) return none
+    // the candidate rows ARE the pruned postings (exact integer tfs);
+    // dfs are a candidate-bounded aggregate joined back — the same
+    // broadcast-relation shape as bm25BatchRows, minus its corpus scan
+    val pruned = postings.filter(col("term").isin(termList: _*))
+      .join(doclens, Seq("id"))
+    val qterms = qpairs.toDF("query_id", "term")
+    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    val part = partialScore(col("tf"), col("__df"), col("dl"),
+      lit(n), lit(sumdl), k1, b)
+    val parts = pruned
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfs), "term")
+      .select(col("query_id"), col("id"), col("term"), part.as("__part"))
+    val scored = parts
+      .groupBy(col("query_id"), col("id"))
+      .agg(graft.functions.SeriesFunctions.seqSum(
+        sort_array(collect_list(struct(col("term"), col("__part"))))
+          .getField("__part")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id").as(idCol), col("score"),
+        col("rank"))
   }
 
   /** Hard-negative mining for contrastive training: per query, the

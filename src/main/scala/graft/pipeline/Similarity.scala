@@ -756,12 +756,62 @@ object Similarity {
       trainPq(assigned, "id", "rv", m, ncodes, trainIters))
     val indexed = annPqEncodeTable(assigned, "id", "rv", book)
       .join(assigned.select(col("id"), col("cid")), Seq("id"))
-    val probes = centroidScored(prep(df.filter(queryPred), idCol, vecCol),
-        centroids)
+    residualRerank(indexed,
+      residualProbes(df, idCol, vecCol, queryPred, centroids, nprobe),
+      book, k)
+  }
+
+  /** The stored RESIDUAL IVF-PQ index: one (cid, id, k0..k{m-1}) row per
+    * corpus vector, codes over the FLOAT-quantized residual `v − cv`.
+    * With [[centroidTable]] and [[pqBookTable]] (holding the
+    * [[trainResidualPq]] book) this completes the durable three-table
+    * artifact for the by_residual form — the per-vector q·c term the
+    * residual score needs is NOT stored: it depends on the query, and
+    * the centroids table already carries the `cv` each probe dots with
+    * its own query vector. Codes are exact integers, so stored ≡ inline
+    * bit-for-bit. Maintenance is append-only against the frozen
+    * centroids + book, like the raw-PQ table. */
+  def annIvfPqResidualEncodeTable(df: DataFrame, idCol: String,
+      vecCol: String, book: PqBook, centroids: DataFrame): DataFrame = {
+    val assigned = residualAssigned(df, idCol, vecCol, centroids)
+      .select(col("cid"), col("id"), col("rv").as("v"))
+    assigned.select(col("cid") +: col("id") +:
+      (0 until book.m).map(j => pqEncode(book, j).as(s"k$j")): _*)
+  }
+
+  /** Residual IVF-PQ query batch over the STORED tables — the serving
+    * twin of [[annIvfPqResidualTopK]] (the gap the r11 review named):
+    * query batches read the residual code table, the centroid table and
+    * the reloaded residual book, and compute only their own probes —
+    * no re-train, no re-assignment, no re-encode of the corpus. The
+    * q·c expansion term comes from dotting each probe's query vector
+    * with the stored `cv` (doubles round-trip parquet bit-exactly), so
+    * results are identical to the inline form with the same artifacts
+    * (spec-pinned through a real parquet round trip). */
+  def annIvfPqResidualTopKFromTables(index: DataFrame, centroids: DataFrame,
+      book: PqBook, df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nprobe: Int): DataFrame =
+    residualRerank(index,
+      residualProbes(df, idCol, vecCol, queryPred, centroids, nprobe),
+      book, k)
+
+  /** Each query's nprobe lists plus its exact q·c term per probed list —
+    * the per-batch query side shared by the inline and stored-table
+    * residual paths (ONE derivation, so the expansion term can never
+    * drift between them). */
+  private def residualProbes(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, centroids: DataFrame, nprobe: Int): DataFrame =
+    centroidScored(prep(df.filter(queryPred), idCol, vecCol), centroids)
       .filter(col("crn") <= nprobe)
       .select(col("id").as("query_id"), col("v").as("qv"), col("cid"),
         dot(col("v"), col("cv")).as("qc"))
-    val scored = indexed.join(broadcast(probes), Seq("cid"))
+
+  /** Probed-list equi join + (q·c + ADC) scoring + per-query top-k —
+    * the residual search core over a code table (inline-built or
+    * parquet-loaded). */
+  private def residualRerank(index: DataFrame, probes: DataFrame,
+      book: PqBook, k: Int): DataFrame = {
+    val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("id") =!= col("query_id"))
       .withColumn("score", col("qc") + pqAdcScore(book))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))
@@ -928,6 +978,13 @@ object Similarity {
             }
             i += 1
           }
+          // bi = -1 ⇔ every remaining candidate scored NaN (NaN > -∞ is
+          // false) ⇔ a NaN-component or zero-norm vector broke the
+          // documented contract (under ANSI the zero-norm form already
+          // fails in cosineTopK's division; NaN components reach here) —
+          // fail loudly with context instead of an opaque array crash
+          require(bi >= 0, s"query $q: all remaining candidates scored " +
+            "NaN mmr (NaN or zero-norm vector in the pool?)")
           chosen(bi) = true
           sel += cands(bi)._3
           res += ((q, cands(bi)._1, r.toLong, bs))

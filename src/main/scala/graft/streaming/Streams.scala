@@ -94,23 +94,46 @@ object Streams {
     * unchanged in batch mode (withWatermark is a no-op there), which is
     * the oracle shape.
     *
-    * `joinType`: "inner" (default), or "left_outer" for the
-    * probe-retaining form — every RIGHT row is emitted, with nulls on
-    * the left columns when no left row fell in its window ("clicks that
-    * converted from no view" / funnel-drop analysis). The outer row is
-    * NOT emitted on arrival: the runtime holds it until the watermark
-    * closes its match window (leftWatermark > rightTs — no earlier
-    * view can still arrive), then emits the null-joined row exactly
-    * once — so outer results are eventually identical to the batch
-    * left join, at the cost of watermark-delayed emission. Same state
-    * bound as the inner form. */
+    * `joinType`: "inner" (default), "left_outer" for the probe-retaining
+    * form — every RIGHT row is emitted, with nulls on the left columns
+    * when no left row fell in its window ("clicks that converted from no
+    * view" / funnel-drop analysis) — or "full_outer", which additionally
+    * emits every unmatched LEFT row null-extended ("views that never
+    * converted": the funnel-drop count on the other side). An outer row
+    * is NOT emitted on arrival: the runtime holds it until the watermark
+    * closes its match window (for a right row, leftWatermark > rightTs —
+    * no earlier view can still arrive; for a left row, the right
+    * watermark passing leftTs + lookback — no click can still claim it),
+    * then emits the null-joined row exactly once — so outer results are
+    * eventually identical to the batch join of the same type, at the
+    * cost of watermark-delayed emission. Same state bound as the inner
+    * form: the time constraint is what lets both sides evict. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String, leftDelay: String,
       right: DataFrame, rightTsCol: String, rightDelay: String,
       keyCond: Column, lookback: String,
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer").contains(joinType),
-      s"joinType must be inner or left_outer, got $joinType")
+    require(Set("inner", "left_outer", "full_outer").contains(joinType),
+      s"joinType must be inner, left_outer or full_outer, got $joinType")
+    // fail at operator construction, not minutes later inside the
+    // running stream: the lookback is interpolated into an INTERVAL
+    // literal, so a malformed unit would otherwise surface as a parse
+    // error at stream-start (this is a public library operator — the
+    // require's message names the argument, the late error would not)
+    val parsed =
+      try org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lookback))
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"lookback '$lookback' is not a valid SQL interval body " +
+            s"(expected e.g. \"10 minutes\"): ${e.getMessage}", e)
+      }
+    require(parsed.months == 0,
+      s"lookback '$lookback' uses calendar months — the join window " +
+        "must be a fixed duration (days/hours/minutes/seconds)")
+    require(parsed.days >= 0 && parsed.microseconds >= 0 &&
+        (parsed.days > 0 || parsed.microseconds > 0),
+      s"lookback '$lookback' must be a positive duration")
     val l = left.withWatermark(leftTsCol, leftDelay)
     val r = right.withWatermark(rightTsCol, rightDelay)
     r.join(l, keyCond &&

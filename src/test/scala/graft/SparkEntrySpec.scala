@@ -29,8 +29,8 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
       // in-repo loud failure if an entry (or its oracle) is dropped by
       // refactoring. Raise the floor when entries are ADDED; never
       // lower it.
-      SparkEntry.queries.size should be >= 206
-      SparkEntry.oracleSql.size should be >= 206
+      SparkEntry.queries.size should be >= 208
+      SparkEntry.oracleSql.size should be >= 208
     }
     "entry() answers the smoke check (rows > 0 at sf0.001)" in {
       SparkEntry.entry(spark).count() should be > 0L

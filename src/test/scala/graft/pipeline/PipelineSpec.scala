@@ -498,6 +498,82 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       got.map(_._2).toSeq shouldBe Seq(0.78125, 0.78125, 0.5, 0.5)
     }
 
+    "residual IVF-PQ stored tables ≡ inline through a real parquet round trip" in {
+      // the by_residual serving gap the r11 verdict named: the residual
+      // code/centroid/book tables persist at build time; the query path
+      // reads them, derives each probe's q·c term from the STORED cv,
+      // and must land the inline form's exact rows (integer codes +
+      // bit-exact double round trips ⇒ equality, not approximation)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-resid-tables").toString
+      val book = Similarity.trainResidualPq(emb, "vec_id", "embedding",
+        nlist = 8, m = 8, ncodes = 8, trainIters = 2)
+      val cents = Similarity.centroidTable(emb, "vec_id", "embedding", 8)
+      Similarity.annIvfPqResidualEncodeTable(emb, "vec_id", "embedding",
+          book, cents)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      cents.write.mode("overwrite").parquet(s"$dir/cents")
+      Similarity.pqBookTable(spark, book)
+        .write.mode("overwrite").parquet(s"$dir/book")
+      val book2 = Similarity.pqBookFromTable(spark.read.parquet(s"$dir/book"))
+      book2 shouldBe book
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id", "rank", "score")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+          .toSet
+      val stored = rows(Similarity.annIvfPqResidualTopKFromTables(
+        spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/cents"),
+        book2, emb, "vec_id", "embedding", col("vec_id") < 5,
+        k = 4, nprobe = 2))
+      stored shouldBe rows(Similarity.annIvfPqResidualTopK(
+        emb, "vec_id", "embedding", col("vec_id") < 5, k = 4,
+        nlist = 8, nprobe = 2, m = 8, ncodes = 8, trained = Some(book)))
+      stored.size shouldBe 20 // 5 queries × k=4
+      // maintenance is append-only against the FROZEN centroids + book:
+      // encoding a new batch appends, and the union serves identically
+      val old = emb.filter(col("vec_id") % 2 === 0)
+      val fresh = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.annIvfPqResidualEncodeTable(old, "vec_id", "embedding",
+          book, cents)
+        .write.mode("overwrite").parquet(s"$dir/inc")
+      Similarity.annIvfPqResidualEncodeTable(fresh, "vec_id", "embedding",
+          book, cents)
+        .write.mode("append").parquet(s"$dir/inc")
+      rows(Similarity.annIvfPqResidualTopKFromTables(
+        spark.read.parquet(s"$dir/inc"), spark.read.parquet(s"$dir/cents"),
+        book2, emb, "vec_id", "embedding", col("vec_id") < 5,
+        k = 4, nprobe = 2)) shouldBe stored
+      // stored path keeps the query side broadcast (the code table is
+      // the corpus at scale — never the build side)
+      Similarity.annIvfPqResidualTopKFromTables(
+        spark.read.parquet(s"$dir/codes"), spark.read.parquet(s"$dir/cents"),
+        book2, emb, "vec_id", "embedding", col("vec_id") < 5,
+        k = 4, nprobe = 2)
+        .queryExecution.executedPlan.toString should
+        include("BroadcastHashJoin [cid")
+    }
+
+    "mmrRerank: an all-NaN candidate group fails loudly, not with AIOOBE" in {
+      import spark.implicits._
+      // NaN-component candidates make every cosine NaN (the zero-norm
+      // form already fails in cosineTopK's ANSI division) — the
+      // documented caller contract violation; the kernel must name the
+      // query and the cause instead of throwing ArrayIndexOutOfBounds(-1)
+      val df = Seq(
+        (1L, Seq(Float.NaN, 0.5f)), (2L, Seq(Float.NaN, 1.0f)),
+        (9L, Seq(1.0f, 0.0f))
+      ).toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        Similarity.mmrRerank(df, "vec_id", "embedding",
+          col("vec_id") === 9, poolK = 2, outK = 2).collect()
+      }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString("\n")
+      messages should include("scored NaN")
+    }
+
     "mmrRerank: diversity outranks a crowded near-duplicate" in {
       import spark.implicits._
       // query at 45°; candidates at 11.5° (closest), 0° (crowded by the

@@ -382,6 +382,47 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       val (p, d, st) = Retrieval.bm25IndexTables(none, "doc_id", col("text"))
       Retrieval.bm25TopKFromTables(p, d, st, "doc_id", Seq("spark"))
         .count() shouldBe 0L
+      Retrieval.bm25BatchTopKFromTables(p, d, st, "doc_id",
+        Seq(1L -> "spark")).count() shouldBe 0L
+    }
+
+    "the stored-index BATCH path equals the inline batch through a parquet round trip" in {
+      // the mining-scale serving shape (r11 #2): a multi-query batch —
+      // including a REPEATED (query, term) pair, a term two queries
+      // share, and a query whose term occurs nowhere — served from the
+      // stored postings must land the inline batch's exact rows (the
+      // absent-term partial is +0.0 in the inline fold, so skipping its
+      // missing posting row changes no bit)
+      val queries = Seq(
+        1L -> "the", 1L -> "data", 1L -> "data", // repeated pair
+        2L -> "the", 2L -> "spark",              // shares "the" with q1
+        3L -> "zzz_absent_term")                 // no candidates at all
+      val inline = Retrieval.bm25BatchTopKLocal(docs, "doc_id",
+          col("text"), queries, topK = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val out = java.nio.file.Files.createTempDirectory("bm25bidx").toString
+      val (p, d, st) = Retrieval.bm25IndexTables(docs, "doc_id", col("text"))
+      p.write.mode("overwrite").parquet(s"$out/postings")
+      d.write.mode("overwrite").parquet(s"$out/doclens")
+      st.write.mode("overwrite").parquet(s"$out/stats")
+      val stored = Retrieval.bm25BatchTopKFromTables(
+          spark.read.parquet(s"$out/postings"),
+          spark.read.parquet(s"$out/doclens"),
+          spark.read.parquet(s"$out/stats"), "doc_id", queries, topK = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      inline should not be empty
+      inline.map(_._1).toSet shouldBe Set(1L, 2L) // q3 absent on both sides
+      stored.toSeq shouldBe inline.toSeq // scores bit-equal, same order
+      // the postings scan is term-pruned: the isin filter reaches the
+      // parquet source (at scale: file pruning on term partitions)
+      val plan = Retrieval.bm25BatchTopKFromTables(
+        spark.read.parquet(s"$out/postings"),
+        spark.read.parquet(s"$out/doclens"),
+        spark.read.parquet(s"$out/stats"), "doc_id", queries, topK = 5)
+        .queryExecution.executedPlan.toString
+      plan should include("PushedFilters: [In(term")
     }
   }
 

@@ -175,6 +175,72 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
 
+    "full_outer emits unmatched rows from BOTH sides exactly once on closure" in {
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val vsrc = MemoryStream[(Long, Long, Long)]
+      val csrc = MemoryStream[(Long, Long, Long)]
+      val views = vsrc.toDS().toDF("view_id", "v_user", "vsec")
+        .select(col("view_id"), col("v_user"),
+          timestamp_seconds(col("vsec")).as("vts"))
+      val clicks = csrc.toDS().toDF("click_id", "c_user", "csec")
+        .select(col("click_id"), col("c_user"),
+          timestamp_seconds(col("csec")).as("cts"))
+      val joined = Streams.intervalJoin(
+          views, "vts", "10 seconds", clicks, "cts", "10 seconds",
+          col("c_user") === col("v_user"), "1 minute",
+          joinType = "full_outer")
+        .select("click_id", "view_id")
+      val q = joined.writeStream.format("memory").queryName("ijf")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ijf").toString)
+        .start()
+      try {
+        // u4's view (t=1050) never converts — the LEFT-side funnel drop
+        // left_outer cannot count; u2's click (t=1005) has no view (the
+        // RIGHT-side drop); u3's view at t=1998 stays inside the final
+        // horizon — held, not emitted
+        vsrc.addData((100L, 1L, 1000L), (400L, 4L, 1050L),
+          (300L, 3L, 1998L), (900L, 9L, 2000L))
+        csrc.addData((110L, 1L, 1010L), (210L, 2L, 1005L),
+          (910L, 9L, 2000L))
+        q.processAllAvailable()
+        // batch 2 runs under watermark 1990: u4's window closed at
+        // 1050 + 60 < 1990 ⇒ its null-extended row flushes now
+        csrc.addData((920L, 9L, 2005L))
+        q.processAllAvailable()
+        def cell(r: org.apache.spark.sql.Row, i: Int) =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        val got = spark.table("ijf").collect()
+          .map(r => (cell(r, 0), cell(r, 1))).toSet
+        got shouldBe Set(
+          (Some(110L), Some(100L)), (Some(910L), Some(900L)),
+          (Some(920L), Some(900L)),
+          (Some(210L), None), // unmatched RIGHT, once, after closure
+          (None, Some(400L))) // unmatched LEFT, once, after closure
+      } finally q.stop()
+    }
+
+    "a malformed or non-fixed lookback fails at operator construction" in {
+      import spark.implicits._
+      val views = Seq((100L, 1L, 1000L)).toDF("view_id", "v_user", "vsec")
+        .select(col("view_id"), col("v_user"),
+          timestamp_seconds(col("vsec")).as("vts"))
+      val clicks = Seq((110L, 1L, 1010L)).toDF("click_id", "c_user", "csec")
+        .select(col("click_id"), col("c_user"),
+          timestamp_seconds(col("csec")).as("cts"))
+      def join(lb: String) = Streams.intervalJoin(
+        views, "vts", "10 seconds", clicks, "cts", "10 seconds",
+        col("c_user") === col("v_user"), lb)
+      intercept[IllegalArgumentException] { join("10 bananas") }
+        .getMessage should include("not a valid SQL interval")
+      intercept[IllegalArgumentException] { join("1 month") }
+        .getMessage should include("calendar months")
+      intercept[IllegalArgumentException] { join("-5 seconds") }
+        .getMessage should include("positive duration")
+      noException should be thrownBy join("10 minutes") // valid form passes
+    }
+
     "batch mode equals the full interval join (oracle shape)" in {
       import spark.implicits._
       val views = Seq((100L, 1L, 1000L), (300L, 3L, 1945L), (900L, 9L, 2000L))
