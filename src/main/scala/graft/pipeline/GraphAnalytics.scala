@@ -39,13 +39,13 @@ object GraphAnalytics {
     * per round), so it stays bit-replayable in any engine.
     *
     * Scale shape: the Pregel loop — per iteration ONE src-keyed join
-    * shipping ranks to edges and ONE dst-keyed aggregation of
-    * contributions (shuffle ∝ |edges|, state ∝ |nodes|); under
-    * redistribution the dangling ranks ride the SAME aggregate under a
-    * null dst key, and the one-row mass extraction re-reads that
-    * aggregate's exchange before broadcasting the floor share onto rank
-    * rows (nothing corpus-sized on the driver, no extra shuffle for the
-    * sinks). At 1000 executors both shuffles hash-partition on the node
+    * shipping ranks to edges and ONE dst-keyed aggregation whose
+    * zero-seeded output IS the next rank table (no per-node join-back);
+    * under redistribution the src join is RIGHT outer, so a dangling
+    * node's rank lands in the aggregate's null-dst group and the
+    * one-row mass extraction broadcasts the floor share back (nothing
+    * corpus-sized on the driver, no extra shuffle for the sinks). At
+    * 1000 executors both shuffles hash-partition on the node
     * key; a skewed in-degree hub lands on AQE's skew-split path. Every
     * `checkpointEvery` rounds the rank frame is localCheckpoint'ed, so
     * the logical plan stays O(checkpointEvery) deep however large `iters`
@@ -74,56 +74,50 @@ object GraphAnalytics {
     // crossJoin(broadcast) idiom) — N never touches the driver
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
     val withDeg = e.join(outdeg, "src")
-    // the dangling FLAG (no out-edges: receives rank, emits none) is
-    // static per node, so it rides the rank frame as a boolean from the
-    // start — the per-round dangling mass is then a filter over rows the
-    // round touches anyway, not a separate node-keyed join against a
-    // dangling table (the r11 shape paid one extra shuffle join + one
-    // extra aggregate pass per round for it)
-    var ranks = nodes
-      .join(outdeg.select(col("src").as("node"), lit(false).as("__o")),
-        Seq("node"), "left")
-      .crossJoin(broadcast(n1))
+    var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$scale div n_nodes").as("r"),
-        col("n_nodes"), coalesce(col("__o"), lit(true)).as("dang"))
+        col("n_nodes"))
     val baseExpr =
       expr(s"(${scale * (dampDen - dampNum)}) div (n_nodes * $dampDen)")
     for (i <- 1 to iters) {
+      // the src-keyed join ships ranks to edges; under redistribution it
+      // is a RIGHT outer join, so a dangling node's rank row (no
+      // out-edges ⇒ no match ⇒ null dst, null outdeg) becomes a
+      // contribution to the null-dst group — the dangling mass rides the
+      // round's ONE aggregate instead of paying its own node-keyed join
+      // + aggregate pass (the r11 shape's "agg + join + agg")
+      val jt = if (danglingRedistribution) "right_outer" else "inner"
       val contrib = withDeg
-        .join(ranks.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst"), expr("r div outdeg").as("c"))
-      // under redistribution the dangling ranks fold through the SAME
-      // dst-keyed aggregate as the edge contributions, keyed by a null
-      // dst no real node can carry — ONE shuffle computes both the
-      // per-node incoming mass and the global dangling mass (the r11
-      // verdict's "agg + join + agg" collapsed into the contribution
-      // round); the one-row mass extraction below re-reads that
-      // aggregate's exchange, it does not re-run the pass
-      val withDang =
-        if (!danglingRedistribution) contrib
-        else contrib.unionByName(ranks.filter(col("dang"))
-          .select(lit(null).cast("long").as("dst"), col("r").as("c")))
-      val agg = withDang.groupBy("dst").agg(sum("c").as("m"))
-      val shared =
+        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"), jt)
+        .select(col("dst"),
+          when(col("outdeg").isNull, col("r"))
+            .otherwise(expr("r div outdeg")).as("c"))
+      // zero-seed every node FROM THE PREVIOUS RANKS (they carry the
+      // full node universe by construction) so the aggregate's output IS
+      // the new rank row set — no per-node join-back, and no separate
+      // node-universe frame whose repeated references would re-derive
+      // the nodes-distinct subtree each round
+      val seeded = contrib.unionByName(
+        ranks.select(col("node").as("dst"), lit(0L).as("c")))
+      val agg = seeded.groupBy("dst").agg(sum("c").as("m"))
+      // the round's global scalars as ONE broadcast row: n_nodes plus
+      // (under redistribution) the dangling mass read off the agg's own
+      // null-dst group — aggregate-of-aggregate, exactly one row even
+      // when no dangling node exists
+      val d1 =
         if (!danglingRedistribution)
-          ranks.select("node", "n_nodes", "dang").withColumn("g", lit(0L))
-        else {
-          // aggregate-of-aggregate: always exactly one row, even when no
-          // dangling node exists (the null-dst group is simply absent)
-          val d1 = agg.agg(coalesce(
-            sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
-          ranks.select("node", "n_nodes", "dang").crossJoin(broadcast(d1))
-            .withColumn("g", expr("dm div n_nodes")).drop("dm")
-        }
-      ranks = shared
-        .join(agg.filter(col("dst").isNotNull),
-          col("node") === col("dst"), "left")
-        .select(col("node"),
+          n1.select(lit(0L).as("dm"), col("n_nodes"))
+        else
+          agg.agg(coalesce(
+              sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
+            .crossJoin(broadcast(n1))
+      ranks = agg.filter(col("dst").isNotNull)
+        .crossJoin(broadcast(d1))
+        .select(col("dst").as("node"),
           (baseExpr +
-            expr(s"($dampNum * (coalesce(m, CAST(0 AS BIGINT)) + g))" +
-              s" div $dampDen"))
+            expr(s"($dampNum * (m + dm div n_nodes)) div $dampDen"))
             .as("r"),
-          col("n_nodes"), col("dang"))
+          col("n_nodes"))
       // truncate lineage on long runs; skip the final round (the caller's
       // action materializes it) and short runs (pure lazy DAG preserved).
       // eager = false: the plan is cut NOW (the wrapper replaces the
@@ -132,7 +126,14 @@ object GraphAnalytics {
       // clusters: localCheckpoint blocks live on executors and are NOT
       // recomputable once lineage is cut; with dynamic allocation / spot
       // executors prefer a reliable checkpoint dir upstream of this loop.
-      if (i % checkpointEvery == 0 && i < iters)
+      // The REDISTRIBUTION path truncates EVERY round: its dangling-mass
+      // extraction references the round's aggregate a second time, and
+      // when exchange reuse fails to collapse that reference the
+      // re-execution compounds across rounds (measured 4.5 → 23 s at
+      // sf0.1 on a 4-round run in an intermediate shape); one node-sized
+      // materialization per round is the deterministic linear-cost
+      // trade, the per-round discipline of Dedup.duplicateClusters.
+      if ((danglingRedistribution || i % checkpointEvery == 0) && i < iters)
         ranks = ranks.localCheckpoint(eager = false)
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
