@@ -577,13 +577,15 @@ object Retrieval {
     * touching only the query terms' postings (the `isin` prune that
     * reaches the parquet scan; term-partitioned postings prune to the
     * touched terms' files at scale) — the corpus text is never
-    * re-tokenized, never re-scanned. Scoring is the row formulation of
-    * [[bm25BatchTopKLocal]]: per-(query, doc) partials joined from the
-    * pruned postings, folded in canonical UTF-8 term order from a 0.0
-    * seed via the codegen'd SeqSum kernel — and a term absent from a
-    * candidate doc contributes exactly +0.0 in the inline fold, so
-    * skipping its (absent) posting row changes no bit: stored ≡ inline,
-    * spec-pinned through a real parquet round trip.
+    * re-tokenized, never re-scanned. Scoring mirrors
+    * [[bm25BatchTopKLocal]] exactly: small query tables pivot the
+    * pruned postings to per-term tf columns (one id-keyed shuffle) and
+    * compile each query's score with the stats as literals; tables past
+    * [[MaxInlinedQueryPairs]] fall back to the row formulation
+    * (canonical-order SeqSum fold). A term absent from a candidate doc
+    * contributes exactly +0.0 in the sorted-term fold, so skipping its
+    * (absent) posting row changes no bit: stored ≡ inline, spec-pinned
+    * through a real parquet round trip on both paths.
     *
     * Output: (query_id, idCol, score, rank), rank 1..topK per query by
     * (score DESC, id). Queries whose terms occur nowhere yield no rows,
@@ -593,30 +595,85 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "query table must be non-empty")
-    val spark = postings.sparkSession
-    import spark.implicits._
+    require(queries.nonEmpty, "query table must be non-empty")
     val qpairs = queries.distinct
-    val termList = qpairs.map(_._2).distinct
-    val st = stats
-      .select(col("n").cast("long"),
-        coalesce(col("sumdl"), lit(0L)).cast("long")).collect()(0)
-    val (n, sumdl) = (st.getLong(0), st.getLong(1))
-    val none = postings.filter(lit(false))
-      .select(lit(0L).as("query_id"), col("id").as(idCol),
-        lit(0.0).as("score"), lit(0L).as("rank"))
-    if (n == 0L) return none
-    // the candidate rows ARE the pruned postings (exact integer tfs);
-    // dfs are a candidate-bounded aggregate joined back — the same
-    // broadcast-relation shape as bm25BatchRows, minus its corpus scan
+    val termList = qpairs.map(_._2).distinct.sorted(utf8Order)
     val pruned = postings.filter(col("term").isin(termList: _*))
-      .join(doclens, Seq("id"))
+    val statsRow = stats.select(col("n").cast("long").as("__n"),
+      coalesce(col("sumdl"), lit(0L)).cast("long").as("__sumdl"))
+    if (qpairs.size > MaxInlinedQueryPairs)
+      return bm25BatchRowsFromTables(pruned, doclens, statsRow, idCol,
+        qpairs, k1, b, topK)
+    // compiled path (the bm25BatchTopKLocal shape over stored postings):
+    // pivot each candidate's pruned postings to one tf column per term —
+    // ONE id-keyed shuffle over ONE postings scan — then score every
+    // (query, doc) pair and window out the top-k. ZERO driver actions:
+    // the per-term dfs come from a one-row aggregate over the PIVOTED
+    // candidate table (a doc holds term i ⟺ it is a candidate with
+    // __tc_i > 0, so this equals the corpus df; the pivot's exchange is
+    // reused, the raw postings are never re-scanned) and ride back as a
+    // broadcast row next to the stored stats — same longs the inline
+    // path collects as literals, identical double arithmetic. An absent
+    // (doc, term) posting pivots to tf = 0 and contributes exactly +0.0
+    // to the sorted-term fold, so scores are bit-equal to the inline
+    // batch; an empty corpus yields the empty result shape naturally.
+    val tfAggs = termList.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tc$i")
+    }
+    val cand = pruned.groupBy("id").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfAggs = termList.indices.map { i =>
+      coalesce(sum(when(col(s"__tc$i") > 0, 1L).otherwise(0L)), lit(0L))
+        .as(s"__df$i")
+    }
+    val globals = cand.agg(dfAggs.head, dfAggs.tail: _*)
+      .crossJoin(broadcast(statsRow))
+    val idx = termList.zipWithIndex.toMap
+    val qStructs = qpairs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (qid, ps) =>
+        val tis = ps.map(p => idx(p._2)).sorted
+        val score = tis.map { i =>
+          partialScore(col(s"__tc$i"), col(s"__df$i"), col("dl"),
+            col("__n"), col("__sumdl"), k1, b)
+        }.reduceLeft(_ + _)
+        val hit = tis.map(i => col(s"__tc$i") > 0).reduceLeft(_ || _)
+        struct(lit(qid).as("query_id"), score.as("score"), hit.as("hit"))
+    }
+    val scored = cand.join(doclens, Seq("id"))
+      .crossJoin(broadcast(globals))
+      .select(col("id"), explode(array(qStructs: _*)).as("__q"))
+      .filter(col("__q.hit"))
+      .select(col("__q.query_id").as("query_id"), col("id"),
+        col("__q.score").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("id").as(idCol), col("score"),
+        col("rank"))
+  }
+
+  /** Row-formulation stored-batch scoring for query tables past the
+    * inlining cutoff — per-(query, doc) partials from the pruned
+    * postings, canonical-order SeqSum fold (identical results to the
+    * compiled path; the bm25BatchRows large-table shape minus its
+    * corpus scan). Like the compiled path, zero driver actions: dfs are
+    * a per-term count over the pruned postings (one row per query term,
+    * broadcast), stats ride as a broadcast row. */
+  private def bm25BatchRowsFromTables(pruned: DataFrame,
+      doclens: DataFrame, statsRow: DataFrame, idCol: String,
+      qpairs: Seq[(Long, String)], k1: Double, b: Double,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pruned.sparkSession
+    import spark.implicits._
     val qterms = qpairs.toDF("query_id", "term")
-    val dfs = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
+    val dfTable = pruned.groupBy("term").agg(count(lit(1)).as("__df"))
     val part = partialScore(col("tf"), col("__df"), col("dl"),
-      lit(n), lit(sumdl), k1, b)
-    val parts = pruned
+      col("__n"), col("__sumdl"), k1, b)
+    val parts = pruned.join(doclens, Seq("id"))
       .join(broadcast(qterms), "term")
-      .join(broadcast(dfs), "term")
+      .join(broadcast(dfTable), "term")
+      .crossJoin(broadcast(statsRow))
       .select(col("query_id"), col("id"), col("term"), part.as("__part"))
     val scored = parts
       .groupBy(col("query_id"), col("id"))

@@ -423,6 +423,22 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
         spark.read.parquet(s"$out/stats"), "doc_id", queries, topK = 5)
         .queryExecution.executedPlan.toString
       plan should include("PushedFilters: [In(term")
+      // past the inlining cutoff the stored path falls back to the row
+      // formulation — same rows as the inline batch (which routes to its
+      // own row formulation at this size)
+      val big = (1L to 150L).flatMap(q => Seq(q -> "the", q -> "data"))
+      val bigInline = Retrieval.bm25BatchTopKLocal(docs, "doc_id",
+          col("text"), big, topK = 3)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val bigStored = Retrieval.bm25BatchTopKFromTables(
+          spark.read.parquet(s"$out/postings"),
+          spark.read.parquet(s"$out/doclens"),
+          spark.read.parquet(s"$out/stats"), "doc_id", big, topK = 3)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      bigInline should not be empty
+      bigStored.toSeq shouldBe bigInline.toSeq
     }
   }
 
