@@ -63,6 +63,23 @@ object SparkEntry {
     path
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n` — the STATE-partition sizing knob for the streaming sketch
+    * entries: a stateful streaming shuffle keys on a handful of groups
+    * (5 sources / ~8 event types here), and every state partition pays
+    * per-batch checkpoint-delta file I/O whether or not it holds a
+    * group, so 32 partitions price 4× the file ops of a keyspace-sized
+    * 8. This is the knob a real deployment sizes to its key
+    * cardinality, not a bench trick: the maintained results are
+    * partition-count-independent (the oracles pin them). Restores the
+    * previous setting even on failure. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(
+      body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Process-level memo for per-(entry, sfDir) SETUP that is not the
     * operator under measurement — index builds behind scan entries,
     * persisted sketch tables. The first call in a JVM pays the build; the
@@ -1357,15 +1374,20 @@ object SparkEntry {
         out
       }
       val ckpt = scratchDir(s, "st12ckpt", dir)
-      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-        .select(col("source").as("_1"), col("h").as("_2")).as[(String, Long)]
-      val q = graft.streaming.Streams.hllMaintain(stream, p = 6)
-        .toDF("source", "upd", "regs")
-        .writeStream.format("memory").queryName("st12_hll")
-        .option("checkpointLocation", ckpt)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      // state partitions sized to the keyspace (5 sources) — see
+      // withShufflePartitions; the maintained registers are
+      // partition-count-independent (elementwise max merge)
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+          .select(col("source").as("_1"), col("h").as("_2")).as[(String, Long)]
+        val q = graft.streaming.Streams.hllMaintain(stream, p = 6)
+          .toDF("source", "upd", "regs")
+          .writeStream.format("memory").queryName("st12_hll")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       val finalRegs = s.table("st12_hll")
         .groupBy("source").agg(max_by(col("regs"), col("upd")).as("regs"))
       graft.pipeline.Stats.hllEstimate(finalRegs, "source", p = 6)
@@ -1388,16 +1410,19 @@ object SparkEntry {
         orderedCountFiles(s, dir, "st16")
       }
       val ckpt = scratchDir(s, "st16ckpt", dir)
-      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-        .select(col("event_type").as("_1"), col("bucket").as("_2"),
-          col("cnt").as("_3")).as[(String, Long, Long)]
-      val q = graft.streaming.Streams.ewmaMaintain(stream, alpha = 0.25)
-        .toDF("event_type", "bucket", "cnt", "ewma")
-        .writeStream.format("memory").queryName("st16_ewma")
-        .option("checkpointLocation", ckpt)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      // keyspace-sized state partitions (~8 event types; the st12 note)
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+          .select(col("event_type").as("_1"), col("bucket").as("_2"),
+            col("cnt").as("_3")).as[(String, Long, Long)]
+        val q = graft.streaming.Streams.ewmaMaintain(stream, alpha = 0.25)
+          .toDF("event_type", "bucket", "cnt", "ewma")
+          .writeStream.format("memory").queryName("st16_ewma")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("st16_ewma").orderBy("event_type", "bucket")
     }),
 
@@ -1413,18 +1438,21 @@ object SparkEntry {
         orderedCountFiles(s, dir, "st17")
       }
       val ckpt = scratchDir(s, "st17ckpt", dir)
-      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-        .select(col("event_type").as("_1"), col("bucket").as("_2"),
-          col("cnt").as("_3")).as[(String, Long, Long)]
-      val q = graft.streaming.Streams.anomalyMaintain(stream,
-          window = 24, factor = 2L)
-        .toDF("event_type", "bucket", "cnt", "trail_n", "trail_sum",
-          "anomaly")
-        .writeStream.format("memory").queryName("st17_anomaly")
-        .option("checkpointLocation", ckpt)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      // keyspace-sized state partitions (~8 event types; the st12 note)
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+          .select(col("event_type").as("_1"), col("bucket").as("_2"),
+            col("cnt").as("_3")).as[(String, Long, Long)]
+        val q = graft.streaming.Streams.anomalyMaintain(stream,
+            window = 24, factor = 2L)
+          .toDF("event_type", "bucket", "cnt", "trail_n", "trail_sum",
+            "anomaly")
+          .writeStream.format("memory").queryName("st17_anomaly")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.table("st17_anomaly").orderBy("event_type", "bucket")
     }),
 
@@ -1462,15 +1490,19 @@ object SparkEntry {
         out
       }
       val ckpt = scratchDir(s, "st13ckpt", dir)
-      val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
-        .select(col("source").as("_1"), col("h").as("_2")).as[(String, Long)]
-      val q = graft.streaming.Streams.cmsMaintain(stream, d = 4, wlog = 9)
-        .toDF("source", "upd", "cnts")
-        .writeStream.format("memory").queryName("st13_cms")
-        .option("checkpointLocation", ckpt)
-        .outputMode("update").start()
-      try q.processAllAvailable() finally q.stop()
+      // keyspace-sized state partitions (the st12 note); counter
+      // addition is partition-count-independent
+      withShufflePartitions(s, 8) {
+        val stream = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+          .select(col("source").as("_1"), col("h").as("_2")).as[(String, Long)]
+        val q = graft.streaming.Streams.cmsMaintain(stream, d = 4, wlog = 9)
+          .toDF("source", "upd", "cnts")
+          .writeStream.format("memory").queryName("st13_cms")
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+      }
       val finalCnts = s.table("st13_cms")
         .groupBy("source").agg(max_by(col("cnts"), col("upd")).as("__cms"))
       s.read.parquet(s"$base/probe").join(broadcast(finalCnts), "source")
