@@ -1209,25 +1209,28 @@ object SparkEntry {
         b
       }
       val base = scratchDir(s, "st11", dir)
-      val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
-      val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
-      // the library operator owns the watermark/interval contract
-      // (Streams.intervalJoin — state ∝ rate × (delay + lookback));
-      // this REPLAY passes a full-span delay so nothing is ever late and
-      // the final table equals the batch join the oracle replays. The
-      // production contract (late rows dropped, state bounded) is
-      // spec-pinned in StreamsSpec with a tight delay.
-      val q = graft.streaming.Streams.intervalJoin(
-          vs, "vts", "40 days", cs, "cts", "40 days",
-          col("c_user") === col("v_user"), "10 minutes")
-        .select("click_id", "view_id")
-        .writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // load-sized state partitions (the st19 note)
+      withShufflePartitions(s, 8) {
+        val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
+        val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
+        // the library operator owns the watermark/interval contract
+        // (Streams.intervalJoin — state ∝ rate × (delay + lookback));
+        // this REPLAY passes a full-span delay so nothing is ever late
+        // and the final table equals the batch join the oracle replays.
+        // The production contract (late rows dropped, state bounded) is
+        // spec-pinned in StreamsSpec with a tight delay.
+        val q = graft.streaming.Streams.intervalJoin(
+            vs, "vts", "40 days", cs, "cts", "40 days",
+            col("c_user") === col("v_user"), "10 minutes")
+          .select("click_id", "view_id")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$base/out").orderBy("click_id", "view_id")
     }),
 
@@ -1326,21 +1329,28 @@ object SparkEntry {
         b
       }
       val base = scratchDir(s, "st19", dir)
-      val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
-      val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
-      val q = graft.streaming.Streams.intervalJoin(
-          vs, "vts", "1 minute", cs, "cts", "1 minute",
-          col("c_user") === col("v_user"), "10 minutes",
-          joinType = "left_outer")
-        .select(col("click_id"),
-          coalesce(col("view_id"), lit(-1L)).as("view_id"))
-        .writeStream.format("parquet")
-        .option("path", s"$base/out")
-        .option("checkpointLocation", s"$base/ckpt")
-        .start()
-      try q.processAllAvailable() finally q.stop()
+      // load-sized state partitions: a stream-stream join runs FOUR
+      // state stores per side per partition, each paying per-batch
+      // checkpoint-delta I/O — for a two-trigger replay, 32 partitions
+      // price 4× the file ops 8 can carry (the withShufflePartitions
+      // note; the joined rows are partition-count-independent)
+      withShufflePartitions(s, 8) {
+        val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
+        val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
+        val q = graft.streaming.Streams.intervalJoin(
+            vs, "vts", "1 minute", cs, "cts", "1 minute",
+            col("c_user") === col("v_user"), "10 minutes",
+            joinType = "left_outer")
+          .select(col("click_id"),
+            coalesce(col("view_id"), lit(-1L)).as("view_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
       s.read.parquet(s"$base/out").filter(col("click_id") >= 0)
         .orderBy("click_id", "view_id")
     }),
