@@ -91,33 +91,41 @@ object GraphAnalytics {
         .join(ranks.select(col("node").as("src"), col("r")), Seq("src"), jt)
         .select(col("dst"),
           when(col("outdeg").isNull, col("r"))
-            .otherwise(expr("r div outdeg")).as("c"))
+            .otherwise(expr("r div outdeg")).as("c"),
+          lit(null).cast("long").as("nn"))
       // zero-seed every node FROM THE PREVIOUS RANKS (they carry the
       // full node universe by construction) so the aggregate's output IS
       // the new rank row set — no per-node join-back, and no separate
       // node-universe frame whose repeated references would re-derive
-      // the nodes-distinct subtree each round
+      // the nodes-distinct subtree each round. The seed rows also carry
+      // n_nodes through the aggregate (every real dst group holds
+      // exactly one seed; max ignores the contribs' nulls), so the
+      // non-redistribution round is ONE shuffle with ZERO broadcasts.
       val seeded = contrib.unionByName(
-        ranks.select(col("node").as("dst"), lit(0L).as("c")))
-      val agg = seeded.groupBy("dst").agg(sum("c").as("m"))
-      // the round's global scalars as ONE broadcast row: n_nodes plus
-      // (under redistribution) the dangling mass read off the agg's own
-      // null-dst group — aggregate-of-aggregate, exactly one row even
-      // when no dangling node exists
-      val d1 =
+        ranks.select(col("node").as("dst"), lit(0L).as("c"),
+          col("n_nodes").as("nn")))
+      val agg = seeded.groupBy("dst")
+        .agg(sum("c").as("m"), max("nn").as("n_nodes"))
+      ranks =
         if (!danglingRedistribution)
-          n1.select(lit(0L).as("dm"), col("n_nodes"))
-        else
-          agg.agg(coalesce(
-              sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
-            .crossJoin(broadcast(n1))
-      ranks = agg.filter(col("dst").isNotNull)
-        .crossJoin(broadcast(d1))
-        .select(col("dst").as("node"),
-          (baseExpr +
-            expr(s"($dampNum * (m + dm div n_nodes)) div $dampDen"))
-            .as("r"),
-          col("n_nodes"))
+          agg.filter(col("dst").isNotNull)
+            .select(col("dst").as("node"),
+              (baseExpr + expr(s"($dampNum * m) div $dampDen")).as("r"),
+              col("n_nodes"))
+        else {
+          // the dangling mass off the agg's own null-dst group as ONE
+          // broadcast row — aggregate-of-aggregate, exactly one row
+          // even when no dangling node exists
+          val d1 = agg.agg(coalesce(
+            sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
+          agg.filter(col("dst").isNotNull)
+            .crossJoin(broadcast(d1))
+            .select(col("dst").as("node"),
+              (baseExpr +
+                expr(s"($dampNum * (m + dm div n_nodes)) div $dampDen"))
+                .as("r"),
+              col("n_nodes"))
+        }
       // truncate lineage on long runs; skip the final round (the caller's
       // action materializes it) and short runs (pure lazy DAG preserved).
       // eager = false: the plan is cut NOW (the wrapper replaces the
