@@ -80,39 +80,48 @@ object GraphAnalytics {
     val baseExpr =
       expr(s"(${scale * (dampDen - dampNum)}) div (n_nodes * $dampDen)")
     for (i <- 1 to iters) {
-      // the src-keyed join ships ranks to edges; under redistribution it
-      // is a RIGHT outer join, so a dangling node's rank row (no
-      // out-edges ⇒ no match ⇒ null dst, null outdeg) becomes a
-      // contribution to the null-dst group — the dangling mass rides the
-      // round's ONE aggregate instead of paying its own node-keyed join
-      // + aggregate pass (the r11 shape's "agg + join + agg")
-      val jt = if (danglingRedistribution) "right_outer" else "inner"
-      val contrib = withDeg
-        .join(ranks.select(col("node").as("src"), col("r")), Seq("src"), jt)
-        .select(col("dst"),
-          when(col("outdeg").isNull, col("r"))
-            .otherwise(expr("r div outdeg")).as("c"),
-          lit(null).cast("long").as("nn"))
-      // zero-seed every node FROM THE PREVIOUS RANKS (they carry the
-      // full node universe by construction) so the aggregate's output IS
-      // the new rank row set — no per-node join-back, and no separate
-      // node-universe frame whose repeated references would re-derive
-      // the nodes-distinct subtree each round. The seed rows also carry
-      // n_nodes through the aggregate (every real dst group holds
-      // exactly one seed; max ignores the contribs' nulls), so the
-      // non-redistribution round is ONE shuffle with ZERO broadcasts.
-      val seeded = contrib.unionByName(
-        ranks.select(col("node").as("dst"), lit(0L).as("c"),
-          col("n_nodes").as("nn")))
-      val agg = seeded.groupBy("dst")
-        .agg(sum("c").as("m"), max("nn").as("n_nodes"))
       ranks =
-        if (!danglingRedistribution)
-          agg.filter(col("dst").isNotNull)
-            .select(col("dst").as("node"),
-              (baseExpr + expr(s"($dampNum * m) div $dampDen")).as("r"),
+        if (!danglingRedistribution) {
+          // no-sink path (the knnGraph consumer): contributions
+          // aggregate per dst and join back onto the rank frame — the
+          // rank side rides its carried node partitioning, so the
+          // round's only new exchange is the contribution aggregate
+          // (measured faster here than the zero-seed union below, whose
+          // union re-exchanges node rows every round)
+          val contrib = withDeg
+            .join(ranks.select(col("node").as("src"), col("r")), "src")
+            .select(col("dst"), expr("r div outdeg").as("c"))
+          val incoming = contrib.groupBy("dst").agg(sum("c").as("m"))
+          ranks.select("node", "n_nodes")
+            .join(incoming, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (baseExpr +
+                expr(s"($dampNum * coalesce(m, CAST(0 AS BIGINT)))" +
+                  s" div $dampDen")).as("r"),
               col("n_nodes"))
-        else {
+        } else {
+          // redistribution path: the src join is RIGHT outer, so a
+          // dangling node's rank row (no out-edges ⇒ no match ⇒ null
+          // dst, null outdeg) becomes a contribution to the null-dst
+          // group — the dangling mass rides the round's ONE aggregate
+          // instead of paying its own node-keyed join + aggregate pass
+          // (the r11 shape's "agg + join + agg"). Zero-seeding every
+          // node FROM THE PREVIOUS RANKS makes the aggregate's output
+          // the new rank row set directly (no join-back; seeds carry
+          // n_nodes through — every real dst group holds exactly one
+          // seed, max ignores the contribs' nulls).
+          val contrib = withDeg
+            .join(ranks.select(col("node").as("src"), col("r")),
+              Seq("src"), "right_outer")
+            .select(col("dst"),
+              when(col("outdeg").isNull, col("r"))
+                .otherwise(expr("r div outdeg")).as("c"),
+              lit(null).cast("long").as("nn"))
+          val seeded = contrib.unionByName(
+            ranks.select(col("node").as("dst"), lit(0L).as("c"),
+              col("n_nodes").as("nn")))
+          val agg = seeded.groupBy("dst")
+            .agg(sum("c").as("m"), max("nn").as("n_nodes"))
           // the dangling mass off the agg's own null-dst group as ONE
           // broadcast row — aggregate-of-aggregate, exactly one row
           // even when no dangling node exists
