@@ -32,6 +32,23 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
       SparkEntry.queries.size should be >= 208
       SparkEntry.oracleSql.size should be >= 208
     }
+    "every registered entry appears in the committed bench board" in {
+      // a wave that lands entries without benching them would pass the
+      // other tripwires silently — BENCH_DETAIL.json is written by every
+      // full Bench run (the committed copy is the round's board), so any
+      // queries key missing from it means the board is stale: re-run
+      // graft.Bench before shipping the wave
+      val f = new java.io.File("BENCH_DETAIL.json")
+      f.exists() shouldBe true
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val benched = {
+        val it = root.get("queries").fieldNames()
+        val b = Set.newBuilder[String]
+        while (it.hasNext) b += it.next()
+        b.result()
+      }
+      (SparkEntry.queries.keySet -- benched) shouldBe empty
+    }
     "entry() answers the smoke check (rows > 0 at sf0.001)" in {
       SparkEntry.entry(spark).count() should be > 0L
     }
