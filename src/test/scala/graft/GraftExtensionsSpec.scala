@@ -108,6 +108,20 @@ class GraftExtensionsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       // the term list must be a literal array
       an[Exception] should be thrownBy
         spark.sql("SELECT term_counts('a', array(concat('a','b')))").collect()
+      // a NULL element in a FOLDED array literal (the ArrayData branch —
+      // reached when a caller hands a pre-folded Literal, not the SQL
+      // CreateArray path) raises the same clean IllegalArgumentException
+      // as the CreateArray branch, not an NPE from the UTF8String map
+      val builder = spark.sessionState.functionRegistry
+        .lookupFunctionBuilder(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("term_counts"))
+        .get
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, StringType}
+      intercept[IllegalArgumentException] {
+        builder(Seq(Literal("a"),
+          Literal.create(Seq("a", null), ArrayType(StringType, true))))
+      }.getMessage should include("non-null string literals")
     }
 
     "kernel size parameters must be plan-time literals" in {
