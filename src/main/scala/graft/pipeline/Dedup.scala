@@ -561,24 +561,35 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
+    val idType = labels.schema("cluster_id").dataType
     var changed = 1L
     while (changed > 0) {
       val hop = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(labels.select(col("id").as("src"), col("cluster_id")),
+          Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionByName(hop)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+      // the previous label rides INTO the round's one aggregate as a
+      // min-folded extra column (labels rows carry it, hop rows carry
+      // NULL, and min ignores nulls — every node appears in the labels
+      // branch exactly once, so min(prev) IS the old label): the
+      // convergence count below is then a filter over the blocks the
+      // localCheckpoint just materialized, and the old shape's
+      // per-round labels-vs-next JOIN (a second shuffle + full count
+      // job per round) is gone
+      val next = labels
+        .select(col("id"), col("cluster_id"), col("cluster_id").as("prev"))
+        .unionByName(hop.withColumn("prev", lit(null).cast(idType)))
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"),
+          min("prev").as("prev"))
         .localCheckpoint()
-      changed = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
-        .filter(col("cluster_id") =!= col("prev")).count()
+      changed = next.filter(col("cluster_id") =!= col("prev")).count()
       // release the superseded round's checkpoint blocks NOW — without
       // this, executors hold O(rounds) full label-table copies until GC
       releaseLocalCheckpoint(labels)
       labels = next
     }
     edges.unpersist()
-    labels
+    labels.select("id", "cluster_id")
   }
 
   /** Connected components via alternating large-star/small-star rounds

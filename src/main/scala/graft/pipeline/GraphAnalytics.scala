@@ -150,6 +150,17 @@ object GraphAnalytics {
       // sf0.1 on a 4-round run in an intermediate shape); one node-sized
       // materialization per round is the deterministic linear-cost
       // trade, the per-round discipline of Dedup.duplicateClusters.
+      // Executor-storage footprint of that trade: because the cuts are
+      // LAZY, every round's node-sized block set materializes under the
+      // caller's single action and none can be eagerly released mid-job
+      // (round k's blocks feed round k+1's inside the same action) — so
+      // a long redistribution run holds O(iters) node-sized block sets
+      // until the ContextCleaner GCs the superseded RDDs after the
+      // action. MEMORY_AND_DISK makes this spill-safe, not free: at
+      // 10⁹ nodes × 100 iters budget ~iters × |rank table| of executor
+      // storage, or run damped PageRank without dangling redistribution
+      // (the default path, whose checkpointEvery cadence bounds live
+      // sets) and fold dangling mass analytically.
       if ((danglingRedistribution || i % checkpointEvery == 0) && i < iters)
         ranks = ranks.localCheckpoint(eager = false)
     }

@@ -100,11 +100,30 @@ object Multimodal {
     *
     * Output: (id_a, id_b, matched, nf_a, nf_b, jaccard), id_a < id_b. */
   def frameDedup(df: DataFrame, chunkBytes: Int, maxDf: Int,
-      minJaccard: Double): DataFrame = {
-    val frames = frameSample(df, chunkBytes)
+      minJaccard: Double): DataFrame =
+    frameDedupFromTable(frameChecksumTable(df, chunkBytes), maxDf,
+      minJaccard)
+
+  /** The sampled-frame checksum set as a DURABLE artifact: one
+    * (media_id, fh) row per distinct sampled-frame md5 per asset —
+    * the frame-set analog of the perceptual dHash table
+    * ([[fingerprintDedupPairs]]): at 100 TB the blob read + chunk +
+    * checksum pass runs ONCE at ingest and lands next to the blobs;
+    * every later sweep (re-tuned maxDf / minJaccard, new-batch
+    * probes) reads the checksum rows and never touches the media
+    * again. Checksums are exact strings, so the stored path pairs
+    * identically to the inline [[frameDedup]]. */
+  def frameChecksumTable(df: DataFrame, chunkBytes: Int): DataFrame =
+    frameSample(df, chunkBytes)
       .select(col("media_id"), md5(col("frame")).as("fh"))
       .distinct()
-    val kept = frames
+
+  /** The frame-set Jaccard sweep over a STORED checksum table —
+    * [[frameDedup]]'s serving twin (same split as imageDedupPairs /
+    * fingerprintDedupPairs). */
+  def frameDedupFromTable(frames: DataFrame, maxDf: Int,
+      minJaccard: Double): DataFrame = {
+    val kept = frames.select(col("media_id"), col("fh"))
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
       .filter(col("__df") <= maxDf)

@@ -518,6 +518,44 @@ object Retrieval {
     (postings, doclens, stats)
   }
 
+  /** Incremental maintenance for the stored BM25 index — the missing
+    * maintenance story the r12 review named (reference discipline:
+    * incremental index maintenance, PrimaryWorker.scala:183-215; the ANN
+    * tables' append gates are the in-repo precedent). A new document
+    * batch is tokenized ONCE: its (term, id, tf) postings and (id, dl)
+    * doclens rows APPEND to the stored tables (ids must be new — the
+    * same append-only id discipline the ANN encode tables assume), and
+    * the one-row stats table folds incrementally (n += Δn,
+    * sumdl += Δsumdl) without touching the old corpus. All three pieces
+    * are exact integer arithmetic, and per-term dfs already derive at
+    * query time from the pruned postings, so the appended index serves
+    * BIT-IDENTICALLY to a full rebuild over old ∪ new — for both
+    * [[bm25TopKFromTables]] and [[bm25BatchTopKFromTables]] (spec-pinned
+    * through a real parquet append on the postings/doclens paths).
+    *
+    * Returns (postingsDelta, doclensDelta, mergedStats): the deltas are
+    * what a deployment writes with parquet `mode("append")` — the old
+    * postings files are never rewritten, so at scale the append costs
+    * O(|new batch|), not O(corpus) — and the merged one-row stats frame
+    * replaces the stored stats table. An empty stored-stats side (fresh
+    * index) folds as (0, 0). */
+  def bm25AppendToTables(newDocs: DataFrame, idCol: String, textCol: Column,
+      stats: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (postingsDelta, doclensDelta, statsDelta) =
+      bm25IndexTables(newDocs, idCol, textCol)
+    val norm = (df: DataFrame) => df.select(
+      coalesce(col("n"), lit(0L)).cast("long").as("n"),
+      coalesce(col("sumdl"), lit(0L)).cast("long").as("sumdl"))
+    // n and sumdl are both longs: the incremental fold is exact, and the
+    // rebuilt-corpus empty-sum NULL convention is preserved so the merged
+    // row is byte-identical to what bm25IndexTables writes over old ∪ new
+    val merged = norm(stats).unionByName(norm(statsDelta))
+      .agg(sum(col("n")).as("n"),
+        when(sum(col("n")) === 0L, lit(null).cast("long"))
+          .otherwise(sum(col("sumdl"))).as("sumdl"))
+    (postingsDelta, doclensDelta, merged)
+  }
+
   /** BM25 over the STORED index: the scan touches only the query terms'
     * postings (an `isin` filter that reaches the parquet scan — at scale,
     * term-partitioned postings prune to the touched terms' files), global
@@ -594,7 +632,6 @@ object Retrieval {
       stats: DataFrame, idCol: String, queries: Seq[(Long, String)],
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(queries.nonEmpty, "query table must be non-empty")
     require(queries.nonEmpty, "query table must be non-empty")
     val qpairs = queries.distinct
     val termList = qpairs.map(_._2).distinct.sorted(utf8Order)

@@ -97,9 +97,12 @@ object Streams {
     * `joinType`: "inner" (default), "left_outer" for the probe-retaining
     * form — every RIGHT row is emitted, with nulls on the left columns
     * when no left row fell in its window ("clicks that converted from no
-    * view" / funnel-drop analysis) — or "full_outer", which additionally
-    * emits every unmatched LEFT row null-extended ("views that never
-    * converted": the funnel-drop count on the other side). An outer row
+    * view" / funnel-drop analysis) — "right_outer" for the mirror form —
+    * every LEFT row is emitted, null-extended when no right row claimed
+    * it ("views that never converted", WITHOUT hand-swapping the
+    * operands and their asymmetric delay/lookback parameters, which is
+    * exactly the error-prone rewrite this joinType exists to avoid) —
+    * or "full_outer", which emits both unmatched sides. An outer row
     * is NOT emitted on arrival: the runtime holds it until the watermark
     * closes its match window (for a right row, leftWatermark > rightTs —
     * no earlier view can still arrive; for a left row, the right
@@ -107,14 +110,22 @@ object Streams {
     * then emits the null-joined row exactly once — so outer results are
     * eventually identical to the batch join of the same type, at the
     * cost of watermark-delayed emission. Same state bound as the inner
-    * form: the time constraint is what lets both sides evict. */
+    * form: the time constraint is what lets both sides evict.
+    *
+    * NOTE: the physical join is built as `right.join(left, …)` (the
+    * probe/click stream drives), and joinType passes through to that
+    * call unchanged — so "left_outer" retains every row of `right` and
+    * "right_outer" every row of `left`, exactly the readings above. */
   def intervalJoin(
       left: DataFrame, leftTsCol: String, leftDelay: String,
       right: DataFrame, rightTsCol: String, rightDelay: String,
       keyCond: Column, lookback: String,
       joinType: String = "inner"): DataFrame = {
-    require(Set("inner", "left_outer", "full_outer").contains(joinType),
-      s"joinType must be inner, left_outer or full_outer, got $joinType")
+    require(
+      Set("inner", "left_outer", "right_outer", "full_outer")
+        .contains(joinType),
+      s"joinType must be inner, left_outer, right_outer or full_outer, " +
+        s"got $joinType")
     // fail at operator construction, not minutes later inside the
     // running stream: the lookback is interpolated into an INTERVAL
     // literal, so a malformed unit would otherwise surface as a parse

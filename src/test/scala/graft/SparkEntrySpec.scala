@@ -29,8 +29,8 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
       // in-repo loud failure if an entry (or its oracle) is dropped by
       // refactoring. Raise the floor when entries are ADDED; never
       // lower it.
-      SparkEntry.queries.size should be >= 208
-      SparkEntry.oracleSql.size should be >= 208
+      SparkEntry.queries.size should be >= 209
+      SparkEntry.oracleSql.size should be >= 209
     }
     "every registered entry appears in the committed bench board" in {
       // a wave that lands entries without benching them would pass the
@@ -38,8 +38,20 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
       // full Bench run (the committed copy is the round's board), so any
       // queries key missing from it means the board is stale: re-run
       // graft.Bench before shipping the wave
-      val f = new java.io.File("BENCH_DETAIL.json")
-      f.exists() shouldBe true
+      // resolve against the build root (the directory holding build.sbt,
+      // walking up from user.dir) so the gate doesn't depend on sbt's
+      // launch directory; if the board file is missing or stale, the fix
+      // is always: re-run graft.Bench and commit BENCH_DETAIL.json
+      val root0 = new java.io.File(sys.props("user.dir")).getAbsoluteFile
+      val buildRoot = Iterator.iterate(root0)(_.getParentFile)
+        .takeWhile(_ != null)
+        .find(d => new java.io.File(d, "build.sbt").exists())
+        .getOrElse(fail(s"no build.sbt found walking up from $root0 — " +
+          "cannot locate the repo's committed bench board"))
+      val f = new java.io.File(buildRoot, "BENCH_DETAIL.json")
+      withClue(s"$f missing — re-run graft.Bench to write the board: ") {
+        f.exists() shouldBe true
+      }
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
       val benched = {
         val it = root.get("queries").fieldNames()
@@ -47,7 +59,11 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
         while (it.hasNext) b += it.next()
         b.result()
       }
-      (SparkEntry.queries.keySet -- benched) shouldBe empty
+      withClue("entries missing from the committed bench board — " +
+        "re-run graft.Bench (and fold the window into BENCH_DETAIL.json) " +
+        "before shipping the wave: ") {
+        (SparkEntry.queries.keySet -- benched) shouldBe empty
+      }
     }
     "entry() answers the smoke check (rows > 0 at sf0.001)" in {
       SparkEntry.entry(spark).count() should be > 0L

@@ -1241,6 +1241,29 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       pairs.size shouldBe brute
     }
 
+    "stored-fingerprint pairs equal inline imageDedupPairs through parquet" in {
+      import spark.implicits._
+      // the image serving shape (r12 verdict #2): dHash once at ingest,
+      // write the 16-byte/asset fingerprint table, and every later sweep
+      // reads it — fingerprints are exact integers, so the stored path
+      // must pair identically to the inline decode-every-run path
+      val ids = ((1L to 20L).map(i => (i, i)) :+ ((900L, 4L)))
+        .toDF("media_id", "basis")
+      val media = Multimodal.syntheticPngNoisy(ids, "media_id",
+        basisCol = "basis")
+      val inline = Multimodal.imageDedupPairs(media, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val out = java.nio.file.Files.createTempDirectory("imgfp").toString
+      Multimodal.imageDHash(media).filter(col("decoded_ok"))
+        .select(col("media_id").as("id"), col("lo"), col("hi"))
+        .write.mode("overwrite").parquet(out)
+      val stored = Multimodal.fingerprintDedupPairs(
+          spark.read.parquet(out), maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      inline should contain((4L, 900L, 0))
+      stored shouldBe inline
+    }
+
     "noisy fixture has fingerprint entropy: distinct bases, distinct hashes" in {
       import spark.implicits._
       // the linear-congruence fixture is DEGENERATE for dHash (constant
@@ -1367,6 +1390,32 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .collect()
       got.map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe Set((1L, 2L))
       got(0).getAs[Double]("jaccard") shouldBe 1.0 // identical frame sets
+    }
+
+    "stored frame-checksum table serves identically to inline frameDedup" in {
+      import spark.implicits._
+      // the serving split (same as the dHash fingerprint tables): the
+      // checksum table is built once at ingest, written to parquet, and
+      // the sweep over the stored rows must land the inline pass's exact
+      // pairs — checksums are exact md5 strings
+      val a = "A" * 64 + "B" * 64 + "C" * 64
+      val b = "B" * 64 + "C" * 64 + "A" * 64
+      val c = "D" * 64 + "E" * 64 + "F" * 64
+      val df = Multimodal.fromText(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("id", "t"), "id", "t")
+      val inline = Multimodal.frameDedup(df, 64, maxDf = 20,
+          minJaccard = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+        .toSet
+      val out = java.nio.file.Files.createTempDirectory("framechk").toString
+      Multimodal.frameChecksumTable(df, 64)
+        .write.mode("overwrite").parquet(out)
+      val stored = Multimodal.frameDedupFromTable(
+          spark.read.parquet(out), maxDf = 20, minJaccard = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+        .toSet
+      inline should not be empty
+      stored shouldBe inline
     }
 
     "frameDedup drops frames above the df cap from both sides" in {

@@ -440,6 +440,76 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
       bigInline should not be empty
       bigStored.toSeq shouldBe bigInline.toSeq
     }
+
+    "append maintenance: appended index serves bit-identically to a full rebuild" in {
+      // the r12 review's #1: a new document batch must APPEND to the
+      // stored postings/doclens (parquet mode("append") — old files
+      // never rewritten) and fold the one-row stats incrementally; the
+      // appended index then serves both query paths exactly like a
+      // rebuild over old ∪ new (dfs derive at query time from pruned
+      // postings, so no stored piece is stale)
+      val base = docs.filter(col("doc_id") % 10 =!= 0)
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+      delta.count() should be > 0L
+      val out = java.nio.file.Files.createTempDirectory("bm25app").toString
+      val (p0, d0, st0) = Retrieval.bm25IndexTables(base, "doc_id", col("text"))
+      p0.write.mode("overwrite").parquet(s"$out/postings")
+      d0.write.mode("overwrite").parquet(s"$out/doclens")
+      st0.write.mode("overwrite").parquet(s"$out/stats")
+      val (pd, dd, merged) = Retrieval.bm25AppendToTables(delta, "doc_id",
+        col("text"), spark.read.parquet(s"$out/stats"))
+      // merged stats must be computed BEFORE the overwrite replaces its
+      // own input files — one row, so the collect is free
+      val mergedRow = merged.collect()
+      pd.write.mode("append").parquet(s"$out/postings")
+      dd.write.mode("append").parquet(s"$out/doclens")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(mergedRow.toSeq), merged.schema)
+        .write.mode("overwrite").parquet(s"$out/stats")
+      // the merged one-row stats equals the rebuilt row exactly
+      val (_, _, stFull) = Retrieval.bm25IndexTables(docs, "doc_id", col("text"))
+      spark.read.parquet(s"$out/stats").collect().toSeq shouldBe
+        stFull.collect().toSeq
+      val terms = Seq("the", "data")
+      val queries = Seq(1L -> "the", 1L -> "data", 2L -> "spark")
+      val fromFull = Retrieval.bm25TopK(docs, "doc_id", col("text"), terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val fromAppended = Retrieval.bm25TopKFromTables(
+          spark.read.parquet(s"$out/postings"),
+          spark.read.parquet(s"$out/doclens"),
+          spark.read.parquet(s"$out/stats"), "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      fromFull should not be empty
+      fromAppended.toSeq shouldBe fromFull.toSeq
+      val batchFull = Retrieval.bm25BatchTopKLocal(docs, "doc_id",
+          col("text"), queries, topK = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val batchAppended = Retrieval.bm25BatchTopKFromTables(
+          spark.read.parquet(s"$out/postings"),
+          spark.read.parquet(s"$out/doclens"),
+          spark.read.parquet(s"$out/stats"), "doc_id", queries, topK = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      batchFull should not be empty
+      batchAppended.toSeq shouldBe batchFull.toSeq
+    }
+
+    "append onto an EMPTY index equals a fresh build of the batch" in {
+      val none = docs.filter(lit(false))
+      val (_, _, st0) = Retrieval.bm25IndexTables(none, "doc_id", col("text"))
+      val (pd, dd, merged) = Retrieval.bm25AppendToTables(docs, "doc_id",
+        col("text"), st0)
+      val (_, _, stFull) = Retrieval.bm25IndexTables(docs, "doc_id", col("text"))
+      merged.collect().toSeq shouldBe stFull.collect().toSeq
+      val inline = Retrieval.bm25TopK(docs, "doc_id", col("text"), Seq("the"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val served = Retrieval.bm25TopKFromTables(pd, dd, merged, "doc_id",
+          Seq("the"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      inline should not be empty
+      served.toSeq shouldBe inline.toSeq
+    }
   }
 
   "Retrieval.hardNegatives" - {

@@ -221,6 +221,72 @@ class StreamsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       } finally q.stop()
     }
 
+    "right_outer emits unmatched LEFT rows once — no operand swap needed" in {
+      // the r12 verdict's #4: "views that never converted" WITHOUT the
+      // caller hand-swapping operands (and mis-assigning the asymmetric
+      // delay/lookback parameters)
+      implicit val sql = spark.sqlContext
+      import spark.implicits._
+      val vsrc = MemoryStream[(Long, Long, Long)]
+      val csrc = MemoryStream[(Long, Long, Long)]
+      val views = vsrc.toDS().toDF("view_id", "v_user", "vsec")
+        .select(col("view_id"), col("v_user"),
+          timestamp_seconds(col("vsec")).as("vts"))
+      val clicks = csrc.toDS().toDF("click_id", "c_user", "csec")
+        .select(col("click_id"), col("c_user"),
+          timestamp_seconds(col("csec")).as("cts"))
+      val joined = Streams.intervalJoin(
+          views, "vts", "10 seconds", clicks, "cts", "10 seconds",
+          col("c_user") === col("v_user"), "1 minute",
+          joinType = "right_outer")
+        .select("click_id", "view_id")
+      val q = joined.writeStream.format("memory").queryName("ijr")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ijr").toString)
+        .start()
+      try {
+        // u4's view (t=1050) never converts; u2's click (t=1005) has no
+        // view — right_outer must DROP it (only left_outer/full_outer
+        // retain the click side); u3's view at t=1998 stays inside the
+        // final horizon — held, not emitted
+        vsrc.addData((100L, 1L, 1000L), (400L, 4L, 1050L),
+          (300L, 3L, 1998L), (900L, 9L, 2000L))
+        csrc.addData((110L, 1L, 1010L), (210L, 2L, 1005L),
+          (910L, 9L, 2000L))
+        q.processAllAvailable()
+        // batch 2 runs under watermark 1990: u4's window closed at
+        // 1050 + 60 < 1990 ⇒ its null-extended row flushes now, once
+        csrc.addData((920L, 9L, 2005L))
+        q.processAllAvailable()
+        def cell(r: org.apache.spark.sql.Row, i: Int) =
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        val got = spark.table("ijr").collect()
+          .map(r => (cell(r, 0), cell(r, 1))).toSet
+        got shouldBe Set(
+          (Some(110L), Some(100L)), (Some(910L), Some(900L)),
+          (Some(920L), Some(900L)),
+          (None, Some(400L))) // unmatched LEFT, once, after closure
+        // eventually-batch-identical: the same rows, minus the view the
+        // final watermark still holds open, match the BATCH right join
+        val bviews = Seq((100L, 1L, 1000L), (400L, 4L, 1050L),
+            (900L, 9L, 2000L)).toDF("view_id", "v_user", "vsec")
+          .select(col("view_id"), col("v_user"),
+            timestamp_seconds(col("vsec")).as("vts"))
+        val bclicks = Seq((110L, 1L, 1010L), (210L, 2L, 1005L),
+            (910L, 9L, 2000L), (920L, 9L, 2005L))
+          .toDF("click_id", "c_user", "csec")
+          .select(col("click_id"), col("c_user"),
+            timestamp_seconds(col("csec")).as("cts"))
+        val batch = Streams.intervalJoin(
+            bviews, "vts", "10 seconds", bclicks, "cts", "10 seconds",
+            col("c_user") === col("v_user"), "1 minute",
+            joinType = "right_outer")
+          .select("click_id", "view_id").collect()
+          .map(r => (cell(r, 0), cell(r, 1))).toSet
+        got shouldBe batch
+      } finally q.stop()
+    }
+
     "a malformed or non-fixed lookback fails at operator construction" in {
       import spark.implicits._
       val views = Seq((100L, 1L, 1000L)).toDF("view_id", "v_user", "vsec")
