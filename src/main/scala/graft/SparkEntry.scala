@@ -2686,10 +2686,24 @@ object SparkEntry {
       // (query vector 7), fused by reciprocal rank — only RANKS enter
       // the formula, so the two retrievers' incomparable score scales
       // never meet; the fusion join is candidate-sized (the retrievers
-      // already did the corpus-scale work)
-      val lex = graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"),
-          "doc_id", col("text"), terms = Seq("spark", "customer", "window"),
-          topK = 20)
+      // already did the corpus-scale work). The lexical side serves
+      // from the STORED postings index (shared bm25tables fixture;
+      // bm25TopKFromTables ≡ inline bm25TopK is spec-pinned bit-equal),
+      // which is how a production hybrid retriever actually runs — no
+      // per-query corpus re-tokenization.
+      val root = prepared(s, s"bm25tables:$dir") {
+        val out = scratchDir(s, "bm25_index", dir)
+        val (postings, doclens, stats) = graft.pipeline.Retrieval
+          .bm25IndexTables(t(s, dir, "documents"), "doc_id", col("text"))
+        postings.write.mode("overwrite").parquet(s"$out/postings")
+        doclens.write.mode("overwrite").parquet(s"$out/doclens")
+        stats.write.mode("overwrite").parquet(s"$out/stats")
+        out
+      }
+      val lex = graft.pipeline.Retrieval.bm25TopKFromTables(
+          s.read.parquet(s"$root/postings"), s.read.parquet(s"$root/doclens"),
+          s.read.parquet(s"$root/stats"), "doc_id",
+          terms = Seq("spark", "customer", "window"), topK = 20)
         .select(col("doc_id"), col("rank"))
       val den = Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
           "embedding", col("vec_id") === 7, k = 20)
@@ -3523,6 +3537,42 @@ object SparkEntry {
       }
       Multimodal.fingerprintDedupPairs(s.read.parquet(root), maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    "mm_fingerprint_incremental" -> ((s, dir) => {
+      // continuous media ingestion: an arriving batch's dHash
+      // fingerprints probe the STORED corpus fingerprint table — the
+      // minhashDedupAgainstTables shape for media: the corpus never
+      // self-joins and never re-decodes, each batch pays only its own
+      // bipartite banded probe, flagged assets append their 16 bytes
+      // afterwards. Corpus = even doc_ids; batch = every 7th document
+      // re-posted under a new id (so copies of EVEN multiples of 7 must
+      // pair with their stored original at hamming 0; odd-based copies
+      // have no original in the corpus). Both fingerprint tables are
+      // ingest-time fixture; the entry times the probe — the per-batch
+      // cost of the production loop. The oracle brute-forces the cross
+      // pairs from the congruence pixel function.
+      val root = prepared(s, s"mmfpinc:$dir") {
+        val out = scratchDir(s, "mmfp_inc", dir)
+        val docs = t(s, dir, "documents").select(col("doc_id"))
+        val corpusIds = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("media_id"), col("doc_id").as("basis"))
+        val batchIds = docs.filter(col("doc_id") % 7 === 0)
+          .select((-(col("doc_id") + lit(1L))).as("media_id"),
+            col("doc_id").as("basis"))
+        def fps(ids: DataFrame) = Multimodal.imageDHash(
+            Multimodal.syntheticPngNoisy(ids, "media_id",
+              basisCol = "basis"))
+          .filter(col("decoded_ok"))
+          .select(col("media_id").as("id"), col("lo"), col("hi"))
+        fps(corpusIds).write.mode("overwrite").parquet(s"$out/corpus")
+        fps(batchIds).write.mode("overwrite").parquet(s"$out/batch")
+        out
+      }
+      Multimodal.fingerprintDedupAgainst(
+          s.read.parquet(s"$root/batch"), s.read.parquet(s"$root/corpus"),
+          maxHamming = 3)
+        .orderBy("batch_id", "corpus_id")
     }),
 
     "mm_audio_dedup" -> ((s, dir) => {
@@ -6362,6 +6412,53 @@ object SparkEntry {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental probe replay: same analytic fingerprints as
+    // mm_image_dedup, but corpus = even doc_ids, batch = the re-posted
+    // copies (negative ids); ground truth is the brute-forced BIPARTITE
+    // cross-pair set — the banded probe must be lossless against it
+    "mm_fingerprint_incremental" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS media_id, doc_id AS basis FROM documents
+        |  WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT -(doc_id + 1), doc_id FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |g AS (
+        |  SELECT media_id, basis, gi.range AS gi, gj.range AS gj,
+        |         (gi.range * (16 + basis % 7)) // 9 AS x,
+        |         (gj.range * (12 + basis % 5)) // 8 AS y
+        |  FROM ids CROSS JOIN range(9) gi CROSS JOIN range(8) gj),
+        |l AS (
+        |  SELECT media_id, gi, gj,
+        |    299*(((73*basis + 151*x + 37*y + 11)
+        |          * (73*basis + 151*x + 37*y + 11)) % 65536 // 256)
+        |  + 587*(((89*basis + 97*x + 131*y + 23)
+        |          * (89*basis + 97*x + 131*y + 23)) % 65536 // 256)
+        |  + 114*(((53*basis + 61*x + 113*y + 41)
+        |          * (53*basis + 61*x + 113*y + 41)) % 65536 // 256) AS luma
+        |  FROM g),
+        |setbits AS (
+        |  SELECT p.media_id, p.gj*8 + p.gi AS bitpos
+        |  FROM l p JOIN l q ON p.media_id = q.media_id
+        |        AND q.gj = p.gj AND q.gi = p.gi + 1
+        |  WHERE p.gi < 8 AND q.luma > p.luma),
+        |fp AS (
+        |  SELECT i.media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN bitpos < 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(bitpos AS INT)) END), 0)
+        |      AS BIGINT) AS lo,
+        |    CAST(COALESCE(SUM(CASE WHEN bitpos >= 32
+        |      THEN (CAST(1 AS BIGINT) << CAST(bitpos - 32 AS INT)) END), 0)
+        |      AS BIGINT) AS hi
+        |  FROM ids i LEFT JOIN setbits ON i.media_id = setbits.media_id
+        |  GROUP BY 1)
+        |SELECT a.media_id AS batch_id, b.media_id AS corpus_id,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        |       AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < 0 AND b.media_id >= 0
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // acoustic dedup replay: gradient bits compare the raw congruence
     // values (the -32768 signed shift cancels in the comparison), packed

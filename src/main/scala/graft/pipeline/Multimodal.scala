@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -413,28 +413,33 @@ object Multimodal {
     * Pigeonhole (maxHamming < bands ⇒ some exact band shared) makes the
     * banding LOSSLESS vs brute force; pair expansion goes through
     * [[Dedup.bucketPairs]]' occupancy split. */
-  private def hammingPairs64(fps: DataFrame, maxHamming: Int, bands: Int,
-      maxBucket: Int): DataFrame = {
+  /** Shared pigeonhole preconditions + per-band chunk expressions over a
+    * split-64-bit (lo, hi) fingerprint: band b covers bits
+    * [b·bits, (b+1)·bits) and, with bits ≤ 32, sits wholly inside one
+    * half. bands=1 would pass the pigeonhole and divisibility checks but
+    * its 64-bit band mask (1L << 64) − 1 is 0 on the JVM (shift mod 64)
+    * — every fingerprint would silently land in one mega-bucket and the
+    * banding would degenerate to an all-pairs join; bands ≥ 2 ⇔
+    * bits ≤ 32, which is also the one-half invariant. */
+  private def bandCols64(maxHamming: Int, bands: Int): Seq[Column] = {
     require(maxHamming < bands,
       s"pigeonhole needs maxHamming < bands: $maxHamming >= $bands")
     require(64 % bands == 0, s"64 bits not divisible by $bands bands")
-    // bands=1 would pass both checks (maxHamming=0), but its 64-bit band
-    // mask (1L << 64) - 1 is 0 on the JVM (shift mod 64) — every
-    // fingerprint would silently land in one mega-bucket and the banding
-    // would degenerate to an all-pairs join. bands >= 2 ⇔ bits <= 32,
-    // which is also what keeps each band inside one lo/hi half below.
     require(bands >= 2, s"need bands >= 2 (got $bands): a single 64-bit " +
       "band cannot be masked on the JVM and degenerates to all-pairs")
     val bits = 64 / bands
-    // band b covers bits [b·bits, (b+1)·bits) of the lo/hi pair; with
-    // bits ≤ 32 each band sits wholly inside one half
-    val bandCols = (0 until bands).map { b =>
+    (0 until bands).map { b =>
       val start = b * bits
       val half = if (start < 32) col("lo") else col("hi")
       struct(lit(b).as("band"),
         shiftright(half, start % 32).bitwiseAND(lit((1L << bits) - 1))
           .as("bh"))
     }
+  }
+
+  private def hammingPairs64(fps: DataFrame, maxHamming: Int, bands: Int,
+      maxBucket: Int): DataFrame = {
+    val bandCols = bandCols64(maxHamming, bands)
     val pairs = Dedup.bucketPairs(
       fps.select(explode(array(bandCols: _*)).as("b"),
           struct(col("id"), col("lo"), col("hi")).as("m"))
@@ -672,6 +677,48 @@ object Multimodal {
       bands: Int = 4, maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     hammingPairs64(fps.select(col("id"), col("lo"), col("hi")),
       maxHamming, bands, maxBucket)
+
+  /** Incremental media dedup: probe a NEW batch's fingerprints against
+    * the STORED corpus fingerprint table — the continuous-ingestion
+    * shape ([[graft.pipeline.Dedup.minhashDedupAgainstTables]] for
+    * media): the corpus table never self-joins, each arriving batch
+    * pays only its own banded probe, and flagged assets append their
+    * fingerprints to the store afterwards (16 bytes/asset — the append
+    * is a parquet `mode("append")` like the BM25/ANN tables).
+    *
+    * Candidates come from a bipartite equi-join of the two sides' band
+    * chunks (pigeonhole: lossless at maxHamming < bands, like
+    * [[fingerprintDedupPairs]]); the batch side is typically
+    * broadcast-sized, and a viral corpus bucket is a plain skewed
+    * equi-join AQE splits — no self-join pair expansion exists in the
+    * bipartite form, so no occupancy machinery is needed. Verification
+    * is two integer bit_counts where the pair is born.
+    *
+    * Output: (batch_id, corpus_id, hamming), one row per cross pair
+    * within `maxHamming`. Batch and corpus id spaces are the caller's
+    * contract to keep disjoint (same as the minhash incremental form). */
+  def fingerprintDedupAgainst(batch: DataFrame, corpus: DataFrame,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val bandCols = bandCols64(maxHamming, bands)
+    def banded(df: DataFrame, pre: String) = df
+      .select(explode(array(bandCols: _*)).as("b"),
+        col("id").as(s"${pre}id"), col("lo").as(s"${pre}lo"),
+        col("hi").as(s"${pre}hi"))
+      .select(col("b.band").as("band"), col("b.bh").as("bh"),
+        col(s"${pre}id"), col(s"${pre}lo"), col(s"${pre}hi"))
+    banded(batch, "batch_").join(banded(corpus, "corpus_"),
+        Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"),
+        (bit_count(col("batch_lo").bitwiseXOR(col("corpus_lo"))) +
+          bit_count(col("batch_hi").bitwiseXOR(col("corpus_hi"))))
+          .as("hamming"))
+      // threshold BEFORE the cross-band dedup (same reasoning as the
+      // self-join form: distance is a pure pair function, most band
+      // collisions are far pairs)
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("batch_id", "corpus_id")
+      .agg(first(col("hamming")).as("hamming"))
+  }
 
   /** Real image resize: decode → nearest-neighbor downsample (output
     * pixel (x, y) = input pixel (x·factor, y·factor), so the resampled

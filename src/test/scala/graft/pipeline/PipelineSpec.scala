@@ -1264,6 +1264,44 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       stored shouldBe inline
     }
 
+    "fingerprintDedupAgainst: bipartite probe is lossless vs brute force" in {
+      import spark.implicits._
+      // continuous-ingestion shape: the batch probes the stored corpus,
+      // never itself — a batch-internal duplicate pair (700/701 share a
+      // basis) must NOT be emitted; the planted copy of a corpus asset
+      // must pair at hamming 0
+      val corpusIds = (1L to 15L).map(i => (i, i)).toDF("media_id", "basis")
+      val batchIds = Seq((700L, 4L), (701L, 4L), (702L, 99L))
+        .toDF("media_id", "basis")
+      def fps(ids: org.apache.spark.sql.DataFrame) =
+        Multimodal.imageDHash(Multimodal.syntheticPngNoisy(ids, "media_id",
+            basisCol = "basis"))
+          .filter(col("decoded_ok"))
+          .select(col("media_id").as("id"), col("lo"), col("hi"))
+      val corpus = fps(corpusIds)
+      val batch = fps(batchIds)
+      val got = Multimodal.fingerprintDedupAgainst(batch, corpus,
+          maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // brute-force bipartite ground truth (banding must be lossless)
+      val cfp = corpus.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+      val bfp = batch.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+      val brute = (for {
+        (bid, (blo, bhi)) <- bfp; (cid, (clo, chi)) <- cfp
+        h = java.lang.Long.bitCount(blo ^ clo) +
+          java.lang.Long.bitCount(bhi ^ chi)
+        if h <= 3
+      } yield (bid, cid, h)).toSet
+      got shouldBe brute
+      got should contain((700L, 4L, 0))
+      got should contain((701L, 4L, 0))
+      // batch-internal pair (700, 701) absent by construction; the
+      // no-corpus-match batch asset emits nothing
+      got.map(_._1) should not contain 702L
+    }
+
     "noisy fixture has fingerprint entropy: distinct bases, distinct hashes" in {
       import spark.implicits._
       // the linear-congruence fixture is DEGENERATE for dHash (constant
