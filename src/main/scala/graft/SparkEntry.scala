@@ -3649,6 +3649,38 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "mm_frame_incremental" -> ((s, dir) => {
+      // continuous media ingestion, frame-set form: an arriving batch's
+      // frame checksums probe the STORED corpus frame table (the corpus
+      // never self-joins, never re-chunks) — batch = every 7th document
+      // re-posted under id+1000000, so each copy must pair with its
+      // original at jaccard 1.0; boilerplate is judged by CORPUS df and
+      // dropped from both sides. Both checksum tables are ingest-time
+      // fixture (shared corpus table with mm_frame_dedup); the entry
+      // times the bipartite probe — the per-batch cost of the loop.
+      val corpusRoot = prepared(s, s"mmframes:$dir") {
+        val out = scratchDir(s, "mm_frames", dir)
+        val media = Multimodal.fromText(t(s, dir, "documents"),
+          "doc_id", "text")
+        Multimodal.frameChecksumTable(media, chunkBytes = 64)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+      val batchRoot = prepared(s, s"mmframesb:$dir") {
+        val out = scratchDir(s, "mm_frames_batch", dir)
+        val copies = t(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        Multimodal.frameChecksumTable(
+            Multimodal.fromText(copies, "doc_id", "text"), chunkBytes = 64)
+          .write.mode("overwrite").parquet(out)
+        out
+      }
+      Multimodal.frameDedupAgainst(s.read.parquet(batchRoot),
+          s.read.parquet(corpusRoot), maxDf = 20, minJaccard = 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     "st3_recovery_worklist" -> ((s, dir) => {
       // batch 1 (regions, quantum 1) completed; batch 2 (nations, quantum
       // 2) incomplete → the recovery pass must re-drive exactly batch 2 in
@@ -6548,6 +6580,46 @@ object SparkEntry {
         |WHERE CAST(matched AS DOUBLE)
         |        / CAST(ta.nf + tb.nf - matched AS DOUBLE) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental frame probe replay: corpus = all documents' frame
+    // sets, batch = every 7th document re-chunked under id+1000000;
+    // boilerplate df computed over the CORPUS only, dropped from both
+    // sides before totals — the bipartite ground truth in one pass
+    "mm_frame_incremental" ->
+      """WITH fr_c AS (
+        |  SELECT DISTINCT doc_id AS media_id,
+        |         md5(substr(text, CAST(start*64+1 AS BIGINT), 64)) AS fh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)))
+        |            AS start
+        |        FROM documents)),
+        |fr_b AS (
+        |  SELECT DISTINCT doc_id + 1000000 AS media_id,
+        |         md5(substr(text, CAST(start*64+1 AS BIGINT), 64)) AS fh
+        |  FROM (SELECT doc_id, text,
+        |          unnest(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)))
+        |            AS start
+        |        FROM documents WHERE doc_id % 7 = 0)),
+        |boiler AS (
+        |  SELECT fh FROM fr_c GROUP BY fh HAVING count(*) > 20),
+        |keep_c AS (SELECT * FROM fr_c WHERE fh NOT IN (SELECT fh FROM boiler)),
+        |keep_b AS (SELECT * FROM fr_b WHERE fh NOT IN (SELECT fh FROM boiler)),
+        |tot_c AS (SELECT media_id, count(*) AS nf FROM keep_c GROUP BY 1),
+        |tot_b AS (SELECT media_id, count(*) AS nf FROM keep_b GROUP BY 1),
+        |inter AS (
+        |  SELECT a.media_id AS batch_id, b.media_id AS corpus_id,
+        |         count(*) AS matched
+        |  FROM keep_b a JOIN keep_c b ON a.fh = b.fh
+        |  GROUP BY 1, 2)
+        |SELECT batch_id, corpus_id, matched, tb.nf AS nf_batch,
+        |       tc.nf AS nf_corpus,
+        |       CAST(matched AS DOUBLE)
+        |         / CAST(tb.nf + tc.nf - matched AS DOUBLE) AS jaccard
+        |FROM inter JOIN tot_b tb ON batch_id = tb.media_id
+        |           JOIN tot_c tc ON corpus_id = tc.media_id
+        |WHERE CAST(matched AS DOUBLE)
+        |        / CAST(tb.nf + tc.nf - matched AS DOUBLE) >= 0.5
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "dedup_embedding_cosine_exact" ->
       """WITH e AS (

@@ -720,6 +720,54 @@ object Multimodal {
       .agg(first(col("hamming")).as("hamming"))
   }
 
+  /** Incremental frame-set dedup: probe an arriving batch's frame
+    * checksums against the STORED corpus frame table — the
+    * continuous-ingestion form of [[frameDedup]] (the corpus never
+    * self-joins; each batch pays a bipartite fh equi-join bounded by
+    * the corpus df cap). Boilerplate is judged by the CORPUS document
+    * frequency — the store knows its dfs, an arriving batch does not —
+    * and dropped from BOTH sides before totals, so a batch asset made
+    * of corpus boilerplate pairs with nothing instead of everything;
+    * a batch frame absent from the corpus keeps counting in the batch
+    * total (it dilutes Jaccard exactly as in the self-join form).
+    * Both inputs are (media_id, fh) tables ([[frameChecksumTable]]);
+    * id spaces disjoint by caller contract.
+    *
+    * Output: (batch_id, corpus_id, matched, nf_batch, nf_corpus,
+    * jaccard) for pairs at `minJaccard` or above. */
+  def frameDedupAgainst(batchFrames: DataFrame, corpusFrames: DataFrame,
+      maxDf: Int, minJaccard: Double): DataFrame = {
+    val boiler = corpusFrames.groupBy("fh")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("fh"))
+    val keptC = corpusFrames.select(col("media_id"), col("fh"))
+      .join(boiler, Seq("fh"), "left_anti")
+      .persist() // totals + probe side
+    val keptB = batchFrames.select(col("media_id"), col("fh"))
+      .join(boiler, Seq("fh"), "left_anti")
+      .persist()
+    val totC = keptC.groupBy("media_id").agg(count(lit(1)).as("nf"))
+    val totB = keptB.groupBy("media_id").agg(count(lit(1)).as("nf"))
+    val inter = keptB.alias("a").hint("merge")
+      .join(keptC.alias("b").hint("merge"), col("a.fh") === col("b.fh"))
+      .groupBy(col("a.media_id").as("batch_id"),
+        col("b.media_id").as("corpus_id"))
+      .agg(count(lit(1)).as("matched"))
+    // totals are corpus-sized at scale — merge-hint off the tiny-fixture
+    // broadcast path, same reasoning as frameDedupFromTable
+    inter.hint("merge")
+      .join(totB.select(col("media_id").as("batch_id"),
+        col("nf").as("nf_batch")).hint("merge"), "batch_id")
+      .join(totC.select(col("media_id").as("corpus_id"),
+        col("nf").as("nf_corpus")).hint("merge"), "corpus_id")
+      .withColumn("jaccard", col("matched").cast("double") /
+        (col("nf_batch") + col("nf_corpus") - col("matched")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("batch_id"), col("corpus_id"), col("matched"),
+        col("nf_batch"), col("nf_corpus"), col("jaccard"))
+  }
+
   /** Real image resize: decode → nearest-neighbor downsample (output
     * pixel (x, y) = input pixel (x·factor, y·factor), so the resampled
     * image is exactly oracle-replayable) → re-encode PNG. Same rows out

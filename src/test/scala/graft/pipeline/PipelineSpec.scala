@@ -1456,6 +1456,39 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       stored shouldBe inline
     }
 
+    "frameDedupAgainst: corpus-df boilerplate drops, absent frames dilute" in {
+      import spark.implicits._
+      val x = "X" * 64 // boilerplate: in all 3 corpus assets (maxDf = 2)
+      val corpusDocs = Seq(
+        (1L, x + "A" * 64 + "B" * 64 + "C" * 64), // {A,B,C} after drop
+        (2L, x + "D" * 64 + "E" * 64),            // {D,E}
+        (3L, x + "F" * 64))                       // {F}
+        .toDF("id", "t")
+      val batchDocs = Seq(
+        // copy of asset 1 (same non-boilerplate set {A,B,C}) → j = 1.0
+        (901L, x + "A" * 64 + "B" * 64 + "C" * 64),
+        // {D, E, Z}: Z is absent from the corpus but still counts in
+        // nf_batch → j(902, 2) = 2/(3+2-2) = 2/3
+        (902L, "D" * 64 + "E" * 64 + "Z" * 64),
+        // pure boilerplate: drops to an empty set, pairs with nothing
+        (903L, x))
+        .toDF("id", "t")
+      def frames(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.frameChecksumTable(
+          Multimodal.fromText(df, "id", "t"), 64)
+      val got = Multimodal.frameDedupAgainst(frames(batchDocs),
+          frames(corpusDocs), maxDf = 2, minJaccard = 0.5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard"))
+        .toMap
+      got.keySet shouldBe Set((901L, 1L), (902L, 2L))
+      got((901L, 1L)) shouldBe 1.0
+      got((902L, 2L)) shouldBe (2.0 / 3.0)
+      // batch-internal pairs are never emitted (901/902 share nothing
+      // here, but 903's boilerplate-only set pairs with NO corpus asset
+      // even though every corpus asset contains x)
+    }
+
     "frameDedup drops frames above the df cap from both sides" in {
       import spark.implicits._
       // frame X is in EVERY asset (boilerplate); with maxDf=2 it is
