@@ -108,6 +108,61 @@ object SparkEntry {
       Multimodal.syntheticPng(t(s, dir, "documents"), "doc_id").persist()
     }
 
+  /** st19/st20 shared input fixture: chronologically-split view/click
+    * chunks with a ride-along far-future sentinel per stream (see
+    * st19_stream_outer_join's comment for the layout); built once per
+    * (session, sf) — both interval-join gates replay the SAME arrival
+    * schedule, so they differ only in joinType. */
+  private def st19Input(s: SparkSession, dir: String): String =
+    prepared(s, s"st19in:$dir") {
+        val b = scratchDir(s, "st19in", dir)
+        val ev = events(s, dir)
+          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+            col("ets").as("vts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+            col("ets").as("cts"))
+        val mm = ev.agg(min("ets"), max("ets")).collect()(0)
+        val midMs =
+          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
+        val sentMs = mm.getTimestamp(1).getTime + 100L * 24 * 3600 * 1000
+        val fs = new org.apache.hadoop.fs.Path(b)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def writeChrono(df: DataFrame, tsCol: String, sub: String,
+            sentinel: DataFrame): Unit = {
+          val p = new org.apache.hadoop.fs.Path(s"$b/$sub")
+          def files(): Set[org.apache.hadoop.fs.Path] =
+            fs.listStatus(p).map(_.getPath).filterNot(q =>
+              q.getName.startsWith("_") || q.getName.startsWith(".")).toSet
+          df.filter(col(tsCol) <= timestamp_millis(lit(midMs)))
+            .coalesce(1).write.mode("append").parquet(p.toString)
+          val b1 = files()
+          // the sentinel RIDES in the second chunk: the watermark is the
+          // per-batch max event time, so batch 2 processes the late-half
+          // rows on time (late = vs batch 1's watermark) AND advances the
+          // watermark past every real window — one trigger cheaper than
+          // a separate sentinel file, identical final table
+          df.filter(col(tsCol) > timestamp_millis(lit(midMs)))
+            .unionByName(sentinel)
+            .coalesce(1).write.mode("append").parquet(p.toString)
+          val b2 = files() -- b1
+          // FileStreamSource orders by mtime only — pin distinct mtimes
+          // so the chronological split IS the trigger order (st16 idiom)
+          val t0 = System.currentTimeMillis()
+          b1.foreach(q => fs.setTimes(q, t0 - 120000L, -1L))
+          b2.foreach(q => fs.setTimes(q, t0 - 60000L, -1L))
+        }
+        writeChrono(views, "vts", "v", s.range(1).select(
+          lit(-1L).as("view_id"), lit(-1L).as("v_user"),
+          timestamp_millis(lit(sentMs)).as("vts")))
+        writeChrono(clicks, "cts", "c", s.range(1).select(
+          lit(-1L).as("click_id"), lit(-1L).as("c_user"),
+          timestamp_millis(lit(sentMs)).as("cts")))
+        b
+    }
+
   /** Decimal → double through the decimal's string rendering. Both Spark and
     * DuckDB parse decimal strings with correctly-rounded double conversion,
     * so the result is bit-identical on both sides — unlike a direct
@@ -1319,54 +1374,7 @@ object SparkEntry {
       // (a nullable int column would float-ify in the driver comparer).
       // Input chunks are SETUP (identical every call) — built once per
       // (session, sf), like st11's; fresh out/ckpt per call below.
-      val inBase = prepared(s, s"st19in:$dir") {
-        val b = scratchDir(s, "st19in", dir)
-        val ev = events(s, dir)
-          .withColumn("ets", timestamp_micros(expr("ts div 1000")))
-        val views = ev.filter(col("event_type") === "view")
-          .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-            col("ets").as("vts"))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-            col("ets").as("cts"))
-        val mm = ev.agg(min("ets"), max("ets")).collect()(0)
-        val midMs =
-          (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2
-        val sentMs = mm.getTimestamp(1).getTime + 100L * 24 * 3600 * 1000
-        val fs = new org.apache.hadoop.fs.Path(b)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        def writeChrono(df: DataFrame, tsCol: String, sub: String,
-            sentinel: DataFrame): Unit = {
-          val p = new org.apache.hadoop.fs.Path(s"$b/$sub")
-          def files(): Set[org.apache.hadoop.fs.Path] =
-            fs.listStatus(p).map(_.getPath).filterNot(q =>
-              q.getName.startsWith("_") || q.getName.startsWith(".")).toSet
-          df.filter(col(tsCol) <= timestamp_millis(lit(midMs)))
-            .coalesce(1).write.mode("append").parquet(p.toString)
-          val b1 = files()
-          // the sentinel RIDES in the second chunk: the watermark is the
-          // per-batch max event time, so batch 2 processes the late-half
-          // rows on time (late = vs batch 1's watermark) AND advances the
-          // watermark past every real window — one trigger cheaper than
-          // a separate sentinel file, identical final table
-          df.filter(col(tsCol) > timestamp_millis(lit(midMs)))
-            .unionByName(sentinel)
-            .coalesce(1).write.mode("append").parquet(p.toString)
-          val b2 = files() -- b1
-          // FileStreamSource orders by mtime only — pin distinct mtimes
-          // so the chronological split IS the trigger order (st16 idiom)
-          val t0 = System.currentTimeMillis()
-          b1.foreach(q => fs.setTimes(q, t0 - 120000L, -1L))
-          b2.foreach(q => fs.setTimes(q, t0 - 60000L, -1L))
-        }
-        writeChrono(views, "vts", "v", s.range(1).select(
-          lit(-1L).as("view_id"), lit(-1L).as("v_user"),
-          timestamp_millis(lit(sentMs)).as("vts")))
-        writeChrono(clicks, "cts", "c", s.range(1).select(
-          lit(-1L).as("click_id"), lit(-1L).as("c_user"),
-          timestamp_millis(lit(sentMs)).as("cts")))
-        b
-      }
+      val inBase = st19Input(s, dir)
       val base = scratchDir(s, "st19", dir)
       // load-sized state partitions: a stream-stream join runs FOUR
       // state stores per side per partition, each paying per-batch
@@ -1392,6 +1400,42 @@ object SparkEntry {
       }
       s.read.parquet(s"$base/out").filter(col("click_id") >= 0)
         .orderBy("click_id", "view_id")
+    }),
+
+    "st20_stream_right_join" -> ((s, dir) => {
+      // the mirror funnel question as a streaming RIGHT-OUTER interval
+      // join: every VIEW emits — joined to the same-user clicks whose
+      // 10-minute lookback window it fell in, or with a null click once
+      // the CLICK watermark passes vts + 10min (no click can still claim
+      // it) — "views that never converted", WITHOUT hand-swapping the
+      // asymmetric delay/lookback operands (the error-prone rewrite
+      // right_outer exists to avoid; joinType passes straight through to
+      // the one probe-driven join call). Input chunks are st19's EXACT
+      // fixture (same chronological split + ride-along sentinel), so the
+      // two entries differ only in joinType — the cleanest A/B of outer-
+      // side semantics the driver gate can replay. Null click_ids
+      // coalesce to −1 (nullable ints float-ify in the comparer).
+      val inBase = st19Input(s, dir)
+      val base = scratchDir(s, "st20", dir)
+      withShufflePartitions(s, 8) {
+        val vs = s.readStream.schema(s.read.parquet(s"$inBase/v").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inBase/v")
+        val cs = s.readStream.schema(s.read.parquet(s"$inBase/c").schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$inBase/c")
+        val q = graft.streaming.Streams.intervalJoin(
+            vs, "vts", "1 minute", cs, "cts", "1 minute",
+            col("c_user") === col("v_user"), "10 minutes",
+            joinType = "right_outer")
+          .select(col("view_id"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"))
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.parquet(s"$base/out").filter(col("view_id") >= 0)
+        .orderBy("view_id", "click_id")
     }),
 
     "st12_stream_hll" -> ((s, dir) => {
@@ -2097,6 +2141,30 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    "graph_pagerank_personal" -> ((s, dir) => {
+      // personalized PageRank: teleport restricted to a curated SEED set
+      // (every 10th customer) over the same sink-bearing customer →
+      // nation → region graph — the seed-based quality-propagation
+      // signal corpus curation scores crawl sources with. Dangling mass
+      // (the region sinks) returns to the SEEDS, not to every node;
+      // non-seed customers have no in-edges and converge to exactly 0
+      // ("no trust path"). Integer-scaled floor arithmetic throughout,
+      // so the 4-round fixpoint replays bit-identically in the oracle
+      val custE = t(s, dir, "customer").select(
+        (col("c_custkey").cast("long") + lit(100000L)).as("src"),
+        col("c_nationkey").cast("long").as("dst"))
+      val natE = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("src"),
+        (col("n_regionkey").cast("long") + lit(900000L)).as("dst"))
+      val seeds = t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select((col("c_custkey").cast("long") + lit(100000L)).as("node"))
+      graft.pipeline.GraphAnalytics.personalizedPageRank(
+          custE.unionByName(natE), "src", "dst", seeds, "node", iters = 4)
+        .select(col("node"), col("rank_scaled"))
+        .orderBy("node")
+    }),
+
     "embed_robust_scale" -> ((s, dir) => {
       // robust per-dimension whitening (median/MAD — the RobustScaler
       // shape): calibration from the FULL corpus as exact order
@@ -2533,6 +2601,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pack_shards" -> ((s, dir) => {
+      // export-shard manifest: hash-assign every doc to one of 16 shards
+      // and reduce each to the integrity line an exporter publishes next
+      // to its files — rows, token/byte mass, id range, and an order-
+      // independent content checksum (Σ md5-hash mod p: commutative, so
+      // the manifest is partitioning-invariant). One partial aggregation;
+      // the shuffle carries ≤ partitions×shards rows at any corpus size
+      graft.pipeline.Packing.shardManifest(t(s, dir, "documents"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), col("n_chars"),
+          graft.pipeline.Sampling.md5Hash60(col("text")), shards = 16)
+        .orderBy("shard")
+    }),
+
     "sample_token_budget" -> ((s, dir) => {
       // fixed-token-budget corpus slice: systematic selection in md5-hash
       // order until each of 8 shards fills its share of a 16k-token
@@ -2611,6 +2692,21 @@ object SparkEntry {
       // query terms' postings, corpus stats are one broadcast row
       graft.pipeline.Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
           col("text"), terms = Seq("spark", "customer", "window"), topK = 10)
+        .orderBy("rank")
+    }),
+
+    "text_bm25_prf" -> ((s, dir) => {
+      // pseudo-relevance-feedback expansion (the RM3 core): top-5 docs
+      // by the original terms donate their 5 most frequent new terms
+      // (len >= 3, ties by term), and the union set re-retrieves through
+      // the batch scorer's canonical term-sorted fold — the classic
+      // recall lever when queries underspecify the corpus vocabulary.
+      // Two corpus scans + one feedback-id-filtered mine; the expanded
+      // vocabulary rides into round 2 as the TermCounts kernel's
+      // plan-time lookup
+      graft.pipeline.Retrieval.bm25PrfTopK(t(s, dir, "documents"),
+          "doc_id", col("text"), terms = Seq("spark", "customer"),
+          fbDocs = 5, fbTerms = 5, topK = 10)
         .orderBy("rank")
     }),
 
@@ -2774,6 +2870,42 @@ object SparkEntry {
         s.createDataFrame(s.sparkContext.parallelize(mergedRows),
             merged.schema)
           .write.mode("overwrite").parquet(s"$out/stats")
+        out
+      }
+      graft.pipeline.Retrieval.bm25TopKFromTables(
+          s.read.parquet(s"$root/postings"), s.read.parquet(s"$root/doclens"),
+          s.read.parquet(s"$root/stats"), "doc_id",
+          terms = Seq("spark", "customer", "window"), topK = 10)
+        .orderBy("rank")
+    }),
+
+    "text_bm25_delete" -> ((s, dir) => {
+      // the OTHER half of index maintenance: a full-corpus index built
+      // once, then every 10th document DELETED incrementally
+      // (bm25DeleteFromTables: anti-joined postings/doclens + the
+      // one-row stats folded DOWN, realized here as the snapshot
+      // rewrite) — the shrunk index must serve the REMAINING-corpus
+      // BM25 oracle bit-for-bit, because per-term dfs derive at query
+      // time so deleted docs vanish from every term's df with no
+      // term-level bookkeeping. Build + delete are fixture (the index
+      // lifecycle); the entry times the serving query.
+      val root = prepared(s, s"bm25delete:$dir") {
+        val out = scratchDir(s, "bm25_delete_index", dir)
+        val docsT = t(s, dir, "documents")
+        val (p0, d0, st0) = graft.pipeline.Retrieval.bm25IndexTables(
+          docsT, "doc_id", col("text"))
+        p0.write.mode("overwrite").parquet(s"$out/full_postings")
+        d0.write.mode("overwrite").parquet(s"$out/full_doclens")
+        st0.write.mode("overwrite").parquet(s"$out/full_stats")
+        val (p1, d1, st1) = graft.pipeline.Retrieval.bm25DeleteFromTables(
+          docsT.filter(col("doc_id") % 10 === 0).select(col("doc_id")),
+          "doc_id",
+          s.read.parquet(s"$out/full_postings"),
+          s.read.parquet(s"$out/full_doclens"),
+          s.read.parquet(s"$out/full_stats"))
+        p1.write.mode("overwrite").parquet(s"$out/postings")
+        d1.write.mode("overwrite").parquet(s"$out/doclens")
+        st1.write.mode("overwrite").parquet(s"$out/stats")
         out
       }
       graft.pipeline.Retrieval.bm25TopKFromTables(
@@ -3443,6 +3575,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "stat_k_anonymity" -> ((s, dir) => {
+      // re-identification risk audit before a corpus release: quasi-
+      // identifier = (lang, source, n_chars div 64) — each column
+      // harmless alone, the COMBINATION singles records out; emit every
+      // group with < 5 members (what a k-anonymous release must suppress
+      // or generalize — the gate PII redaction can't provide). One hash
+      // aggregate with map-side combine + a size filter; the shuffle
+      // carries |distinct QI tuples|, the output only the sub-k tail
+      graft.pipeline.Stats.kAnonymityRisk(t(s, dir, "documents"),
+          Seq(col("lang"), col("source"),
+            expr("n_chars div 64").as("len_bucket")), k = 5)
+        .orderBy("lang", "source", "len_bucket")
+    }),
+
     "stat_cms" -> ((s, dir) => {
       // Count-Min frequency sketch: one pass folds every token occurrence
       // into 4×512 counters (vector-add merge, map-side partials); the
@@ -3468,6 +3614,33 @@ object SparkEntry {
       graft.sources.Layout.zorder(t(s, dir, "documents"),
           "doc_id", "n_chars", bits = 16, numFiles = 8)
         .select(col("doc_id"), col("z")).orderBy("doc_id")
+    }),
+
+    "layout_compaction" -> ((s, dir) => {
+      // small-file compaction planning (OPTIMIZE bin packing) over a file
+      // INVENTORY: partition = lang, file = floor(sqrt(doc_id mod 1600))
+      // (a deliberately skewed layout — file k holds 2k+1 id slots, the
+      // 1:79 size spread incremental writers really produce), bytes =
+      // Σ n_chars. Target = 1.5× the mean file size, derived ONCE from
+      // the inventory (memoized fixture — the planner's input is a
+      // metadata table, its sizing a config decision); files already at
+      // target keep bin −1, the rest bin-pack largest-first per
+      // partition. One hash shuffle + one metadata-sized window sort
+      val inv = t(s, dir, "documents")
+        .groupBy(col("lang").as("part"),
+          floor(sqrt((col("doc_id") % 1600).cast("double")))
+            .cast("long").as("file_no"))
+        .agg(sum("n_chars").cast("long").as("bytes"))
+      val target = prepared(s, s"compact_target:$dir") {
+        val r = inv.agg(sum("bytes").as("tot"), count(lit(1)).as("nf"))
+          .collect()(0)
+        3L * r.getLong(0) / (2L * r.getLong(1))
+      }
+      graft.sources.Layout.compactionPlan(inv, "part", "file_no", "bytes",
+          targetBytes = target)
+        .select(col("part"), col("file_no"), col("bytes"),
+          col("start_byte"), col("bin"))
+        .orderBy("part", "file_no")
     }),
 
     // ---- LLM-pipeline: multimodal binary columns ------------------------
@@ -3505,6 +3678,22 @@ object SparkEntry {
       Multimodal.decodeImages(Multimodal.resizeImages(media, factor = 2))
         .select(col("media_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("media_id")
+    }),
+
+    "mm_aspect_buckets" -> ((s, dir) => {
+      // aspect-ratio bucketing for image-training batch assembly (the
+      // SDXL recipe: batches resize to ONE canonical shape): nearest
+      // bucket by |w/h - bn/bd|, ties to the earliest — computed in
+      // exact integer cross-multiplication over the REAL decoded
+      // geometry (shared PNG fixture), so the assignment replays
+      // verbatim in the oracle's analytic-geometry formula. Pure
+      // codegen'd projection: no shuffle, no float ratios
+      val media = preparedPng(s, dir)
+      Multimodal.aspectBuckets(Multimodal.decodeImages(media),
+          col("width"), col("height"), AspectBucketList)
+        .select(col("media_id"), col("width"), col("height"),
+          col("bucket_n"), col("bucket_d"))
         .orderBy("media_id")
     }),
 
@@ -4250,6 +4439,20 @@ object SparkEntry {
         | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 10 MINUTE
         |ORDER BY click_id, view_id""".stripMargin,
 
+    // the mirror outer side over the SAME fixture: every view retained,
+    // null-extended when no click's lookback window covered it
+    "st20_stream_right_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, ts AS vts FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT v.view_id, COALESCE(c.click_id, -1) AS click_id
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        | AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 10 MINUTE
+        |ORDER BY view_id, click_id""".stripMargin,
+
     // identity: the entries exist to prove the JSON/ORC round trip
     // changes nothing
     "src_json_roundtrip" ->
@@ -4710,6 +4913,7 @@ object SparkEntry {
 
     "graph_pagerank" -> pageRankOracle,
     "graph_pagerank_dangling" -> pageRankDanglingOracle,
+    "graph_pagerank_personal" -> personalPageRankOracle,
 
     "graph_knn_components" -> knnComponentsOracle,
     // same closure oracle: the star algorithm must land the identical
@@ -4816,6 +5020,26 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |       CAST(FLOOR(start_tok / 512.0) AS BIGINT) AS pack_no, start_tok
         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // shard-manifest replay: the same 60-bit md5 shard assignment, each
+    // shard reduced to its integrity line; every SUM re-cast to BIGINT
+    // (DuckDB widens SUM(BIGINT) to HUGEINT)
+    "pack_shards" ->
+      s"""WITH base AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE $WsTokensSql END AS BIGINT) AS tok,
+        |    CAST(n_chars AS BIGINT) AS b,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT % 1000000007 AS chk
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(b) AS BIGINT) AS n_bytes,
+        |       CAST(SUM(chk) AS BIGINT) AS checksum,
+        |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM base GROUP BY shard ORDER BY shard""".stripMargin,
 
     // epoch upsample replay: r = integer-ceil(quota/n) whole epochs, the
     // last truncated to the quota − (r−1)·n smallest-hash rows
@@ -5090,6 +5314,13 @@ object SparkEntry {
     "text_bm25" -> graft.pipeline.Retrieval.bm25OracleSql(
       "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
 
+    // PRF replay: round 1 = the inline column-chain shape LIMITed to the
+    // feedback set, expansion mined from those docs' tokens, round 2 =
+    // the batch row-fold shape over originals UNION mined terms
+    "text_bm25_prf" -> graft.pipeline.Retrieval.bm25PrfOracleSql(
+      "documents", "doc_id", Seq("spark", "customer"),
+      fbDocs = 5, fbTerms = 5, topK = 10),
+
     // the stored-index path must land the inline path's exact rows
     "text_bm25_tables" -> graft.pipeline.Retrieval.bm25OracleSql(
       "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
@@ -5106,6 +5337,12 @@ object SparkEntry {
     // full-corpus inline oracle's exact rows
     "text_bm25_append" -> graft.pipeline.Retrieval.bm25OracleSql(
       "documents", "doc_id", Seq("spark", "customer", "window"), topK = 10),
+
+    // DELETED index (full build − every 10th doc) must land the
+    // REMAINING-corpus inline oracle's exact rows
+    "text_bm25_delete" -> graft.pipeline.Retrieval.bm25OracleSql(
+      "(SELECT * FROM documents WHERE doc_id % 10 <> 0)", "doc_id",
+      Seq("spark", "customer", "window"), topK = 10),
 
     // nDCG@5 replay: the SAME Scala-computed discount/prefix-sum doubles
     // as the entry, embedded through VARCHAR casts (correctly-rounded
@@ -6287,6 +6524,14 @@ object SparkEntry {
         |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // k-anonymity replay: quasi-identifier tuple counts, sub-k tail only
+    "stat_k_anonymity" ->
+      """SELECT lang, source, CAST(n_chars // 64 AS BIGINT) AS len_bucket,
+        |       COUNT(*) AS n
+        |FROM documents
+        |GROUP BY 1, 2, 3 HAVING COUNT(*) < 5
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+
     // Count-Min replay: counter (i, slot) = count of token OCCURRENCES
     // whose hash's i-th 9-bit slice is slot; est = min over the d=4 rows.
     // Pure integer shifts/masks over the shared 60-bit md5 hash
@@ -6357,6 +6602,33 @@ object SparkEntry {
         |       AS BIGINT) AS z
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // compaction-plan replay: same skewed inventory, target = 1.5× mean
+    // (all floor divisions), largest-first cumulative-sum bin assignment
+    // per partition; files at/over target keep bin −1
+    "layout_compaction" ->
+      """WITH inv AS (
+        |  SELECT lang AS part,
+        |    CAST(FLOOR(SQRT(doc_id % 1600)) AS BIGINT) AS file_no,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |tgt AS (SELECT (3 * CAST(SUM(bytes) AS BIGINT))
+        |               // (2 * COUNT(*)) AS t FROM inv),
+        |small AS (
+        |  SELECT part, file_no, bytes,
+        |    CAST(COALESCE(SUM(bytes) OVER (
+        |      PARTITION BY part ORDER BY bytes DESC, file_no
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start_byte
+        |  FROM inv WHERE bytes < (SELECT t FROM tgt))
+        |SELECT part, file_no, bytes, start_byte,
+        |       start_byte // (SELECT t FROM tgt) AS bin
+        |FROM small
+        |UNION ALL
+        |SELECT part, file_no, bytes,
+        |       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+        |FROM inv WHERE bytes >= (SELECT t FROM tgt)
+        |ORDER BY part, file_no""".stripMargin,
+
     "mm_blob_stats" ->
       """SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
@@ -6379,6 +6651,22 @@ object SparkEntry {
         |  CAST(sum((11*doc_id + 5*x + 7*y) % 256) AS DOUBLE) / count(*) AS mean_g,
         |  CAST(sum((13*doc_id + 9*x + 2*y) % 256) AS DOUBLE) / count(*) AS mean_b
         |FROM px GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // aspect-bucket replay: analytic geometry (the congruence image's
+    // width/height formulas) through the SAME integer argmin chain the
+    // operator unrolls (Multimodal.aspectBucketSql)
+    "mm_aspect_buckets" -> {
+      val idx = Multimodal.aspectBucketSql(
+        "4 + doc_id % 5", "4 + doc_id % 3", AspectBucketList)
+      val ns = AspectBucketList.map(_._1).mkString(", ")
+      val ds = AspectBucketList.map(_._2).mkString(", ")
+      s"""SELECT doc_id AS media_id,
+         |  CAST(4 + doc_id % 5 AS INT) AS width,
+         |  CAST(4 + doc_id % 3 AS INT) AS height,
+         |  CAST(([$ns])[($idx) + 1] AS INT) AS bucket_n,
+         |  CAST(([$ds])[($idx) + 1] AS INT) AS bucket_d
+         |FROM documents ORDER BY media_id""".stripMargin
+    },
 
     // resize replay: kept pixels are the source's even coordinates
     // (nearest-neighbor, top-left anchor), so the resized means are the
@@ -6764,6 +7052,63 @@ object SparkEntry {
        |  WHERE node NOT IN (SELECT src FROM edges)),
        |r0 AS MATERIALIZED (
        |  SELECT node, $scale // (SELECT n FROM nn) AS r FROM nodes),
+       |${iter("r0", 1)},
+       |${iter("r1", 2)},
+       |${iter("r2", 3)},
+       |${iter("r3", 4)}
+       |SELECT node, r AS rank_scaled FROM r4 ORDER BY node""".stripMargin
+  }
+
+  /** Replay of graph_pagerank_personal: the same sink-bearing graph, but
+    * teleport (and the dangling-mass return) restricted to the SEED set
+    * (every 10th customer) — r0 puts scale//|S| on seeds and 0 elsewhere,
+    * each round adds the seed-only base and the seed-only dangling share.
+    * Same MATERIALIZED discipline as the dangling oracle (r{i-1} is
+    * referenced twice per round). */
+  private def personalPageRankOracle: String = {
+    val scale = pipeline.GraphAnalytics.PageRankScale
+    def iter(prev: String, i: Int): String =
+      s"""g$i AS MATERIALIZED (
+         |  SELECT CAST(COALESCE(SUM(p.r), 0) AS BIGINT)
+         |         // (SELECT ns FROM nsd) AS g
+         |  FROM $prev p JOIN dang ON p.node = dang.node),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    CASE WHEN n.is_seed THEN
+         |      ${scale * 15L} // ((SELECT ns FROM nsd) * 100) ELSE 0 END
+         |    + (85 * (COALESCE(s.m, 0) +
+         |        CASE WHEN n.is_seed THEN (SELECT g FROM g$i) ELSE 0 END))
+         |      // 100 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS nid, CAST(SUM(p.r // d.outdeg) AS BIGINT) AS m
+         |    FROM edges e JOIN $prev p ON e.src = p.node
+         |                 JOIN deg d ON e.src = d.src
+         |    GROUP BY 1) s ON n.node = s.nid)""".stripMargin
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT CAST(c_custkey AS BIGINT) + 100000 AS src,
+       |         CAST(c_nationkey AS BIGINT) AS dst FROM customer
+       |  UNION ALL
+       |  SELECT CAST(n_nationkey AS BIGINT),
+       |         CAST(n_regionkey AS BIGINT) + 900000 FROM nation),
+       |nodes0 AS MATERIALIZED (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |seeds AS MATERIALIZED (
+       |  SELECT CAST(c_custkey AS BIGINT) + 100000 AS node FROM customer
+       |  WHERE c_custkey % 10 = 0),
+       |nodes AS MATERIALIZED (
+       |  SELECT node, node IN (SELECT node FROM seeds) AS is_seed
+       |  FROM nodes0),
+       |nsd AS MATERIALIZED (
+       |  SELECT COUNT(*) AS ns FROM nodes WHERE is_seed),
+       |deg AS MATERIALIZED (
+       |  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |dang AS MATERIALIZED (
+       |  SELECT node FROM nodes
+       |  WHERE node NOT IN (SELECT src FROM edges)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, CASE WHEN is_seed
+       |    THEN $scale // (SELECT ns FROM nsd) ELSE 0 END AS r
+       |  FROM nodes),
        |${iter("r0", 1)},
        |${iter("r1", 2)},
        |${iter("r2", 3)},
@@ -7364,6 +7709,11 @@ object SparkEntry {
   // component entries pin, so each lives once --
   private val WsTokensSql =
     """len(regexp_split_to_array(trim(text), '\s+'))"""
+
+  /** The canonical aspect-bucket set shared by the mm_aspect_buckets
+    * entry and its oracle (square, landscape/portrait 4:3, wide/tall). */
+  private val AspectBucketList: Seq[(Int, Int)] =
+    Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
 
   /** The fixed query table for `text_bm25_batch` — shared by the entry
     * and its generated oracle. Query 5's term is absent from the corpus

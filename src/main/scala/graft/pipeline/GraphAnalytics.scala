@@ -167,6 +167,105 @@ object GraphAnalytics {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** Personalized PageRank: teleport restricted to a SEED set — the
+    * seed-based quality-propagation signal corpus curation uses (rank
+    * every document by its link/neighborhood proximity to a small
+    * curated trusted set; the classic web-scale recipe for scoring
+    * crawl pages against reference domains). Same integer-scaled exact
+    * recurrence as [[pageRank]], with two changes:
+    *
+    *   r₀(v)   = [v ∈ S] · (scale div |S|)
+    *   rᵢ₊₁(u) = [u ∈ S] · (scale·(dampDen−dampNum)) div (|S|·dampDen)
+    *           + (dampNum · (Σ_{v→u} rᵢ(v) div outdeg(v)
+    *                         + [u ∈ S] · (dᵢ div |S|))) div dampDen
+    *
+    * where dᵢ is the round's dangling mass — a sink's rank returns to
+    * the SEEDS (the personalized teleport target), not to every node.
+    * All floor divisions, so the fixpoint replays bit-identically in an
+    * external engine. A node unreachable from the seeds converges to
+    * rank 0 — exactly the curation reading ("no trust path").
+    *
+    * `seeds` is a one-column frame of node ids; ids not present in the
+    * edge table are dropped (a seed outside the graph can neither
+    * receive nor forward mass). Must select a non-empty set — checked
+    * up front with one limit-1 probe job (a 0-seed run would otherwise
+    * poison every division downstream, minutes later).
+    *
+    * Scale shape: identical to the redistribution path of [[pageRank]]
+    * — per round ONE right-outer src join + ONE zero-seeded aggregate
+    * (the seed flag and |S| ride the seed rows through the aggregate,
+    * max-folded), one 1-row dangling-mass broadcast back, per-round
+    * lazy localCheckpoint (same O(iters) executor-storage caveat).
+    *
+    * Output: (node LONG, rank_scaled LONG). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iters: Int = 3, scale: Long = PageRankScale,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"damping $dampNum/$dampDen must lie in (0, 1)")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val inGraphSeeds = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().join(nodes, Seq("node"), "left_semi")
+    require(!inGraphSeeds.isEmpty,
+      "personalizedPageRank needs at least one seed present in the graph")
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(outdeg, "src")
+    val flagged = nodes.join(
+      inGraphSeeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+    // one-row seed count, broadcast onto every rank row (N never touches
+    // the driver — the repo's 1-row crossJoin(broadcast) idiom)
+    val s1 = flagged.agg(
+      sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"))
+    val baseExpr = when(col("is_seed"),
+      expr(s"(${scale * (dampDen - dampNum)}) div (n_seeds * $dampDen)"))
+      .otherwise(0L)
+    var ranks = flagged.crossJoin(broadcast(s1))
+      .select(col("node"),
+        when(col("is_seed"), expr(s"$scale div n_seeds")).otherwise(0L)
+          .as("r"),
+        col("is_seed"), col("n_seeds"))
+    for (i <- 1 to iters) {
+      // right-outer src join: a dangling node's rank lands in the
+      // aggregate's null-dst group (same shape as pageRank's
+      // redistribution path); the seed flag and n_seeds ride the
+      // zero-seed rows, max ignores the contribs' nulls
+      val contrib = withDeg
+        .join(ranks.select(col("node").as("src"), col("r")),
+          Seq("src"), "right_outer")
+        .select(col("dst"),
+          when(col("outdeg").isNull, col("r"))
+            .otherwise(expr("r div outdeg")).as("c"),
+          lit(null).cast("boolean").as("sd"),
+          lit(null).cast("long").as("nn"))
+      val seeded = contrib.unionByName(
+        ranks.select(col("node").as("dst"), lit(0L).as("c"),
+          col("is_seed").as("sd"), col("n_seeds").as("nn")))
+      val agg = seeded.groupBy("dst")
+        .agg(sum("c").as("m"), max("sd").as("is_seed"),
+          max("nn").as("n_seeds"))
+      val d1 = agg.agg(coalesce(
+        sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
+      ranks = agg.filter(col("dst").isNotNull)
+        .crossJoin(broadcast(d1))
+        .select(col("dst").as("node"),
+          (baseExpr +
+            expr(s"($dampNum * (m + " +
+              s"(CASE WHEN is_seed THEN dm div n_seeds ELSE 0 END)))" +
+              s" div $dampDen")).as("r"),
+          col("is_seed"), col("n_seeds"))
+      // per-round lineage cut — the dangling extraction references the
+      // round's aggregate twice (see pageRank's redistribution note)
+      if (i < iters) ranks = ranks.localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
   /** Exact triangle count per node over an undirected pair graph — the
     * local-clustering signal (how knit a document's neighborhood is)
     * diversity pruning and community-shape diagnostics read next to

@@ -813,4 +813,78 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Aspect-ratio bucketing for image-training batch assembly (the
+    * SDXL-style recipe: group images by nearest canonical aspect so a
+    * batch resizes to ONE target shape with minimal distortion).
+    * Assigns each row the bucket `(bn, bd)` minimizing
+    * `|w/h − bn/bd|`, ties to the earliest bucket in `buckets` order —
+    * but computed ENTIRELY in integer cross-multiplication:
+    * `|w/h − n1/d1| < |w/h − n2/d2|  ⟺  |w·d1 − h·n1|·d2 < |w·d2 − h·n2|·d1`
+    * (h, d1, d2 > 0), so the assignment is exact — no float ratio, no
+    * engine-dependent rounding — and replays verbatim in any SQL engine
+    * ([[aspectBucketSql]] renders the same unrolled comparison chain).
+    *
+    * A pure codegen'd projection (static unroll over the bucket list,
+    * the [[graft.sources.Layout.zAddress]] discipline): no shuffle, no
+    * state; the downstream batch assembler groups on (bucket_n,
+    * bucket_d). Appends `bucket_n`/`bucket_d` INT columns. */
+  def aspectBuckets(df: DataFrame, widthCol: Column, heightCol: Column,
+      buckets: Seq[(Int, Int)]): DataFrame = {
+    val keys = aspectKeyScale(buckets)
+    val w = widthCol.cast("long")
+    val h = heightCol.cast("long")
+    // k_i = |w·d_i − h·n_i| · (D/d_i): the bucket errors brought to the
+    // common denominator D = Π d — exact longs, directly comparable
+    val k = buckets.zip(keys).map { case ((n, d), m) =>
+      abs(w * d - h * n) * m
+    }
+    // argmin with ties-to-earliest: index i wins iff it beats every
+    // earlier key strictly-or-equal from the left (k_j > k_i for j < i
+    // fails ⇒ earlier keeps it) — rendered as a flat CASE chain,
+    // O(|buckets|²) comparisons, one codegen'd projection
+    val bestIdx = buckets.indices.init.foldRight(
+      lit(buckets.size - 1)) { case (i, tail) =>
+      val wins = buckets.indices.filter(_ != i).map { j =>
+        if (j < i) k(j) > k(i) else k(j) >= k(i)
+      }.reduce(_ && _)
+      when(wins, lit(i)).otherwise(tail)
+    }
+    df.withColumn("__bi", bestIdx)
+      .withColumn("bucket_n", element_at(
+        array(buckets.map { case (n, _) => lit(n) }: _*), col("__bi") + 1))
+      .withColumn("bucket_d", element_at(
+        array(buckets.map { case (_, d) => lit(d) }: _*), col("__bi") + 1))
+      .drop("__bi")
+  }
+
+  /** Common-denominator multipliers D/d_i (D = Π d_j), with an overflow
+    * guard: keys are err · (D/d) ≤ (w·d + h·n) · D — far inside a long
+    * for image geometry and single-digit bucket counts. */
+  private def aspectKeyScale(buckets: Seq[(Int, Int)]): Seq[Long] = {
+    require(buckets.nonEmpty, "need at least one aspect bucket")
+    require(buckets.forall { case (n, d) => n > 0 && d > 0 },
+      "aspect buckets must be positive ratios")
+    val prod = buckets.map(_._2.toLong).product
+    require(prod <= (1L << 40),
+      s"bucket denominator product $prod too large for exact long keys")
+    buckets.map { case (_, d) => prod / d }
+  }
+
+  /** [[aspectBuckets]]' argmin as ANSI-ish SQL over width/height
+    * expressions — evaluates to the winning bucket INDEX, identical
+    * comparison chain (replay in any engine). */
+  def aspectBucketSql(w: String, h: String,
+      buckets: Seq[(Int, Int)]): String = {
+    val keys = aspectKeyScale(buckets)
+    val k = buckets.zip(keys).map { case ((n, d), m) =>
+      s"(abs(($w) * $d - ($h) * $n) * $m)"
+    }
+    buckets.indices.init.foldRight(s"${buckets.size - 1}") { case (i, tail) =>
+      val wins = buckets.indices.filter(_ != i).map { j =>
+        if (j < i) s"${k(j)} > ${k(i)}" else s"${k(j)} >= ${k(i)}"
+      }.mkString(" AND ")
+      s"(CASE WHEN $wins THEN $i ELSE $tail END)"
+    }
+  }
 }

@@ -494,6 +494,140 @@ object Retrieval {
        |ORDER BY score DESC, id LIMIT $topK""".stripMargin
   }
 
+  /** The expansion-term miner behind [[bm25PrfTopK]], exposed so the
+    * mined vocabulary itself is testable: tokens of the `fbDocs`
+    * top-BM25 documents, minus the original terms, minus tokens shorter
+    * than 3 chars (the cheap stopword-ish floor — deterministic, unlike
+    * a curated list), ranked by total occurrence count with ties broken
+    * by term. Returns at most `fbTerms` terms, most frequent first.
+    *
+    * Driver state: `fbDocs` ids + `fbTerms` strings — model-sized, the
+    * same bounded-collect discipline as [[collectStats]]'s k+2 longs. */
+  def prfExpansionTerms(
+      df: DataFrame, idCol: String, textCol: Column, terms: Seq[String],
+      fbDocs: Int = 5, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): Seq[String] = {
+    require(terms.nonEmpty, "query must have at least one term")
+    require(fbDocs > 0, s"fbDocs must be positive, got $fbDocs")
+    require(fbTerms >= 0, s"fbTerms must be >= 0, got $fbTerms")
+    val distinctTerms = terms.distinct
+    val fbIds = bm25TopK(df, idCol, textCol, distinctTerms, k1, b, fbDocs)
+      .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSeq
+    if (fbIds.isEmpty || fbTerms == 0) Nil
+    else df.filter(col(idCol).isin(fbIds: _*))
+      .select(explode(split(textCol, " ")).as("tok"))
+      .filter(col("tok") =!= "" && length(col("tok")) >= 3 &&
+        !col("tok").isin(distinctTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(fbTerms).collect().map(_.getString(0)).toSeq
+  }
+
+  /** Pseudo-relevance-feedback retrieval (the RM3 recipe reduced to its
+    * exact-arithmetic core): rank `fbDocs` documents by BM25 on the
+    * original terms, mine the `fbTerms` most frequent NEW terms from
+    * them ([[prfExpansionTerms]]), and re-retrieve with the union term
+    * set through the batch scorer — whose canonical term-sorted fold
+    * keeps the score deterministic however many terms the expansion
+    * adds (the original fixed-order column chain only works for a
+    * plan-time term list; an expanded set is data, so it takes the
+    * batch path's row fold).
+    *
+    * Scale shape: two corpus projection scans (the two retrieval
+    * rounds — inherent to PRF) + one scan FILTERED to the feedback ids
+    * (pushed to the parquet reader) for term mining; candidate shuffles
+    * are postings-bounded both rounds; no token explode over the
+    * corpus. The expanded vocabulary (≤ |terms| + fbTerms) rides into
+    * round 2 as the TermCounts kernel's plan-time lookup, exactly like
+    * a hand-written query.
+    *
+    * Output: (idCol, score DOUBLE, rank LONG), rank 1..topK by
+    * (score DESC, id). */
+  def bm25PrfTopK(
+      df: DataFrame, idCol: String, textCol: Column, terms: Seq[String],
+      fbDocs: Int = 5, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val distinctTerms = terms.distinct
+    val expansion = prfExpansionTerms(df, idCol, textCol, distinctTerms,
+      fbDocs, fbTerms, k1, b)
+    bm25BatchTopKLocal(df, idCol, textCol,
+        (distinctTerms ++ expansion).map(t => (0L, t)), k1, b, topK)
+      .select(col(idCol), col("score"), col("rank"))
+  }
+
+  /** DuckDB replay of [[bm25PrfTopK]]: round 1 is [[bm25OracleSql]]'s
+    * per-index column chain (fixed original-term order) LIMITed to the
+    * feedback set, the expansion mine is a grouped count over the
+    * feedback docs' tokens, and round 2 is [[bm25BatchOracleSql]]'s
+    * row-fold shape with the query CTE built from originals ∪ mined
+    * terms. */
+  def bm25PrfOracleSql(
+      table: String, idCol: String, terms: Seq[String],
+      fbDocs: Int = 5, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): String = {
+    val distinctTerms = terms.distinct
+    val termIn = distinctTerms.map(slit).mkString(", ")
+    val tf1 = distinctTerms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN tok = ${slit(t)} THEN 1 ELSE 0 END) AS tf$i"
+    }.mkString(",\n         ")
+    val dfAgg1 = distinctTerms.indices.map { i =>
+      s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i"
+    }.mkString(", ")
+    val score1 = distinctTerms.indices
+      .map(i => partialScoreSql(s"tf$i", s"df$i", k1, b))
+      .mkString("\n  + ")
+    val origRows = distinctTerms
+      .map(t => s"SELECT CAST(0 AS BIGINT) AS query_id, ${slit(t)} AS term")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${baseSql(table, idCol)},
+       |toks AS (
+       |  SELECT $idCol AS id, unnest(string_split(text, ' ')) AS tok
+       |  FROM $table),
+       |perdoc AS (
+       |  SELECT id, $tf1
+       |  FROM toks WHERE tok IN ($termIn)
+       |  GROUP BY id),
+       |dfs1 AS (SELECT $dfAgg1 FROM perdoc),
+       |fb AS (
+       |  SELECT id,
+       |  $score1 AS score
+       |  FROM perdoc JOIN base USING (id) CROSS JOIN stats CROSS JOIN dfs1
+       |  ORDER BY score DESC, id LIMIT $fbDocs),
+       |exp AS (
+       |  SELECT tok AS term FROM toks
+       |  WHERE id IN (SELECT id FROM fb) AND tok <> ''
+       |    AND length(tok) >= 3 AND tok NOT IN ($termIn)
+       |  GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT $fbTerms),
+       |q AS (
+       |  SELECT CAST(0 AS BIGINT) AS query_id, term FROM exp
+       |  UNION ALL $origRows),
+       |tfx AS (
+       |  SELECT id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM toks
+       |  WHERE tok IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY 1, 2),
+       |dfsx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+       |         FROM tfx GROUP BY 1),
+       |parts AS (
+       |  SELECT q.query_id, tfx.id, tfx.term,
+       |    ${partialScoreSql("tf", "df", k1, b)}
+       |      AS part
+       |  FROM tfx
+       |  JOIN q USING (term) JOIN dfsx USING (term) JOIN base USING (id)
+       |  CROSS JOIN stats),
+       |scored AS (
+       |  SELECT id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |             list(part ORDER BY term)),
+       |           (a, x) -> a + x) AS score
+       |  FROM parts GROUP BY query_id, id)
+       |SELECT id AS $idCol, score,
+       |       CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+       |         AS rank
+       |FROM scored
+       |ORDER BY score DESC, id LIMIT $topK""".stripMargin
+  }
+
   /** The inverted index as DURABLE parquet artifacts — the
     * index-as-stored-table discipline the ANN family follows
     * (annPqEncodeTable / minhashDedupAgainstTables), applied to lexical
@@ -554,6 +688,50 @@ object Retrieval {
         when(sum(col("n")) === 0L, lit(null).cast("long"))
           .otherwise(sum(col("sumdl"))).as("sumdl"))
     (postingsDelta, doclensDelta, merged)
+  }
+
+  /** Incremental DELETION from the stored BM25 index — the other half
+    * of the maintenance story next to [[bm25AppendToTables]] (reference
+    * discipline: crash-durable index delete, HyperStorage index
+    * DELETE → IndexManager cascade): drop the deleted ids' postings and
+    * doclens rows and fold the one-row stats DOWN (n −= |deleted ∩
+    * index|, sumdl −= Σ their dl — exact longs; ids absent from the
+    * index are no-ops, and the empty-corpus (n=0, sumdl=NULL)
+    * convention is restored when the last document leaves). Per-term
+    * dfs derive at QUERY time from the pruned postings, so a deleted
+    * document stops contributing to every term's df without any
+    * term-level bookkeeping. Serving over the shrunk tables is
+    * BIT-identical to a full rebuild on the remaining corpus —
+    * spec-pinned for both stored serving paths.
+    *
+    * The returned frames are the LOGICAL post-delete index. A
+    * deployment realizes them either as a snapshot rewrite (small
+    * indexes) or as delete-vector sidecars merged at scan time (the
+    * lakehouse pattern — the anti join below is exactly the scan-time
+    * merge); either realization must preserve the serving semantics
+    * pinned here. Both anti joins broadcast the deleted-id set when it
+    * is small (the common case) — the postings table is never
+    * shuffled. */
+  def bm25DeleteFromTables(deleteIds: DataFrame, idCol: String,
+      postings: DataFrame, doclens: DataFrame, stats: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ids = deleteIds.select(col(idCol).cast("long").as("id")).distinct()
+    val newPostings = postings.join(ids, Seq("id"), "left_anti")
+    val newDoclens = doclens.join(ids, Seq("id"), "left_anti")
+    // the fold-down delta comes from the doclens rows actually present:
+    // deleting an unknown id changes nothing
+    val delta = doclens.join(ids, Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("__dn"),
+        coalesce(sum(col("dl")), lit(0L)).as("__dsum"))
+    val merged = stats.crossJoin(broadcast(delta))
+      .select(
+        (coalesce(col("n"), lit(0L)).cast("long") - col("__dn")).as("__n"),
+        (coalesce(col("sumdl"), lit(0L)).cast("long") - col("__dsum"))
+          .as("__s"))
+      .select(col("__n").as("n"),
+        when(col("__n") === 0L, lit(null).cast("long"))
+          .otherwise(col("__s")).as("sumdl"))
+    (newPostings, newDoclens, merged)
   }
 
   /** BM25 over the STORED index: the scan touches only the query terms'

@@ -744,4 +744,27 @@ object Stats {
   /** Decimal → double via the string rendering (correctly-rounded parse on
     * both engines — see SparkEntry's helper of the same shape). */
   private def decAsDouble(c: Column): Column = c.cast("string").cast("double")
+
+  /** k-anonymity audit over quasi-identifier columns: a released dataset
+    * re-identifies people when some COMBINATION of innocuous columns
+    * (language × source × length bucket, zip × age × gender …) is rare
+    * enough to single a record out — PII redaction alone
+    * ([[TextAnalysis]]' redact pass) never catches this, because each
+    * column is harmless in isolation. Returns every quasi-identifier
+    * group with fewer than `k` members (the rows a k-anonymous release
+    * must suppress or generalize) plus its size.
+    *
+    * Scale shape: ONE hash aggregation on the quasi-identifier tuple with
+    * map-side combine, then a size filter — the shuffle carries at most
+    * |distinct QI tuples| rows, and the output only the sub-k tail. No
+    * windows, no joins; a skewed identifier tuple is exactly the case
+    * the filter drops. Output: (qi columns…, n) for groups with n < k. */
+  def kAnonymityRisk(df: DataFrame, qiCols: Seq[Column], k: Long)
+      : DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=1 is vacuous), got $k")
+    df.groupBy(qiCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

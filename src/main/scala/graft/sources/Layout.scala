@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout: z-order (Morton) clustering.
@@ -61,4 +62,56 @@ object Layout {
     df.withColumn(zName, zAddress(col(xCol), col(yCol), bits))
       .repartitionByRange(numFiles, col(zName))
       .sortWithinPartitions(zName)
+
+  /** Small-file compaction planning (the OPTIMIZE/bin-packing shape; the
+    * reference's store plays this role via Cassandra compaction —
+    * db/scheme.cql:1-11 relies on it to keep one physical row per key).
+    * An incrementally-written 100 TB table accumulates millions of
+    * undersized files; the planner takes the file INVENTORY (a metadata
+    * table: partition, file, bytes — never the data itself) and assigns
+    * every undersized file to a rewrite bin of ~`targetBytes`.
+    *
+    * Semantics (pinned by LayoutSpec): files with `bytes >= targetBytes`
+    * are already compact and keep `bin = -1` (left in place — rewriting
+    * them would be wasted I/O). Within each partition the undersized
+    * files are laid out largest-first (bytes DESC, then file name for
+    * determinism) along a virtual byte stream; a file belongs to the bin
+    * where its first byte lands (`bin = floor(start_byte/targetBytes)` —
+    * the same concat-and-chunk assignment as
+    * [[graft.pipeline.Packing.packSequences]]). The operational bounds
+    * (pinned by LayoutSpec): every bin holds < 2·targetBytes (member
+    * files each < target and first-byte offsets within one bin span <
+    * target, so no rewrite task blows up), a partition plans at most
+    * `floor((totalSmallBytes-1)/targetBytes)+1` bins (average fill ≈
+    * target — the task count shrinks the file count by ~target/avgSize),
+    * and bins never span partitions (a rewrite task reads files from one
+    * directory). Largest-first keeps tails small but bins are NOT
+    * guaranteed >= target individually — a just-overflowed predecessor
+    * can leave a short bin; the count bound is the real guarantee.
+    *
+    * Scale shape: ONE hash shuffle on the partition key + a per-partition
+    * window sort over FILE COUNTS (metadata cardinality, not data size);
+    * the inventory for a million-file table is a few hundred MB spread
+    * over the cluster. Deterministic, so a re-run after a planner crash
+    * reproduces the same bins — rewrite tasks are idempotently retryable.
+    *
+    * Output: the inventory columns plus `start_byte` (the file's offset
+    * in its partition's undersized stream; -1 for kept files) and `bin`.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val small = files.filter(col(bytesCol) < targetBytes)
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(bytesCol).desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val planned = small
+      .withColumn("start_byte",
+        coalesce(sum(col(bytesCol).cast("long")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_byte div $targetBytes"))
+    files.filter(col(bytesCol) >= targetBytes)
+      .withColumn("start_byte", lit(-1L))
+      .withColumn("bin", lit(-1L))
+      .unionByName(planned)
+  }
 }

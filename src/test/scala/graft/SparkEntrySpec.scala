@@ -29,8 +29,8 @@ class SparkEntrySpec extends AnyFreeSpec with Matchers with SparkFixture {
       // in-repo loud failure if an entry (or its oracle) is dropped by
       // refactoring. Raise the floor when entries are ADDED; never
       // lower it.
-      SparkEntry.queries.size should be >= 211
-      SparkEntry.oracleSql.size should be >= 211
+      SparkEntry.queries.size should be >= 219
+      SparkEntry.oracleSql.size should be >= 219
     }
     "every registered entry appears in the committed bench board" in {
       // a wave that lands entries without benching them would pass the

@@ -115,6 +115,74 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
         reference(edges, 3, dangling = true)
     }
 
+    it("personalized: matches a driver-side replay of the seeded recurrence") {
+      def ppr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int)
+          : Map[Long, Long] = {
+        val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+        val s = nodes.filter(seeds.contains)
+        val ns = s.size.toLong
+        val outdeg = edges.groupBy(_._1)
+          .map { case (a, es) => a -> es.size.toLong }
+        var r = nodes.map(v =>
+          v -> (if (seeds(v)) Scale / ns else 0L)).toMap
+        for (_ <- 1 to iters) {
+          val incoming = edges
+            .map { case (a, d) => d -> r(a) / outdeg(a) }
+            .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+          val g = nodes.filterNot(outdeg.contains).map(r).sum / ns
+          r = nodes.map(v => v -> (
+            (if (seeds(v)) Scale * 15L / (ns * 100L) else 0L) +
+              85L * (incoming.getOrElse(v, 0L) +
+                (if (seeds(v)) g else 0L)) / 100L)).toMap
+        }
+        r
+      }
+      def runP(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int)
+          : Map[Long, Long] =
+        GraphAnalytics.personalizedPageRank(
+            edges.toDF("src", "dst"), "src", "dst",
+            seeds.toSeq.toDF("node"), "node", iters = iters)
+          .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      // hand graph with a sink (5) and a node unreachable from the
+      // seed (4 has no in-edges): rank(4) must converge to exactly 0
+      val g = Seq((1L, 2L), (2L, 1L), (4L, 1L), (1L, 5L))
+      val got = runP(g, Set(1L), 3)
+      got shouldBe ppr(g, Set(1L), 3)
+      got(4L) shouldBe 0L
+      // seeded random graphs with sinks and hubs
+      def lcg(seed: Long): Iterator[Long] =
+        Iterator.iterate(seed)(s =>
+          s * 6364136223846793005L + 1442695040888963407L).drop(1)
+      for (seed <- Seq(11L, 503L)) {
+        val rnd = lcg(seed)
+        val edges = (1 to 50).map { _ =>
+          val a = math.floorMod(rnd.next(), 20L) + 1L
+          val b = math.floorMod(rnd.next(), 30L) + 1L
+          (a, if (a == b) b + 30L else b)
+        }.distinct
+        val seeds = Set(1L, 2L, 3L)
+        withClue(s"seed $seed: ") {
+          runP(edges, seeds, 3) shouldBe ppr(edges, seeds, 3)
+        }
+      }
+      // seeds covering EVERY node degenerate to uniform teleport: the
+      // result must BIT-match pageRank with dangling redistribution
+      val allNodes = (g.map(_._1) ++ g.map(_._2)).toSet
+      runP(g, allNodes, 4) shouldBe run(g, 4, dangling = true)
+      // a seed id absent from the graph is dropped, not invented
+      val withGhost = GraphAnalytics.personalizedPageRank(
+          g.toDF("src", "dst"), "src", "dst",
+          Seq(1L, 999L).toDF("node"), "node", iters = 2)
+        .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+      withGhost shouldBe ppr(g, Set(1L), 2)
+      withGhost.keySet should not contain 999L
+      // an effectively-empty seed set fails fast at construction
+      an[IllegalArgumentException] should be thrownBy
+        GraphAnalytics.personalizedPageRank(
+          g.toDF("src", "dst"), "src", "dst",
+          Seq(999L).toDF("node"), "node", iters = 2)
+    }
+
     it("long runs checkpoint: plan depth is bounded at iters=20") {
       val g = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
       val df20 = GraphAnalytics.pageRank(g.toDF("src", "dst"), "src", "dst",

@@ -1218,6 +1218,55 @@ class PipelineSpec extends AnyFreeSpec with Matchers with SparkFixture {
       ex.getMessage should include("bands >= 2")
     }
 
+    "aspectBuckets: nearest canonical ratio, exact ties-to-earliest" in {
+      import spark.implicits._
+      val buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+      val canonical = Seq(
+        (100, 100, 1, 1), (1024, 768, 4, 3), (768, 1024, 3, 4),
+        (1920, 1080, 16, 9), (1080, 1920, 9, 16),
+        (8, 5, 16, 9) // 1.6 sits between 4:3 (1.33) and 16:9 (1.78)
+      )
+      val got = Multimodal.aspectBuckets(
+          canonical.map { case (w, h, _, _) => (w, h) }.toDF("w", "h"),
+          col("w"), col("h"), buckets)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getInt(3)))).toMap
+      canonical.foreach { case (w, h, n, d) =>
+        withClue(s"($w x $h): ") { got((w, h)) shouldBe ((n, d)) }
+      }
+      // exact tie: 5/4 is equidistant from 1/1 and 3/2 -> earliest wins
+      val tie = Multimodal.aspectBuckets(
+          Seq((5, 4)).toDF("w", "h"), col("w"), col("h"),
+          Seq((1, 1), (3, 2)))
+        .collect()(0)
+      (tie.getInt(2), tie.getInt(3)) shouldBe ((1, 1))
+    }
+
+    "aspectBuckets: matches a driver-side argmin over a geometry grid, and the SQL render matches the operator" in {
+      import spark.implicits._
+      val buckets = Seq((1, 1), (4, 3), (3, 4), (16, 9), (9, 16))
+      val prod = buckets.map(_._2.toLong).product
+      def ref(w: Long, h: Long): Int = {
+        val keys = buckets.map { case (n, d) =>
+          math.abs(w * d - h * n) * (prod / d)
+        }
+        keys.indexOf(keys.min)
+      }
+      val grid = for (w <- 1 to 24; h <- 1 to 24) yield (w, h)
+      val df = grid.toDF("w", "h")
+      val got = Multimodal.aspectBuckets(df, col("w"), col("h"), buckets)
+        .withColumn("sql_idx", expr(
+          Multimodal.aspectBucketSql("w", "h", buckets)))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+          ((r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+      grid.foreach { case (w, h) =>
+        val i = ref(w, h)
+        withClue(s"($w x $h): ") {
+          got((w, h)) shouldBe ((buckets(i)._1, buckets(i)._2, i))
+        }
+      }
+    }
+
     "imageDHash: identical pixels give identical fingerprints; dedup finds them" in {
       import spark.implicits._
       // planted copy: media 900 reuses media 3's pixel basis — a REAL

@@ -358,6 +358,53 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Retrieval.bm25PrfTopK" - {
+    val corpus = Seq(
+      (1L, "apple banana cherry pad"),
+      (2L, "apple banana durian pad"),
+      (3L, "apple elderberry fig pad"),
+      (4L, "kiwi lime mango pad"),
+      (5L, "banana cherry durian pad")
+    ).toDF("doc_id", "text")
+
+    "mines the most frequent NEW terms from the feedback docs" in {
+      // round 1 on "apple": docs 1,2,3 tie (same tf, same dl) → top-2 by
+      // id = {1,2}; their tokens minus "apple"/short: banana ×2,
+      // cherry ×1, durian ×1, pad ×2 → top-3 by (count desc, term) =
+      // banana, pad, cherry
+      Retrieval.prfExpansionTerms(corpus, "doc_id", col("text"),
+        Seq("apple"), fbDocs = 2, fbTerms = 3) shouldBe
+        Seq("banana", "pad", "cherry")
+      // original terms and sub-3-char tokens are never mined
+      Retrieval.prfExpansionTerms(corpus, "doc_id", col("text"),
+        Seq("apple"), fbDocs = 2, fbTerms = 10) should not contain "apple"
+      // fbTerms = 0 disables expansion
+      Retrieval.prfExpansionTerms(corpus, "doc_id", col("text"),
+        Seq("apple"), fbDocs = 2, fbTerms = 0) shouldBe Nil
+    }
+
+    "expanded retrieval equals the batch scorer on originals + mined terms" in {
+      val mined = Retrieval.prfExpansionTerms(corpus, "doc_id",
+        col("text"), Seq("apple"), fbDocs = 2, fbTerms = 2)
+      val viaPrf = Retrieval.bm25PrfTopK(corpus, "doc_id", col("text"),
+          Seq("apple"), fbDocs = 2, fbTerms = 2, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val viaBatch = Retrieval.bm25BatchTopKLocal(corpus, "doc_id",
+          col("text"), ("apple" +: mined).map(t => (0L, t)), topK = 5)
+        .select(col("doc_id"), col("score"), col("rank"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      viaPrf.sortBy(_._3) shouldBe viaBatch.sortBy(_._3)
+      // the recall win PRF exists for: doc 5 has NO original term but
+      // carries the expansion vocabulary, so round 2 retrieves it
+      viaPrf.map(_._1) should contain(5L)
+    }
+
+    "a query with zero candidates expands to nothing and returns empty" in {
+      Retrieval.bm25PrfTopK(corpus, "doc_id", col("text"),
+        Seq("zzzabsent"), fbDocs = 2, fbTerms = 2).count() shouldBe 0L
+    }
+  }
+
   "Retrieval.bm25IndexTables" - {
     "the stored-index path equals the inline path through a parquet round trip" in {
       val terms = Seq("the", "data", "the") // repeated term exercises slots
@@ -493,6 +540,68 @@ class RetrievalSpec extends AnyFreeSpec with Matchers with SparkFixture {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
       batchFull should not be empty
       batchAppended.toSeq shouldBe batchFull.toSeq
+    }
+
+    "delete maintenance: shrunk index serves bit-identically to a rebuild on the remaining corpus" in {
+      // the other half of the lifecycle: remove a document set from the
+      // stored index (anti-joined postings/doclens, stats folded DOWN)
+      // and serve exactly what a fresh build over the survivors serves —
+      // dfs derive at query time, so deleted docs vanish from every
+      // term's df with no term-level bookkeeping. A deleted id that was
+      // never indexed is a no-op.
+      val deleted = docs.filter(col("doc_id") % 7 === 0)
+      deleted.count() should be > 0L
+      val remaining = docs.filter(col("doc_id") % 7 =!= 0)
+      val (p0, d0, st0) = Retrieval.bm25IndexTables(docs, "doc_id", col("text"))
+      val ghosts = deleted.select(col("doc_id"))
+        .unionByName(spark.range(1).select(lit(999999L).as("doc_id")))
+      val (p1, d1, st1) = Retrieval.bm25DeleteFromTables(
+        ghosts, "doc_id", p0, d0, st0)
+      // the folded-down one-row stats equals the rebuilt row exactly
+      val (_, _, stRemaining) =
+        Retrieval.bm25IndexTables(remaining, "doc_id", col("text"))
+      st1.collect().toSeq shouldBe stRemaining.collect().toSeq
+      val terms = Seq("the", "data")
+      val queries = Seq(1L -> "the", 1L -> "data", 2L -> "spark")
+      val fromRebuild = Retrieval.bm25TopK(remaining, "doc_id",
+          col("text"), terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      val fromShrunk = Retrieval.bm25TopKFromTables(p1, d1, st1,
+          "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      fromRebuild should not be empty
+      fromShrunk.toSeq shouldBe fromRebuild.toSeq
+      val batchRebuild = Retrieval.bm25BatchTopKLocal(remaining, "doc_id",
+          col("text"), queries, topK = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val batchShrunk = Retrieval.bm25BatchTopKFromTables(p1, d1, st1,
+          "doc_id", queries, topK = 5)
+        .orderBy("query_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      batchRebuild should not be empty
+      batchShrunk.toSeq shouldBe batchRebuild.toSeq
+      // deleting only unknown ids changes nothing
+      import spark.implicits._
+      val (pSame, dSame, stSame) = Retrieval.bm25DeleteFromTables(
+        Seq(424242L).toDF("doc_id"), "doc_id", p0, d0, st0)
+      stSame.collect().toSeq shouldBe st0.collect().toSeq
+      pSame.count() shouldBe p0.count()
+      dSame.count() shouldBe d0.count()
+    }
+
+    "deleting EVERY document restores the empty-index convention" in {
+      val (p0, d0, st0) = Retrieval.bm25IndexTables(docs, "doc_id", col("text"))
+      val (p1, d1, st1) = Retrieval.bm25DeleteFromTables(
+        docs.select(col("doc_id")), "doc_id", p0, d0, st0)
+      p1.count() shouldBe 0L
+      d1.count() shouldBe 0L
+      // (n=0, sumdl=NULL) — byte-identical to a fresh empty build
+      val (_, _, stEmpty) = Retrieval.bm25IndexTables(
+        docs.filter(lit(false)), "doc_id", col("text"))
+      st1.collect().toSeq shouldBe stEmpty.collect().toSeq
+      Retrieval.bm25TopKFromTables(p1, d1, st1, "doc_id", Seq("the"))
+        .count() shouldBe 0L
     }
 
     "append onto an EMPTY index equals a fresh build of the batch" in {

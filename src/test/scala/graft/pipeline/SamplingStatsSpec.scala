@@ -656,4 +656,35 @@ class SamplingStatsSpec extends AnyFreeSpec with Matchers with SparkFixture {
       g("skew") should be > 0.7
     }
   }
+
+  "Stats.kAnonymityRisk" - {
+    "returns exactly the sub-k quasi-identifier groups with their sizes" in {
+      import spark.implicits._
+      val df = Seq(
+        ("en", "web", 1L), ("en", "web", 1L), ("en", "web", 1L), // n=3
+        ("en", "web", 2L),                                       // n=1
+        ("de", "web", 1L), ("de", "web", 1L),                    // n=2
+        ("de", "book", 9L), ("de", "book", 9L), ("de", "book", 9L)
+      ).toDF("lang", "source", "bucket")
+      val got = Stats.kAnonymityRisk(df,
+          Seq(col("lang"), col("source"), col("bucket")), k = 3)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+          r.getLong(3)).toMap
+      got shouldBe Map(
+        ("en", "web", 2L) -> 1L,
+        ("de", "web", 1L) -> 2L)
+    }
+
+    "a k-anonymous table yields no findings; k is validated" in {
+      import spark.implicits._
+      val df = Seq.fill(4)(("en", 1L)).toDF("lang", "bucket")
+      Stats.kAnonymityRisk(df, Seq(col("lang"), col("bucket")), k = 4)
+        .count() shouldBe 0L
+      an[IllegalArgumentException] should be thrownBy
+        Stats.kAnonymityRisk(df, Seq(col("lang")), k = 1)
+      an[IllegalArgumentException] should be thrownBy
+        Stats.kAnonymityRisk(df, Seq.empty, k = 5)
+    }
+  }
 }

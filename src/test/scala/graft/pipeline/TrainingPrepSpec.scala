@@ -98,6 +98,51 @@ class TrainingPrepSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "Packing.shardManifest" - {
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      Packing.shardManifest(df, "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        org.apache.spark.sql.functions.length(col("text")),
+        Sampling.md5Hash60(col("text")), shards = 8)
+
+    "masses and counts reconcile with the corpus totals" in {
+      val m = manifest(docs).collect()
+      m.map(_.getLong(1)).sum shouldBe docs.count()
+      m.map(_.getLong(3)).sum shouldBe
+        docs.agg(sum(org.apache.spark.sql.functions.length(col("text"))))
+          .collect()(0).getLong(0)
+      // shard ids inside range, every non-empty shard exactly once
+      val ids = m.map(_.getLong(0))
+      ids.distinct.length shouldBe ids.length
+      all(ids) should (be >= 0L and be < 8L)
+    }
+
+    "the checksum is partitioning-invariant (order-independent fold)" in {
+      val a = manifest(docs).collect()
+        .map(r => r.getLong(0) -> r.getLong(4)).toMap
+      val b = manifest(docs.repartition(17).sortWithinPartitions("n_chars"))
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      b shouldBe a
+    }
+
+    "appending a batch only ADDS to shards: old manifest lines stay prefixes" in {
+      // hash sharding => a doc's shard never changes when others arrive;
+      // per-shard counters only grow and min/max ranges only widen
+      val before = manifest(docs.filter(col("doc_id") % 3 =!= 0)).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val after = manifest(docs).collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      before.foreach { case (shard, (docs0, tok0, bytes0)) =>
+        val (docs1, tok1, bytes1) = after(shard)
+        docs1 should be >= docs0
+        tok1 should be >= tok0
+        bytes1 should be >= bytes0
+      }
+    }
+  }
+
   "Dedup.substringDupPairs" - {
     "finds docs sharing an aligned width-char run; counts distinct windows" in {
       import spark.implicits._

@@ -86,4 +86,70 @@ class LayoutSpec extends AnyFreeSpec with Matchers with SparkFixture {
       .sortBy(_._1) shouldBe df.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
   }
+
+  "compactionPlan: hand-checked bins, kept files, and the fill invariant" in {
+    import spark.implicits._
+    val inv = Seq(
+      // partition a: 5 small files, largest-first stream
+      // 90, 70, 50, 30, 10 → starts 0, 90, 160, 210, 240
+      // target 100 → bins 0, 0, 1, 2, 2
+      ("a", "f1", 90L), ("a", "f2", 70L), ("a", "f3", 50L),
+      ("a", "f4", 30L), ("a", "f5", 10L),
+      // partition b: one file already compact, two small
+      ("b", "g1", 100L), ("b", "g2", 60L), ("b", "g3", 60L)
+    ).toDF("part", "file", "bytes")
+    val plan = Layout.compactionPlan(inv, "part", "file", "bytes", 100L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    plan(("a", "f1")) shouldBe ((0L, 0L))
+    plan(("a", "f2")) shouldBe ((90L, 0L))
+    plan(("a", "f3")) shouldBe ((160L, 1L))
+    plan(("a", "f4")) shouldBe ((210L, 2L))
+    plan(("a", "f5")) shouldBe ((240L, 2L))
+    // g1 is at target: kept in place, sentinel offsets
+    plan(("b", "g1")) shouldBe ((-1L, -1L))
+    plan(("b", "g2")) shouldBe ((0L, 0L))
+    plan(("b", "g3")) shouldBe ((60L, 0L))
+    plan.size shouldBe inv.count()
+  }
+
+  "compactionPlan: the size and count bounds hold; plans are idempotent" in {
+    import spark.implicits._
+    val target = 1000L
+    val inv = (1 to 400).map { i =>
+      (s"p${i % 7}", f"f$i%03d", (i * 37 % 900 + 17).toLong)
+    }.toDF("part", "file", "bytes")
+    val plan = Layout.compactionPlan(inv, "part", "file", "bytes", target)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly the undersized files are binned; the rest keep -1
+    plan.foreach { case (_, _, bytes, _, bin) =>
+      withClue(s"bytes=$bytes: ") {
+        (bin >= 0) shouldBe (bytes < target)
+      }
+    }
+    // every bin rewrites < 2*target bytes (bounded task size) and a
+    // partition plans at most floor((total-1)/target)+1 bins (bounded
+    // task count => average fill ~ target); bins never span partitions
+    // by construction of the per-(part, bin) grouping below
+    plan.filter(_._5 >= 0).groupBy(t => (t._1, t._5)).foreach {
+      case ((part, bin), files) =>
+        withClue(s"$part bin $bin oversized: ") {
+          files.map(_._3).sum should be < 2 * target
+        }
+    }
+    plan.filter(_._5 >= 0).groupBy(_._1).foreach { case (part, files) =>
+      val total = files.map(_._3).sum
+      val bins = files.map(_._5).distinct.size
+      withClue(s"$part: $bins bins for $total bytes: ") {
+        bins.toLong should be <= (total - 1) / target + 1
+      }
+    }
+    // deterministic: a re-run plans identical bins (idempotent retries)
+    val again = Layout.compactionPlan(inv, "part", "file", "bytes", target)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4)))
+    again.sortBy(t => (t._1, t._2)) shouldBe plan.sortBy(t => (t._1, t._2))
+  }
 }
