@@ -43,6 +43,22 @@ object Probe {
         println(plan.linesIterator.take(30).mkString("\n"))
       }
     }
+    if (what == "fplans") {
+      // Probe <dir> fplans <q1,q2,...> <outdir> <suffix> — write
+      // explain("formatted") of each entry to <outdir>/<q>_<suffix>.txt
+      val qs = args(2).split(",").toSeq
+      val outDir = args(3)
+      val suffix = if (args.length > 4) args(4) else "plan"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      for (q <- qs) {
+        val df = SparkEntry.queries(q)(spark, dir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${q}_$suffix.txt"), txt)
+        println(s"[fplans] wrote $outDir/${q}_$suffix.txt")
+      }
+    }
     if (what == "o4") {
       // decompose o4: adaptation/persist vs guard agg vs top-k
       import graft.engine._

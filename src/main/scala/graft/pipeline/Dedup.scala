@@ -316,18 +316,23 @@ object Dedup {
     * candidates + full-array verify path instead (review finding,
     * round 9). */
   private def coShingleCounts(shingled: DataFrame): DataFrame = {
-    val pruned = prunedExplodedShingles(shingled, None)
-    val pairs = pruned.hint("merge").alias("a")
-      .join(pruned.hint("merge").alias("b"),
+    // the set sizes RIDE the exploded rows through the self-join (8
+    // bytes per side) instead of joining back afterwards: the old shape
+    // paid two more exchanges + sorts of the full PAIR table (by id_a,
+    // then id_b) plus two of the size table — for a value that is
+    // functionally determined by the pair key and already known at
+    // explode time. Same trick ngramJaccardPairsPrefix uses for its
+    // prefix bound. Measured (sf0.1 documents, same-session A/B):
+    // 1.9 → 1.1 s; plan drops from 5 exchanges to 3.
+    val ex = shingled
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
+      .hint("merge")
+    ex.alias("a")
+      .join(ex.alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = shingled.select(col("id"), size(col("sh")).as("sz"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))
-        .hint("merge"), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))
-        .hint("merge"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        max(col("a.sz")).as("sz_a"), max(col("b.sz")).as("sz_b"))
   }
 
   /** PREFIX-FILTERED exact Jaccard pairs (AllPairs/ppjoin candidate
@@ -555,15 +560,25 @@ object Dedup {
     }
 
   def duplicateClusters(pairs: DataFrame): DataFrame = {
+    // persist the symmetrized edges PARTITIONED BY THE JOIN KEY: distinct()
+    // leaves the cache hash(src, dst)-partitioned, which satisfies no
+    // requirement of the per-round join on `src` — every round would
+    // re-exchange the whole edge table. One up-front repartition(src)
+    // makes the cached layout the join's required distribution, so the
+    // loop shuffles only the (changing) label table per round. Measured
+    // (sf0.1 knn graph, 10 rounds, same-session A/B): loop 3.06 → 2.45 s
+    // together with the check cadence below.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster_id", col("id")).localCheckpoint()
     val idType = labels.schema("cluster_id").dataType
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val hop = edges
         .join(labels.select(col("id").as("src"), col("cluster_id")),
           Seq("src"))
@@ -582,7 +597,14 @@ object Dedup {
         .groupBy("id").agg(min("cluster_id").as("cluster_id"),
           min("prev").as("prev"))
         .localCheckpoint()
-      changed = next.filter(col("cluster_id") =!= col("prev")).count()
+      // convergence check every SECOND round: labels move monotonically
+      // toward the component min, so a skipped check can only run one
+      // extra (cheap, already-converged) round — while each check is a
+      // separate driver action over the round's blocks. Even-diameter
+      // graphs pay half the check jobs and no extra round; odd-diameter
+      // ones trade one ~free round for half the checks. The result is
+      // check-cadence-independent (the fixpoint is unique).
+      changed = if (round % 2 == 0) next.filter(col("cluster_id") =!= col("prev")).count() else 1L
       // release the superseded round's checkpoint blocks NOW — without
       // this, executors hold O(rounds) full label-table copies until GC
       releaseLocalCheckpoint(labels)
@@ -655,13 +677,24 @@ object Dedup {
       // Both conditions fold into ONE shuffle aggregate over the edge
       // endpoints (a per-node parent flag + child count), not an
       // intersect-plus-groupBy pair of jobs.
-      val offenders = next
-        .select(col("u").as("x"), lit(1L).as("p"), lit(0L).as("c"))
-        .unionByName(
-          next.select(col("v").as("x"), lit(0L).as("p"), lit(1L).as("c")))
-        .groupBy("x").agg(max("p").as("p"), sum("c").as("c"))
-        .filter((col("p") === 1 && col("c") > 0) || col("c") > 1)
-      done = offenders.limit(1).count() == 0
+      // the check costs a full endpoint aggregate + a driver action per
+      // round (~0.2 s scheduling floor at local[32]); a graph holding ANY
+      // 2-hop path cannot be a star union before round 3, so the first
+      // two checks can never fire there — skip them. Degenerate inputs
+      // (already a union of depth-1 stars) converge at round 1 and now
+      // pay two extra no-op rounds; the certifying check remains the
+      // SOLE terminator, so correctness is cadence-independent.
+      // Measured (sf0.1 knn graph, 4 rounds, same-session A/B):
+      // loop 2.08 → 1.63 s.
+      done = round >= 3 && {
+        val offenders = next
+          .select(col("u").as("x"), lit(1L).as("p"), lit(0L).as("c"))
+          .unionByName(
+            next.select(col("v").as("x"), lit(0L).as("p"), lit(1L).as("c")))
+          .groupBy("x").agg(max("p").as("p"), sum("c").as("c"))
+          .filter((col("p") === 1 && col("c") > 0) || col("c") > 1)
+        offenders.limit(1).count() == 0
+      }
       releaseLocalCheckpoint(edges)
       edges = next
     }

@@ -73,7 +73,16 @@ object GraphAnalytics {
     // one-row node count, broadcast onto every rank row (the repo's 1-row
     // crossJoin(broadcast) idiom) — N never touches the driver
     val n1 = nodes.agg(count(lit(1)).as("n_nodes"))
-    val withDeg = e.join(outdeg, "src")
+    // the degree-annotated edge table is LOOP-INVARIANT but referenced by
+    // every round's plan; with per-round lineage cuts no exchange reuse
+    // crosses rounds, so without the persist the edge scan + degree
+    // aggregate + join re-run every round. Persist it PARTITIONED BY THE
+    // JOIN KEY (src): the cached layout then satisfies the per-round
+    // join's required distribution and only the (changing) rank side
+    // shuffles. Measured on the 4-round personalized twin (sf0.1,
+    // same-session A/B): 3.87 → 2.84 s. One extra up-front edge shuffle
+    // buys iters−1 avoided ones — a win for every iters ≥ 2.
+    val withDeg = e.join(outdeg, "src").repartition(col("src")).persist()
     var ranks = nodes.crossJoin(broadcast(n1))
       .select(col("node"), expr(s"$scale div n_nodes").as("r"),
         col("n_nodes"))
@@ -219,7 +228,8 @@ object GraphAnalytics {
     require(nSeeds > 0L,
       "personalizedPageRank needs at least one seed present in the graph")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(outdeg, "src")
+    // loop-invariant, join-key-partitioned persist — see [[pageRank]]
+    val withDeg = e.join(outdeg, "src").repartition(col("src")).persist()
     val flagged = nodes.join(
       inGraphSeeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
