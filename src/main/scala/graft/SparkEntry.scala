@@ -219,11 +219,21 @@ object SparkEntry {
   }
 
   private def collection(s: SparkSession, dir: String, table: String,
-      idCol: String, uri: String): HyperStorage =
-    // persist: query() runs at least two actions over the log (the guard
-    // aggregate + the result), and the to_json adaptation dominates the
-    // scan — materialize it once instead of re-serializing per action
-    HyperStorage(s, Content.fromTable(t(s, dir, table), uri, idCol).persist())
+      idCol: String, uri: String): HyperStorage = {
+    // rebalance BEFORE the to_json adaptation: a single-file table plans
+    // one scan partition, and fromTable's per-row JSON serialization (plus
+    // the latest-fold's partial aggregate) would run on one task while the
+    // cluster idles — no-op at real input widths (the Dedup.rebalance
+    // posture). persist: query() runs at least two actions over the log
+    // (the guard aggregate + the result) — materialize the adaptation once
+    // instead of re-serializing per action.
+    val src = t(s, dir, table)
+    val wide =
+      if (src.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
+        src.repartition(s.sparkContext.defaultParallelism)
+      else src
+    HyperStorage(s, Content.fromTable(wide, uri, idCol).persist())
+  }
 
   // ------------------------------------------------------------- the queries
 

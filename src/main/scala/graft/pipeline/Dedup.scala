@@ -1018,6 +1018,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: Column,
       maskBits: Int): DataFrame = {
     require(maskBits >= 1 && maskBits <= 20, s"maskBits in [1,20]: $maskBits")
+    // NOT rebalanced: measured (interleaved A/B, sf0.1) 0.46 → 0.54 s —
+    // the CDC kernel is one md5 per token (vs k per shingle in
+    // md5Signatures), so the repartition costs more than the spread buys
+    // at this corpus; at real input widths rebalance would be a no-op
+    // anyway.
     df.select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.cdc_chunks(textCol, maskBits))
           .as("chunk_text"))
@@ -1035,7 +1040,13 @@ object Dedup {
     * counting stays a static codegen'd expression per seed. */
   private def md5Signatures(df: DataFrame, idCol: String, textCol: Column,
       shingleN: Int, k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // rebalance: k seeded md5s per shingle is the most CPU-expensive
+    // per-row kernel in the dedup family, and the partial min-aggregates
+    // run INSIDE the scan stage — a few-file corpus would hash on one
+    // task while the cluster idles (no-op at real input widths). min()
+    // folds are order-independent, so the repartition cannot change a
+    // value.
+    rebalance(df).select(col(idCol).as("id"),
         explode(shingles(textCol, shingleN)).as("g"))
       .groupBy("id").agg(
         min(md5TokenHash(concat(lit("0|"), col("g")))).as("__m0"),
