@@ -224,15 +224,17 @@ object SparkEntry {
     // one scan partition, and fromTable's per-row JSON serialization (plus
     // the latest-fold's partial aggregate) would run on one task while the
     // cluster idles — no-op at real input widths (the Dedup.rebalance
-    // posture). persist: query() runs at least two actions over the log
-    // (the guard aggregate + the result) — materialize the adaptation once
-    // instead of re-serializing per action.
+    // posture). The log itself is NOT persisted any more: since query()
+    // caches its latest-revision fold, the raw log is read exactly once
+    // per query — a log cache was one more cache write with no second
+    // reader (measured: o3 1.25 → 1.05 s, o6's two-query page walk
+    // 1.29 → 1.21 s without it).
     val src = t(s, dir, table)
     val wide =
       if (src.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
         src.repartition(s.sparkContext.defaultParallelism)
       else src
-    HyperStorage(s, Content.fromTable(wide, uri, idCol).persist())
+    HyperStorage(s, Content.fromTable(wide, uri, idCol))
   }
 
   // ------------------------------------------------------------- the queries

@@ -123,25 +123,28 @@ object Multimodal {
     * fingerprintDedupPairs). */
   def frameDedupFromTable(frames: DataFrame, maxDf: Int,
       minJaccard: Double): DataFrame = {
+    // per-asset kept-frame count `nf` RIDES each row through the
+    // self-join (one window over the cached table) and folds with max()
+    // in the pair aggregate, instead of joining a totals table back onto
+    // the candidate-sized pair table afterwards — the old shape paid two
+    // more exchanges + sorts of the PAIR table (by id_a, then id_b) for
+    // a value functionally determined by the pair key (the
+    // Dedup.coShingleCounts rework, applied here). Measured (sf0.1,
+    // same-session A/B, bit-equal output): 1.38 → 1.03 s.
     val kept = frames.select(col("media_id"), col("fh"))
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fh"))))
       .filter(col("__df") <= maxDf)
       .select(col("media_id"), col("fh"))
-      .persist() // totals + both join sides; the 100 TB spill point
-    val totals = kept.groupBy("media_id").agg(count(lit(1)).as("nf"))
-    val inter = kept.hint("merge").alias("a")
+      .withColumn("nf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))))
+      .persist() // both join sides; the 100 TB spill point
+    kept.hint("merge").alias("a")
       .join(kept.hint("merge").alias("b"),
         col("a.fh") === col("b.fh") && col("a.media_id") < col("b.media_id"))
       .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
-      .agg(count(lit(1)).as("matched"))
-    // totals is PER-ASSET (corpus-sized at scale) — merge-hint both joins
-    // off the broadcast path the tiny local fixture would otherwise pick
-    inter.hint("merge")
-      .join(totals.select(col("media_id").as("id_a"), col("nf").as("nf_a"))
-        .hint("merge"), "id_a")
-      .join(totals.select(col("media_id").as("id_b"), col("nf").as("nf_b"))
-        .hint("merge"), "id_b")
+      .agg(count(lit(1)).as("matched"),
+        max(col("a.nf")).as("nf_a"), max(col("b.nf")).as("nf_b"))
       .withColumn("jaccard", col("matched").cast("double") /
         (col("nf_a") + col("nf_b") - col("matched")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -741,26 +744,24 @@ object Multimodal {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
       .select(col("fh"))
-    val keptC = corpusFrames.select(col("media_id"), col("fh"))
-      .join(boiler, Seq("fh"), "left_anti")
-      .persist() // totals + probe side
-    val keptB = batchFrames.select(col("media_id"), col("fh"))
-      .join(boiler, Seq("fh"), "left_anti")
+    // per-asset counts ride the rows through the probe join and fold in
+    // the pair aggregate — see frameDedupFromTable (the totals join-back
+    // paid two extra exchanges + sorts of the candidate-sized pair table)
+    def withNf(df: DataFrame) = df
+      .withColumn("nf", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("media_id"))))
+    val keptC = withNf(corpusFrames.select(col("media_id"), col("fh"))
+        .join(boiler, Seq("fh"), "left_anti"))
+      .persist() // probe side
+    val keptB = withNf(batchFrames.select(col("media_id"), col("fh"))
+        .join(boiler, Seq("fh"), "left_anti"))
       .persist()
-    val totC = keptC.groupBy("media_id").agg(count(lit(1)).as("nf"))
-    val totB = keptB.groupBy("media_id").agg(count(lit(1)).as("nf"))
-    val inter = keptB.alias("a").hint("merge")
+    keptB.alias("a").hint("merge")
       .join(keptC.alias("b").hint("merge"), col("a.fh") === col("b.fh"))
       .groupBy(col("a.media_id").as("batch_id"),
         col("b.media_id").as("corpus_id"))
-      .agg(count(lit(1)).as("matched"))
-    // totals are corpus-sized at scale — merge-hint off the tiny-fixture
-    // broadcast path, same reasoning as frameDedupFromTable
-    inter.hint("merge")
-      .join(totB.select(col("media_id").as("batch_id"),
-        col("nf").as("nf_batch")).hint("merge"), "batch_id")
-      .join(totC.select(col("media_id").as("corpus_id"),
-        col("nf").as("nf_corpus")).hint("merge"), "corpus_id")
+      .agg(count(lit(1)).as("matched"),
+        max(col("a.nf")).as("nf_batch"), max(col("b.nf")).as("nf_corpus"))
       .withColumn("jaccard", col("matched").cast("double") /
         (col("nf_batch") + col("nf_corpus") - col("matched")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
