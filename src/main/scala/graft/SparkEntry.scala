@@ -219,23 +219,17 @@ object SparkEntry {
   }
 
   private def collection(s: SparkSession, dir: String, table: String,
-      idCol: String, uri: String): HyperStorage = {
-    // rebalance BEFORE the to_json adaptation: a single-file table plans
-    // one scan partition, and fromTable's per-row JSON serialization (plus
-    // the latest-fold's partial aggregate) would run on one task while the
-    // cluster idles — no-op at real input widths (the Dedup.rebalance
-    // posture). The log itself is NOT persisted any more: since query()
-    // caches its latest-revision fold, the raw log is read exactly once
-    // per query — a log cache was one more cache write with no second
-    // reader (measured: o3 1.25 → 1.05 s, o6's two-query page walk
-    // 1.29 → 1.21 s without it).
-    val src = t(s, dir, table)
-    val wide =
-      if (src.rdd.getNumPartitions < s.sparkContext.defaultParallelism)
-        src.repartition(s.sparkContext.defaultParallelism)
-      else src
-    HyperStorage(s, Content.fromTable(wide, uri, idCol))
-  }
+      idCol: String, uri: String): HyperStorage =
+    // NOT persisted, NOT pre-repartitioned: since query() caches its
+    // latest-revision fold, the raw log is read exactly once per query —
+    // a log cache was one more cache write with no second reader
+    // (measured: o3 1.25 → 1.05 s without it), and an up-front
+    // repartition of the source costs more than it spreads on
+    // every collection size tried (quiet interleaved A/Bs: customer-size
+    // fold-only 0.44 s vs rebalanced 0.63 s; orders-size 0.69 vs 0.75 —
+    // the fold's own exchange already distributes the aggregate, and the
+    // remaining single-task map side is just the projection).
+    HyperStorage(s, Content.fromTable(t(s, dir, table), uri, idCol))
 
   // ------------------------------------------------------------- the queries
 
