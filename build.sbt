@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the bench's
+// one-line JSON from the tail of stdout. sbt's default LoggedOutput wraps
+// every line of the forked JVM's stdout in an "[info] " prefix and appends
+// a "[success] Total time: …" trailer after the JSON — which left the tail
+// without a single cleanly parseable JSON line in every BENCH_r* artifact
+// (parsed: null, rounds 1-13). StdoutOutput passes the forked process's
+// stdout through verbatim; showSuccess drops the trailer, so the LAST line
+// of stdout is the bench's own compact summary line. This changes log
+// decoration only — the timed queries, methodology and JSON content are
+// untouched.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
