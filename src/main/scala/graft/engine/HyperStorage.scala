@@ -80,7 +80,14 @@ object SortBy {
     }.toSeq
 }
 
-final case class QueryResult(rows: DataFrame, revision: Long)
+/** Collection query result. `release` drops the persisted latest-revision
+  * fold backing `rows` (mirroring [[ApplyResult.release]]): call it once the
+  * rows have been consumed. Embedders that batch many queries per session
+  * (like Bench's per-entry cache clear) may skip it; without either, each
+  * successful query leaves one collection-sized MEMORY_AND_DISK entry until
+  * a later eviction. Index-served results carry a no-op release. */
+final case class QueryResult(rows: DataFrame, revision: Long,
+    release: () => Unit = () => ())
 
 /** One write operation — the engine's "query language" for mutations
   * (reference §2.11: PUT/PATCH/DELETE/POST over documents and collection
@@ -282,7 +289,9 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
         case ">" => col("item_id") > v; case ">=" => col("item_id") >= v
         case "<" => col("item_id") < v; case "<=" => col("item_id") <= v
         case "=" => col("item_id") === v
-        case other => sys.error(s"bad item_id op: $other")
+        // through fail(), not sys.error: this branch sits after the fold
+        // persist above, so a bare throw would leak the cache entry
+        case other => fail(new RuntimeException(s"bad item_id op: $other"))
       }
     }.getOrElse(lit(true))
     val visNoTomb = col("item_id") =!= "" && !col("is_deleted")
@@ -390,7 +399,8 @@ final class HyperStorage(val spark: SparkSession, val log: DataFrame,
       if (sort.isEmpty || idSortOnly) filtered.orderBy(idOrder).limit(size)
       else sortAndLimit(filtered, sort, resolver, idOrder, size)
 
-    QueryResult(sorted.drop(helperCols: _*), staticRevision)
+    QueryResult(sorted.drop(helperCols: _*), staticRevision,
+      release = () => { latest.unpersist(); () })
   }
 
   /** O6 cursor pagination: the page after `lastRow` under the same sort.

@@ -173,7 +173,25 @@ object GraphAnalytics {
       if ((danglingRedistribution || i % checkpointEvery == 0) && i < iters)
         ranks = ranks.localCheckpoint(eager = false)
     }
-    ranks.select(col("node"), col("r").as("rank_scaled"))
+    // Edge-cache release (the duplicateClusters discipline), on the
+    // REDISTRIBUTION path only: its rounds already end in checkpoint
+    // barriers, so one final eager node-sized cut costs nothing extra —
+    // the caller's action then reads blocks and the edge-sized cache
+    // entry does not outlive the call (measured −1.5 s on the dangling
+    // gate, interleaved cross-JVM A/B). The PLAIN path stays fully lazy
+    // ON PURPOSE: its unbarriered plan is transparent to the optimizer
+    // (a caller that only counts or projects prunes the rank arithmetic
+    // away entirely — forcing materialization here measured +3 s on the
+    // knn-graph gate), so there withDeg must outlive the call and the
+    // CALLER owns the release (a session cache clear, as Bench does per
+    // entry; superseded checkpoint blocks remain ContextCleaner-owned
+    // as documented above).
+    if (danglingRedistribution) {
+      val out = ranks.select(col("node"), col("r").as("rank_scaled"))
+        .localCheckpoint()
+      withDeg.unpersist(blocking = false)
+      out
+    } else ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
   /** Personalized PageRank: teleport restricted to a SEED set — the
@@ -271,7 +289,11 @@ object GraphAnalytics {
       // round's aggregate twice (see pageRank's redistribution note)
       if (i < iters) ranks = ranks.localCheckpoint(eager = false)
     }
-    ranks.select(col("node"), col("r").as("rank_scaled"))
+    // same edge-cache release as [[pageRank]]: eager final cut, then drop
+    val out = ranks.select(col("node"), col("r").as("rank_scaled"))
+      .localCheckpoint()
+    withDeg.unpersist(blocking = false)
+    out
   }
 
   /** Exact triangle count per node over an undirected pair graph — the

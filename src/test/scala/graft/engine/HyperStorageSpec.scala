@@ -192,6 +192,33 @@ class HyperStorageSpec extends AnyFreeSpec with Matchers with SparkFixture {
     }
   }
 
+  "query cache release" - {
+    // suites run sequentially in the forked test JVM, so the cleared
+    // cache-manager state below is this test's alone
+    "release() drops the persisted latest fold on the success path" in {
+      val st = HyperStorage(spark, store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""),
+        WriteOp(2, "PUT", "docs~/b", """{"x":2}"""))).log)
+      spark.sharedState.cacheManager.clearCache()
+      val q = st.query("docs~")
+      q.rows.collect().length shouldBe 2
+      // the shared fold is live while the caller consumes the rows…
+      spark.sharedState.cacheManager.isEmpty shouldBe false
+      q.release()
+      // …and gone after release: no net cached blocks per query
+      spark.sharedState.cacheManager.isEmpty shouldBe true
+    }
+
+    "a bad item_id op unpersists the fold before throwing" in {
+      val st = HyperStorage(spark, store.applySeq(Seq(
+        WriteOp(1, "PUT", "docs~/a", """{"x":1}"""))).log)
+      spark.sharedState.cacheManager.clearCache()
+      a[RuntimeException] should be thrownBy
+        st.query("docs~", itemIdFilter = Some(("!=", "a")))
+      spark.sharedState.cacheManager.isEmpty shouldBe true
+    }
+  }
+
   "QueryGuard (query-timeout taxonomy)" - {
     "a query within its deadline returns normally; errors propagate as-is" in {
       val st = HyperStorage(spark, store.applySeq(Seq(

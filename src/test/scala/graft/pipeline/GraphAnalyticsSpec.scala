@@ -271,4 +271,36 @@ class GraphAnalyticsSpec extends AnyFunSpec with Matchers with SparkFixture {
       plan should not include "BroadcastNestedLoopJoin"
     }
   }
+
+  describe("edge-cache release") {
+    // the loop-invariant withDeg persist must not outlive the call: a
+    // long-lived session running many rank jobs would otherwise
+    // accumulate one edge-sized cache entry per call (suites run
+    // sequentially in the forked test JVM, so the cleared cache-manager
+    // state is ours alone)
+    it("pageRank (redistribution path) leaves no cache entry behind") {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 1L))
+        .toDF("src", "dst")
+      spark.sharedState.cacheManager.clearCache()
+      GraphAnalytics.pageRank(edges, "src", "dst", iters = 3,
+        danglingRedistribution = true).count() should be > 0L
+      spark.sharedState.cacheManager.isEmpty shouldBe true
+      // the PLAIN path keeps its edge cache alive by design (the lazy
+      // pruning-transparent plan still references it) — the caller owns
+      // the release; see the operator comment
+      GraphAnalytics.pageRank(edges, "src", "dst", iters = 3).count()
+      spark.sharedState.cacheManager.isEmpty shouldBe false
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    it("personalizedPageRank leaves no cache entry behind") {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+        .toDF("src", "dst")
+      val seeds = Seq(1L).toDF("node")
+      spark.sharedState.cacheManager.clearCache()
+      GraphAnalytics.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iters = 3).count() should be > 0L
+      spark.sharedState.cacheManager.isEmpty shouldBe true
+    }
+  }
 }
